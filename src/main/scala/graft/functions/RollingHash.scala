@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: 64-bit polynomial rolling hash of a
+  * string (document fingerprinting primitive). Stays inside
+  * whole-stage codegen via a static-call `doGenCode`, so it runs at
+  * built-in-function speed — no UDF serialization, no codegen break.
+  */
+case class RollingHashExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHashExpr.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHashExpr.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
+object RollingHashExpr {
+  /** h = 31*h + byte over UTF-8 bytes, seeded with a large prime. */
+  def hash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = 31L * h + bytes(i)
+      i += 1
+    }
+    h
+  }
+}
+
+/** Session registration + Column-API wrappers for graft's native
+  * expressions (Spark 4 hides the Column-from-Expression constructor,
+  * so we go through the function registry + `call_function`).
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => {
+        require(exprs.length == 1, s"rolling_hash expects 1 argument, got ${exprs.length}")
+        RollingHashExpr(exprs.head)
+      }, "scala_udf")
+
+  /** 64-bit rolling hash of a string column (register first). */
+  def rollingHash(c: Column): Column = call_function("rolling_hash", c)
+}

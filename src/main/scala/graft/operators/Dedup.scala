@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents`: exact (hash groupBy),
+  * n-gram Jaccard (df-pruned inverted index), MinHash+LSH (banding),
+  * SimHash (banded hamming). Candidate generation is always
+  * O(n·shingles) / O(n·bands) — never an unbounded O(n²) cross join —
+  * so each op survives a 100× scale-up.
+  *
+  * MinHash uses md5 (identical hex output in Spark and DuckDB), which
+  * makes even the LSH pipeline oracle-checkable; SimHash uses the
+  * faster xxhash64 (Spark-only, rows-only check).
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Distinct char-3-gram shingles per doc (+ source for blocking). */
+  private def shingles(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))"))).as("g"))
+
+  /** d01: exact dedup by content hash — canonical keep-id per hash. */
+  def d01DedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("content_md5"))
+
+  /** d02: n-gram Jaccard via source-blocked, df-pruned inverted-index
+    * self-join; top-20 most similar pairs. The df cap (≤50 docs per
+    * source share a gram) bounds join fanout at Σ df² — the standard
+    * frequent-shingle prune that keeps this linear-ish at 100 TB.
+    */
+  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(docs(spark, dir))
+    val dfc = sh.groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50)
+    val kept = sh.join(dfc.select("source", "g"), Seq("source", "g"))
+    val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.source") === col("b.source") && col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val j = pairs
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("n_grams_a")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("n_grams_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_grams_a") + col("n_grams_b") - col("n_common")).cast("double"))
+    j.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20)
+      .withColumn("pair_rank",
+        row_number().over(Window.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))))
+      .select(col("pair_rank"), col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_grams_a"), col("n_grams_b"), col("jaccard"))
+      .orderBy(col("pair_rank"))
+  }
+
+  private val K = 16        // minhash permutations
+  private val BANDS = 4     // LSH bands of 4 rows each
+
+  /** d03: MinHash + LSH. md5-seeded min-hashing (cross-engine-stable),
+    * banded into 4×4 → candidate pairs from band-bucket collisions;
+    * emits per-doc signature digest + candidate count (never O(n²)).
+    */
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(docs(spark, dir)).select("doc_id", "g")
+    val hashAggs = (0 until K).map { s =>
+      min(md5(concat(lit(s"$s:"), col("g")))).as(s"h$s")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
+    val withBands = (0 until BANDS).foldLeft(sig) { (df, b) =>
+      val cols = (b * 4 until b * 4 + 4).map(i => col(s"h$i"))
+      df.withColumn(s"band$b", md5(concat_ws("|", cols: _*)))
+    }
+    val banded = withBands.selectExpr("doc_id",
+      s"stack($BANDS, ${(0 until BANDS).map(b => s"$b, band$b").mkString(", ")}) as (band_idx, band_hash)")
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val partners = pairs.select(col("da").as("doc_id"), col("db").as("partner"))
+      .unionAll(pairs.select(col("db").as("doc_id"), col("da").as("partner")))
+      .groupBy(col("doc_id")).agg(countDistinct(col("partner")).as("n_candidates"))
+    withBands
+      .withColumn("sig_digest", md5(concat_ws("|", (0 until K).map(i => col(s"h$i")): _*)))
+      .select(col("doc_id"), col("sig_digest"), col("h0").as("minhash_0"))
+      .join(partners, Seq("doc_id"), "left")
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d04: 64-bit SimHash over tokens (xxhash64 bit votes), banded
+    * 4×16-bit hamming candidates (≤12 bits apart). Rows-only check.
+    */
+  def d04Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val votes = toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val simhash = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)  // disjoint bits: + == bitwise OR, incl. sign bit
+    val sigs = votes.select(col("doc_id"), simhash.as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 12)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val partners = pairs.select(col("da").as("doc_id"), col("db").as("partner"))
+      .unionAll(pairs.select(col("db").as("doc_id"), col("da").as("partner")))
+      .groupBy(col("doc_id")).agg(countDistinct(col("partner")).as("n_near"))
+    sigs.join(partners, Seq("doc_id"), "left")
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> (d01DedupExact _),
+    "d02_ngram_jaccard" -> (d02NgramJaccard _),
+    "d03_minhash_lsh" -> (d03MinhashLsh _),
+    "d04_simhash" -> (d04Simhash _)
+  )
+
+  private val sigSelect = (0 until K)
+    .map(s => s"min(md5('$s:' || g)) AS h$s").mkString(",\n    ")
+  private val bandSelects = (0 until BANDS).map { b =>
+    val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band_idx, md5($cols) AS band_hash FROM sig"
+  }.mkString("\n  UNION ALL ")
+  private val digestExpr = (0 until K).map(i => s"h$i").mkString(" || '|' || ")
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d02_ngram_jaccard" ->
+      """WITH raw AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(text)-1), i -> substring(text, i, 3))) AS g
+        |  FROM documents WHERE len(text) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, source, g FROM raw),
+        |dfc AS (SELECT source, g FROM sh GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+        |kept AS (SELECT sh.* FROM sh JOIN dfc USING (source, g)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM kept a JOIN kept b
+        |    ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_a, doc_b, n_common, ca.n AS n_grams_a, cb.n AS n_grams_b,
+        |    CAST(n_common AS DOUBLE)/CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+        |  FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+        |SELECT ROW_NUMBER() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS pair_rank,
+        |  doc_a, doc_b, n_common, n_grams_a, n_grams_b, jaccard
+        |FROM j
+        |QUALIFY pair_rank <= 20
+        |ORDER BY pair_rank""".stripMargin,
+    "d03_minhash_lsh" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(text)-1), i -> substring(text, i, 3))) AS g
+         |  FROM documents WHERE len(text) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, g FROM raw),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |partners AS (
+         |  SELECT doc_id, COUNT(DISTINCT partner) AS n_candidates FROM (
+         |    SELECT da AS doc_id, db AS partner FROM pairs
+         |    UNION ALL SELECT db, da FROM pairs) GROUP BY 1)
+         |SELECT s.doc_id, md5($digestExpr) AS sig_digest, h0 AS minhash_0,
+         |  COALESCE(p.n_candidates, 0) AS n_candidates
+         |FROM sig s LEFT JOIN partners p ON s.doc_id = p.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Typed metadata produced by the (stubbed) media decoder. */
+case class MediaMeta(doc_id: Long, byte_len: Int, width: Int, height: Int, checksum: Long)
+
+/** Multimodal-column plumbing: media payloads travel as opaque
+  * `binary` columns with typed metadata alongside. The real decode
+  * (image/audio libs) is absent from this container, so the decoder is
+  * a clearly-marked deterministic STUB — but the Spark-side shape
+  * (binary column, per-partition batched decode, typed output schema)
+  * is the real 100 TB pattern.
+  */
+object Multimodal {
+
+  /** m01: binary payload column + deterministic stub "decode" to
+    * typed metadata, as pure column expressions (oracle-checkable).
+    */
+  def m01MediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        when(pmod(col("n_chars"), lit(3)) === 0, "image")
+          .when(pmod(col("n_chars"), lit(3)) === 1, "audio")
+          .otherwise("video").as("media_type"),
+        length(col("payload")).cast("long").as("byte_len"),
+        (pmod(col("n_chars"), lit(317)) + 32).cast("long").as("fake_width"),
+        (pmod(col("n_chars") * 7, lit(211)) + 32).cast("long").as("fake_height"),
+        base64(substring(col("text"), 1, 16).cast("binary")).as("head_b64"))
+      .orderBy(col("doc_id"))
+
+  /** Per-partition batched decoder over (id, payload) pairs — the
+    * `mapPartitions` shape a real decoder plugs into (amortizes
+    * per-batch init: codec contexts, model weights, etc.).
+    *
+    * STUB: real decode needs image/audio libraries not present in
+    * this container; metadata is derived deterministically from the
+    * payload bytes instead.
+    */
+  def decodeBatch(spark: SparkSession, payloads: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      // per-partition init would go here (codec context, etc.)
+      it.map { case (id, bytes) =>
+        val len = bytes.length
+        var h = 1125899906842597L
+        var i = 0
+        while (i < len) { h = 31L * h + bytes(i); i += 1 }
+        MediaMeta(id, len, 32 + (len % 317), 32 + ((len * 7) % 211), h)
+      }
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_meta" -> (m01MediaMeta _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_chars % 3 = 0 THEN 'image'
+        |       WHEN n_chars % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  octet_length(encode(text)) AS byte_len,
+        |  n_chars % 317 + 32 AS fake_width,
+        |  (n_chars * 7) % 211 + 32 AS fake_height,
+        |  base64(encode(substring(text, 1, 16))) AS head_b64
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

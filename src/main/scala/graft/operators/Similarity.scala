@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over `embeddings` (float[64] vectors): exact
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * The query side is a bounded, broadcast set — the "cross join" is
+  * k·n with the small side broadcast, i.e. a map-side loop, not a
+  * shuffle. At 100 TB the corpus stays partitioned and is scanned
+  * once per batch of queries.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  private val dotExpr =
+    "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+  private def normExpr(c: String) =
+    s"sqrt(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
+
+  /** s01: exact cosine top-10 neighbours for query vectors vec_id<10. */
+  def s01CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label"))
+    val pairs = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("qn", expr(normExpr("qe")))
+      .withColumn("cn", expr(normExpr("ce")))
+      .withColumn("sim", col("dot") / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("rnk"), col("cid"), col("label"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private val PLANES = 8
+
+  /** s02: random-hyperplane LSH — 8 deterministic pseudo-random
+    * hyperplanes (xxhash64 sign pattern) → 256 buckets; per-vector
+    * bucket id + candidate count. Rows-only check.
+    */
+  def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val flat = emb(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "x")
+    val sums = (0 until PLANES).map { p =>
+      sum(when(pmod(xxhash64(lit(p), col("i")), lit(2)) === 0,
+        col("x").cast("double")).otherwise(-col("x").cast("double"))).as(s"s$p")
+    }
+    val proj = flat.groupBy(col("vec_id"), col("label")).agg(sums.head, sums.tail: _*)
+    val bucket = (0 until PLANES)
+      .map(p => when(col(s"s$p") > 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val bucketed = proj.select(col("vec_id"), col("label"), bucket.as("bucket"))
+    val sizes = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+    bucketed.join(sizes, Seq("bucket"))
+      .withColumn("n_candidates", col("bucket_size") - 1)
+      .select(col("vec_id"), col("label"), col("bucket"), col("bucket_size"), col("n_candidates"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_cosine_topk" -> (s01CosineTopk _),
+    "s02_ann_lsh" -> (s02AnnLsh _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s01_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, embedding AS ce, label FROM embeddings),
+        |pairs AS (
+        |  SELECT qid, cid, label,
+        |    list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM c, q WHERE qid <> cid)
+        |SELECT qid,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk,
+        |  cid, label, round(sim, 6) AS sim_r
+        |FROM pairs
+        |QUALIFY rnk <= 10
+        |ORDER BY qid, rnk""".stripMargin
+  )
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language ID, document fingerprinting — the
+  * row-local text featurization stages of an LLM-data pipeline. All
+  * pure column expressions (codegen'd, no UDFs), so they scale as
+  * embarrassingly-parallel map work at 100 TB.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Tokens from whitespace splitting (lowercased). */
+  private def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** t01: token/char statistics per document. */
+  def t01TokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        length(col("text")).cast("long").as("text_len"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).cast("long").as("n_alpha_tokens"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_nonspace_chars"))
+      .withColumn("avg_token_len",
+        col("n_nonspace_chars").cast("double") /
+          when(col("n_tokens") === 0, null).otherwise(col("n_tokens").cast("double")))
+      .orderBy(col("doc_id"))
+
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** t02: composite quality score — length, punctuation, stopword
+    * density (the heuristics used to filter LLM training text).
+    */
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    docs(spark, dir)
+      .withColumn("text_len", length(col("text")).cast("long"))
+      .withColumn("punct_count",
+        (col("text_len") - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
+      .withColumn("n_tokens", size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+      .withColumn("stop_hits",
+        expr(s"size(filter(split(lower(trim(text)), '\\\\s+'), t -> t in ($stopList)))").cast("long"))
+      .withColumn("punct_ratio",
+        col("punct_count").cast("double") /
+          when(col("text_len") === 0, null).otherwise(col("text_len").cast("double")))
+      .withColumn("stop_ratio",
+        col("stop_hits").cast("double") /
+          when(col("n_tokens") === 0, null).otherwise(col("n_tokens").cast("double")))
+      .withColumn("length_score", least(lit(1.0), col("text_len").cast("double") / lit(500.0)))
+      .withColumn("quality_score",
+        lit(0.4) * col("length_score") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.3) * col("stop_ratio"))
+      .select(col("doc_id"), col("lang"), col("text_len"), col("punct_count"),
+        col("n_tokens"), col("stop_hits"), col("punct_ratio"), col("stop_ratio"),
+        col("length_score"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language marker profiles (tiny stopword lists per language). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "es" -> Seq("el", "los", "y", "que", "una"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** t03: stopword-profile language ID + accuracy flag vs the label.
+    * (n-gram-profile langid reduced to marker-token scoring — exactly
+    * expressible in both engines.)
+    */
+  def t03Langid(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).withColumn("toks", tokens(col("text")))
+    val scored = langMarkers.foldLeft(base) { case (df, (code, markers)) =>
+      val list = markers.map(m => s"'$m'").mkString(", ")
+      df.withColumn(s"score_$code",
+        expr(s"size(filter(toks, t -> t in ($list)))").cast("long"))
+    }
+    val scores = langMarkers.map { case (code, _) => col(s"score_$code") }
+    val best = greatest(scores: _*)
+    val predicted = langMarkers.foldRight(lit("und")) { case ((code, _), acc) =>
+      when(col(s"score_$code") === best && best > 0, lit(code)).otherwise(acc)
+    }
+    // NOTE: foldRight means earlier entries in langMarkers win ties —
+    // mirror the same CASE order in the oracle.
+    scored
+      .withColumn("predicted_lang", predicted)
+      .withColumn("is_correct", col("predicted_lang") === col("lang"))
+      .select((Seq(col("doc_id"), col("lang")) ++
+        langMarkers.map { case (c, _) => col(s"score_$c") } ++
+        Seq(col("predicted_lang"), col("is_correct"))): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** t04: document fingerprints via the native RollingHashExpr —
+    * whole-doc hash + min/max over per-token hashes (winnowing-style
+    * summary). Rows-only check (no DuckDB twin of the hash).
+    */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    docs(spark, dir)
+      .withColumn("doc_fp", GraftFunctions.rollingHash(col("text")))
+      .withColumn("token_fps", expr("transform(split(trim(text), '\\\\s+'), t -> rolling_hash(t))"))
+      .select(
+        col("doc_id"),
+        col("doc_fp"),
+        array_min(col("token_fps")).as("min_token_fp"),
+        array_max(col("token_fps")).as("max_token_fp"),
+        size(array_distinct(col("token_fps"))).cast("long").as("n_distinct_token_fps"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> (t01TokenStats _),
+    "t02_quality_score" -> (t02QualityScore _),
+    "t03_langid" -> (t03Langid _),
+    "t04_fingerprint" -> (t04Fingerprint _)
+  )
+
+  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  private val langidScoreCols = langMarkers.map { case (code, markers) =>
+    val list = markers.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t in ($list))) AS score_$code"
+  }.mkString(",\n  ")
+
+  private val langidBest =
+    langMarkers.map { case (c, _) => s"score_$c" }.mkString("greatest(", ", ", ")")
+
+  private val langidCase = langMarkers.map { case (c, _) =>
+    s"WHEN score_$c = $langidBest AND $langidBest > 0 THEN '$c'"
+  }.mkString("CASE ", " ", " ELSE 'und' END")
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  len(text) AS text_len,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_tokens,
+        |  len(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace_chars,
+        |  CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |    NULLIF(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 0) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t02_quality_score" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    len(text) AS text_len,
+         |    len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_count,
+         |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+         |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t in ($stopList))) AS stop_hits
+         |  FROM documents),
+         |ratios AS (
+         |  SELECT *,
+         |    CAST(punct_count AS DOUBLE)/NULLIF(CAST(text_len AS DOUBLE), 0) AS punct_ratio,
+         |    CAST(stop_hits AS DOUBLE)/NULLIF(CAST(n_tokens AS DOUBLE), 0) AS stop_ratio,
+         |    least(1.0, CAST(text_len AS DOUBLE)/500.0) AS length_score
+         |  FROM base)
+         |SELECT doc_id, lang, text_len, punct_count, n_tokens, stop_hits,
+         |  punct_ratio, stop_ratio, length_score,
+         |  0.4*length_score + 0.3*(1.0 - punct_ratio) + 0.3*stop_ratio AS quality_score
+         |FROM ratios ORDER BY doc_id""".stripMargin,
+    "t03_langid" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |  $langidScoreCols
+         |  FROM documents)
+         |SELECT doc_id, lang, score_en, score_de, score_fr, score_es, score_zh,
+         |  $langidCase AS predicted_lang,
+         |  ($langidCase) = lang AS is_correct
+         |FROM scored ORDER BY doc_id""".stripMargin
+  )
+}

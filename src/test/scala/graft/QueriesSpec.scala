@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+/** Every registered query runs and returns sane results at sf0.001. */
+class QueriesSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("every queries entry has a runner that yields rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracleSql key has a matching queries key") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("q01 groups by the 6 (returnflag, linestatus) combos") {
+    assert(SparkEntry.queries("q01_pricing_summary")(spark, sf).count() == 6)
+  }
+
+  test("q13 segments partition all customers") {
+    val rows = SparkEntry.queries("q13_semi_anti_customers")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val customers = Tables(spark, sf, "customer").count()
+    assert(total == customers)
+  }
+
+  test("q10 latest snapshot has one row per user") {
+    val df = SparkEntry.queries("q10_cdc_latest_snapshot")(spark, sf)
+    assert(df.count() == df.select("user_id").distinct().count())
+  }
+
+  test("d01 exact dedup covers all documents") {
+    val df = SparkEntry.queries("d01_dedup_exact")(spark, sf)
+    val copies = df.agg(org.apache.spark.sql.functions.sum("n_copies")).head.getLong(0)
+    assert(copies == Tables(spark, sf, "documents").count())
+  }
+
+  test("s01 returns exactly 10 neighbours per query, self excluded") {
+    val rows = SparkEntry.queries("s01_cosine_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 10))
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("cid")))
+  }
+
+  test("st01 streaming totals match batch totals") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("st01_stream_window")(spark, sf)
+      .agg(sum("n_events")).head.getLong(0)
+    assert(streamed == Tables(spark, sf, "events").count())
+  }
+}
