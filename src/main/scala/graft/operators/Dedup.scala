@@ -43,17 +43,21 @@ object Dedup {
     * frequent-shingle prune that keeps this linear-ish at 100 TB.
     */
   def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // One shuffle builds the pruned inverted index: gram → bounded doc
+    // list (df cap 50). Pairs are then generated MAP-SIDE from each
+    // ≤50-element list (≤1225 pairs/gram) instead of an index self-join
+    // — no second shuffle of the index, bounded fanout at any scale.
     val sh = shingles(docs(spark, dir))
-    val dfc = sh.groupBy(col("source"), col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 50)
-    val kept = sh.join(dfc.select("source", "g"), Seq("source", "g"))
-    val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = kept.as("a")
-      .join(kept.as("b"),
-        col("a.source") === col("b.source") && col("a.g") === col("b.g") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val grouped = sh.groupBy(col("source"), col("g"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= 50)
+      .persist()
+    val cnt = grouped.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairArr = expr(
+      "filter(flatten(transform(docs, a -> transform(docs, b -> struct(a AS da, b AS db)))), p -> p.da < p.db)")
+    val pairs = grouped.select(explode(pairArr).as("p"))
+      .groupBy(col("p.da").as("doc_a"), col("p.db").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     val j = pairs
       .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("n_grams_a")), Seq("doc_a"))
