@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.RollingHashExpr
+
+/** SparkSessionExtensions entry point — wire graft's native functions
+  * into any session at build time:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)           // programmatic
+  * // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * This is the same injection surface the reference stack uses to load
+  * Iceberg's extensions into Kyuubi-managed Spark sessions
+  * (reference: docs/components/kyuubi.md §4 config snippets).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, null, "rolling_hash",
+        "rolling_hash(str) - 64-bit polynomial rolling hash of `str`.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"rolling_hash expects 1 argument, got ${exprs.length}")
+        RollingHashExpr(exprs.head)
+      }))
+  }
+}

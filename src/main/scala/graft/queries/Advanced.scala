@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** Advanced relational pack: CDC apply with deletes, full window-
+  * function suite, CUBE grouping sets, JSON property processing, and
+  * an as-of join composed from built-in window primitives (preference
+  * (a) in the custom-operator ladder — Spark's own operators express
+  * the semantics, so no custom plan node is needed).
+  */
+object Advanced {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** q16: Debezium-style CDC apply — changelog with insert/update/
+    * delete ops, latest-op-wins per key, tombstones drop the row.
+    * Ref: docs/components/cdc.md (transforms=unwrap envelope flatten).
+    */
+  def q16CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ops = t(spark, dir, "events")
+      .withColumn("op",
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "error", "d")
+          .otherwise("u"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wAll = Window.partitionBy(col("user_id"))
+    ops
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(wAll))
+      .withColumn("n_deletes", count(when(col("op") === "d", 1)).over(wAll))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(
+        col("user_id"),
+        col("op").as("last_op"),
+        col("value").as("last_value"),
+        unix_millis(col("ts")).as("last_ts_ms"),
+        col("n_ops"), col("n_deletes"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q17: window-function suite — lag/lead, first_value, running max,
+    * ntile, cume_dist, rank vs dense_rank.
+    */
+  def q17WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_date"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNtile = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wCume = Window.orderBy(col("o_totalprice"))
+    val wRank = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("order_date"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("first_price", first(col("o_totalprice")).over(wRun))
+      .withColumn("running_max_price", max(col("o_totalprice")).over(wRun))
+      .withColumn("price_quartile", ntile(4).over(wNtile).cast("long"))
+      .withColumn("price_cume_dist", cume_dist().over(wCume))
+      .withColumn("cust_price_rank", rank().over(wRank).cast("long"))
+      .withColumn("cust_price_dense_rank", dense_rank().over(wRank).cast("long"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q18: CUBE over status × market segment. */
+  def q18CubeStatusSegment(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .cube(col("o_orderstatus"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_revenue"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("c_mktsegment"))
+  }
+
+  /** q19: JSON property extraction + aggregation over the events
+    * `props` column (semi-structured processing).
+    */
+  def q19JsonProps(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .withColumn("avg_k", col("sum_k").cast("double") /
+        when(col("n_with_k") === 0, null).otherwise(col("n_with_k").cast("double")))
+      .orderBy(col("event_type"))
+  }
+
+  /** q20: as-of join — each purchase event picks up the user's most
+    * recent prior-or-same-time 'view' event. Composed from a running
+    * `last(..., ignoreNulls)` window over the merged timeline: one
+    * shuffle by user, no custom plan node, scales as a plain window.
+    */
+  def q20AsofViewPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("last_view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+      .withColumn("last_view_value",
+        last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        unix_millis(col("ts")).as("purchase_ts_ms"),
+        col("value").as("purchase_value"),
+        unix_millis(col("last_view_ts")).as("last_view_ts_ms"),
+        col("last_view_value"))
+      .withColumn("gap_ms", col("purchase_ts_ms") - col("last_view_ts_ms"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_cdc_apply" -> (q16CdcApply _),
+    "q17_window_suite" -> (q17WindowSuite _),
+    "q18_cube_status_segment" -> (q18CubeStatusSegment _),
+    "q19_json_props" -> (q19JsonProps _),
+    "q20_asof_view_purchase" -> (q20AsofViewPurchase _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q16_cdc_apply" ->
+      """WITH ops AS (
+        |  SELECT *,
+        |    CASE WHEN event_type = 'signup' THEN 'c'
+        |         WHEN event_type = 'error' THEN 'd'
+        |         ELSE 'u' END AS op
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, op, value, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops,
+        |    COUNT(CASE WHEN op = 'd' THEN 1 END) OVER (PARTITION BY user_id) AS n_deletes
+        |  FROM ops)
+        |SELECT user_id, op AS last_op, value AS last_value,
+        |  epoch_ms(ts) AS last_ts_ms, n_ops, n_deletes
+        |FROM ranked WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin,
+    "q17_window_suite" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w_run AS first_price,
+        |  max(o_totalprice) OVER w_run AS running_max_price,
+        |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile,
+        |  cume_dist() OVER (ORDER BY o_totalprice) AS price_cume_dist,
+        |  CAST(rank() OVER w_rank AS BIGINT) AS cust_price_rank,
+        |  CAST(dense_rank() OVER w_rank AS BIGINT) AS cust_price_dense_rank
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        |  w_run AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_rank AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q18_cube_status_segment" ->
+      """SELECT o_orderstatus, c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(o_orderstatus, c_mktsegment)
+        |ORDER BY o_orderstatus NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "q19_json_props" ->
+      """WITH parsed AS (
+        |  SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(k) AS n_with_k,
+        |  COUNT(DISTINCT k) AS n_distinct_k,
+        |  MIN(k) AS min_k,
+        |  MAX(k) AS max_k,
+        |  SUM(k) AS sum_k,
+        |  CAST(SUM(k) AS DOUBLE)/NULLIF(CAST(COUNT(k) AS DOUBLE), 0) AS avg_k
+        |FROM parsed GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q20_asof_view_purchase" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER w AS last_view_ts,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) OVER w AS last_view_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id,
+        |  event_id AS purchase_id,
+        |  epoch_ms(ts) AS purchase_ts_ms,
+        |  value AS purchase_value,
+        |  epoch_ms(last_view_ts) AS last_view_ts_ms,
+        |  last_view_value,
+        |  epoch_ms(ts) - epoch_ms(last_view_ts) AS gap_ms
+        |FROM tagged WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin
+  )
+}
