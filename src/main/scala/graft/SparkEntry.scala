@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Merge, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{Advanced, Relational}
 import graft.streaming.EventStream
 
@@ -15,15 +15,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Advanced.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      EventStream.queries
+    Relational.queries ++ Advanced.queries ++ Merge.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries ++ EventStream.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Advanced.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      EventStream.oracles
+    Relational.oracles ++ Advanced.oracles ++ Merge.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Multimodal.oracles ++ EventStream.oracles
 }

@@ -147,11 +147,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d05: embedding-cosine near-dup — top-50 most-similar vector
+    * pairs. Exact pairwise at test scale (norms precomputed once per
+    * vector, query side broadcast); at 100 TB the s02 LSH buckets
+    * gate which pairs get the exact check.
+    */
+  def d05EmbeddingDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables(spark, dir, "embeddings")
+      .withColumn("norm",
+        expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val pairs = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("sim", col("dot") / (col("na") * col("nb")))
+    pairs.orderBy(col("sim").desc, col("vec_a"), col("vec_b")).limit(50)
+      .withColumn("pair_rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_a"), col("vec_b"))))
+      .select(col("pair_rank"), col("vec_a"), col("vec_b"),
+        col("label_a"), col("label_b"), round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("pair_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01DedupExact _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
-    "d04_simhash" -> (d04Simhash _)
+    "d04_simhash" -> (d04Simhash _),
+    "d05_embedding_dup" -> (d05EmbeddingDup _)
   )
 
   private val sigSelect = (0 until K)
@@ -163,6 +189,22 @@ object Dedup {
   private val digestExpr = (0 until K).map(i => s"h$i").mkString(" || '|' || ")
 
   val oracles: Map[String, String] = Map(
+    "d05_embedding_dup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS norm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    a.label AS label_a, b.label AS label_b,
+        |    list_sum(list_transform(range(1, len(a.embedding)+1),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.norm * b.norm) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT ROW_NUMBER() OVER (ORDER BY sim DESC, vec_a, vec_b) AS pair_rank,
+        |  vec_a, vec_b, label_a, label_b, round(sim, 6) AS sim_r
+        |FROM pairs
+        |QUALIFY pair_rank <= 50
+        |ORDER BY pair_rank""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -2,9 +2,18 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.functions.Exact.dsum
+
+/** Raw event row as streamed (ts = parquet TIMESTAMP(NANOS) as long). */
+case class RawEvent(event_id: Long, ts: Long, user_id: Long,
+  event_type: String, value: Double, props: String)
+
+/** Per-user running aggregate carried in streaming state. */
+case class UserAgg(user_id: Long, n_events: Long, total_value: Double,
+  last_event_type: String, last_ts_ms: Long)
 
 /** Structured Streaming surface — the engine-side equivalent of the
   * reference's Debezium→Kafka ingestion path (docs/components/cdc.md):
@@ -57,14 +66,78 @@ object EventStream {
       .orderBy(col("window_start_ms"), col("event_type"))
   }
 
+  /** st02: custom streaming state via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset stateful path (per-user running count /
+    * exact decimal total / latest event). Decimal accumulation uses
+    * `BigDecimal.valueOf(_).setScale(4, HALF_UP)`, mirroring Spark's
+    * own double→DECIMAL(18,4) cast so the oracle matches bit-exact.
+    */
+  def st02StatefulCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .as[RawEvent]
+
+    val updateFn = (uid: Long, it: Iterator[RawEvent], state: GroupState[UserAgg]) => {
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      val evs = it.toArray.sortBy(e => (e.ts, e.event_id))
+      val prior = state.getOption
+      val priorSum = prior.map(p => JBD.valueOf(p.total_value).setScale(4, RoundingMode.HALF_UP))
+        .getOrElse(JBD.ZERO.setScale(4))
+      val batchSum = evs.foldLeft(priorSum) { (acc, e) =>
+        acc.add(JBD.valueOf(e.value).setScale(4, RoundingMode.HALF_UP))
+      }
+      val last = evs.lastOption
+      val agg = UserAgg(
+        uid,
+        prior.map(_.n_events).getOrElse(0L) + evs.length,
+        batchSum.doubleValue,
+        last.map(_.event_type).orElse(prior.map(_.last_event_type)).orNull,
+        last.map(_.ts / 1000000L).orElse(prior.map(_.last_ts_ms)).getOrElse(0L))
+      state.update(agg)
+      Iterator.single(agg)
+    }
+
+    val out = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateFn)
+
+    spark.catalog.dropTempView("st02_out")
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("st02_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st02_out").orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st01_stream_window" -> (st01StreamWindow _)
+    "st01_stream_window" -> (st01StreamWindow _),
+    "st02_stateful_counts" -> (st02StatefulCounts _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    "st02_stateful_counts" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |    epoch_ms(MAX(ts)) AS last_ts_ms
+        |  FROM events GROUP BY 1)
+        |SELECT a.user_id, a.n_events, a.total_value,
+        |  r.event_type AS last_event_type, a.last_ts_ms
+        |FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
+        |ORDER BY a.user_id""".stripMargin,
     "st01_stream_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS window_start_ms,
         |  event_type,

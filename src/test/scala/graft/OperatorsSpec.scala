@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Merge, Skew}
+
+class OperatorsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("Merge.upsert: update, insert, and keep paths") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    val source = Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val got = Merge.upsert(target, source, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0)))
+  }
+
+  test("Merge.upsert honors NULLs in source rows (row-level, not coalesce)") {
+    import spark.implicits._
+    val target = Seq((1L, Some("x"))).toDF("k", "s")
+    val source = Seq((1L, None: Option[String])).toDF("k", "s")
+    val got = Merge.upsert(target, source, Seq("k")).collect()
+    assert(got.length == 1 && got(0).isNullAt(1))
+  }
+
+  test("Skew.saltedJoin equals the plain join") {
+    val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+      .agg(count(lit(1)), sum("l_quantity"), sum("o_totalprice")).collect()
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", 8)
+      .agg(count(lit(1)), sum("l_quantity"), sum("o_totalprice")).collect()
+    assert(plain.toSeq == salted.toSeq)
+  }
+
+  test("Engine.open exposes tables + functions to plain SQL") {
+    Engine.open(spark, sf)
+    val n = spark.sql(
+      """SELECT n_name, count(*) AS c, rolling_hash(n_name) AS h
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY c DESC LIMIT 3""".stripMargin).collect()
+    assert(n.length == 3 && n.forall(!_.isNullAt(2)))
+  }
+}
