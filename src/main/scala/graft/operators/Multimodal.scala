@@ -56,8 +56,26 @@ object Multimodal {
     }
   }
 
+  /** m02: frame-sampling plumbing — fixed-stride "frames" (16-byte
+    * slice every 64 bytes) from the payload, fingerprinted per frame,
+    * digested per doc. The array stays row-local (no explode shuffle);
+    * a real video pipeline swaps the md5 for a decoder call with the
+    * identical batch shape.
+    */
+  def m02FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("frames", expr(
+        "transform(sequence(0, (n_chars - 1) div 64), i -> md5(cast(substring(text, cast(i*64+1 AS INT), 16) as binary)))"))
+      .select(
+        col("doc_id"),
+        size(col("frames")).cast("long").as("n_frames"),
+        element_at(col("frames"), 1).as("first_frame_md5"),
+        md5(array_join(col("frames"), "").cast("binary")).as("frames_digest"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_media_meta" -> (m01MediaMeta _)
+    "m01_media_meta" -> (m01MediaMeta _),
+    "m02_frame_sample" -> (m02FrameSample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -70,6 +88,17 @@ object Multimodal {
         |  n_chars % 317 + 32 AS fake_width,
         |  (n_chars * 7) % 211 + 32 AS fake_height,
         |  base64(encode(substring(text, 1, 16))) AS head_b64
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, (n_chars - 1) // 64 + 1),
+        |      i -> md5(substring(text, (i*64+1)::INT, 16))) AS frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(frames) AS n_frames,
+        |  frames[1] AS first_frame_md5,
+        |  md5(array_to_string(frames, '')) AS frames_digest
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

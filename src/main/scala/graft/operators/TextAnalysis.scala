@@ -28,6 +28,8 @@ object TextAnalysis {
         length(col("text")).cast("long").as("text_len"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).cast("long").as("n_alpha_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
         length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("n_nonspace_chars"))
       .withColumn("avg_token_len",
         col("n_nonspace_chars").cast("double") /
@@ -117,11 +119,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t05: corpus vocabulary — top-10 tokens per language by frequency
+    * (explode → two-level aggregate → ranked window; the partial
+    * aggregation absorbs the token explosion before the shuffle).
+    */
+  def t05TopTokens(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+    toks.withColumn("token_rank", row_number().over(w))
+      .filter(col("token_rank") <= 10)
+      .orderBy(col("lang"), col("token_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_langid" -> (t03Langid _),
-    "t04_fingerprint" -> (t04Fingerprint _)
+    "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_top_tokens" -> (t05TopTokens _)
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -139,11 +158,23 @@ object TextAnalysis {
   }.mkString("CASE ", " ", " ELSE 'und' END")
 
   val oracles: Map[String, String] = Map(
+    "t05_top_tokens" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+        |SELECT lang, token, n,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS token_rank
+        |FROM counts
+        |QUALIFY token_rank <= 10
+        |ORDER BY lang, token_rank""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id, lang, source, n_chars,
         |  len(text) AS text_len,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
         |  len(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace_chars,
         |  CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
         |    NULLIF(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 0) AS avg_token_len

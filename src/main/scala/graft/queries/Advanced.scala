@@ -126,15 +126,45 @@ object Advanced {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
+  /** q22: correlated-scalar-subquery shape (TPC-H Q17): lineitems
+    * under 20% of their part's average quantity. Spark-first form: the
+    * per-part average is a broadcast-able aggregate joined back — one
+    * pass over the fact, no correlated re-execution per row.
+    */
+  def q22SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double") / count(col("l_quantity"))).as("avg_qty"))
+    l.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        dsum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_cdc_apply" -> (q16CdcApply _),
     "q17_window_suite" -> (q17WindowSuite _),
     "q18_cube_status_segment" -> (q18CubeStatusSegment _),
     "q19_json_props" -> (q19JsonProps _),
-    "q20_asof_view_purchase" -> (q20AsofViewPurchase _)
+    "q20_asof_view_purchase" -> (q20AsofViewPurchase _),
+    "q22_small_quantity_revenue" -> (q22SmallQuantityRevenue _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q22_small_quantity_revenue" ->
+      """WITH avg_qty AS (
+        |  SELECT l_partkey AS ap_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_items,
+        |  COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem JOIN avg_qty ON l_partkey = ap_partkey
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
     "q16_cdc_apply" ->
       """WITH ops AS (
         |  SELECT *,
