@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.RollingHashExpr
+import graft.functions.{CosineSimExpr, RollingHashExpr}
 
 /** SparkSessionExtensions entry point — wire graft's native functions
   * into any session at build time:
@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, s"rolling_hash expects 1 argument, got ${exprs.length}")
         RollingHashExpr(exprs.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, null, "cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float arrays.", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
+        CosineSimExpr(exprs.head, exprs(1))
       }))
   }
 }

@@ -46,13 +46,22 @@ object RollingHashExpr {
   * so we go through the function registry + `call_function`).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => {
         require(exprs.length == 1, s"rolling_hash expects 1 argument, got ${exprs.length}")
         RollingHashExpr(exprs.head)
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => {
+        require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
+        CosineSimExpr(exprs.head, exprs(1))
+      }, "scala_udf")
+  }
 
   /** 64-bit rolling hash of a string column (register first). */
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)
+
+  /** Native codegen'd cosine similarity over float[] columns. */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 }

@@ -153,17 +153,14 @@ object Dedup {
     * gate which pairs get the exact check.
     */
   def d05EmbeddingDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = graft.Tables(spark, dir, "embeddings")
-      .withColumn("norm",
-        expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"))
     val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
-      col("embedding").as("ea"), col("norm").as("na"))
+      col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-      col("embedding").as("eb"), col("norm").as("nb"))
+      col("embedding").as("eb"))
     val pairs = a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
-      .withColumn("sim", col("dot") / (col("na") * col("nb")))
+      .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")))
     pairs.orderBy(col("sim").desc, col("vec_a"), col("vec_b")).limit(50)
       .withColumn("pair_rank",
         row_number().over(Window.orderBy(col("sim").desc, col("vec_a"), col("vec_b"))))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Similarity search over `embeddings` (float[64] vectors): exact
   * brute-force cosine top-k as the correctness baseline, and a
@@ -20,22 +21,18 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
 
-  private val dotExpr =
-    "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-  private def normExpr(c: String) =
-    s"sqrt(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
-
-  /** s01: exact cosine top-10 neighbours for query vectors vec_id<10. */
+  /** s01: exact cosine top-10 neighbours for query vectors vec_id<10.
+    * Uses the native codegen'd CosineSimExpr (bit-identical to the
+    * `aggregate(zip_with(...))` formulation, ~lambda-free hot loop).
+    */
   def s01CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label"))
     val pairs = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("dot", expr(dotExpr))
-      .withColumn("qn", expr(normExpr("qe")))
-      .withColumn("cn", expr(normExpr("ce")))
-      .withColumn("sim", col("dot") / (col("qn") * col("cn")))
+      .withColumn("sim", GraftFunctions.cosineSim(col("qe"), col("ce")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     pairs
       .withColumn("rnk", row_number().over(w))
