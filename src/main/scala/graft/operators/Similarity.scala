@@ -69,9 +69,56 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** s03: IVF-style ANN — coarse quantization by per-label centroids
+    * (stand-in for k-means cells), queries probe only their nearest
+    * cell, exact cosine inside the cell. The corpus is scanned once to
+    * build cells; each query touches |cell| ≈ n/k vectors instead of
+    * n — the 100 TB ANN pattern. Rows-only check.
+    *
+    * Recall caveat (measured): on this near-random synthetic corpus
+    * (within-label cosine ≈ cross-label) single-cell probing recalls
+    * ~12% of the exact top-5 — an honest property of IVF on weakly
+    * clustered data; raise nprobe or use s02's LSH when recall
+    * matters more than scan cost.
+    */
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = emb(spark, dir)
+    // coarse cells: per-dimension mean per label (the "centroid")
+    val flat = e.select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+    val centroids = flat.groupBy(col("label"), col("i"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
+      .select(col("label").as("c_label"),
+        expr("transform(pairs, p -> CAST(p.cx AS FLOAT))").as("centroid"))
+    // queries probe their nearest centroid cell
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probe = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", GraftFunctions.cosineSim(col("qe"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("qe"), col("c_label").as("probe_label"))
+    // exact search inside the probed cell only
+    val cell = e.select(col("vec_id").as("cid"), col("label"), col("embedding").as("ce"))
+    val hits = cell.join(broadcast(probe),
+        col("label") === col("probe_label") && col("qid") =!= col("cid"))
+      .withColumn("sim", GraftFunctions.cosineSim(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    hits.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("cid"), col("probe_label"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopk _),
-    "s02_ann_lsh" -> (s02AnnLsh _)
+    "s02_ann_lsh" -> (s02AnnLsh _),
+    "s03_ann_ivf" -> (s03AnnIvf _)
   )
 
   val oracles: Map[String, String] = Map(
