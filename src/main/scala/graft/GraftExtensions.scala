@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, s"rolling_hash expects 1 argument, got ${exprs.length}")
         RollingHashExpr(exprs.head)
       }))
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, null, "cosine_sim",

@@ -1,0 +1,161 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftDatasetFactory, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join as a first-class operator — custom-op ladder rung (c):
+  * LogicalPlan + SparkStrategy + SparkPlan.
+  *
+  * Spark has no native as-of join between two relations; the
+  * compositional fallback (tag + union + running `last(ignoreNulls)`
+  * window, see q20) forces both sides into one schema and one big
+  * sort. This operator instead broadcasts the (small) right side as a
+  * key → time-sorted-rows index and binary-searches per left row:
+  * zero shuffles of the left side, O(log m) per probe — the
+  * broadcast-dimension pattern at 100 TB.
+  *
+  * Semantics: LEFT OUTER as-of — each left row picks the right row
+  * with the greatest (rightTime, tieBreak) such that
+  * `rightTime <= leftTime`; unmatched left rows emit NULL right
+  * columns. Times must evaluate to integral/timestamp values.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  private def toLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"as-of time/tiebreak must be integral or timestamp, got $other")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Build the broadcast index: key -> rows sorted by (time, tiebreak).
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val rTie = BindReferences.bindReference(rightTieBreak, right.output)
+    val grouped = mutable.HashMap.empty[Any, mutable.ArrayBuffer[(Long, Long, InternalRow)]]
+    right.executeCollect().foreach { row =>
+      val r = row.copy()
+      val entry = (toLong(rTime.eval(r)), toLong(rTie.eval(r)), r)
+      grouped.getOrElseUpdate(rKey.eval(r), mutable.ArrayBuffer.empty) += entry
+    }
+    val index: Map[Any, Array[(Long, Long, InternalRow)]] =
+      grouped.map { case (k, buf) => k -> buf.sortBy(e => (e._1, e._2)).toArray }.toMap
+    val bc = sparkContext.broadcast(index)
+
+    val leftOut = left.output
+    val rightArity = right.output.size
+    val outAttrs = output
+    left.execute().mapPartitions { iter =>
+      val lKey = BindReferences.bindReference(leftKey, leftOut)
+      val lTime = BindReferences.bindReference(leftTime, leftOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightArity)
+      val proj = UnsafeProjection.create(outAttrs.map(_.asInstanceOf[Expression]), outAttrs)
+      val idx = bc.value
+      iter.map { lrow =>
+        val t = toLong(lTime.eval(lrow))
+        val arr = idx.getOrElse(lKey.eval(lrow), null)
+        var best: InternalRow = null
+        if (arr != null) {
+          // binary search: greatest position with time <= t
+          var lo = 0
+          var hi = arr.length - 1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (arr(mid)._1 <= t) lo = mid + 1 else hi = mid - 1
+          }
+          if (hi >= 0) best = arr(hi)._3
+        }
+        joined(lrow, if (best == null) nullRight else best)
+        proj(joined)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node to the exec. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API for the as-of join operator. */
+object Asof {
+
+  /** Make sure the strategy is installed in this session (also
+    * injectable at session build via `graft.GraftExtensions`).
+    */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val em = spark.experimental
+    if (!em.extraStrategies.contains(AsofJoinStrategy)) {
+      em.extraStrategies = em.extraStrategies :+ AsofJoinStrategy
+    }
+  }
+
+  /** LEFT OUTER as-of join: for each left row, the latest right row
+    * (by rightTime, tie-broken by rightTieBreak) with
+    * `rightTime <= leftTime` and equal keys. Right columns must not
+    * collide with left column names — rename them first.
+    */
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$n' not found in [${p.output.map(_.name).mkString(", ")}]"))
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"rename right-side columns colliding with left: $dup")
+    GraftDatasetFactory.ofRows(spark, AsofJoinPlan(lp, rp,
+      attr(lp, leftKey), attr(rp, rightKey),
+      attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTieBreak)))
+  }
+}

@@ -144,7 +144,35 @@ object Advanced {
         countDistinct(col("l_partkey")).as("n_parts"))
   }
 
+  /** q23: as-of join via the custom AsofJoinExec physical operator
+    * (graft.plans.AsofJoin — LogicalPlan + Strategy + SparkPlan):
+    * each purchase picks up the user's latest view at-or-before it.
+    * Same semantics as q20's window composition, executed as a
+    * broadcast index + per-row binary search instead of a union sort.
+    */
+  def q23AsofExec(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("v_event_id"),
+        col("ts").as("v_ts"), col("value").as("v_value"))
+    graft.plans.Asof.join(purchases, views,
+        leftKey = "user_id", rightKey = "v_user_id",
+        leftTime = "ts", rightTime = "v_ts", rightTieBreak = "v_event_id")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        unix_millis(col("ts")).as("purchase_ts_ms"),
+        col("value").as("purchase_value"),
+        col("v_event_id").as("view_id"),
+        unix_millis(col("v_ts")).as("view_ts_ms"),
+        col("v_value").as("view_value"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_asof_exec" -> (q23AsofExec _),
     "q16_cdc_apply" -> (q16CdcApply _),
     "q17_window_suite" -> (q17WindowSuite _),
     "q18_cube_status_segment" -> (q18CubeStatusSegment _),
@@ -154,6 +182,22 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "q23_asof_exec" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id AS v_user_id, event_id AS v_event_id, ts AS v_ts, value AS v_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.user_id,
+        |  p.event_id AS purchase_id,
+        |  epoch_ms(p.ts) AS purchase_ts_ms,
+        |  p.value AS purchase_value,
+        |  v_event_id AS view_id,
+        |  epoch_ms(v_ts) AS view_ts_ms,
+        |  v_value AS view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.v_user_id AND v.v_ts <= p.ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
     "q22_small_quantity_revenue" ->
       """WITH avg_qty AS (
         |  SELECT l_partkey AS ap_partkey,
