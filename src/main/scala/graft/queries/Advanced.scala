@@ -171,8 +171,47 @@ object Advanced {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
+  /** q24: shipping priority (TPC-H Q3 shape) — segment-filtered
+    * 3-table join, grouped revenue, top-10 by (revenue, date).
+    */
+  def q24ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q25: returned-item reporting (TPC-H Q10 shape) — revenue lost to
+    * returns per customer, top-20.
+    */
+  def q25ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_asof_exec" -> (q23AsofExec _),
+    "q24_shipping_priority" -> (q24ShippingPriority _),
+    "q25_returned_items" -> (q25ReturnedItems _),
     "q16_cdc_apply" -> (q16CdcApply _),
     "q17_window_suite" -> (q17WindowSuite _),
     "q18_cube_status_segment" -> (q18CubeStatusSegment _),
@@ -182,6 +221,32 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "q24_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, order_date, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q25_returned_items" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q23_asof_exec" ->
       """WITH p AS (
         |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),

@@ -114,15 +114,59 @@ object EventStream {
     spark.table("st02_out").orderBy(col("user_id"))
   }
 
+  /** st03: stream-static join — the streaming events enriched against
+    * the static customer dimension (broadcast per micro-batch), then
+    * windowed revenue per market segment. The Kafka→dim-enrich→agg
+    * shape of the reference's CDC consumers.
+    */
+  def st03StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val customers = graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 4).as("total_value"))
+    spark.catalog.dropTempView("st03_out")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("st03_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st03_out")
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("c_mktsegment"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start_ms"), col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
-    "st02_stateful_counts" -> (st02StatefulCounts _)
+    "st02_stateful_counts" -> (st02StatefulCounts _),
+    "st03_stream_static_join" -> (st03StreamStaticJoin _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    "st03_stream_static_join" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '1 day', ts)) AS window_start_ms,
+        |  c_mktsegment,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "st02_stateful_counts" ->
       """WITH ranked AS (
         |  SELECT user_id, event_type,
