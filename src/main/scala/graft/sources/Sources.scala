@@ -37,4 +37,18 @@ object Sources {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table: both sides of a fact⋈fact join bucketed
+    * the same way join with NO shuffle exchange (each bucket pairs up
+    * 1:1) — the layout that turns the biggest 100 TB join from a
+    * full-cluster shuffle into local merges. Registered via
+    * saveAsTable (bucketing metadata lives in the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

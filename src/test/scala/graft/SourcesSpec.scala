@@ -30,6 +30,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(key(viaOrc) == key(orig))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val o = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    val l = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    Sources.writeBucketed(o, "orders_b", "o_orderkey", 8)
+    Sources.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n${plan.take(800)}")
+      assert(j.count() == l.count()) // every lineitem matches its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("partitioned write enables partition pruning at the scan") {
     val base = tmp()
     val o = Tables(spark, sf, "orders")
