@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Merge, Multimodal, Similarity, TextAnalysis}
-import graft.queries.{Advanced, Relational}
+import graft.operators.{Dedup, Merge, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.queries.{Advanced, Relational, TpchSuite}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,15 +15,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Advanced.queries ++ Merge.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ EventStream.queries
+    Relational.queries ++ Advanced.queries ++ TpchSuite.queries ++
+      Merge.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries ++ Pipeline.queries ++
+      EventStream.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Advanced.oracles ++ Merge.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ EventStream.oracles
+    Relational.oracles ++ Advanced.oracles ++ TpchSuite.oracles ++
+      Merge.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
+      EventStream.oracles
 }

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** LLM training-data pipeline operators over `documents` — the corpus
+  * preparation stages that run AFTER cleaning/dedup and BEFORE
+  * training: token-budget sequence packing, deterministic splits,
+  * stratified sampling, length bucketing, corpus statistics.
+  *
+  * Cross-engine determinism: anything "random" derives from md5 of a
+  * salted key (hex md5 is bit-identical in Spark and DuckDB — SURVEY.md
+  * §4), so splits/samples are reproducible across engines, re-runs, and
+  * cluster sizes — a hard requirement for training-data lineage.
+  *
+  * Scale notes (100 TB): packing partitions the corpus into
+  * independent buckets (bucket count ∝ cluster size; window runs
+  * per-bucket, never a global sort); splits/samples are narrow
+  * map-side ops; the only shuffles are the final small aggregates.
+  */
+object Pipeline {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Whitespace token count (BIGINT, cross-engine with
+    * regexp_split_to_array in DuckDB).
+    */
+  private def nTokens(c: Column): Column =
+    size(split(trim(c), "\\s+")).cast("long")
+
+  /** p01: token-budget sequence packing. Documents are hashed into
+    * independent buckets; inside each bucket a running token total
+    * (deterministic doc_id order) chunks docs into packs of ≤2048
+    * tokens (streaming chunk assignment: pack = (cumsum-1) div budget).
+    * Per-pack stats: doc count, token total, budget utilization.
+    */
+  def p01PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("bucket"),
+        nTokens(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", ((col("cum_tokens") - 1L) / budget).cast("long"))
+      .groupBy(col("bucket"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("utilization", col("pack_tokens").cast("double") / lit(budget.toDouble))
+      .orderBy(col("bucket"), col("pack_id"))
+  }
+
+  /** p02: deterministic hash train/val/test split (~80/10/10) — the
+    * split of a doc is a pure function of its id, so it is stable
+    * under re-partitioning, re-runs, and corpus growth.
+    */
+  def p02TrainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+    docs(spark, dir)
+      .withColumn("split",
+        when(h < "cd", "train").when(h < "e6", "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTokens(col("text"))).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+  }
+
+  /** p03: stratified deterministic sample — top-5 docs per language by
+    * salted md5 order (reproducible pseudo-random pick per stratum).
+    */
+  def p03StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("sample:"), col("doc_id").cast("string"))), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= 5)
+      .select(col("lang"), col("pick"), col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("lang"), col("pick"))
+  }
+
+  /** p04: sequence-length histogram — power-of-two token buckets (the
+    * batching distribution a trainer packs against).
+    */
+  def p04LengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = col("n_tokens")
+    docs(spark, dir)
+      .select(col("doc_id"), col("n_chars"), nTokens(col("text")).as("n_tokens"))
+      .withColumn("len_bucket",
+        when(n < 8, "0007").when(n < 16, "0015").when(n < 32, "0031")
+          .when(n < 64, "0063").when(n < 128, "0127").when(n < 256, "0255")
+          .otherwise("0256+"))
+      .groupBy(col("len_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        davg(col("n_chars"), 2).as("avg_chars"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("len_bucket"))
+  }
+
+  /** p05: per-language corpus statistics — doc/source/token totals and
+    * an exact interpolated median (both engines interpolate
+    * percentiles the same way on BIGINT input).
+    */
+  def p05CorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        nTokens(col("text")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        davg(col("n_chars"), 2).as("avg_chars"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Driver-contract registration. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_pack_sequences" -> (p01PackSequences _),
+    "p02_train_test_split" -> (p02TrainTestSplit _),
+    "p03_stratified_sample" -> (p03StratifiedSample _),
+    "p04_length_buckets" -> (p04LengthBuckets _),
+    "p05_corpus_stats" -> (p05CorpusStats _)
+  )
+
+  /** DuckDB oracles (parity rules: SURVEY.md §4). */
+  val oracles: Map[String, String] = Map(
+    "p01_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,
+        |    CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM toks)
+        |SELECT bucket, (cum_tokens - 1) // 2048 AS pack_id,
+        |  COUNT(*) AS n_docs,
+        |  SUM(n_tokens) AS pack_tokens,
+        |  MIN(doc_id) AS first_doc,
+        |  MAX(doc_id) AS last_doc,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / 2048.0 AS utilization
+        |FROM packed
+        |GROUP BY 1, 2
+        |ORDER BY bucket, pack_id""".stripMargin,
+    "p02_train_test_split" ->
+      """WITH tagged AS (
+        |  SELECT *,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+        |  SUM(n_chars) AS n_chars_total,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM tagged GROUP BY 1 ORDER BY split""".stripMargin,
+    "p03_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS pick
+        |  FROM documents)
+        |SELECT lang, pick, doc_id, source, n_chars
+        |FROM ranked WHERE pick <= 5
+        |ORDER BY lang, pick""".stripMargin,
+    "p04_length_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT CASE WHEN n_tokens < 8 THEN '0007' WHEN n_tokens < 16 THEN '0015'
+        |            WHEN n_tokens < 32 THEN '0031' WHEN n_tokens < 64 THEN '0063'
+        |            WHEN n_tokens < 128 THEN '0127' WHEN n_tokens < 256 THEN '0255'
+        |            ELSE '0256+' END AS len_bucket,
+        |  COUNT(*) AS n_docs,
+        |  SUM(n_tokens) AS total_tokens,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)/COUNT(n_chars) AS avg_chars,
+        |  MIN(n_tokens) AS min_tokens,
+        |  MAX(n_tokens) AS max_tokens
+        |FROM toks GROUP BY 1 ORDER BY len_bucket""".stripMargin,
+    "p05_corpus_stats" ->
+      """WITH toks AS (
+        |  SELECT lang, source, n_chars,
+        |    CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  SUM(n_tokens) AS total_tokens,
+        |  SUM(n_chars) AS total_chars,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)/COUNT(n_chars) AS avg_chars,
+        |  quantile_cont(n_chars, 0.5) AS median_chars
+        |FROM toks GROUP BY 1 ORDER BY lang""".stripMargin
+  )
+}

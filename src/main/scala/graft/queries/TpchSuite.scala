@@ -1,0 +1,493 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** Deep relational pack: the remaining TPC-H query shapes, adapted to
+  * the driver's star schema (no partsupp table; no
+  * commitdate/receiptdate/shipmode lineitem columns — the shapes keep
+  * their plan structure with stand-in predicates over what exists).
+  *
+  * The reference's warehouse is stock Spark SQL behind Kyuubi
+  * (docs/components/kyuubi.md:1, docs/architecture/overview.md:1), so
+  * its query surface is "anything Spark SQL answers over the star
+  * schema" — this pack pins down the canonical analytics shapes:
+  * correlated EXISTS, nation-pair volume, market share, profit
+  * attribution, distribution histograms, disjunctive pushdown,
+  * group-HAVING semi joins, per-group argmin.
+  *
+  * Scale notes (100 TB): every join keys on the natural star keys so
+  * AQE picks shuffle-hash/SMJ for fact⋈fact and broadcast for dims;
+  * aggregates are declarative groupBy (map-side partials); all
+  * predicates are scan-pushable (verified via .explain in the spec).
+  */
+object TpchSuite {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** TPC-H Q4 shape: correlated EXISTS → left-semi join with a
+    * non-equi conjunct (late-shipped lineitems), priority histogram.
+    */
+  def q26OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = t(spark, dir, "lineitem")
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5 proper: local-supplier volume — customer and supplier in
+    * the SAME nation (c_nationkey = s_nationkey equi-conjunct), region
+    * gated, one order year. Dims broadcast; fact joins left to AQE.
+    */
+  def q27LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = t(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q7 shape: cross-nation shipping volume for a nation pair,
+    * per ship year, both directions.
+    */
+  def q28NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = t(spark, dir, "nation").select(
+      col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = t(spark, dir, "nation").select(
+      col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape: market share of one supplier nation inside a
+    * region's market for one part type, per order year. Numerator and
+    * denominator are decimal-exact sums; one IEEE division at the end.
+    */
+  def q29MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").filter(col("r_name") === "AMERICA")
+    val nCust = t(spark, dir, "nation").select(
+      col("n_nationkey").as("c_nkey"), col("n_regionkey").as("c_rkey"))
+    val nSupp = t(spark, dir, "nation").select(
+      col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val p = t(spark, dir, "part").filter(col("p_type") === "ECONOMY")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = t(spark, dir, "lineitem")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("c_nkey"))
+      .join(broadcast(r), col("c_rkey") === col("r_regionkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === "NATION_5",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("nation_volume"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("total_volume"))
+      .withColumn("mkt_share",
+        coalesce(col("nation_volume"), lit(0.0)) / col("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape: profit attribution by supplier nation × ship
+    * year, part-name gated (no partsupp → profit = discounted price).
+    */
+  def q30ProfitByNationYear(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part").filter(col("p_name").contains("red"))
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    val l = t(spark, dir, "lineitem")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q12 shape: ship-delay buckets (no shipmode column → bucket
+    * on datediff) × priority-class conditional counts.
+    */
+  def q31ShipDelay(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).cast("long"))
+      .withColumn("delay_bucket",
+        when(col("delay_days") < 30, "0-29")
+          .when(col("delay_days") < 60, "30-59")
+          .when(col("delay_days") < 90, "60-89")
+          .otherwise("90+"))
+      .groupBy(col("delay_bucket"))
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_line_count"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("delay_bucket"))
+  }
+
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    * join with an extra join-side predicate, then a histogram over the
+    * per-customer counts (two-level aggregation).
+    */
+  def q32CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey") &&
+        o("o_orderstatus") =!= "P", "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 shape: promo revenue share in one month — conditional
+    * numerator over one scan, single IEEE division.
+    */
+  def q33PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("promo_revenue"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("total_revenue"))
+      .select(
+        (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  /** TPC-H Q15 shape: top supplier(s) by quarterly revenue — grouped
+    * revenue, global-max window, equality filter (ties kept).
+    */
+  def q34TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "supplier")
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val rev = l.groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("total_revenue"))
+    val wMax = Window.partitionBy()
+    rev.withColumn("max_revenue", max(col("total_revenue")).over(wMax))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — group-HAVING on the fact,
+    * then join back to orders + customer; top 100.
+    */
+  def q35LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19 shape: disjunctive brand/size/quantity predicates —
+    * one scan, OR-of-conjuncts (pushdown-friendly after CNF).
+    */
+  def q36DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val l = t(spark, dir, "lineitem")
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1.0, 11.0)) ||
+      (col("p_brand") === "Brand#7" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10.0, 20.0)) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 30) &&
+        col("l_quantity").between(20.0, 30.0))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q16 shape: supplier-count per part attribute, excluding one
+    * brand and a "complaint" supplier set via LEFT ANTI (NOT IN).
+    */
+  def q37PartsSupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#13" && !col("p_type").startsWith("PROMO") &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21))
+    val badSupp = t(spark, dir, "supplier").filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    val l = t(spark, dir, "lineitem")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q2 shape: per-part argmin — cheapest supplier per part by
+    * quantity-weighted unit price (window-min instead of correlated
+    * subquery), small-size slice, supplier details joined back.
+    * Weighted avg = exact-decimal sums + one IEEE division (per-row
+    * double quotients would hit decimal rounding-mode ties across
+    * engines).
+    */
+  def q38MinPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part").filter(col("p_size") <= 5)
+    val s = t(spark, dir, "supplier")
+    val l = t(spark, dir, "lineitem")
+    val unit = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg((dsum(col("l_extendedprice")) / dsum(col("l_quantity"))).as("avg_unit_price"))
+    val w = Window.partitionBy(col("p_partkey"))
+    unit.withColumn("min_price", min(col("avg_unit_price")).over(w))
+      .filter(col("avg_unit_price") === col("min_price"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("avg_unit_price"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** Driver-contract registration: query name → runner. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_order_priority" -> (q26OrderPriority _),
+    "q27_local_supplier_volume" -> (q27LocalSupplierVolume _),
+    "q28_nation_volume" -> (q28NationVolume _),
+    "q29_market_share" -> (q29MarketShare _),
+    "q30_profit_by_nation_year" -> (q30ProfitByNationYear _),
+    "q31_ship_delay" -> (q31ShipDelay _),
+    "q32_customer_distribution" -> (q32CustomerDistribution _),
+    "q33_promo_revenue" -> (q33PromoRevenue _),
+    "q34_top_supplier" -> (q34TopSupplier _),
+    "q35_large_orders" -> (q35LargeOrders _),
+    "q36_disjunctive_revenue" -> (q36DisjunctiveRevenue _),
+    "q37_parts_supplier_count" -> (q37PartsSupplierCount _),
+    "q38_min_price_supplier" -> (q38MinPriceSupplier _)
+  )
+
+  /** DuckDB-dialect oracles (parity rules: SURVEY.md §4). */
+  val oracles: Map[String, String] = Map(
+    "q26_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q27_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q28_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q29_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_5'
+        |    THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
+        |  COALESCE(CAST(SUM(CASE WHEN n1.n_name = 'NATION_5'
+        |    THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)
+        |    / CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+    "q30_profit_by_nation_year" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q31_ship_delay" ->
+      """WITH delayed AS (
+        |  SELECT o_orderpriority,
+        |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT CASE WHEN delay_days < 30 THEN '0-29'
+        |            WHEN delay_days < 60 THEN '30-59'
+        |            WHEN delay_days < 90 THEN '60-89'
+        |            ELSE '90+' END AS delay_bucket,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count,
+        |  COUNT(*) AS n_lines
+        |FROM delayed
+        |GROUP BY 1
+        |ORDER BY delay_bucket""".stripMargin,
+    "q32_customer_distribution" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q33_promo_revenue" ->
+      """WITH agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+        |SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+        |  promo_revenue, total_revenue
+        |FROM agg""".stripMargin,
+    "q34_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q35_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date, o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q36_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1.0 AND 11.0)
+        |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10.0 AND 20.0)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+    "q37_parts_supplier_count" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q38_min_price_supplier" ->
+      """WITH unit AS (
+        |  SELECT p_partkey, p_name, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS avg_unit_price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 5
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT *, MIN(avg_unit_price) OVER (PARTITION BY p_partkey) AS min_price
+        |  FROM unit)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, avg_unit_price
+        |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE avg_unit_price = min_price
+        |ORDER BY p_partkey, s_suppkey""".stripMargin
+  )
+}

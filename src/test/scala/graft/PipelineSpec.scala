@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pipeline
+
+/** Invariants for the training-data pipeline pack. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("p01 packs conserve documents and respect the running-chunk bound") {
+    val packs = Pipeline.p01PackSequences(spark, sf).collect()
+    val nDocs = packs.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables(spark, sf, "documents").count())
+    // every pack except a bucket's last holds >= 1 doc and pack ids are dense per bucket
+    packs.groupBy(_.getAs[Int]("bucket")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head == 0L && ids.zip(ids.tail).forall { case (a, b) => b == a + 1 })
+    }
+  }
+
+  test("p02 split is exhaustive and roughly 80/10/10") {
+    val rows = Pipeline.p02TrainTestSplit(spark, sf).collect()
+    val counts = rows.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val total = counts.values.sum
+    assert(total == Tables(spark, sf, "documents").count())
+    assert(counts("train").toDouble / total > 0.6)
+    assert(counts.keySet == Set("train", "val", "test"))
+  }
+
+  test("p02 split assignment is deterministic across runs") {
+    val a = Pipeline.p02TrainTestSplit(spark, sf).collect().map(_.toString).sorted
+    val b = Pipeline.p02TrainTestSplit(spark, sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("p03 samples exactly 5 docs per language stratum") {
+    val rows = Pipeline.p03StratifiedSample(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, picks) =>
+      assert(picks.length == 5)
+      assert(picks.map(_.getAs[Int]("pick")).sorted.sameElements(Array(1, 2, 3, 4, 5)))
+    }
+  }
+
+  test("p04 buckets cover the whole corpus with consistent min/max") {
+    val rows = Pipeline.p04LengthBuckets(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_tokens") <= r.getAs[Long]("max_tokens"))
+    }
+  }
+
+  test("p05 per-language doc counts sum to the corpus size") {
+    val rows = Pipeline.p05CorpusStats(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf, "documents").count())
+  }
+
+  test("pipeline ops are UDF-free (codegen-friendly hot paths)") {
+    Pipeline.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$name contains a UDF")
+    }
+  }
+}

@@ -33,6 +33,18 @@ class SourcesSpec extends AnyFunSuite {
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     val l = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    // DROP TABLE alone won't clear an orphaned location left by an
+    // aborted run — remove the managed dirs before recreating.
+    Seq("orders_b", "lineitem_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"/tmp/graft-warehouse/$tbl")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     Sources.writeBucketed(o, "orders_b", "o_orderkey", 8)
     Sources.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
       "lineitem_b", "o_orderkey", 8)

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TpchSuite
+
+/** Semantic invariants + plan-shape audits for the deep TPC-H pack.
+  * (Value-level parity with DuckDB is the driver's oracle gate; these
+  * specs pin the properties a refactor could silently break.)
+  */
+class TpchSuiteSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("q26 semi join never exceeds the filtered order count") {
+    val filtered = Tables(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp")).count()
+    val counted = TpchSuite.q26OrderPriority(spark, sf)
+      .agg(sum("order_count")).head.getLong(0)
+    assert(counted > 0 && counted <= filtered)
+  }
+
+  test("q29 market share is a valid fraction and volumes are consistent") {
+    val rows = TpchSuite.q29MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0)
+      val nv = Option(r.getAs[java.lang.Double]("nation_volume")).map(_.toDouble).getOrElse(0.0)
+      assert(nv <= r.getAs[Double]("total_volume") + 1e-9)
+    }
+  }
+
+  test("q32 distribution histogram accounts for every customer") {
+    val total = TpchSuite.q32CustomerDistribution(spark, sf)
+      .agg(sum("custdist")).head.getLong(0)
+    assert(total == Tables(spark, sf, "customer").count())
+  }
+
+  test("q34 returns the global max-revenue supplier(s)") {
+    val rows = TpchSuite.q34TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1)
+  }
+
+  test("q35 rows all exceed the quantity threshold, ordered by price desc") {
+    val rows = TpchSuite.q35LargeOrders(spark, sf).collect()
+    assert(rows.forall(_.getAs[Double]("total_qty") > 250.0))
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q38 min-price supplier: per-part price is the partition minimum") {
+    val df = TpchSuite.q38MinPriceSupplier(spark, sf)
+    val perPart = df.groupBy("p_partkey")
+      .agg(countDistinct(col("avg_unit_price")).as("n_prices")).collect()
+    assert(perPart.forall(_.getAs[Long]("n_prices") == 1L))
+  }
+
+  test("q36 disjunctive predicates stay pushdown-friendly (no UDF, single scan pair)") {
+    val plan = TpchSuite.q36DisjunctiveRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    assert(plan.contains("PushedFilters"))
+  }
+
+  test("q27 broadcasts all dimension sides") {
+    val plan = TpchSuite.q27LocalSupplierVolume(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
