@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Merge, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.operators.{Approx, Dedup, Merge, Multimodal, Pipeline, Similarity, TextAnalysis}
 import graft.queries.{Advanced, Relational, TpchSuite}
 import graft.streaming.EventStream
 
@@ -18,7 +18,7 @@ object SparkEntry {
     Relational.queries ++ Advanced.queries ++ TpchSuite.queries ++
       Merge.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Pipeline.queries ++
-      EventStream.queries
+      Approx.queries ++ EventStream.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check.
@@ -27,5 +27,5 @@ object SparkEntry {
     Relational.oracles ++ Advanced.oracles ++ TpchSuite.oracles ++
       Merge.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
-      EventStream.oracles
+      Approx.oracles ++ EventStream.oracles
 }

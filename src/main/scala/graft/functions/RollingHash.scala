@@ -57,6 +57,22 @@ object GraftFunctions {
         require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
         CosineSimExpr(exprs.head, exprs(1))
       }, "scala_udf")
+    // Catalyst ships codegen'd bloom-filter expressions but leaves them
+    // out of the public registry (they back the optimizer's injected
+    // runtime filters). Expose them: the build side aggregates a
+    // compact mergeable sketch, the probe side filters codegen'd.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", exprs => {
+        require(exprs.length == 3, s"bloom_agg expects 3 arguments, got ${exprs.length}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, exprs(1), exprs(2))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs => {
+        require(exprs.length == 2, s"bloom_might_contain expects 2 arguments, got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))
+      }, "scala_udf")
   }
 
   /** 64-bit rolling hash of a string column (register first). */

@@ -81,28 +81,12 @@ object Dedup {
     * emits per-doc signature digest + candidate count (never O(n²)).
     */
   def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(docs(spark, dir)).select("doc_id", "g")
-    val hashAggs = (0 until K).map { s =>
-      min(md5(concat(lit(s"$s:"), col("g")))).as(s"h$s")
-    }
-    val sig = sh.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
-    val withBands = (0 until BANDS).foldLeft(sig) { (df, b) =>
-      val cols = (b * 4 until b * 4 + 4).map(i => col(s"h$i"))
-      df.withColumn(s"band$b", md5(concat_ws("|", cols: _*)))
-    }
-    val banded = withBands.selectExpr("doc_id",
-      s"stack($BANDS, ${(0 until BANDS).map(b => s"$b, band$b").mkString(", ")}) as (band_idx, band_hash)")
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    val sig = minhashSigs(docs(spark, dir))
+    val pairs = lshPairs(sig)
     val partners = pairs.select(col("da").as("doc_id"), col("db").as("partner"))
       .unionAll(pairs.select(col("db").as("doc_id"), col("da").as("partner")))
       .groupBy(col("doc_id")).agg(countDistinct(col("partner")).as("n_candidates"))
-    withBands
+    sig
       .withColumn("sig_digest", md5(concat_ws("|", (0 until K).map(i => col(s"h$i")): _*)))
       .select(col("doc_id"), col("sig_digest"), col("h0").as("minhash_0"))
       .join(partners, Seq("doc_id"), "left")
@@ -169,12 +153,85 @@ object Dedup {
       .orderBy(col("pair_rank"))
   }
 
+  /** MinHash signature table (doc_id, h0..h{K-1}), md5-seeded. */
+  private def minhashSigs(d: DataFrame): DataFrame = {
+    val sh = shingles(d).select("doc_id", "g")
+    val hashAggs = (0 until K).map { s =>
+      min(md5(concat(lit(s"$s:"), col("g")))).as(s"h$s")
+    }
+    sh.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
+  }
+
+  /** Candidate-duplicate edges from MinHash-LSH band collisions. */
+  private def lshPairs(sig: DataFrame): DataFrame = {
+    val withBands = (0 until BANDS).foldLeft(sig) { (df, b) =>
+      val cols = (b * 4 until b * 4 + 4).map(i => col(s"h$i"))
+      df.withColumn(s"band$b", md5(concat_ws("|", cols: _*)))
+    }
+    val banded = withBands.selectExpr("doc_id",
+      s"stack($BANDS, ${(0 until BANDS).map(b => s"$b, band$b").mkString(", ")}) as (band_idx, band_hash)")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** d06: near-duplicate CLUSTERS — the full LSH ladder:
+    * candidates (band collisions) → VERIFY (signature agreement
+    * ≥ 14/16 ≈ estimated Jaccard 0.875; char-3-gram similarity between
+    * unrelated same-language docs already averages ~0.6, so a loose
+    * gate chains everything into one giant component transitively) →
+    * connected components via iterative min-label propagation (the
+    * distributed union-find: each round every doc adopts the smallest
+    * label among itself and its neighbours). Duplicate graphs are
+    * shallow stars/cliques, so a fixed small round count converges;
+    * the spec asserts a fixpoint. Each round is one shuffle join —
+    * the standard large-graph CC pattern at 100 TB. Rows-only check
+    * (iteration isn't single-query SQL).
+    */
+  def d06DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sig = minhashSigs(d).persist()
+    val sigMatch = (0 until K)
+      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val pairs = lshPairs(sig).as("p")
+      .join(sig.as("sa"), col("p.da") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("p.db") === col("sb.doc_id"))
+      .filter(sigMatch >= (K * 7) / 8)
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .persist()
+    val edges = pairs.select(col("da").as("doc_id"), col("db").as("nbr"))
+      .unionAll(pairs.select(col("db").as("doc_id"), col("da").as("nbr")))
+      .persist()
+    var labels = d.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to 5) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
+        .groupBy(col("doc_id")).agg(min(col("nbr_label")).as("min_nbr_label"))
+      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("min_nbr_label"), col("label"))).as("label"))
+    }
+    // keep singletons too: the result is the full dedup manifest
+    // (cluster id + canonical keep id per doc group)
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("doc_id")).as("keep_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("cluster_size").desc, col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01DedupExact _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
     "d04_simhash" -> (d04Simhash _),
-    "d05_embedding_dup" -> (d05EmbeddingDup _)
+    "d05_embedding_dup" -> (d05EmbeddingDup _),
+    "d06_dup_clusters" -> (d06DupClusters _)
   )
 
   private val sigSelect = (0 until K)

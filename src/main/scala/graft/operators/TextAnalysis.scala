@@ -135,12 +135,35 @@ object TextAnalysis {
       .orderBy(col("lang"), col("token_rank"))
   }
 
+  /** t06: PII-style redaction — mask email-shaped spans then digit
+    * runs (order matters: emails contain digits), with per-doc match
+    * counts. Pure regexp column ops (codegen'd map work at 100 TB);
+    * patterns stick to char-classes so Java regex and RE2 agree.
+    */
+  def t06Redact(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    docs(spark, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_digit_runs"),
+        regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("redacted"))
+      .withColumn("redacted_md5", md5(col("redacted").cast("binary")))
+      .withColumn("redacted_len", length(col("redacted")).cast("long"))
+      .drop("redacted")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_langid" -> (t03Langid _),
     "t04_fingerprint" -> (t04Fingerprint _),
-    "t05_top_tokens" -> (t05TopTokens _)
+    "t05_top_tokens" -> (t05TopTokens _),
+    "t06_redact" -> (t06Redact _)
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -158,6 +181,17 @@ object TextAnalysis {
   }.mkString("CASE ", " ", " ELSE 'und' END")
 
   val oracles: Map[String, String] = Map(
+    "t06_redact" ->
+      """SELECT doc_id, lang,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g')) AS redacted_md5,
+        |  len(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g')) AS redacted_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t05_top_tokens" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

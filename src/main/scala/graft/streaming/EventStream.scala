@@ -149,16 +149,58 @@ object EventStream {
       .orderBy(col("window_start_ms"), col("c_mktsegment"))
   }
 
+  /** st04: streaming exact dedup — the at-least-once ingestion guard.
+    * The source is doubled in-plan (simulating redelivery), then
+    * `dropDuplicatesWithinWatermark` restores exactly-once rows with
+    * WATERMARK-BOUNDED state (keys age out after 1 h of event time —
+    * the property that keeps dedup state finite on an unbounded
+    * stream), then a windowless per-type aggregate. Oracle = batch
+    * counts over the original (un-doubled) events.
+    */
+  def st04StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("dup", explode(array(lit(1), lit(2))))  // at-least-once: every event twice
+      .drop("dup")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val agg = stream
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 4).as("total_value"))
+    spark.catalog.dropTempView("st04_out")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("st04_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st04_out").orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stateful_counts" -> (st02StatefulCounts _),
-    "st03_stream_static_join" -> (st03StreamStaticJoin _)
+    "st03_stream_static_join" -> (st03StreamStaticJoin _),
+    "st04_stream_dedup" -> (st04StreamDedup _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    "st04_stream_dedup" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     "st03_stream_static_join" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '1 day', ts)) AS window_start_ms,
         |  c_mktsegment,
