@@ -192,7 +192,10 @@ object Dedup {
     * the standard large-graph CC pattern at 100 TB. Rows-only check
     * (iteration isn't single-query SQL).
     */
-  def d06DupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def d06DupClusters(spark: SparkSession, dir: String): DataFrame =
+    d06DupClusters(spark, dir, maxRounds = 20)
+
+  def d06DupClusters(spark: SparkSession, dir: String, maxRounds: Int): DataFrame = {
     val d = docs(spark, dir)
     val sig = minhashSigs(d).persist()
     val sigMatch = (0 until K)
@@ -207,18 +210,41 @@ object Dedup {
     val edges = pairs.select(col("da").as("doc_id"), col("db").as("nbr"))
       .unionAll(pairs.select(col("db").as("doc_id"), col("da").as("nbr")))
       .persist()
-    var labels = d.select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to 5) {
+    // Propagate only over the candidate SUBGRAPH (nodes with ≥1 edge)
+    // — a tiny fraction of the corpus at any scale. Docs outside it are
+    // singletons by construction and skip the iteration entirely.
+    // localCheckpoint truncates the lineage each round: persist alone
+    // is NOT enough (unpersisting a parent cascades and invalidates
+    // the child's cache → exponential recomputation), and an uncut
+    // lineage grows one join deeper per round. On a cluster, swap for
+    // reliable checkpoint() if executor loss must be survivable.
+    // Iterate to FIXPOINT (no label changed), capped: propagation
+    // needs O(component diameter) rounds and real chains exceed any
+    // fixed guess. Pathological long chains at extreme scale → switch
+    // to alternating large-star/small-star (O(log n) rounds).
+    var labels = edges.select(col("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
         .groupBy(col("doc_id")).agg(min(col("nbr_label")).as("min_nbr_label"))
-      labels = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("min_nbr_label"), col("label"))).as("label"))
+      val next = labels.select(col("doc_id"), col("label").as("old_label"))
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old_label"),
+          least(col("old_label"), coalesce(col("min_nbr_label"), col("old_label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.filter(col("label") =!= col("old_label")).isEmpty
+      labels = next.select(col("doc_id"), col("label"))
+      round += 1
     }
+    val singletons = d.select(col("doc_id"))
+      .join(edges.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
     // keep singletons too: the result is the full dedup manifest
     // (cluster id + canonical keep id per doc group)
-    labels.groupBy(col("label").as("cluster_id"))
+    labels.unionAll(singletons).groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         min(col("doc_id")).as("keep_doc_id"),
         max(col("doc_id")).as("max_doc_id"))

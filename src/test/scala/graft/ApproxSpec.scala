@@ -63,6 +63,11 @@ class ApproxSpec extends AnyFunSuite {
     val exact = Dedup.d01DedupExact(spark, sf)
       .filter(col("n_copies") > 1).collect()
     assert(clusters.count(_.getAs[Long]("cluster_size") > 1) >= exact.length)
+    // convergence: a different round cap lands on the same fixpoint
+    val more = Dedup.d06DupClusters(spark, sf, maxRounds = 30).collect()
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toSet
+    assert(keyed(more) == keyed(clusters))
   }
 
   test("st04 streaming dedup removes the injected duplicates exactly") {
