@@ -115,13 +115,72 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s04: TF-IDF relevance search — score every document against a
+    * fixed query term set (tf × ln(N/df) per term, fixed-order scalar
+    * sum so the double arithmetic is cross-engine exact), top-20.
+    * Conditional per-term aggregates — no terms-table join, one pass
+    * over the token explosion; corpus stats (N, df) are one-row
+    * broadcast sides. The inverted-index form of the same ranking is
+    * the d02 index; this is the query-time half.
+    */
+  def s04TfidfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("vector", "filter", "merge")
+    val d = graft.Tables(spark, dir, "documents")
+    val toks = d.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val tfAggs = terms.map(t =>
+      count(when(col("token") === t, 1)).as(s"tf_$t"))
+    val tf = toks.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = terms.map(t =>
+      countDistinct(when(col("token") === t, col("doc_id"))).as(s"df_$t"))
+    val dfs = toks.agg(dfAggs.head, dfAggs.tail: _*)
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val score = terms.map(t =>
+      col(s"tf_$t").cast("double") *
+        log(col("n_docs").cast("double") / col(s"df_$t").cast("double")))
+      .reduce(_ + _)
+    tf.join(broadcast(dfs)).join(broadcast(n))
+      .withColumn("score", score)
+      .filter(col("score") > 0.0)
+      .select((col("doc_id") +: terms.map(t => col(s"tf_$t"))) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopk _),
     "s02_ann_lsh" -> (s02AnnLsh _),
-    "s03_ann_ivf" -> (s03AnnIvf _)
+    "s03_ann_ivf" -> (s03AnnIvf _),
+    "s04_tfidf_search" -> (s04TfidfSearch _)
   )
 
   val oracles: Map[String, String] = Map(
+    "s04_tfidf_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id,
+        |    COUNT(CASE WHEN token = 'vector' THEN 1 END) AS tf_vector,
+        |    COUNT(CASE WHEN token = 'filter' THEN 1 END) AS tf_filter,
+        |    COUNT(CASE WHEN token = 'merge' THEN 1 END) AS tf_merge
+        |  FROM toks GROUP BY doc_id),
+        |dfs AS (
+        |  SELECT
+        |    COUNT(DISTINCT CASE WHEN token = 'vector' THEN doc_id END) AS df_vector,
+        |    COUNT(DISTINCT CASE WHEN token = 'filter' THEN doc_id END) AS df_filter,
+        |    COUNT(DISTINCT CASE WHEN token = 'merge' THEN doc_id END) AS df_merge
+        |  FROM toks),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf_vector, tf_filter, tf_merge,
+        |    CAST(tf_vector AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)/CAST(df_vector AS DOUBLE))
+        |    + CAST(tf_filter AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)/CAST(df_filter AS DOUBLE))
+        |    + CAST(tf_merge AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)/CAST(df_merge AS DOUBLE)) AS score
+        |  FROM tf, dfs, n)
+        |SELECT * FROM scored WHERE score > 0.0
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
     "s01_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -302,8 +302,41 @@ object TpchSuite {
       .orderBy(col("p_partkey"), col("s_suppkey"))
   }
 
+  /** Set operations: customers ordering in BOTH 1996 and 1997
+    * (INTERSECT), minus any with a still-pending order (EXCEPT) —
+    * Spark plans these as semi/anti joins, same as the EXISTS forms.
+    */
+  def q39SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def custs(pred: Column): DataFrame =
+      o.filter(pred).select(col("o_custkey")).distinct()
+    val y96 = custs(year(col("o_orderdate")) === 1996)
+    val y97 = custs(year(col("o_orderdate")) === 1997)
+    val pending = custs(col("o_orderstatus") === "P")
+    y96.intersect(y97).except(pending)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Ordered collection aggregates: per-customer sorted distinct order
+    * years / statuses as csv (deterministic cross-engine encoding of
+    * an array aggregate).
+    */
+  def q40ArrayAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        array_join(sort_array(collect_set(year(col("o_orderdate")).cast("long"))), ",")
+          .as("order_years"),
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Driver-contract registration: query name → runner. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_set_ops" -> (q39SetOps _),
+    "q40_array_agg" -> (q40ArrayAgg _),
     "q26_order_priority" -> (q26OrderPriority _),
     "q27_local_supplier_volume" -> (q27LocalSupplierVolume _),
     "q28_nation_volume" -> (q28NationVolume _),
@@ -321,6 +354,22 @@ object TpchSuite {
 
   /** DuckDB-dialect oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "q39_set_ops" ->
+      """SELECT o_custkey FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+    "q40_array_agg" ->
+      """SELECT o_custkey,
+        |  COUNT(*) AS n_orders,
+        |  array_to_string(list_sort(list(DISTINCT CAST(year(o_orderdate) AS BIGINT))), ',') AS order_years,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "q26_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders
