@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- Seq("q26_order_priority", "q29_market_share", "q31_ship_delay",
+                  "q36_disjunctive_revenue", "q39_set_ops", "s04_tfidf_search",
+                  "p01_pack_sequences", "a02_bloom_filtered_join")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+      def n(pat: String) = pat.r.findAllIn(plan).length
+      println(s"[audit] $q: bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} shj=${n("ShuffledHashJoin")} " +
+        s"exch=${n("Exchange")} wsc=${n("WholeStageCodegen")} partialAgg=${n("HashAggregate\\(keys=[^)]*functions=\\[partial")}")
+      pushed.take(4).foreach(p => println(s"[audit]   $p"))
+    }
+    spark.stop()
+  }
+}

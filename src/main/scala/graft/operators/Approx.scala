@@ -57,9 +57,13 @@ object Approx {
     GraftFunctions.register(spark)
     val dim = Tables(spark, dir, "customer")
       .filter(col("c_acctbal") > 9000.0)
+    // 2^20 bits = 128 KB: the sketch is embedded in the probe-side plan
+    // (and its generated code), so size it to the build-side
+    // cardinality, not "as big as fits" — at 100 TB scale bits with the
+    // dim count (~10 bits/key for ~1% FPP).
     val bloom = dim
       .agg(call_function("bloom_agg", col("c_custkey"),
-        lit(100000L), lit(8L * 1024 * 1024)).as("bf"))
+        lit(100000L), lit(1L << 20)).as("bf"))
       .head.getAs[Array[Byte]](0)
     val o = Tables(spark, dir, "orders")
       .filter(call_function("bloom_might_contain", lit(bloom), col("o_custkey")))

@@ -130,10 +130,14 @@ object Similarity {
       explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
     val tfAggs = terms.map(t =>
       count(when(col("token") === t, 1)).as(s"tf_$t"))
+    // persist: tf (a narrow per-doc table) feeds both the df roll-up
+    // and the final scoring join — one pass over the token explosion
+    // instead of two
     val tf = toks.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+      .persist()
     val dfAggs = terms.map(t =>
-      countDistinct(when(col("token") === t, col("doc_id"))).as(s"df_$t"))
-    val dfs = toks.agg(dfAggs.head, dfAggs.tail: _*)
+      count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t"))
+    val dfs = tf.agg(dfAggs.head, dfAggs.tail: _*)
     val n = d.agg(count(lit(1)).as("n_docs"))
     val score = terms.map(t =>
       col(s"tf_$t").cast("double") *
