@@ -128,17 +128,70 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** p06: benchmark-contamination check — flag training docs sharing
+    * any word-5-gram with the held-out benchmark set (here: the
+    * doc_id % 13 slice as a stand-in eval set). The benchmark's
+    * distinct grams are a small broadcast side; the corpus explodes
+    * its grams once and semi-aggregates matches per doc — the
+    * standard decontamination sweep before an LLM training run.
+    */
+  def p06ContaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val gram5 = expr(
+      "transform(sequence(1, size(ts)-4), i -> concat_ws(' ', " +
+        "element_at(ts, i), element_at(ts, CAST(i+1 AS INT)), " +
+        "element_at(ts, CAST(i+2 AS INT)), element_at(ts, CAST(i+3 AS INT)), " +
+        "element_at(ts, CAST(i+4 AS INT))))")
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(gram5)).as("g"))
+    val bench = grams.filter(col("doc_id") % 13 === 0)
+      .select(col("g")).distinct()
+    val perDoc = grams.filter(col("doc_id") % 13 =!= 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    grams.filter(col("doc_id") % 13 =!= 0)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+      .join(perDoc, Seq("doc_id"))
+      .withColumn("contamination_ratio",
+        col("n_hit_grams").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("n_hit_grams").desc, col("doc_id"))
+  }
+
   /** Driver-contract registration. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_pack_sequences" -> (p01PackSequences _),
     "p02_train_test_split" -> (p02TrainTestSplit _),
     "p03_stratified_sample" -> (p03StratifiedSample _),
     "p04_length_buckets" -> (p04LengthBuckets _),
-    "p05_corpus_stats" -> (p05CorpusStats _)
+    "p05_corpus_stats" -> (p05CorpusStats _),
+    "p06_contamination_check" -> (p06ContaminationCheck _)
   )
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "p06_contamination_check" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 5),
+        |raw AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)-3), i ->
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) AS g
+        |  FROM toks),
+        |grams AS (SELECT DISTINCT doc_id, g FROM raw),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
+        |per_doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams FROM grams
+        |  WHERE doc_id % 13 <> 0 GROUP BY 1),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_hit_grams
+        |  FROM grams WHERE doc_id % 13 <> 0 AND g IN (SELECT g FROM bench)
+        |  GROUP BY 1)
+        |SELECT doc_id, n_hit_grams, n_grams,
+        |  CAST(n_hit_grams AS DOUBLE)/CAST(n_grams AS DOUBLE) AS contamination_ratio
+        |FROM hits JOIN per_doc USING (doc_id)
+        |ORDER BY n_hit_grams DESC, doc_id""".stripMargin,
     "p01_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,

@@ -157,13 +157,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t07: bigram language-model statistics — top-5 bigrams per
+    * language with conditional probability p(w2|w1). The unigram
+    * denominator is a window sum over the bigram counts (no second
+    * token explosion); probability is one IEEE division.
+    */
+  def t07BigramStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bigram = expr(
+      "transform(sequence(1, size(ts)-1), i -> " +
+        "struct(element_at(ts, i) AS w1, element_at(ts, CAST(i+1 AS INT)) AS w2))")
+    val counts = docs(spark, dir)
+      .select(col("lang"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("lang"), explode(bigram).as("b"))
+      .groupBy(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+    val wUni = Window.partitionBy(col("lang"), col("w1"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("n_bigram").desc, col("w1"), col("w2"))
+    counts
+      .withColumn("n_w1", sum(col("n_bigram")).over(wUni))
+      .withColumn("p_w2_given_w1",
+        col("n_bigram").cast("double") / col("n_w1").cast("double"))
+      .withColumn("bigram_rank", row_number().over(wRank))
+      .filter(col("bigram_rank") <= 5)
+      .orderBy(col("lang"), col("bigram_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_langid" -> (t03Langid _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_top_tokens" -> (t05TopTokens _),
-    "t06_redact" -> (t06Redact _)
+    "t06_redact" -> (t06Redact _),
+    "t07_bigram_stats" -> (t07BigramStats _)
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -181,6 +210,26 @@ object TextAnalysis {
   }.mkString("CASE ", " ", " ELSE 'und' END")
 
   val oracles: Map[String, String] = Map(
+    "t07_bigram_stats" ->
+      """WITH toks AS (
+        |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2),
+        |bigrams AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(ts)),
+        |    i -> {'w1': ts[i], 'w2': ts[i+1]})) AS b
+        |  FROM toks),
+        |counts AS (
+        |  SELECT lang, b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n_bigram
+        |  FROM bigrams GROUP BY 1, 2, 3),
+        |uni AS (
+        |  SELECT *, SUM(n_bigram) OVER (PARTITION BY lang, w1) AS n_w1
+        |  FROM counts)
+        |SELECT lang, w1, w2, n_bigram, n_w1,
+        |  CAST(n_bigram AS DOUBLE)/CAST(n_w1 AS DOUBLE) AS p_w2_given_w1,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_bigram DESC, w1, w2) AS bigram_rank
+        |FROM uni
+        |QUALIFY bigram_rank <= 5
+        |ORDER BY lang, bigram_rank""".stripMargin,
     "t06_redact" ->
       """SELECT doc_id, lang,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,

@@ -333,10 +333,31 @@ object TpchSuite {
       .orderBy(col("o_custkey"))
   }
 
+  /** Explicit GROUPING SETS (beyond the q12 ROLLUP / q18 CUBE
+    * special cases) through the SQL facade — the three marginal
+    * aggregates in one pass.
+    */
+  def q41GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .createOrReplaceTempView("q41_geo")
+    spark.sql(
+      """SELECT r_name, c_mktsegment,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM q41_geo
+        |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment))
+        |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Driver-contract registration: query name → runner. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_set_ops" -> (q39SetOps _),
     "q40_array_agg" -> (q40ArrayAgg _),
+    "q41_grouping_sets" -> (q41GroupingSets _),
     "q26_order_priority" -> (q26OrderPriority _),
     "q27_local_supplier_volume" -> (q27LocalSupplierVolume _),
     "q28_nation_volume" -> (q28NationVolume _),
@@ -354,6 +375,15 @@ object TpchSuite {
 
   /** DuckDB-dialect oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "q41_grouping_sets" ->
+      """SELECT r_name, c_mktsegment,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment))
+        |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
     "q39_set_ops" ->
       """SELECT o_custkey FROM (
         |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996

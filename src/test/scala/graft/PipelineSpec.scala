@@ -58,6 +58,27 @@ class PipelineSpec extends AnyFunSuite {
       Tables(spark, sf, "documents").count())
   }
 
+  test("p06 contamination ratios are valid fractions over non-benchmark docs") {
+    val rows = Pipeline.p06ContaminationCheck(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 13 != 0)
+      val ratio = r.getAs[Double]("contamination_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_hit_grams") <= r.getAs[Long]("n_grams"))
+    }
+  }
+
+  test("t07 conditional probabilities are valid and unigram counts dominate") {
+    val rows = graft.operators.TextAnalysis.t07BigramStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_w2_given_w1")
+      assert(p > 0.0 && p <= 1.0)
+      assert(r.getAs[Long]("n_bigram") <= r.getAs[Long]("n_w1"))
+    }
+  }
+
   test("pipeline ops are UDF-free (codegen-friendly hot paths)") {
     Pipeline.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
