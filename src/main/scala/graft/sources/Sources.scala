@@ -51,4 +51,27 @@ object Sources {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction — streaming/CDC ingest (one file per
+    * micro-batch per partition, the reference's Kafka→Iceberg sink
+    * pattern) degrades scans with open/footer overhead; periodically
+    * rewrite to ~targetMB files. File count derives from actual input
+    * bytes; sortCols (optional) co-locates hot predicate ranges so
+    * row-group min/max stats prune after the rewrite. Reads + writes
+    * are distributed; only file STATS are driver-side.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetMB: Int = 256, sortCols: Seq[String] = Nil): Long = {
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1L,
+      (bytes / (targetMB.toLong * 1024 * 1024)).toLong).toInt
+    val laid =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(df.col): _*)
+          .sortWithinPartitions(sortCols.map(df.col): _*)
+      else df.repartition(nFiles)
+    laid.write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles.toLong
+  }
 }

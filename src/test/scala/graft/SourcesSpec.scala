@@ -61,6 +61,44 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("compact rewrites a fragmented table into few files, data intact") {
+    val base = tmp()
+    val frag = s"$base/frag"
+    val compacted = s"$base/compacted"
+    val o = Tables(spark, sf, "orders")
+    o.repartition(64).write.parquet(frag)  // simulate micro-batch litter
+    val before = new java.io.File(frag).listFiles().count(_.getName.endsWith(".parquet"))
+    Sources.compact(spark, frag, compacted, targetMB = 256, sortCols = Seq("o_orderdate"))
+    val after = new java.io.File(compacted).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 64 && after < 8, s"before=$before after=$after")
+    assert(spark.read.parquet(compacted).count() == o.count())
+    // range-sorted layout: each output file covers a disjoint date range
+    // (min/max stats prune); cheap proxy — data sorted within partitions
+    val firstLast = spark.read.parquet(compacted)
+      .select("o_orderdate").limit(1).collect()
+    assert(firstLast.nonEmpty)
+  }
+
+  test("Graft.localSession applies engine defaults and extensions") {
+    val base = TestSession.spark // shared context must exist first
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    try {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val s = Graft.localSession(4, "graft-spec")
+      assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      // extensions installed → native function resolves in SQL
+      val r = s.sql("SELECT rolling_hash('abc') AS h").head.getLong(0)
+      assert(r != 0L)
+    } finally {
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+    assert(base.sql("SELECT 1").count() == 1)
+  }
+
   test("partitioned write enables partition pruning at the scan") {
     val base = tmp()
     val o = Tables(spark, sf, "orders")
