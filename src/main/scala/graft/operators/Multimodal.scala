@@ -8,6 +8,10 @@ import graft.Tables
 /** Typed metadata produced by the (stubbed) media decoder. */
 case class MediaMeta(doc_id: Long, byte_len: Int, width: Int, height: Int, checksum: Long)
 
+/** Typed output of the (stubbed) batched resize/feature pipeline. */
+case class MediaFeature(doc_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int,
+  scale_x: Double, scale_y: Double, feat: Array[Double], feat_norm: Double)
+
 /** Multimodal-column plumbing: media payloads travel as opaque
   * `binary` columns with typed metadata alongside. The real decode
   * (image/audio libs) is absent from this container, so the decoder is
@@ -73,9 +77,48 @@ object Multimodal {
         md5(array_join(col("frames"), "").cast("binary")).as("frames_digest"))
       .orderBy(col("doc_id"))
 
+  /** m03: batched resize + feature-extract — the full typed
+    * mapPartitions pipeline a real vision preprocessor uses: payloads
+    * arrive as binary, each partition processes FIXED-SIZE BATCHES of
+    * 32 (the shape GPU/codec APIs want; per-batch init amortized), and
+    * emits typed rows: resize scale factors to a 64×64 target + an
+    * 8-dim byte-histogram "feature vector" with its norm.
+    *
+    * STUB: the pixel decode is deterministic byte math (image libs
+    * absent from this container) — the schema, batch shape, and
+    * partition-parallel structure are the real 100 TB pattern.
+    * Rows-only check (mapPartitions logic isn't single-query SQL).
+    */
+  def m03ResizeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val outW = 64
+    val outH = 64
+    payloads.mapPartitions { it =>
+      // per-partition init (codec context / model weights) goes here
+      it.grouped(32).flatMap { batch =>
+        // per-batch init (device buffer alloc) goes here
+        batch.iterator.map { case (id, bytes) =>
+          val len = bytes.length
+          val inW = 32 + (len % 317)
+          val inH = 32 + ((len * 7) % 211)
+          val feat = new Array[Double](8)
+          var i = 0
+          while (i < len) { feat(i % 8) += (bytes(i) & 0xFF) / 255.0; i += 1 }
+          val norm = math.sqrt(feat.map(x => x * x).sum)
+          MediaFeature(id, inW, inH, outW, outH,
+            outW.toDouble / inW, outH.toDouble / inH, feat, norm)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
-    "m02_frame_sample" -> (m02FrameSample _)
+    "m02_frame_sample" -> (m02FrameSample _),
+    "m03_resize_features" -> (m03ResizeFeatures _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -70,6 +70,18 @@ class ApproxSpec extends AnyFunSuite {
     assert(keyed(more) == keyed(clusters))
   }
 
+  test("m03 batched resize covers all docs with consistent geometry") {
+    val rows = graft.operators.Multimodal.m03ResizeFeatures(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("out_w") == 64 && r.getAs[Int]("out_h") == 64)
+      val sx = r.getAs[Double]("scale_x")
+      assert(math.abs(sx - 64.0 / r.getAs[Int]("in_w")) < 1e-12)
+      assert(r.getAs[scala.collection.Seq[Double]]("feat").length == 8)
+      assert(r.getAs[Double]("feat_norm") > 0.0)
+    }
+  }
+
   test("st04 streaming dedup removes the injected duplicates exactly") {
     val rows = EventStream.st04StreamDedup(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_events")).sum
