@@ -185,7 +185,30 @@ object TextAnalysis {
       .orderBy(col("lang"), col("bigram_rank"))
   }
 
+  /** t08: string-function surface — the everyday cleansing functions a
+    * dbt-style staging model uses, exercised together for cross-engine
+    * parity (pad, translate, reverse, edit distance, position,
+    * split_part).
+    */
+  def t08StringSuite(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        upper(col("lang")).as("lang_up"),
+        lpad(col("lang"), 5, "_").as("lang_lpad"),
+        rpad(col("lang"), 5, ".").as("lang_rpad"),
+        translate(col("lang"), "aeiou", "12345").as("lang_translated"),
+        reverse(col("lang")).as("lang_rev"),
+        levenshtein(col("lang"), lit("en")).cast("long").as("lev_to_en"),
+        instr(col("text"), "data").cast("long").as("pos_data"),
+        element_at(split(col("source"), "c"), 2).as("src_part"),
+        concat_ws("-", col("lang"), col("source")).as("lang_source"),
+        substring(col("text"), 1, 12).as("head12"),
+        repeat(col("lang"), 2).as("lang_twice"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_string_suite" -> (t08StringSuite _),
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_langid" -> (t03Langid _),
@@ -210,6 +233,20 @@ object TextAnalysis {
   }.mkString("CASE ", " ", " ELSE 'und' END")
 
   val oracles: Map[String, String] = Map(
+    "t08_string_suite" ->
+      """SELECT doc_id,
+        |  UPPER(lang) AS lang_up,
+        |  lpad(lang, 5, '_') AS lang_lpad,
+        |  rpad(lang, 5, '.') AS lang_rpad,
+        |  translate(lang, 'aeiou', '12345') AS lang_translated,
+        |  reverse(lang) AS lang_rev,
+        |  CAST(levenshtein(lang, 'en') AS BIGINT) AS lev_to_en,
+        |  CAST(strpos(text, 'data') AS BIGINT) AS pos_data,
+        |  string_split(source, 'c')[2] AS src_part,
+        |  concat_ws('-', lang, source) AS lang_source,
+        |  substring(text, 1, 12) AS head12,
+        |  repeat(lang, 2) AS lang_twice
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t07_bigram_stats" ->
       """WITH toks AS (
         |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS ts

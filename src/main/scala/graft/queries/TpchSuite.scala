@@ -353,8 +353,29 @@ object TpchSuite {
         |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Date/time-function surface — truncation, month arithmetic with
+    * end-of-month clamping, calendar parts, day arithmetic — the
+    * derivations every staging model and partition key needs.
+    */
+  def q42DateSuite(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        add_months(to_date(col("o_orderdate")), 3).as("plus_3_months"),
+        date_add(to_date(col("o_orderdate")), 45).as("plus_45_days"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_epoch_start"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Driver-contract registration: query name → runner. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_date_suite" -> (q42DateSuite _),
     "q39_set_ops" -> (q39SetOps _),
     "q40_array_agg" -> (q40ArrayAgg _),
     "q41_grouping_sets" -> (q41GroupingSets _),
@@ -375,6 +396,18 @@ object TpchSuite {
 
   /** DuckDB-dialect oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "q42_date_suite" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+        |  CAST(o_orderdate AS DATE) + 45 AS plus_45_days,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS days_since_epoch_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q41_grouping_sets" ->
       """SELECT r_name, c_mktsegment,
         |  COUNT(*) AS n_customers,
