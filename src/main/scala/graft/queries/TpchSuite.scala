@@ -373,8 +373,24 @@ object TpchSuite {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Scalable global ranking ([[graft.operators.Rank.globalRowNumber]])
+    * — identical semantics to `ROW_NUMBER() OVER (ORDER BY …)` but
+    * distributed (range partition + offsets) instead of the
+    * single-partition WindowExec that a bare global window plans.
+    */
+  def q43ScalableRank(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    graft.operators.Rank.globalRowNumber(
+        c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        Seq(col("c_acctbal").desc, col("c_custkey")),
+        rankCol = "balance_rank")
+      .select(col("balance_rank"), col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("balance_rank"))
+  }
+
   /** Driver-contract registration: query name → runner. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_scalable_rank" -> (q43ScalableRank _),
     "q42_date_suite" -> (q42DateSuite _),
     "q39_set_ops" -> (q39SetOps _),
     "q40_array_agg" -> (q40ArrayAgg _),
@@ -396,6 +412,11 @@ object TpchSuite {
 
   /** DuckDB-dialect oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "q43_scalable_rank" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_rank,
+        |  c_custkey, c_mktsegment, c_acctbal
+        |FROM customer
+        |ORDER BY balance_rank""".stripMargin,
     "q42_date_suite" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) AS order_date,

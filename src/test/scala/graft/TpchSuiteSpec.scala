@@ -66,6 +66,37 @@ class TpchSuiteSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters"))
   }
 
+  test("q43 scalable rank matches the naive global window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables(spark, sf, "customer")
+    val naive = c.select(col("c_custkey"),
+        row_number().over(Window.orderBy(col("c_acctbal").desc, col("c_custkey"))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val scalable = TpchSuite.q43ScalableRank(spark, sf)
+      .select(col("c_custkey"), col("balance_rank"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("balance_rank").intValue).toMap
+    assert(scalable == naive)
+    // the data-path window is partitioned (no all-rows-to-one-task move)
+    val plan = TpchSuite.q43ScalableRank(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__pid") && plan.contains("row_number"))
+  }
+
+  test("globalRank matches naive rank() including tie groups") {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables(spark, sf, "customer")
+      // engineered ties: bucket acctbal so tie groups exist
+      .select(col("c_custkey"), (floor(col("c_acctbal") / 1000.0)).as("bal_k"))
+    val naive = c.select(col("c_custkey"),
+        rank().over(Window.orderBy(col("bal_k"))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val scalable = graft.operators.Rank.globalRank(
+        c, Seq(col("bal_k")), Seq(col("bal_k")), Seq(col("c_custkey")), "r")
+      .select(col("c_custkey"), col("r"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("r").intValue).toMap
+    assert(scalable == naive)
+  }
+
   test("q27 broadcasts all dimension sides") {
     val plan = TpchSuite.q27LocalSupplierVolume(spark, sf)
       .queryExecution.executedPlan.toString
