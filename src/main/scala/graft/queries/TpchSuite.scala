@@ -388,8 +388,55 @@ object TpchSuite {
       .orderBy(col("balance_rank"))
   }
 
+  /** TPC-H Q22 shape: global-average scalar subquery (one-row
+    * broadcast) + NOT EXISTS anti join — above-average-balance
+    * customers with no RECENT (1999+) orders, per segment.
+    */
+  def q44DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    c.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q21 shape: multi-EXISTS — suppliers whose late-shipped item
+    * (>60 days after order) blocked an otherwise on-time multi-supplier
+    * order: EXISTS another supplier in the order (semi join), NOT
+    * EXISTS another LATE supplier (anti join). Top 20 by count.
+    */
+  def q45WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    val l = t(spark, dir, "lineitem")
+    val l1 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(to_date(col("o_orderdate")), 60)
+        .cast("timestamp"))
+      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
+    val l2 = l.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+    val late2 = l1.select(col("lo").as("lo3"), col("ls").as("ls3"))
+    val blocked = l1
+      .join(l2, col("lo") === col("lo2") && col("ls") =!= col("ls2"), "left_semi")
+      .join(late2, col("lo") === col("lo3") && col("ls") =!= col("ls3"), "left_anti")
+    blocked.join(broadcast(s), col("ls") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** Driver-contract registration: query name → runner. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_dormant_customers" -> (q44DormantCustomers _),
+    "q45_waiting_suppliers" -> (q45WaitingSuppliers _),
     "q43_scalable_rank" -> (q43ScalableRank _),
     "q42_date_suite" -> (q42DateSuite _),
     "q39_set_ops" -> (q39SetOps _),
@@ -412,6 +459,38 @@ object TpchSuite {
 
   /** DuckDB-dialect oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "q44_dormant_customers" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(c_acctbal) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q45_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > CAST(o_orderdate AS DATE) + 60
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND o3.o_orderstatus = 'F'
+        |                    AND l3.l_shipdate > CAST(o3.o_orderdate AS DATE) + 60)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "q43_scalable_rank" ->
       """SELECT ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_rank,
         |  c_custkey, c_mktsegment, c_acctbal
