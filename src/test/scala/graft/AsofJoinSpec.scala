@@ -37,6 +37,32 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.exists(_._3 == -1L) || got.nonEmpty) // unmatched rows allowed
   }
 
+  test("asof edge cases: empty right side, keys with no match, tied timestamps") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (2L, 5L, 102L, "c"))
+      .toDF("k", "t", "lid", "tag")
+      .select(col("k"), org.apache.spark.sql.functions.timestamp_micros(col("t")).as("t"),
+        col("lid"), col("tag"))
+    // empty right: every left row survives with null right columns
+    val emptyRight = Seq.empty[(Long, Long, Long)].toDF("rk", "rt", "rid")
+      .select(col("rk"), org.apache.spark.sql.functions.timestamp_micros(col("rt")).as("rt"),
+        col("rid"))
+    val j1 = Asof.join(left, emptyRight, "k", "rk", "t", "rt", "rid").collect()
+    assert(j1.length == 3 && j1.forall(_.isNullAt(j1.head.fieldIndex("rid"))))
+    // tied right timestamps: the larger tiebreak id wins deterministically
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (3L, 1L, 11L))
+      .toDF("rk", "rt", "rid")
+      .select(col("rk"), org.apache.spark.sql.functions.timestamp_micros(col("rt")).as("rt"),
+        col("rid"))
+    val j2 = Asof.join(left, right, "k", "rk", "t", "rt", "rid")
+      .select("k", "lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // k=1,t=10: both right rows at rt=10 qualify (<=), rid 9 wins;
+    // k=1,t=20: same; k=2: no right rows for key → null
+    assert(j2 == Set((1L, 100L, 9L), (1L, 101L, 9L), (2L, 102L, -1L)))
+  }
+
   test("Asof.join rejects colliding column names and unknown columns") {
     val events = Tables(spark, sf, "events")
     val p = events.select("user_id", "event_id", "ts")
