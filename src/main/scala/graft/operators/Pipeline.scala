@@ -158,8 +158,32 @@ object Pipeline {
       .orderBy(col("n_hit_grams").desc, col("doc_id"))
   }
 
+  /** p07: vocabulary coverage / OOV rate — build a top-500 token
+    * vocabulary (global counts, deterministic tie-break) and measure
+    * per-language out-of-vocabulary token share: the coverage metric
+    * that sizes a tokenizer's vocab against a corpus. The vocab is a
+    * small broadcast side; OOV detection is one anti join.
+    */
+  def p07OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(500)
+      .select(col("token"))
+    val oov = toks.join(broadcast(vocab), Seq("token"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("oov_tokens"))
+    toks.groupBy(col("lang")).agg(count(lit(1)).as("total_tokens"))
+      .join(oov, Seq("lang"), "left")
+      .withColumn("oov_tokens", coalesce(col("oov_tokens"), lit(0L)))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("total_tokens").cast("double"))
+      .orderBy(col("lang"))
+  }
+
   /** Driver-contract registration. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p07_oov_rate" -> (p07OovRate _),
     "p01_pack_sequences" -> (p01PackSequences _),
     "p02_train_test_split" -> (p02TrainTestSplit _),
     "p03_stratified_sample" -> (p03StratifiedSample _),
@@ -170,6 +194,24 @@ object Pipeline {
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "p07_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
+        |    ORDER BY n DESC, token LIMIT 500)),
+        |oov AS (
+        |  SELECT lang, COUNT(*) AS oov_tokens FROM toks
+        |  WHERE token NOT IN (SELECT token FROM vocab) GROUP BY 1),
+        |tot AS (
+        |  SELECT lang, COUNT(*) AS total_tokens FROM toks GROUP BY 1)
+        |SELECT t.lang, t.total_tokens,
+        |  COALESCE(o.oov_tokens, 0) AS oov_tokens,
+        |  CAST(COALESCE(o.oov_tokens, 0) AS DOUBLE)/CAST(t.total_tokens AS DOUBLE) AS oov_rate
+        |FROM tot t LEFT JOIN oov o ON t.lang = o.lang
+        |ORDER BY t.lang""".stripMargin,
     "p06_contamination_check" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
