@@ -224,16 +224,23 @@ object Dedup {
     // to alternating large-star/small-star (O(log n) rounds).
     var labels = edges.select(col("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint(true)
+    def step(ls: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(ls.select(col("doc_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
+        .groupBy(col("doc_id")).agg(min(col("nbr_label")).as("min_nbr_label"))
+      ls.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("min_nbr_label"), col("label"))).as("label"))
+    }
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
-        .groupBy(col("doc_id")).agg(min(col("nbr_label")).as("min_nbr_label"))
-      val next = labels.select(col("doc_id"), col("label").as("old_label"))
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("old_label"),
-          least(col("old_label"), coalesce(col("min_nbr_label"), col("old_label"))).as("label"))
+      // two propagation hops per materialization: halves the checkpoint
+      // and convergence-check overhead along chain-shaped components
+      val next = step(step(labels.select(col("doc_id"), col("label"))))
+        .withColumnRenamed("label", "new_label")
+        .join(labels.select(col("doc_id"), col("label").as("old_label")), Seq("doc_id"))
+        .select(col("doc_id"), col("old_label"), col("new_label").as("label"))
         .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("old_label")).isEmpty
       labels = next.select(col("doc_id"), col("label"))
