@@ -24,8 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
-      new ExpressionInfo(classOf[RollingHashExpr].getName, null, "rolling_hash",
-        "rolling_hash(str) - 64-bit polynomial rolling hash of `str`.", ""),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, null, "rolling_hash"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, s"rolling_hash expects 1 argument, got ${exprs.length}")
         RollingHashExpr(exprs.head)
@@ -34,8 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimExpr].getName, null, "cosine_sim",
-        "cosine_sim(a, b) - cosine similarity of two float arrays.", ""),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, null, "cosine_sim"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
         CosineSimExpr(exprs.head, exprs(1))

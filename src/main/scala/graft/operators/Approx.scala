@@ -64,7 +64,7 @@ object Approx {
     val bloom = dim
       .agg(call_function("bloom_agg", col("c_custkey"),
         lit(100000L), lit(1L << 20)).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val o = Tables(spark, dir, "orders")
       .filter(call_function("bloom_might_contain", lit(bloom), col("o_custkey")))
     o.join(dim, col("o_custkey") === col("c_custkey"))

@@ -33,6 +33,24 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).columns.contains("r_comment"))
   }
 
+  test("merge commits an upserted snapshot and keeps history") {
+    val dir = tmp()
+    val base = Tables(spark, sf, "region")
+    Snapshots.commit(base, dir)
+    val updates = base.filter(col("r_regionkey") === 0)
+      .withColumn("r_name", lit("PATCHED"))
+      .unionByName(spark.range(99, 100).select(
+        col("id").cast("int").as("r_regionkey"), lit("NEW").as("r_name")))
+    val v = Snapshots.merge(spark, dir, updates, Seq("r_regionkey"))
+    val latest = Snapshots.read(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(latest(0) == "PATCHED" && latest(99) == "NEW")
+    assert(latest.size == base.count() + 1)
+    // history intact: v1 still has the original row
+    assert(Snapshots.read(spark, dir, v - 1).filter(col("r_regionkey") === 0)
+      .head().getString(1) != "PATCHED")
+  }
+
   test("diff produces the exact insert/update/delete changelog") {
     val dir = tmp()
     val base = Tables(spark, sf, "nation")
