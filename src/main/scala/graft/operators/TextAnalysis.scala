@@ -207,7 +207,42 @@ object TextAnalysis {
         repeat(col("lang"), 2).as("lang_twice"))
       .orderBy(col("doc_id"))
 
+  /** t09: LM-perplexity quality score (CCNet-style filtering) — score
+    * each document by average negative log-likelihood under the
+    * corpus's own per-language bigram model (unseen bigrams smoothed
+    * to 1e-6). Cross-engine exactness: each ln(p) is rounded to 9
+    * decimals and decimal-summed, so the per-doc total is
+    * order-independent; the final division is one IEEE op.
+    */
+  def t09LmScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bigram = expr(
+      "transform(sequence(1, size(ts)-1), i -> " +
+        "struct(element_at(ts, i) AS w1, element_at(ts, CAST(i+1 AS INT)) AS w2))")
+    val docBigrams = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(bigram).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val counts = docBigrams.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+    val probs = counts
+      .withColumn("n_w1", sum(col("n_bigram"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("w1"))))
+      .withColumn("p", col("n_bigram").cast("double") / col("n_w1").cast("double"))
+      .select(col("lang"), col("w1"), col("w2"), col("p"))
+    docBigrams.join(probs, Seq("lang", "w1", "w2"), "left")
+      .withColumn("lnp", round(log(coalesce(col("p"), lit(1e-6))), 9))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (-sum(col("lnp").cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1))).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_lm_score" -> (t09LmScore _),
     "t08_string_suite" -> (t08StringSuite _),
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_score" -> (t02QualityScore _),
@@ -233,6 +268,28 @@ object TextAnalysis {
   }.mkString("CASE ", " ", " ELSE 'und' END")
 
   val oracles: Map[String, String] = Map(
+    "t09_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2),
+        |db AS (
+        |  SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, lang, unnest(list_transform(range(1, len(ts)),
+        |      i -> {'w1': ts[i], 'w2': ts[i+1]})) AS b
+        |    FROM toks)),
+        |counts AS (
+        |  SELECT lang, w1, w2, COUNT(*) AS n_bigram FROM db GROUP BY 1, 2, 3),
+        |probs AS (
+        |  SELECT lang, w1, w2,
+        |    CAST(n_bigram AS DOUBLE) /
+        |      CAST(SUM(n_bigram) OVER (PARTITION BY lang, w1) AS DOUBLE) AS p
+        |  FROM counts)
+        |SELECT doc_id, any_value(db.lang) AS lang, COUNT(*) AS n_bigrams,
+        |  -CAST(SUM(CAST(round(ln(COALESCE(p, 1e-6)), 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |    / COUNT(*) AS avg_nll
+        |FROM db LEFT JOIN probs USING (lang, w1, w2)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "t08_string_suite" ->
       """SELECT doc_id,
         |  UPPER(lang) AS lang_up,
