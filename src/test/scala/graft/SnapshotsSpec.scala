@@ -51,6 +51,21 @@ class SnapshotsSpec extends AnyFunSuite {
       .head().getString(1) != "PATCHED")
   }
 
+  test("streaming ingestion commits micro-batches as snapshots") {
+    val dir = tmp() + "/ingested"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStream.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+    val q = graft.streaming.SnapshotSink.ingest(stream, dir)
+    try q.processAllAvailable() finally q.stop()
+    assert(Snapshots.versions(dir).nonEmpty)
+    val total = Snapshots.versions(dir)
+      .map(v => Snapshots.read(spark, dir, v).count()).sum
+    assert(total == Tables(spark, sf, "events").count())
+  }
+
   test("diff produces the exact insert/update/delete changelog") {
     val dir = tmp()
     val base = Tables(spark, sf, "nation")
