@@ -433,8 +433,26 @@ object TpchSuite {
       .limit(20)
   }
 
+  /** RANGE-frame window (value-based, not row-count-based): per-user
+    * sliding 1-hour activity — every event sees the count/sum of
+    * events in [ts-1h, ts] regardless of how many rows that spans.
+    */
+  def q46RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"))
+      .withColumn("events_1h", count(lit(1)).over(w))
+      .withColumn("value_1h",
+        sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
   /** Driver-contract registration: query name → runner. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_range_window" -> (q46RangeWindow _),
     "q44_dormant_customers" -> (q44DormantCustomers _),
     "q45_waiting_suppliers" -> (q45WaitingSuppliers _),
     "q43_scalable_rank" -> (q43ScalableRank _),
@@ -459,6 +477,14 @@ object TpchSuite {
 
   /** DuckDB-dialect oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "q46_range_window" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        |  COUNT(*) OVER w AS events_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
     "q44_dormant_customers" ->
       """WITH avg_bal AS (
         |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(c_acctbal) AS avg_bal
