@@ -37,7 +37,7 @@ object Rank {
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
     parted.join(broadcast(offsets), "__pid")
       .withColumn(rankCol, row_number().over(w) + col("__offset"))
-      .drop("__pid")
+      .drop("__pid", "__offset")
   }
 
   /** Global RANK() (ties share the smallest position) distributed:

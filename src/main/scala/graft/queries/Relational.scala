@@ -105,15 +105,26 @@ object Relational {
         min(to_date(col("o_orderdate"))).as("first_order_date"),
         max(to_date(col("o_orderdate"))).as("last_order_date"))
       .withColumn("avg_order_value", ratio(col("total_revenue"), col("total_orders")))
-    val wRev = Window.orderBy(col("total_revenue").desc, col("c_custkey"))
-    val wCnt = Window.orderBy(col("total_orders").desc, col("c_custkey"))
+    // Global rankings via the distributed Rank operator (identical
+    // output to bare ROW_NUMBER/PERCENT_RANK windows, which would
+    // funnel the whole mart through one task at scale):
+    // percent_rank == (rank_with_ties - 1) / (N - 1).
     val wSeg = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("total_revenue").desc, col("c_custkey"))
-    val wPct = Window.orderBy(col("total_revenue"))
-    um.withColumn("revenue_rank", row_number().over(wRev))
-      .withColumn("order_count_rank", row_number().over(wCnt))
+    val n = um.agg(count(lit(1)).cast("double").as("__n"))
+    val ranked = graft.operators.Rank.globalRowNumber(
+      graft.operators.Rank.globalRowNumber(um,
+        Seq(col("total_revenue").desc, col("c_custkey")), "revenue_rank"),
+      Seq(col("total_orders").desc, col("c_custkey")), "order_count_rank")
+    graft.operators.Rank.globalRank(ranked,
+        Seq(col("total_revenue")), Seq(col("total_revenue")),
+        Seq(col("c_custkey")), "__pr")
+      .join(broadcast(n))
+      .withColumn("revenue_percentile",
+        when(col("__n") === 1.0, lit(0.0))
+          .otherwise((col("__pr") - 1).cast("double") / (col("__n") - 1.0)))
+      .drop("__pr", "__n")
       .withColumn("segment_revenue_rank", row_number().over(wSeg))
-      .withColumn("revenue_percentile", percent_rank().over(wPct))
       .withColumn("customer_tier",
         when(col("total_orders") === 0, "No Orders")
           .when(col("total_orders") === 1, "New Customer")
@@ -314,15 +325,22 @@ object Relational {
       .agg(
         count(col("o_orderkey")).as("total_orders"),
         coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_revenue"))
-    // stage 3: window analytics
-    val wRev = Window.orderBy(col("total_revenue").desc, col("c_custkey"))
+    // stage 3: window analytics — global rankings via the distributed
+    // Rank operator (see q04); tier ranking stays a partitioned window
     val wTier = Window.partitionBy(col("balance_tier"))
       .orderBy(col("total_revenue").desc, col("c_custkey"))
-    metrics
-      .withColumn("revenue_rank", row_number().over(wRev))
-      .withColumn("tier_revenue_rank", row_number().over(wTier))
+    val n = metrics.agg(count(lit(1)).cast("double").as("__n"))
+    graft.operators.Rank.globalRank(
+        graft.operators.Rank.globalRowNumber(metrics,
+          Seq(col("total_revenue").desc, col("c_custkey")), "revenue_rank"),
+        Seq(col("total_revenue")), Seq(col("total_revenue")),
+        Seq(col("c_custkey")), "__pr")
+      .join(broadcast(n))
       .withColumn("revenue_percentile",
-        percent_rank().over(Window.orderBy(col("total_revenue"))))
+        when(col("__n") === 1.0, lit(0.0))
+          .otherwise((col("__pr") - 1).cast("double") / (col("__n") - 1.0)))
+      .drop("__pr", "__n")
+      .withColumn("tier_revenue_rank", row_number().over(wTier))
       .filter(col("revenue_rank") <= 100)
       .orderBy(col("revenue_rank"))
   }
