@@ -450,8 +450,31 @@ object TpchSuite {
       .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
   }
 
+  /** NULL-semantics suite: nullable GROUP BY key (the NULL group),
+    * count(*) vs count(col), null-skipping aggregates, NULLIF
+    * null-injection, null-safe equality (<=> / IS NOT DISTINCT FROM),
+    * NULLS FIRST ordering.
+    */
+  def q47NullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .withColumn("pr",
+        when(col("o_totalprice") < 100000.0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+    o.groupBy(col("pr"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("pr")).as("n_nonnull_pr"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        dsum(nullif(col("o_totalprice"), lit(0.0))).as("total_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(when(col("pr") <=> lit(null).cast("string"), 1L).otherwise(0L))
+          .as("is_null_group"))
+      .orderBy(asc_nulls_first("pr"))
+  }
+
   /** Driver-contract registration: query name → runner. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_null_semantics" -> (q47NullSemantics _),
     "q46_range_window" -> (q46RangeWindow _),
     "q44_dormant_customers" -> (q44DormantCustomers _),
     "q45_waiting_suppliers" -> (q45WaitingSuppliers _),
@@ -477,6 +500,21 @@ object TpchSuite {
 
   /** DuckDB-dialect oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "q47_null_semantics" ->
+      """WITH base AS (
+        |  SELECT *, CASE WHEN o_totalprice < 100000.0 THEN NULL
+        |                 ELSE o_orderpriority END AS pr
+        |  FROM orders)
+        |SELECT pr,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(pr) AS n_nonnull_pr,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  CAST(SUM(CAST(NULLIF(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(CASE WHEN pr IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS is_null_group
+        |FROM base
+        |GROUP BY pr
+        |ORDER BY pr NULLS FIRST""".stripMargin,
     "q46_range_window" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
         |  COUNT(*) OVER w AS events_1h,
