@@ -181,8 +181,41 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** p08: end-to-end corpus filter — the composed keep/drop manifest a
+    * training run consumes: exact-dedup keeper (min doc_id per content
+    * hash) ∧ quality gate (t02's composite score ≥ 0.5) ∧ non-trivial
+    * length. One pass; every predicate is a column expression.
+    */
+  def p08CorpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopList = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+    val d = docs(spark, dir)
+      .withColumn("text_len", length(col("text")).cast("long"))
+      .withColumn("punct_count",
+        (col("text_len") - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
+      .withColumn("n_tokens", size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+      .withColumn("stop_hits",
+        expr(s"size(filter(split(lower(trim(text)), '\\\\s+'), t -> t in ($stopList)))").cast("long"))
+      .withColumn("quality_score",
+        lit(0.4) * least(lit(1.0), col("text_len").cast("double") / lit(500.0)) +
+          lit(0.3) * (lit(1.0) - col("punct_count").cast("double") /
+            when(col("text_len") === 0, null).otherwise(col("text_len").cast("double"))) +
+          lit(0.3) * (col("stop_hits").cast("double") /
+            when(col("n_tokens") === 0, null).otherwise(col("n_tokens").cast("double"))))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text").cast("binary")))))
+    d.withColumn("is_canonical", col("doc_id") === col("keep_id"))
+      .withColumn("passes_quality", col("quality_score") >= 0.5)
+      .withColumn("kept",
+        col("is_canonical") && col("passes_quality") && col("n_tokens") >= 5)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"), col("is_canonical"), col("passes_quality"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Driver-contract registration. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_corpus_filter" -> (p08CorpusFilter _),
     "p07_oov_rate" -> (p07OovRate _),
     "p01_pack_sequences" -> (p01PackSequences _),
     "p02_train_test_split" -> (p02TrainTestSplit _),
@@ -192,8 +225,32 @@ object Pipeline {
     "p06_contamination_check" -> (p06ContaminationCheck _)
   )
 
+  private val stopListSql = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "p08_corpus_filter" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text,
+         |    len(text) AS text_len,
+         |    len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_count,
+         |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+         |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      t -> t in ($stopListSql))) AS stop_hits
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    0.4 * least(1.0, CAST(text_len AS DOUBLE)/500.0)
+         |      + 0.3 * (1.0 - CAST(punct_count AS DOUBLE)/NULLIF(CAST(text_len AS DOUBLE), 0))
+         |      + 0.3 * (CAST(stop_hits AS DOUBLE)/NULLIF(CAST(n_tokens AS DOUBLE), 0)) AS quality_score,
+         |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |  FROM base)
+         |SELECT doc_id, lang, n_tokens, quality_score,
+         |  doc_id = keep_id AS is_canonical,
+         |  quality_score >= 0.5 AS passes_quality,
+         |  (doc_id = keep_id AND quality_score >= 0.5 AND n_tokens >= 5) AS kept
+         |FROM scored
+         |ORDER BY doc_id""".stripMargin,
     "p07_oov_rate" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
