@@ -151,14 +151,51 @@ object Similarity {
       .limit(20)
   }
 
+  /** s05: higher-order array functions over the vector column —
+    * transform / filter / aggregate (sequential fold, deterministic
+    * across engines) / element min-max; per-vector feature stats with
+    * no explode shuffle (row-local array work, embarrassingly
+    * parallel at 100 TB).
+    */
+  def s05VectorStats(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
+        expr("size(filter(embedding, x -> x < 0))").cast("long").as("n_neg"),
+        round(expr(
+          "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"),
+          6).as("l2_norm_r"),
+        round(expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)) / size(embedding)"),
+          6).as("mean_r"),
+        array_max(col("embedding")).cast("double").as("vmax"),
+        array_min(col("embedding")).cast("double").as("vmin"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopk _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
-    "s04_tfidf_search" -> (s04TfidfSearch _)
+    "s04_tfidf_search" -> (s04TfidfSearch _),
+    "s05_vector_stats" -> (s05VectorStats _)
   )
 
   val oracles: Map[String, String] = Map(
+    "s05_vector_stats" ->
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(len(list_filter(embedding, x -> x < 0)) AS BIGINT) AS n_neg,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm_r,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |    / len(embedding), 6) AS mean_r,
+        |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        |  CAST(list_min(embedding) AS DOUBLE) AS vmin
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
     "s04_tfidf_search" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
