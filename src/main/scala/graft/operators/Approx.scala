@@ -76,9 +76,33 @@ object Approx {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** a03: quantile sketches — per-language approx_percentile (the
+    * mergeable rank sketch that replaces exact percentile at 100 TB)
+    * side-by-side with the exact interpolated percentiles and the
+    * absolute error. Rows-only check (sketch internals are
+    * engine-specific); the spec bounds the error.
+    */
+  def a03QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("approx_percentile(n_chars, array(0.5, 0.9), 1000)").as("approx"),
+        expr("percentile(n_chars, array(0.5, 0.9))").as("exact"))
+      .select(col("lang"), col("n_docs"),
+        element_at(col("approx"), 1).cast("double").as("approx_p50"),
+        element_at(col("exact"), 1).as("exact_p50"),
+        element_at(col("approx"), 2).cast("double").as("approx_p90"),
+        element_at(col("exact"), 2).as("exact_p90"))
+      .withColumn("err_p50", abs(col("approx_p50") - col("exact_p50")))
+      .withColumn("err_p90", abs(col("approx_p90") - col("exact_p90")))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_hll_sketches" -> (a01HllSketches _),
-    "a02_bloom_filtered_join" -> (a02BloomFilteredJoin _)
+    "a02_bloom_filtered_join" -> (a02BloomFilteredJoin _),
+    "a03_quantile_sketch" -> (a03QuantileSketch _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -21,6 +21,17 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("a03 quantile sketch lands within a tight band of the exact percentile") {
+    val rows = Approx.a03QuantileSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // accuracy 1000 on a few hundred values per group → near-exact
+      val spread = math.max(1.0, r.getAs[Double]("exact_p90") * 0.1)
+      assert(r.getAs[Double]("err_p50") <= spread)
+      assert(r.getAs[Double]("err_p90") <= spread)
+    }
+  }
+
   test("a02 bloom pre-filter preserves exact join results") {
     val withBloom = Approx.a02BloomFilteredJoin(spark, sf).collect()
     val plain = Tables(spark, sf, "orders")
