@@ -8,9 +8,15 @@ import graft.Tables
 /** Typed metadata produced by the (stubbed) media decoder. */
 case class MediaMeta(doc_id: Long, byte_len: Int, width: Int, height: Int, checksum: Long)
 
-/** Typed output of the (stubbed) batched resize/feature pipeline. */
-case class MediaFeature(doc_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int,
-  scale_x: Double, scale_y: Double, feat: Array[Double], feat_norm: Double)
+/** Typed output of the (stubbed) batched resize/feature pipeline.
+  * The 8-lane byte-histogram travels as exact integer lane sums
+  * (csv-encoded — scalar columns keep the result sortable/hashable by
+  * the gate, and integer sums are accumulation-order-independent so
+  * the oracle can match bit-for-bit); the norm is derived with one
+  * sqrt + one division, both single IEEE ops.
+  */
+case class MediaFeature(doc_id: Long, in_w: Long, in_h: Long, out_w: Long, out_h: Long,
+  scale_x: Double, scale_y: Double, feat_sums: String, feat_norm: Double)
 
 /** Multimodal-column plumbing: media payloads travel as opaque
   * `binary` columns with typed metadata alongside. The real decode
@@ -87,29 +93,30 @@ object Multimodal {
     * STUB: the pixel decode is deterministic byte math (image libs
     * absent from this container) — the schema, batch shape, and
     * partition-parallel structure are the real 100 TB pattern.
-    * Rows-only check (mapPartitions logic isn't single-query SQL).
     */
   def m03ResizeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payloads = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
-    val outW = 64
-    val outH = 64
+    val outW = 64L
+    val outH = 64L
     payloads.mapPartitions { it =>
       // per-partition init (codec context / model weights) goes here
       it.grouped(32).flatMap { batch =>
         // per-batch init (device buffer alloc) goes here
         batch.iterator.map { case (id, bytes) =>
           val len = bytes.length
-          val inW = 32 + (len % 317)
-          val inH = 32 + ((len * 7) % 211)
-          val feat = new Array[Double](8)
+          val inW = 32L + (len % 317)
+          val inH = 32L + ((len.toLong * 7) % 211)
+          val lanes = new Array[Long](8)
           var i = 0
-          while (i < len) { feat(i % 8) += (bytes(i) & 0xFF) / 255.0; i += 1 }
-          val norm = math.sqrt(feat.map(x => x * x).sum)
+          while (i < len) { lanes(i % 8) += (bytes(i) & 0xFF).toLong; i += 1 }
+          val sumSq = lanes.map(s => s * s).sum
+          val norm = math.sqrt(sumSq.toDouble) / 255.0
           MediaFeature(id, inW, inH, outW, outH,
-            outW.toDouble / inW, outH.toDouble / inH, feat, norm)
+            outW.toDouble / inW, outH.toDouble / inH,
+            lanes.mkString(","), norm)
         }
       }
     }.toDF().orderBy(col("doc_id"))
@@ -142,6 +149,26 @@ object Multimodal {
         |  len(frames) AS n_frames,
         |  frames[1] AS first_frame_md5,
         |  md5(array_to_string(frames, '')) AS frames_digest
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "m03_resize_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len
+        |  FROM documents),
+        |lanes AS (
+        |  SELECT doc_id, len,
+        |    list_transform(range(0, 8), j ->
+        |      CAST(coalesce(list_sum(list_transform(range(1 + j, len + 1, 8),
+        |        i -> ord(substring(text, i::INT, 1)))), 0) AS BIGINT)) AS ls
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(32 + len % 317 AS BIGINT) AS in_w,
+        |  CAST(32 + (len * 7) % 211 AS BIGINT) AS in_h,
+        |  CAST(64 AS BIGINT) AS out_w,
+        |  CAST(64 AS BIGINT) AS out_h,
+        |  64.0 / (32 + len % 317) AS scale_x,
+        |  64.0 / (32 + (len * 7) % 211) AS scale_y,
+        |  array_to_string(ls, ',') AS feat_sums,
+        |  sqrt(CAST(list_sum(list_transform(ls, s -> s * s)) AS DOUBLE)) / 255.0 AS feat_norm
+        |FROM lanes ORDER BY doc_id""".stripMargin
   )
 }

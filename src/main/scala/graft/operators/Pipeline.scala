@@ -300,9 +300,9 @@ object Pipeline {
         |  SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         |  FROM toks)
-        |SELECT bucket, (cum_tokens - 1) // 2048 AS pack_id,
+        |SELECT bucket, CAST((cum_tokens - 1) // 2048 AS BIGINT) AS pack_id,
         |  COUNT(*) AS n_docs,
-        |  SUM(n_tokens) AS pack_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
         |  MIN(doc_id) AS first_doc,
         |  MAX(doc_id) AS last_doc,
         |  CAST(SUM(n_tokens) AS DOUBLE) / 2048.0 AS utilization
@@ -317,8 +317,9 @@ object Pipeline {
         |         ELSE 'test' END AS split,
         |    CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents)
-        |SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
-        |  SUM(n_chars) AS n_chars_total,
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
         |  COUNT(DISTINCT lang) AS n_langs
         |FROM tagged GROUP BY 1 ORDER BY split""".stripMargin,
     "p03_stratified_sample" ->
@@ -340,7 +341,7 @@ object Pipeline {
         |            WHEN n_tokens < 128 THEN '0127' WHEN n_tokens < 256 THEN '0255'
         |            ELSE '0256+' END AS len_bucket,
         |  COUNT(*) AS n_docs,
-        |  SUM(n_tokens) AS total_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)/COUNT(n_chars) AS avg_chars,
         |  MIN(n_tokens) AS min_tokens,
         |  MAX(n_tokens) AS max_tokens
@@ -352,8 +353,8 @@ object Pipeline {
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT source) AS n_sources,
-        |  SUM(n_tokens) AS total_tokens,
-        |  SUM(n_chars) AS total_chars,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)/COUNT(n_chars) AS avg_chars,
         |  quantile_cont(n_chars, 0.5) AS median_chars
         |FROM toks GROUP BY 1 ORDER BY lang""".stripMargin

@@ -180,7 +180,7 @@ object TextAnalysis {
       .withColumn("n_w1", sum(col("n_bigram")).over(wUni))
       .withColumn("p_w2_given_w1",
         col("n_bigram").cast("double") / col("n_w1").cast("double"))
-      .withColumn("bigram_rank", row_number().over(wRank))
+      .withColumn("bigram_rank", row_number().over(wRank).cast("long"))
       .filter(col("bigram_rank") <= 5)
       .orderBy(col("lang"), col("bigram_rank"))
   }
@@ -318,7 +318,7 @@ object TextAnalysis {
         |uni AS (
         |  SELECT *, SUM(n_bigram) OVER (PARTITION BY lang, w1) AS n_w1
         |  FROM counts)
-        |SELECT lang, w1, w2, n_bigram, n_w1,
+        |SELECT lang, w1, w2, n_bigram, CAST(n_w1 AS BIGINT) AS n_w1,
         |  CAST(n_bigram AS DOUBLE)/CAST(n_w1 AS DOUBLE) AS p_w2_given_w1,
         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_bigram DESC, w1, w2) AS bigram_rank
         |FROM uni

@@ -326,7 +326,7 @@ object Advanced {
         |  COUNT(DISTINCT k) AS n_distinct_k,
         |  MIN(k) AS min_k,
         |  MAX(k) AS max_k,
-        |  SUM(k) AS sum_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
         |  CAST(SUM(k) AS DOUBLE)/NULLIF(CAST(COUNT(k) AS DOUBLE), 0) AS avg_k
         |FROM parsed GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q20_asof_view_purchase" ->

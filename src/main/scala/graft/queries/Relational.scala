@@ -482,7 +482,7 @@ object Relational {
         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM flagged)
-        |SELECT user_id, session_seq,
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         |  COUNT(*) AS n_events,
         |  COUNT(DISTINCT event_type) AS n_event_types,
         |  MIN(ts_ms) AS start_ms,

@@ -85,10 +85,10 @@ class ApproxSpec extends AnyFunSuite {
     val rows = graft.operators.Multimodal.m03ResizeFeatures(spark, sf).collect()
     assert(rows.length == Tables(spark, sf, "documents").count())
     rows.foreach { r =>
-      assert(r.getAs[Int]("out_w") == 64 && r.getAs[Int]("out_h") == 64)
+      assert(r.getAs[Long]("out_w") == 64L && r.getAs[Long]("out_h") == 64L)
       val sx = r.getAs[Double]("scale_x")
-      assert(math.abs(sx - 64.0 / r.getAs[Int]("in_w")) < 1e-12)
-      assert(r.getAs[scala.collection.Seq[Double]]("feat").length == 8)
+      assert(math.abs(sx - 64.0 / r.getAs[Long]("in_w")) < 1e-12)
+      assert(r.getAs[String]("feat_sums").split(",").length == 8)
       assert(r.getAs[Double]("feat_norm") > 0.0)
     }
   }
