@@ -27,8 +27,17 @@ object Rank {
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column],
       rankCol: String = "row_num"): DataFrame = {
+    // Eager localCheckpoint: the offsets branch and the ranked output
+    // must read the SAME materialized partitioning — without it they
+    // are two independent recomputations of the range exchange, and
+    // spark_partition_id agreement then rests on exchange reuse +
+    // deterministic range sampling, which AQE re-planning or a
+    // nondeterministic upstream can break (wrong/duplicate ranks).
+    // (localCheckpoint, not persist: unpersist cascades into child
+    // caches, and a cache left behind leaks.)
     val parted = df.repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     // tiny side: one row per partition → prefix-sum offsets
     val offsets = parted.groupBy(col("__pid")).count()
       .withColumn("__offset",

@@ -66,6 +66,48 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(total == Tables(spark, sf, "events").count())
   }
 
+  test("diff distinguishes rows that differ only in WHICH column is null") {
+    val dir = tmp()
+    import spark.implicits._
+    // (x, NULL) vs (NULL, x): a null-skipping concat would hash both
+    // sides identically and miss the update.
+    Snapshots.commit(Seq((1, Option("x"), Option.empty[String]))
+      .toDF("k", "a", "b"), dir)
+    Snapshots.commit(Seq((1, Option.empty[String], Option("x")))
+      .toDF("k", "a", "b"), dir)
+    val ops = Snapshots.diff(spark, dir, 1L, 2L, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(ops(1) == "update")
+  }
+
+  test("tagged commits are an idempotency ledger for at-least-once writers") {
+    val dir = tmp()
+    val base = Tables(spark, sf, "region")
+    Snapshots.commit(base, dir, tag = Some("batch=0"))
+    assert(Snapshots.committedTags(dir) == Set("batch=0"))
+    // a replaying writer consults the ledger and skips
+    if (!Snapshots.committedTags(dir).contains("batch=0"))
+      Snapshots.commit(base, dir, tag = Some("batch=0"))
+    assert(Snapshots.versions(dir) == Seq(1L))
+    intercept[IllegalArgumentException](
+      Snapshots.commit(base, dir, tag = Some("bad\ttag")))
+  }
+
+  test("concurrent committers never clobber or duplicate a version") {
+    val dir = tmp()
+    val base = Tables(spark, sf, "region")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val vs = Await.result(
+      Future.sequence((1 to 4).map(i =>
+        Future(Snapshots.commit(base.withColumn("writer", lit(i)), dir)))),
+      2.minutes)
+    assert(vs.toSet.size == 4) // distinct version ids
+    assert(Snapshots.versions(dir) == vs.sorted)
+    vs.foreach(v => assert(Snapshots.read(spark, dir, v).count() == base.count()))
+  }
+
   test("diff produces the exact insert/update/delete changelog") {
     val dir = tmp()
     val base = Tables(spark, sf, "nation")
