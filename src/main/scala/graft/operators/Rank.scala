@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Scalable global ranking. `row_number() OVER (ORDER BY …)` with no
   * PARTITION BY plans as a single-partition WindowExec — every row
@@ -10,11 +13,16 @@ import org.apache.spark.sql.functions._
   * which is the first thing to fall over at 100 TB.
   *
   * `globalRowNumber` produces the IDENTICAL ranking distributed:
-  *  1. range-repartition by the sort key (total order ACROSS
-  *     partitions, data stays spread);
-  *  2. per-partition row_number (partitioned window — parallel);
-  *  3. add each partition's global offset (prefix sum over the tiny
-  *     per-partition count table, broadcast back).
+  *  1. range-repartition by the sort key + sort within partitions
+  *     (total order ACROSS partitions, data stays spread);
+  *  2. compile that plan ONCE and run two jobs over the same RDD:
+  *     a cheap per-partition count, then the rank pass with each
+  *     partition's prefix-sum offset. The second job's map stage is
+  *     SKIPPED (shuffle files from the first are reused), so both
+  *     passes provably read the same partitioning — no reliance on
+  *     SQL-layer exchange reuse, which AQE re-planning can break —
+  *     and nothing is persisted/checkpointed (at 100 TB,
+  *     materializing the input just to rank it is not a plan).
   *
   * The order must be total (tie-break on a unique column) — the same
   * requirement the oracle-parity rules already impose on every
@@ -27,26 +35,28 @@ object Rank {
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column],
       rankCol: String = "row_num"): DataFrame = {
-    // Eager localCheckpoint: the offsets branch and the ranked output
-    // must read the SAME materialized partitioning — without it they
-    // are two independent recomputations of the range exchange, and
-    // spark_partition_id agreement then rests on exchange reuse +
-    // deterministic range sampling, which AQE re-planning or a
-    // nondeterministic upstream can break (wrong/duplicate ranks).
-    // (localCheckpoint, not persist: unpersist cascades into child
-    // caches, and a cache left behind leaks.)
-    val parted = df.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    // tiny side: one row per partition → prefix-sum offsets
-    val offsets = parted.groupBy(col("__pid")).count()
-      .withColumn("__offset",
-        sum(col("count")).over(Window.orderBy(col("__pid"))) - col("count"))
-      .select(col("__pid"), col("__offset"))
-    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    parted.join(broadcast(offsets), "__pid")
-      .withColumn(rankCol, row_number().over(w) + col("__offset"))
-      .drop("__pid", "__offset")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    // one compiled physical plan → one shuffle, shared by both jobs
+    val rdd = sorted.queryExecution.toRdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator(i -> {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      }))
+      .collect().toMap // one (Int, Long) per partition — tiny
+    val offsets = new Array[Long](rdd.getNumPartitions)
+    var acc = 0L
+    offsets.indices.foreach { i => offsets(i) = acc; acc += counts.getOrElse(i, 0L) }
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = offsets(i)
+      val joined = new JoinedRow
+      it.map { row =>
+        n += 1
+        joined(row, new GenericInternalRow(Array[Any](n))): InternalRow
+      }
+    }
+    GraftShims.internalCreateDataFrame(spark, ranked,
+      sorted.schema.add(rankCol, LongType, nullable = false))
   }
 
   /** Global RANK() (ties share the smallest position) distributed:

@@ -76,10 +76,12 @@ class TpchSuiteSpec extends AnyFunSuite {
       .select(col("c_custkey"), col("balance_rank"))
       .collect().map(r => r.getLong(0) -> r.getAs[Number]("balance_rank").intValue).toMap
     assert(scalable == naive)
-    // the data-path window is partitioned (no all-rows-to-one-task move)
+    // distributed rank: output reads the pre-ranked RDD (shared
+    // shuffle, partition-offset pass) — never a global WindowExec
+    // (which would move every row to one task)
     val plan = TpchSuite.q43ScalableRank(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("__pid") && plan.contains("row_number"))
+    assert(plan.contains("ExistingRDD") && !plan.contains("Window"))
   }
 
   test("globalRank matches naive rank() including tie groups") {
