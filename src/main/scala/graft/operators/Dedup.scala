@@ -12,9 +12,10 @@ import graft.Tables
   * O(n·shingles) / O(n·bands) — never an unbounded O(n²) cross join —
   * so each op survives a 100× scale-up.
   *
-  * MinHash uses md5 (identical hex output in Spark and DuckDB), which
-  * makes even the LSH pipeline oracle-checkable; SimHash uses the
-  * faster xxhash64 (Spark-only, rows-only check).
+  * MinHash and SimHash both derive their hashes from md5 (identical
+  * hex output in Spark and DuckDB), which makes every pipeline here —
+  * including the iterative connected-components clustering — exactly
+  * oracle-checkable.
   */
 object Dedup {
 
@@ -94,13 +95,21 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** d04: 64-bit SimHash over tokens (xxhash64 bit votes), banded
-    * 4×16-bit hamming candidates (≤12 bits apart). Rows-only check.
+  /** d04: 64-bit SimHash over tokens, banded 4×16-bit hamming
+    * candidates (≤12 bits apart). The per-token 64-bit hash is the
+    * first 16 hex chars of md5 (conv hex→decimal, wrapped to signed)
+    * — md5 is the cross-engine-stable primitive (SURVEY.md §4), so
+    * the whole pipeline is exactly oracle-checkable, unlike xxhash64.
     */
   def d04Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val two63 = lit(new java.math.BigDecimal("9223372036854775808"))
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
     val toks = docs(spark, dir)
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("hu", conv(substring(md5(col("tok")), 1, 16), 16, 10)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+      .withColumn("h",
+        when(col("hu") >= two63, col("hu") - two64).otherwise(col("hu")).cast("long"))
     val bitAggs = (0 until 64).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)).as(s"b$i")
     }
@@ -189,8 +198,8 @@ object Dedup {
     * label among itself and its neighbours). Duplicate graphs are
     * shallow stars/cliques, so a fixed small round count converges;
     * the spec asserts a fixpoint. Each round is one shuffle join —
-    * the standard large-graph CC pattern at 100 TB. Rows-only check
-    * (iteration isn't single-query SQL).
+    * the standard large-graph CC pattern at 100 TB. Oracle: DuckDB
+    * recursive CTE reaching the same component-min fixpoint.
     */
   def d06DupClusters(spark: SparkSession, dir: String): DataFrame =
     d06DupClusters(spark, dir, maxRounds = 20)
@@ -218,10 +227,12 @@ object Dedup {
     // the child's cache → exponential recomputation), and an uncut
     // lineage grows one join deeper per round. On a cluster, swap for
     // reliable checkpoint() if executor loss must be survivable.
-    // Iterate to FIXPOINT (no label changed), capped: propagation
-    // needs O(component diameter) rounds and real chains exceed any
-    // fixed guess. Pathological long chains at extreme scale → switch
-    // to alternating large-star/small-star (O(log n) rounds).
+    // Iterate to FIXPOINT (no label changed), capped: plain
+    // propagation needs O(component diameter) rounds and real chains
+    // exceed any fixed guess, so each round ALSO pointer-jumps
+    // (label ← label's label — valid because every label is itself a
+    // subgraph node id carrying a ≤ label): distance-to-min doubles
+    // per round → O(log diameter) rounds on chain-shaped components.
     var labels = edges.select(col("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint(true)
     def step(ls: DataFrame): DataFrame = {
@@ -232,12 +243,15 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("min_nbr_label"), col("label"))).as("label"))
     }
+    def jump(ls: DataFrame): DataFrame =
+      ls.join(ls.select(col("doc_id").as("label"), col("label").as("jlabel")),
+          Seq("label"))
+        .select(col("doc_id"), col("jlabel").as("label"))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // two propagation hops per materialization: halves the checkpoint
-      // and convergence-check overhead along chain-shaped components
-      val next = step(step(labels.select(col("doc_id"), col("label"))))
+      // one neighbor hop + one pointer jump per materialization
+      val next = jump(step(labels.select(col("doc_id"), col("label"))))
         .withColumnRenamed("label", "new_label")
         .join(labels.select(col("doc_id"), col("label").as("old_label")), Seq("doc_id"))
         .select(col("doc_id"), col("old_label"), col("new_label").as("label"))
@@ -274,8 +288,103 @@ object Dedup {
     s"SELECT doc_id, $b AS band_idx, md5($cols) AS band_hash FROM sig"
   }.mkString("\n  UNION ALL ")
   private val digestExpr = (0 until K).map(i => s"h$i").mkString(" || '|' || ")
+  private val sigAgree = (0 until K)
+    .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+  // d04 oracle pieces: unsigned-64 bit math in HUGEINT space
+  private val simhashVotes = (0 until 64).map(i =>
+    s"SUM(CASE WHEN (hu // ${BigInt(1) << i}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS b$i")
+    .mkString(",\n    ")
+  private val simhashAssemble = (0 until 64).map(i =>
+    s"(CASE WHEN b$i > 0 THEN ${BigInt(1) << i}::HUGEINT ELSE 0::HUGEINT END)")
+    .mkString(" +\n    ")
+  private val simhashBands = (0 until BANDS).map(b =>
+    s"SELECT doc_id, simhash, $b AS band_idx, " +
+      s"((su // ${BigInt(1) << (16 * b)}::HUGEINT) % 65536)::BIGINT AS band_val FROM sigs")
+    .mkString("\n  UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "d04_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_transform(string_split(substring(md5(tok),1,16), ''),
+         |      c -> (position(c IN '0123456789abcdef') - 1)::HUGEINT),
+         |      (a, b) -> a * 16 + b) AS hu
+         |  FROM toks),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $simhashVotes
+         |  FROM h GROUP BY doc_id),
+         |sim AS (
+         |  SELECT doc_id,
+         |    $simhashAssemble AS su
+         |  FROM votes),
+         |sigs AS (
+         |  SELECT doc_id, su,
+         |    CASE WHEN su >= 9223372036854775808::HUGEINT
+         |         THEN (su - 18446744073709551616::HUGEINT)::BIGINT
+         |         ELSE su::BIGINT END AS simhash
+         |  FROM sim),
+         |banded AS (
+         |  $simhashBands),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |    AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12),
+         |partners AS (
+         |  SELECT doc_id, COUNT(DISTINCT partner) AS n_near FROM (
+         |    SELECT da AS doc_id, db AS partner FROM pairs
+         |    UNION ALL SELECT db, da FROM pairs) GROUP BY 1)
+         |SELECT s.doc_id, s.simhash, COALESCE(p.n_near, 0) AS n_near
+         |FROM sigs s LEFT JOIN partners p ON s.doc_id = p.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+    // Full LSH ladder + connected components: DuckDB reproduces the
+    // iterative min-label propagation with a recursive CTE (labels
+    // reach every node in their component; MIN per node = component
+    // min — the same fixpoint d06's distributed loop converges to).
+    "d06_dup_clusters" ->
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(text)-1), i -> substring(text, i, 3))) AS g
+         |  FROM documents WHERE len(text) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, g FROM raw),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT da, db FROM cand
+         |  JOIN sig sa ON cand.da = sa.doc_id
+         |  JOIN sig sb ON cand.db = sb.doc_id
+         |  WHERE ($sigAgree) >= ${(K * 7) / 8}),
+         |edges AS (SELECT da AS src, db AS dst FROM verified
+         |          UNION ALL SELECT db, da FROM verified),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |r(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.label FROM r JOIN edges e ON r.doc_id = e.src),
+         |cc AS (SELECT doc_id, MIN(label) AS label FROM r GROUP BY doc_id),
+         |labels AS (
+         |  SELECT doc_id, label FROM cc
+         |  UNION ALL
+         |  SELECT d.doc_id, d.doc_id AS label FROM documents d
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM nodes))
+         |SELECT label AS cluster_id, COUNT(*) AS cluster_size,
+         |  MIN(doc_id) AS keep_doc_id, MAX(doc_id) AS max_doc_id
+         |FROM labels GROUP BY 1 ORDER BY cluster_size DESC, cluster_id""".stripMargin,
     "d05_embedding_dup" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,

@@ -267,7 +267,41 @@ object TextAnalysis {
     s"WHEN score_$c = $langidBest AND $langidBest > 0 THEN '$c'"
   }.mkString("CASE ", " ", " ELSE 'und' END")
 
+  /** DuckDB replica of [[graft.functions.RollingHashExpr]]: the same
+    * `h = 31·h + byte (mod 2^64)` polynomial in HUGEINT space, mapped
+    * to signed at the end — makes the native-expression pipeline
+    * exactly oracle-checkable (documents text is ASCII, so ord(char)
+    * == utf8 byte; m01/m03 oracles already rely on this).
+    */
+  private val rollDuck: String => String = col =>
+    s"""list_reduce(
+       |      list_prepend(1125899906842597::HUGEINT,
+       |        list_transform(range(1, length($col) + 1),
+       |          i -> ord(substring($col, i::INT, 1))::HUGEINT)),
+       |      (a, x) -> (31::HUGEINT * a + x) % 18446744073709551616::HUGEINT)""".stripMargin
+  private val toSigned: String => String = u =>
+    s"""CASE WHEN $u >= 9223372036854775808::HUGEINT
+       |     THEN ($u - 18446744073709551616::HUGEINT)::BIGINT
+       |     ELSE $u::BIGINT END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "t04_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ${rollDuck("text")} AS fp_u,
+         |    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+         |      tok -> ${rollDuck("tok")}) AS tfs_u
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    ${toSigned("fp_u")} AS doc_fp,
+         |    list_transform(tfs_u, u -> ${toSigned("u")}) AS tfs
+         |  FROM t)
+         |SELECT doc_id, doc_fp,
+         |  list_aggregate(tfs, 'min') AS min_token_fp,
+         |  list_aggregate(tfs, 'max') AS max_token_fp,
+         |  CAST(length(list_distinct(tfs)) AS BIGINT) AS n_distinct_token_fps
+         |FROM s ORDER BY doc_id""".stripMargin,
     "t09_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ts
