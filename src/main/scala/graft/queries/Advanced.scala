@@ -128,15 +128,18 @@ object Advanced {
 
   /** q22: correlated-scalar-subquery shape (TPC-H Q17): lineitems
     * under 20% of their part's average quantity. Spark-first form: the
-    * per-part average is a broadcast-able aggregate joined back — one
-    * pass over the fact, no correlated re-execution per row.
+    * per-part average is an aggregate joined back — one pass over the
+    * fact, no correlated re-execution per row. No broadcast hint: the
+    * aggregate has one row PER PARTKEY (fact-proportional at 100 TB),
+    * so AQE must stay free to pick broadcast at small sf and a
+    * shuffle join at scale.
     */
   def q22SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
     val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
       .agg((sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
         .cast("double") / count(col("l_quantity"))).as("avg_qty"))
-    l.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+    l.join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(
         dsum(col("l_extendedprice")).as("total_price"),

@@ -206,7 +206,11 @@ object TpchSuite {
   }
 
   /** TPC-H Q15 shape: top supplier(s) by quarterly revenue — grouped
-    * revenue, global-max window, equality filter (ties kept).
+    * revenue, global max as a one-row aggregate broadcast back
+    * (ties kept). NOT an empty-partition window: `Window.partitionBy()`
+    * funnels the whole per-supplier aggregate through one task; a
+    * one-row agg + broadcast join keeps every stage partitioned
+    * (same pattern as q44).
     */
   def q34TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val s = t(spark, dir, "supplier")
@@ -215,9 +219,8 @@ object TpchSuite {
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
     val rev = l.groupBy(col("l_suppkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("total_revenue"))
-    val wMax = Window.partitionBy()
-    rev.withColumn("max_revenue", max(col("total_revenue")).over(wMax))
-      .filter(col("total_revenue") === col("max_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))

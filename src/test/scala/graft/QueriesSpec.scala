@@ -79,6 +79,16 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q22 never hints a broadcast of the per-partkey aggregate") {
+    // avgQty is one row per l_partkey — fact-proportional at 100 TB.
+    // A broadcast() hint there forces a driver collect that OOMs at
+    // scale; AQE must stay free to pick the join strategy per-sf.
+    val analyzed = SparkEntry.queries("q22_small_quantity_revenue")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "q22 logical plan carries a broadcast hint")
+  }
+
   test("st01 streaming totals match batch totals") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("st01_stream_window")(spark, sf)

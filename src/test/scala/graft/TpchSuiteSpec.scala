@@ -45,6 +45,17 @@ class TpchSuiteSpec extends AnyFunSuite {
     assert(revs.length == 1)
   }
 
+  test("q34 computes the global max without an empty-partition window") {
+    // Window.partitionBy() would funnel the whole per-supplier
+    // aggregate through a single task; the one-row agg + broadcast
+    // join keeps every stage partitioned.
+    val plan = TpchSuite.q34TopSupplier(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "q34 plan contains a WindowExec")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      "q34 global max should come back via a broadcast join")
+  }
+
   test("q35 rows all exceed the quantity threshold, ordered by price desc") {
     val rows = TpchSuite.q35LargeOrders(spark, sf).collect()
     assert(rows.forall(_.getAs[Double]("total_qty") > 250.0))
