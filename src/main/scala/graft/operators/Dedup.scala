@@ -140,19 +140,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** d05: embedding-cosine near-dup — top-50 most-similar vector
-    * pairs. Exact pairwise at test scale (norms precomputed once per
-    * vector, query side broadcast); at 100 TB the s02 LSH buckets
-    * gate which pairs get the exact check.
+  // d05 LSH gate: EMB_TABLES hyperplane tables of EMB_PLANES sign bits
+  // each (OR-ed bands, AND within a band — classic banding). Candidate
+  // volume ~ T·n²/2^B vs n²/2 all-pairs; B is the scale knob (grow it
+  // with log2(n) to keep per-bucket size — and so per-bucket fanout —
+  // constant as the corpus grows).
+  private[operators] val EMB_TABLES = 10
+  private[operators] val EMB_PLANES = 5
+
+  /** d05: embedding-cosine near-dup — top-50 most-similar CANDIDATE
+    * pairs, where candidates come from banded random-hyperplane LSH
+    * (equi-join on (table, bucket)) and only candidates get the exact
+    * cosine. Never an all-pairs nested-loop join: the bucket join is a
+    * plain equi-join, so the pair generation shuffles on bucket keys
+    * and survives a 100× scale-up.
+    *
+    * Approximation is explicit and measured: on this near-random
+    * corpus (top-50 sims only 0.41–0.51, see DedupSpec) the gate
+    * recalls ~74–82% of the exact top-50 while scanning ~28% of the
+    * pairs; recall rises with pair similarity (real near-dups at
+    * sim ≥ 0.9 collide with probability ≫ the 0.4-band pairs here).
+    * The DuckDB oracle reproduces the SAME md5-derived hyperplanes
+    * ([[graft.functions.Hyperplanes]]) bit-for-bit, so the gated
+    * output is exactly hash-checked.
     */
   def d05EmbeddingDup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = graft.Tables(spark, dir, "embeddings")
-    val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+    val tb = (0 until EMB_TABLES).map { t =>
+      struct(lit(t).as("t"),
+        graft.functions.Hyperplanes.bucketCol("embedding", t, EMB_PLANES).as("bucket"))
+    }
+    val buckets = e.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
       col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+    val vb = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
       col("embedding").as("eb"))
-    val pairs = a.join(b, col("vec_a") < col("vec_b"))
+    val pairs = cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")))
     pairs.orderBy(col("sim").desc, col("vec_a"), col("vec_b")).limit(50)
       .withColumn("pair_rank",
@@ -301,6 +332,12 @@ object Dedup {
     s"SELECT doc_id, simhash, $b AS band_idx, " +
       s"((su // ${BigInt(1) << (16 * b)}::HUGEINT) % 65536)::BIGINT AS band_val FROM sigs")
     .mkString("\n  UNION ALL ")
+  // d05 oracle: per-table bucket ids from the shared hyperplane helper
+  private val embBucketSelects = (0 until EMB_TABLES).map { t =>
+    s"SELECT vec_id, $t AS t, " +
+      s"(${graft.functions.Hyperplanes.bucketSql("embedding", t, EMB_PLANES)}) AS bucket " +
+      "FROM embeddings"
+  }.mkString("\n  UNION ALL ")
 
   val oracles: Map[String, String] = Map(
     "d04_simhash" ->
@@ -385,22 +422,33 @@ object Dedup {
          |SELECT label AS cluster_id, COUNT(*) AS cluster_size,
          |  MIN(doc_id) AS keep_doc_id, MAX(doc_id) AS max_doc_id
          |FROM labels GROUP BY 1 ORDER BY cluster_size DESC, cluster_id""".stripMargin,
+    // d05: the oracle reproduces the SAME md5-derived hyperplane
+    // buckets (Hyperplanes.bucketSql — identical sign literals,
+    // identical sequential fold), so the LSH-gated top-50 is exactly
+    // hash-checked rather than approximately row-counted.
     "d05_embedding_dup" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding,
-        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS norm
-        |  FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    a.label AS label_a, b.label AS label_b,
-        |    list_sum(list_transform(range(1, len(a.embedding)+1),
-        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.norm * b.norm) AS sim
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT ROW_NUMBER() OVER (ORDER BY sim DESC, vec_a, vec_b) AS pair_rank,
-        |  vec_a, vec_b, label_a, label_b, round(sim, 6) AS sim_r
-        |FROM pairs
-        |QUALIFY pair_rank <= 50
-        |ORDER BY pair_rank""".stripMargin,
+      s"""WITH buckets AS (
+         |  $embBucketSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS norm
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT cand.vec_a, cand.vec_b,
+         |    a.label AS label_a, b.label AS label_b,
+         |    list_sum(list_transform(range(1, len(a.embedding)+1),
+         |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.norm * b.norm) AS sim
+         |  FROM cand JOIN e a ON cand.vec_a = a.vec_id
+         |            JOIN e b ON cand.vec_b = b.vec_id)
+         |SELECT ROW_NUMBER() OVER (ORDER BY sim DESC, vec_a, vec_b) AS pair_rank,
+         |  vec_a, vec_b, label_a, label_b, round(sim, 6) AS sim_r
+         |FROM pairs
+         |QUALIFY pair_rank <= 50
+         |ORDER BY pair_rank""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

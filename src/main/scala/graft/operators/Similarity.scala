@@ -44,24 +44,19 @@ object Similarity {
 
   private val PLANES = 8
 
-  /** s02: random-hyperplane LSH — 8 deterministic pseudo-random
-    * hyperplanes (xxhash64 sign pattern) → 256 buckets; per-vector
-    * bucket id + candidate count. Rows-only check.
+  /** s02: random-hyperplane LSH — 8 deterministic hyperplanes
+    * (md5-derived ±1 sign vectors, [[graft.functions.Hyperplanes]])
+    * → 256 buckets; per-vector bucket id + candidate count. The
+    * projection is a row-local sequential fold over the embedding
+    * array (no explode/groupBy shuffle — the only shuffle left is the
+    * bucket-size aggregation), and the md5 signs make the bucket ids
+    * reproducible in DuckDB, so the whole output is exactly
+    * hash-checked.
     */
   def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val flat = emb(spark, dir)
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
-      .withColumnRenamed("pos", "i")
-      .withColumnRenamed("col", "x")
-    val sums = (0 until PLANES).map { p =>
-      sum(when(pmod(xxhash64(lit(p), col("i")), lit(2)) === 0,
-        col("x").cast("double")).otherwise(-col("x").cast("double"))).as(s"s$p")
-    }
-    val proj = flat.groupBy(col("vec_id"), col("label")).agg(sums.head, sums.tail: _*)
-    val bucket = (0 until PLANES)
-      .map(p => when(col(s"s$p") > 0, lit(1 << p)).otherwise(lit(0)))
-      .reduce(_ + _)
-    val bucketed = proj.select(col("vec_id"), col("label"), bucket.as("bucket"))
+    val bucketed = emb(spark, dir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket"))
     val sizes = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
     bucketed.join(sizes, Seq("bucket"))
       .withColumn("n_candidates", col("bucket_size") - 1)
@@ -183,6 +178,20 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // s02: DuckDB recomputes the SAME md5-derived hyperplane buckets
+    // (identical sign literals, identical sequential fold) — exact
+    // hash check of the ANN bucket path.
+    "s02_ann_lsh" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, label,
+         |    (${graft.functions.Hyperplanes.bucketSql("embedding", 0, PLANES)}) AS bucket
+         |  FROM embeddings),
+         |sizes AS (
+         |  SELECT bucket, COUNT(*) AS bucket_size FROM bucketed GROUP BY bucket)
+         |SELECT b.vec_id, b.label, b.bucket, s.bucket_size,
+         |  s.bucket_size - 1 AS n_candidates
+         |FROM bucketed b JOIN sizes s USING (bucket)
+         |ORDER BY b.vec_id""".stripMargin,
     "s05_vector_stats" ->
       """SELECT vec_id, label,
         |  CAST(len(embedding) AS BIGINT) AS n_dims,

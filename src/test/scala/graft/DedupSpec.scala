@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Scale-shape and approximation-quality audits for the embedding
+  * near-dup path (the one dedup op where candidate generation could
+  * silently regress to an all-pairs nested loop).
+  */
+class DedupSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("d05 candidate generation is an equi-join, never a nested loop") {
+    val plan = Dedup.d05EmbeddingDup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "d05 plan fell back to a nested-loop join")
+    assert(!plan.contains("CartesianProduct"),
+      "d05 plan contains a cartesian product")
+  }
+
+  test("d05 LSH gate recalls most of the exact top-50 (measured, documented)") {
+    // Exact brute-force top-50 (test-only; the operator itself never
+    // does this) vs the gated result. Measured recall at sf0.001 is
+    // 0.74 with T=10 tables × B=5 bits on this near-random corpus
+    // (top-50 sims only 0.41–0.51); the floor below is deliberately
+    // loose so the spec pins "gate works" without pinning the corpus.
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sf, "embeddings")
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val exact = a.join(b, col("va") < col("vb"))
+      .withColumn("sim", graft.functions.GraftFunctions.cosineSim(col("ea"), col("eb")))
+      .orderBy(col("sim").desc, col("va"), col("vb")).limit(50)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gated = Dedup.d05EmbeddingDup(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & gated).size / 50.0
+    assert(recall >= 0.6, s"d05 recall@50 dropped to $recall")
+  }
+
+  test("d05 top pair is symmetric-ordered and ranked densely") {
+    val rows = Dedup.d05EmbeddingDup(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("pair_rank")).toSeq == (1 to rows.length))
+    assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  }
+}
