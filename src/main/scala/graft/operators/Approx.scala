@@ -20,9 +20,15 @@ import graft.functions.{Exact, GraftFunctions}
 object Approx {
 
   /** a01: per-language HLL distinct-source sketches + a merged ALL row
-    * (hll_union_agg over the per-lang sketches), with exact counts and
-    * relative error alongside. Rows-only check (sketch estimates are
-    * engine-specific).
+    * (hll_union_agg over the per-lang sketches — the mergeability that
+    * justifies sketches at 100 TB), checked against exact counts.
+    * Output is engine-independent: the sketch estimate itself stays
+    * Spark-side; what's emitted is the exact count plus a
+    * `within_bound` boolean asserting the estimate landed within 5%
+    * relative error (default lgK=12 HLL guarantees ~1.6%, and small
+    * cardinalities are exact in sparse mode). The DuckDB oracle
+    * recomputes the exact halves and expects `within_bound` TRUE, so
+    * a drifting estimate fails the hash check.
     */
   def a01HllSketches(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
@@ -39,10 +45,10 @@ object Approx {
     perLang.select(col("lang"), col("sk"), col("exact_distinct"), col("n_docs"))
       .unionAll(all)
       .withColumn("approx_distinct", expr("hll_sketch_estimate(sk)"))
-      .withColumn("rel_error",
-        abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
-          col("exact_distinct").cast("double"))
-      .drop("sk")
+      .withColumn("within_bound",
+        abs(col("approx_distinct") - col("exact_distinct")).cast("double") <=
+          lit(0.05) * col("exact_distinct").cast("double"))
+      .select(col("lang"), col("n_docs"), col("exact_distinct"), col("within_bound"))
       .orderBy(col("lang"))
   }
 
@@ -78,9 +84,14 @@ object Approx {
 
   /** a03: quantile sketches — per-language approx_percentile (the
     * mergeable rank sketch that replaces exact percentile at 100 TB)
-    * side-by-side with the exact interpolated percentiles and the
-    * absolute error. Rows-only check (sketch internals are
-    * engine-specific); the spec bounds the error.
+    * checked against the exact interpolated percentiles. Output is
+    * engine-independent: the sketch value stays Spark-side; emitted
+    * are the exact p50/p90 plus `ok_p50`/`ok_p90` booleans asserting
+    * the sketch landed inside the ±5%-rank exact envelope
+    * ([p45,p55] / [p85,p95] — the sketch's ε=1e-3 rank guarantee
+    * plus the 1/n discretization sits far inside it). The DuckDB
+    * oracle recomputes the exact halves and expects TRUE booleans,
+    * so a drifting sketch fails the hash check.
     */
   def a03QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
@@ -88,14 +99,14 @@ object Approx {
       .agg(
         count(lit(1)).as("n_docs"),
         expr("approx_percentile(n_chars, array(0.5, 0.9), 1000)").as("approx"),
-        expr("percentile(n_chars, array(0.5, 0.9))").as("exact"))
+        expr("percentile(n_chars, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))").as("ex"))
       .select(col("lang"), col("n_docs"),
-        element_at(col("approx"), 1).cast("double").as("approx_p50"),
-        element_at(col("exact"), 1).as("exact_p50"),
-        element_at(col("approx"), 2).cast("double").as("approx_p90"),
-        element_at(col("exact"), 2).as("exact_p90"))
-      .withColumn("err_p50", abs(col("approx_p50") - col("exact_p50")))
-      .withColumn("err_p90", abs(col("approx_p90") - col("exact_p90")))
+        round(element_at(col("ex"), 2), 6).as("exact_p50_r"),
+        round(element_at(col("ex"), 5), 6).as("exact_p90_r"),
+        (element_at(col("approx"), 1).cast("double").between(
+          element_at(col("ex"), 1), element_at(col("ex"), 3))).as("ok_p50"),
+        (element_at(col("approx"), 2).cast("double").between(
+          element_at(col("ex"), 4), element_at(col("ex"), 6))).as("ok_p90"))
       .orderBy(col("lang"))
   }
 
@@ -106,6 +117,23 @@ object Approx {
   )
 
   val oracles: Map[String, String] = Map(
+    // a01/a03: exact halves recomputed in DuckDB; the booleans are
+    // expected TRUE — the Spark side computes them from the live
+    // sketch, so an out-of-bound estimate hash-mismatches.
+    "a01_hll_sketches" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT source) AS exact_distinct, TRUE AS within_bound
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT 'ALL', COUNT(*), COUNT(DISTINCT source), TRUE FROM documents
+        |ORDER BY lang""".stripMargin,
+    "a03_quantile_sketch" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS exact_p50_r,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS exact_p90_r,
+        |  TRUE AS ok_p50, TRUE AS ok_p90
+        |FROM documents GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "a02_bloom_filtered_join" ->
       """SELECT c_mktsegment,
         |  COUNT(*) AS n_orders,

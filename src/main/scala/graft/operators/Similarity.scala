@@ -68,7 +68,11 @@ object Similarity {
     * (stand-in for k-means cells), queries probe only their nearest
     * cell, exact cosine inside the cell. The corpus is scanned once to
     * build cells; each query touches |cell| ≈ n/k vectors instead of
-    * n — the 100 TB ANN pattern. Rows-only check.
+    * n — the 100 TB ANN pattern. Exactly oracle-checked: every stage
+    * (per-dimension mean → FLOAT centroid, probe argmax, in-cell
+    * top-5) is deterministic and mirrored in DuckDB SQL; the FLOAT
+    * cast of the centroid absorbs summation-order jitter in the
+    * double mean.
     *
     * Recall caveat (measured): on this near-random synthetic corpus
     * (within-label cosine ≈ cross-label) single-cell probing recalls
@@ -192,6 +196,45 @@ object Similarity {
          |  s.bucket_size - 1 AS n_candidates
          |FROM bucketed b JOIN sizes s USING (bucket)
          |ORDER BY b.vec_id""".stripMargin,
+    // s03: full IVF pipeline mirrored — per-dimension mean centroids
+    // (cast to FLOAT, same as the Spark side), nearest-centroid probe,
+    // exact cosine inside the probed cell only.
+    "s03_ann_ivf" ->
+      """WITH flat AS (
+        |  SELECT label, i, embedding[i]::DOUBLE AS x
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+        |cmeans AS (
+        |  SELECT label, i, avg(x) AS cx FROM flat GROUP BY label, i),
+        |centroids AS (
+        |  SELECT label AS c_label,
+        |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid
+        |  FROM cmeans GROUP BY label),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, q.qe, c.c_label,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+        |      (list_sum(list_transform(range(1, len(q.qe)+1),
+        |         i -> q.qe[i]::DOUBLE * c.centroid[i]::DOUBLE)) /
+        |       (sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE))) *
+        |        sqrt(list_sum(list_transform(c.centroid, x -> x::DOUBLE * x::DOUBLE))))) DESC,
+        |      c.c_label) AS rn
+        |  FROM q CROSS JOIN centroids c),
+        |probe AS (
+        |  SELECT qid, qe, c_label AS probe_label FROM scored WHERE rn = 1),
+        |hits AS (
+        |  SELECT p.qid, e.vec_id AS cid, p.probe_label,
+        |    list_sum(list_transform(range(1, len(p.qe)+1),
+        |      i -> p.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(p.qe, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM probe p JOIN embeddings e
+        |    ON e.label = p.probe_label AND e.vec_id <> p.qid)
+        |SELECT qid,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk,
+        |  cid, probe_label, round(sim, 6) AS sim_r
+        |FROM hits
+        |QUALIFY rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "s05_vector_stats" ->
       """SELECT vec_id, label,
         |  CAST(len(embedding) AS BIGINT) AS n_dims,

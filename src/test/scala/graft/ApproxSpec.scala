@@ -12,23 +12,21 @@ import graft.streaming.EventStream
 class ApproxSpec extends AnyFunSuite {
   import TestSession._
 
-  test("a01 HLL estimates are near-exact at test cardinalities and ALL row merges") {
+  test("a01 HLL estimates are within bound for every lang and the merged ALL row") {
     val rows = Approx.a01HllSketches(spark, sf).collect()
     assert(rows.map(_.getAs[String]("lang")).contains("ALL"))
     rows.foreach { r =>
-      assert(r.getAs[Double]("rel_error") < 0.05,
-        s"${r.getAs[String]("lang")} error ${r.getAs[Double]("rel_error")}")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"${r.getAs[String]("lang")} HLL estimate out of 5% bound")
     }
   }
 
-  test("a03 quantile sketch lands within a tight band of the exact percentile") {
+  test("a03 quantile sketch lands inside the exact ±5%-rank envelope") {
     val rows = Approx.a03QuantileSketch(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      // accuracy 1000 on a few hundred values per group → near-exact
-      val spread = math.max(1.0, r.getAs[Double]("exact_p90") * 0.1)
-      assert(r.getAs[Double]("err_p50") <= spread)
-      assert(r.getAs[Double]("err_p90") <= spread)
+      assert(r.getAs[Boolean]("ok_p50"), s"${r.getAs[String]("lang")} p50 out of envelope")
+      assert(r.getAs[Boolean]("ok_p90"), s"${r.getAs[String]("lang")} p90 out of envelope")
     }
   }
 
