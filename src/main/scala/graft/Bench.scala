@@ -31,11 +31,14 @@ object Bench {
     // Keep the JSON line SHORT (short ids, 3-decimal secs): the driver
     // captures only a bounded tail of stdout and must json-parse this
     // single line; r01's full-name full-precision line overflowed it.
+    // Locale.ROOT: a comma-decimal default locale would emit 0,123 and
+    // break the JSON parse.
+    def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

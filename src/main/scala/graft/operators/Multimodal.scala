@@ -93,6 +93,12 @@ object Multimodal {
     * STUB: the pixel decode is deterministic byte math (image libs
     * absent from this container) — the schema, batch shape, and
     * partition-parallel structure are the real 100 TB pattern.
+    *
+    * Oracle parity note: the DuckDB twin walks characters
+    * (`ord(substring(text, i, 1))`) where this side walks payload
+    * bytes — identical only for single-byte text, which holds for the
+    * ASCII test corpus (a real pipeline feeds true binary payloads,
+    * where the text-derived fake geometry disappears anyway).
     */
   def m03ResizeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -112,7 +118,10 @@ object Multimodal {
           val lanes = new Array[Long](8)
           var i = 0
           while (i < len) { lanes(i % 8) += (bytes(i) & 0xFF).toLong; i += 1 }
-          val sumSq = lanes.map(s => s * s).sum
+          // BigInt: a Long sum of squares silently wraps once a lane
+          // sum passes ~3 GB of payload (lane² > Long.MaxValue) while
+          // the oracle's HUGEINT math would raise — keep both exact.
+          val sumSq = lanes.foldLeft(BigInt(0))((a, s) => a + BigInt(s) * s)
           val norm = math.sqrt(sumSq.toDouble) / 255.0
           MediaFeature(id, inW, inH, outW, outH,
             outW.toDouble / inW, outH.toDouble / inH,
@@ -168,7 +177,7 @@ object Multimodal {
         |  64.0 / (32 + len % 317) AS scale_x,
         |  64.0 / (32 + (len * 7) % 211) AS scale_y,
         |  array_to_string(ls, ',') AS feat_sums,
-        |  sqrt(CAST(list_sum(list_transform(ls, s -> s * s)) AS DOUBLE)) / 255.0 AS feat_norm
+        |  sqrt(CAST(list_sum(list_transform(ls, s -> s::HUGEINT * s::HUGEINT)) AS DOUBLE)) / 255.0 AS feat_norm
         |FROM lanes ORDER BY doc_id""".stripMargin
   )
 }

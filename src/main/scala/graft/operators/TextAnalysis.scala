@@ -103,7 +103,9 @@ object TextAnalysis {
 
   /** t04: document fingerprints via the native RollingHashExpr —
     * whole-doc hash + min/max over per-token hashes (winnowing-style
-    * summary). Rows-only check (no DuckDB twin of the hash).
+    * summary). Exactly oracle-checked: the DuckDB twin re-derives the
+    * polynomial rolling hash over `ord()` of each character (byte ==
+    * char on the ASCII corpus) in HUGEINT space with the same modulus.
     */
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)

@@ -65,11 +65,24 @@ case class AsofJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     // Build the broadcast index: key -> rows sorted by (time, tiebreak).
+    // Like Spark's own BroadcastExchange, the build side is collected
+    // to the driver — and like it, that collect must fail LOUDLY past
+    // a cap instead of OOMing the driver at scale.
+    val maxRows = conf.getConfString(AsofJoinExec.MAX_BUILD_ROWS_KEY,
+      AsofJoinExec.MAX_BUILD_ROWS_DEFAULT.toString).toLong
+    val collected = right.executeCollect()
+    if (collected.length > maxRows) {
+      throw new IllegalStateException(
+        s"As-of join build side has ${collected.length} rows, over the " +
+          s"${AsofJoinExec.MAX_BUILD_ROWS_KEY}=$maxRows cap. The right side is " +
+          "collected into a driver-broadcast index - filter or pre-aggregate it " +
+          "(or raise the cap if the driver genuinely has the memory).")
+    }
     val rKey = BindReferences.bindReference(rightKey, right.output)
     val rTime = BindReferences.bindReference(rightTime, right.output)
     val rTie = BindReferences.bindReference(rightTieBreak, right.output)
     val grouped = mutable.HashMap.empty[Any, mutable.ArrayBuffer[(Long, Long, InternalRow)]]
-    right.executeCollect().foreach { row =>
+    collected.foreach { row =>
       val r = row.copy()
       val entry = (toLong(rTime.eval(r)), toLong(rTie.eval(r)), r)
       grouped.getOrElseUpdate(rKey.eval(r), mutable.ArrayBuffer.empty) += entry
@@ -111,6 +124,12 @@ case class AsofJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinExec {
+  /** Session conf capping the driver-collected build side. */
+  val MAX_BUILD_ROWS_KEY = "spark.graft.asof.maxBuildRows"
+  val MAX_BUILD_ROWS_DEFAULT = 5000000L
 }
 
 /** Optimizer rule: push left-side-only filters below AsofJoinPlan.

@@ -60,14 +60,27 @@ object Snapshots {
   def committedTags(tableDir: String): Set[String] =
     manifestLines(tableDir).flatMap(_._2).toSet
 
-  /** Exclusive cross-process lock for manifest appends. */
+  // FileChannel locks are held per-JVM: a second thread in the same
+  // JVM (parallel test committers, streaming writers sharing a
+  // SparkSession) hits OverlappingFileLockException instead of
+  // waiting. Serialize same-JVM committers on a per-table monitor
+  // FIRST; the file lock then only arbitrates across processes.
+  private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Exclusive lock for manifest appends: per-table JVM monitor (same
+    * process) + `FileChannel` lock (cross-process).
+    */
   private def withManifestLock[A](tableDir: String)(f: => A): A = {
-    val ch = FileChannel.open(Paths.get(tableDir, "_manifest.lock"),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock()
-      try f finally lock.release()
-    } finally ch.close()
+    val key = Paths.get(tableDir).toAbsolutePath.normalize.toString
+    val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      val ch = FileChannel.open(Paths.get(tableDir, "_manifest.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try f finally lock.release()
+      } finally ch.close()
+    }
   }
 
   /** Claim the next free version id. `Files.createFile` is atomic on

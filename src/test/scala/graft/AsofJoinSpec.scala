@@ -63,6 +63,24 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(j2 == Set((1L, 100L, 9L), (1L, 101L, 9L), (2L, 102L, -1L)))
   }
 
+  test("oversized build side fails loudly instead of OOMing the driver") {
+    val events = Tables(spark, sf, "events")
+    val p = events.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val v = events.select(col("user_id").as("vu"), col("ts").as("vts"),
+      col("event_id").as("vid"))
+    spark.conf.set(graft.plans.AsofJoinExec.MAX_BUILD_ROWS_KEY, "10")
+    try {
+      val err = intercept[IllegalStateException] {
+        Asof.join(p, v, "user_id", "vu", "ts", "vts", "vid").count()
+      }
+      assert(err.getMessage.contains("maxBuildRows"),
+        s"expected the cap error, got: ${err.getMessage}")
+    } finally spark.conf.unset(graft.plans.AsofJoinExec.MAX_BUILD_ROWS_KEY)
+    // and with the default cap the same join runs
+    assert(Asof.join(p, v, "user_id", "vu", "ts", "vts", "vid").count() > 0)
+  }
+
   test("Asof.join rejects colliding column names and unknown columns") {
     val events = Tables(spark, sf, "events")
     val p = events.select("user_id", "event_id", "ts")
