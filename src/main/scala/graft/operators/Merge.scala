@@ -19,17 +19,32 @@ object Merge {
     * entirely (not column-wise coalesce — NULLs in source are honored),
     * unmatched source rows are inserted, unmatched target rows kept.
     * Both sides must share the target's schema.
+    *
+    * `deleteWhen` (evaluated against SOURCE columns) adds the Iceberg
+    * `WHEN MATCHED AND cond THEN DELETE` clause
+    * (reference docs/components/iceberg.md MERGE surface): a matched
+    * source row satisfying the condition removes the target row, and
+    * an UNmatched source row satisfying it inserts nothing (a
+    * tombstone for an absent key is a no-op, as in MERGE where WHEN
+    * NOT MATCHED can only insert). Still one full-outer shuffle.
     */
-  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    // resolve the delete predicate against bare source columns BEFORE
+    // aliasing, so callers never deal with join-internal aliases
+    val srcFlagged = deleteWhen.fold(source.withColumn("__graft_del", lit(false)))(c =>
+      source.withColumn("__graft_del", coalesce(c, lit(false))))
     val t = target.as("t")
-    val s = source.as("s")
+    val s = srcFlagged.as("s")
     val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val sPresent = col(s"s.${keys.head}").isNotNull
     val cols = target.columns.toSeq.map { c =>
       when(sPresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
     }
-    t.join(s, cond, "full_outer").select(cols: _*)
+    t.join(s, cond, "full_outer")
+      .filter(!(sPresent && col("s.__graft_del")))
+      .select(cols: _*)
   }
 
   /** q21: incremental-merge materialization of the CDC latest-wins

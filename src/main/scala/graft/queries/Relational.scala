@@ -345,6 +345,29 @@ object Relational {
       .orderBy(col("revenue_rank"))
   }
 
+  /** Staging cleanse of `customer` in the reference stg_users.sql
+    * shape (stg_users.sql:31-41): TRIM the display name, SPLIT it
+    * into parts (first/last-name analog over the `Customer#NNN`
+    * pattern), LOWER(TRIM(...)) a derived email, UPPER the segment,
+    * and a 3-way band CASE (career-stage analog over acctbal). Pure
+    * per-row projection — no shuffle at any scale.
+    */
+  def q48StgUsersCleanse(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    c.select(
+        col("c_custkey").as("user_id"),
+        trim(col("c_name")).as("full_name"),
+        split(trim(col("c_name")), "#").getItem(0).as("name_first"),
+        split(trim(col("c_name")), "#").getItem(1).as("name_last"),
+        lower(trim(concat(col("c_name"), lit("@"), col("c_mktsegment"), lit(".example.com"))))
+          .as("email"),
+        upper(trim(col("c_mktsegment"))).as("segment"),
+        when(col("c_acctbal") < 0.0, "Debt")
+          .when(col("c_acctbal") < 5000.0, "Building")
+          .otherwise("Established").as("balance_stage"))
+      .orderBy(col("user_id"))
+  }
+
   /** Driver-contract registration: query name → runner. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -361,11 +384,24 @@ object Relational {
     "q12_rollup_region_nation" -> (q12RollupRegionNation _),
     "q13_semi_anti_customers" -> (q13SemiAntiCustomers _),
     "q14_pivot_status_month" -> (q14PivotStatusMonth _),
-    "q15_cte_pipeline" -> (q15CtePipeline _)
+    "q15_cte_pipeline" -> (q15CtePipeline _),
+    "q48_stg_users_cleanse" -> (q48StgUsersCleanse _)
   )
 
   /** DuckDB-dialect oracles (cross-engine parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "q48_stg_users_cleanse" ->
+      """SELECT c_custkey AS user_id,
+        |  trim(c_name) AS full_name,
+        |  string_split(trim(c_name), '#')[1] AS name_first,
+        |  string_split(trim(c_name), '#')[2] AS name_last,
+        |  lower(trim(c_name || '@' || c_mktsegment || '.example.com')) AS email,
+        |  upper(trim(c_mktsegment)) AS segment,
+        |  CASE WHEN c_acctbal < 0.0 THEN 'Debt'
+        |       WHEN c_acctbal < 5000.0 THEN 'Building'
+        |       ELSE 'Established' END AS balance_stage
+        |FROM customer
+        |ORDER BY user_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -139,11 +139,87 @@ object Snapshots {
     * snapshot by `keys` and commit the result as a new version — the
     * dbt `incremental` + `unique_key` materialization
     * (reference: daily_order_metrics.sql) with full history retained.
+    * `deleteWhen` (over update-row columns) adds the Iceberg
+    * `WHEN MATCHED AND cond THEN DELETE` clause — the CDC tombstone
+    * path applied storage-side.
     */
   def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
-      keys: Seq[String]): Long = {
-    val merged = graft.operators.Merge.upsert(read(spark, tableDir), updates, keys)
+      keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+    val merged = graft.operators.Merge.upsert(read(spark, tableDir), updates, keys, deleteWhen)
     commit(merged, tableDir)
+  }
+
+  /** Expire all but the newest `keep` committed snapshots — the
+    * Iceberg `expire_snapshots` maintenance surface (reference
+    * docs/components/iceberg.md). The manifest is rewritten FIRST
+    * (atomic replace under the manifest lock, so readers flip to the
+    * trimmed history in one step), then the expired `v=<n>` data
+    * directories are deleted. Returns the expired version ids.
+    * Readers mid-scan on an expired version can fail — same contract
+    * as Iceberg's expire; keep `keep` generous on live tables.
+    */
+  def expireSnapshots(tableDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the latest snapshot")
+    val expired = withManifestLock(tableDir) {
+      val lines = manifestLines(tableDir)
+      val vs = lines.map(_._1).distinct.sorted
+      val expire = vs.dropRight(keep).toSet
+      if (expire.nonEmpty) {
+        val keepLines = lines.filterNot(l => expire(l._1))
+        val body = keepLines.map { case (v, tag) =>
+          tag.fold(v.toString)(t => s"$v\t$t")
+        }.mkString("", "\n", "\n")
+        val tmp = Paths.get(tableDir, "_manifest.tmp")
+        Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, manifest(tableDir),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      expire.toSeq.sorted
+    }
+    expired.foreach(v => deleteRecursively(Paths.get(tableDir, s"v=$v")))
+    expired
+  }
+
+  /** Remove data directories of commits that reserved a version but
+    * never reached the manifest (crashed committers) — the Iceberg
+    * `remove_orphan_files` surface. Only directories older than
+    * `minAgeMs` are touched: a young unmanifested directory may be an
+    * in-flight commit. Reserve markers stay (ids are never reused).
+    * Returns the vacuumed version ids.
+    */
+  def vacuumOrphans(tableDir: String, minAgeMs: Long = 24L * 3600 * 1000): Seq[Long] = {
+    val committed = versions(tableDir).toSet
+    val dir = Paths.get(tableDir)
+    if (!Files.exists(dir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val orphans = Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("v="))
+      .flatMap(p => scala.util.Try(p.getFileName.toString.stripPrefix("v=").toLong)
+        .toOption.map(v => (v, p)))
+      .filter { case (v, p) =>
+        !committed(v) && Files.getLastModifiedTime(p).toMillis < cutoff
+      }.toSeq
+    orphans.foreach { case (_, p) => deleteRecursively(p) }
+    orphans.map(_._1).sorted
+  }
+
+  /** Rewrite the LATEST snapshot into `numFiles` files as a NEW
+    * version (Iceberg `rewrite_data_files` / small-file compaction for
+    * streaming-committed tables). History is preserved — pair with
+    * [[expireSnapshots]] to reclaim the pre-compaction versions.
+    */
+  def compactLatest(spark: SparkSession, tableDir: String, numFiles: Int): Long = {
+    val latest = versions(tableDir).last
+    commit(read(spark, tableDir).repartition(numFiles), tableDir,
+      tag = Some(s"compact-of-v$latest"))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** Changelog between two snapshots keyed by `keys`: one row per

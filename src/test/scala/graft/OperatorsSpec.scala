@@ -25,6 +25,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).isNullAt(1))
   }
 
+  test("Merge.upsert deleteWhen: matched-delete, tombstone-noop, update, insert") {
+    import spark.implicits._
+    val target = Seq((1L, "keep", 10.0), (2L, "del", 20.0), (3L, "upd", 30.0))
+      .toDF("k", "s", "v")
+    val source = Seq(
+      (2L, "tombstone", 0.0),  // matched + delete cond → row removed
+      (3L, "UPD", 99.0),       // matched, no delete → replaced
+      (4L, "ins", 40.0),       // unmatched → inserted
+      (5L, "tombstone", 0.0))  // unmatched tombstone → no-op, NOT inserted
+      .toDF("k", "s", "v")
+    val got = Merge.upsert(target, source, Seq("k"),
+        deleteWhen = Some(col("s") === "tombstone"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "keep", 10.0), (3L, "UPD", 99.0), (4L, "ins", 40.0)))
+  }
+
   test("Skew.saltedJoin equals the plain join") {
     val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")

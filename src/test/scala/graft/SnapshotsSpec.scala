@@ -108,6 +108,63 @@ class SnapshotsSpec extends AnyFunSuite {
     vs.foreach(v => assert(Snapshots.read(spark, dir, v).count() == base.count()))
   }
 
+  test("merge deleteWhen applies CDC tombstones storage-side") {
+    val dir = tmp()
+    import spark.implicits._
+    Snapshots.commit(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s"), dir)
+    val updates = Seq((2, "__DEL__"), (3, "C2"), (4, "d")).toDF("k", "s")
+    Snapshots.merge(spark, dir, updates, Seq("k"),
+      deleteWhen = Some(col("s") === "__DEL__"))
+    val latest = Snapshots.read(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(latest == Map(1 -> "a", 3 -> "C2", 4 -> "d"))
+    // pre-delete history intact
+    assert(Snapshots.read(spark, dir, 1L).count() == 3)
+  }
+
+  test("expireSnapshots trims history, keeps latest reads working") {
+    val dir = tmp()
+    val base = Tables(spark, sf, "region")
+    (1 to 4).foreach(i => Snapshots.commit(base.withColumn("gen", lit(i)), dir))
+    val expired = Snapshots.expireSnapshots(dir, keep = 2)
+    assert(expired == Seq(1L, 2L))
+    assert(Snapshots.versions(dir) == Seq(3L, 4L))
+    assert(Snapshots.read(spark, dir).agg(max(col("gen"))).head.getInt(0) == 4)
+    // expired data directories are gone; kept ones remain
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v=1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v=3")))
+    intercept[IllegalArgumentException](Snapshots.read(spark, dir, 1L))
+  }
+
+  test("vacuumOrphans removes only old unmanifested directories") {
+    val dir = tmp()
+    val base = Tables(spark, sf, "region")
+    Snapshots.commit(base, dir)
+    // fake a crashed commit: reserved + written, never manifested
+    val orphan = java.nio.file.Paths.get(dir, "v=7")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2))
+    assert(Snapshots.vacuumOrphans(dir).isEmpty) // too young with default age
+    assert(Snapshots.vacuumOrphans(dir, minAgeMs = 0L) == Seq(7L))
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(Snapshots.versions(dir) == Seq(1L)) // committed data untouched
+    assert(Snapshots.read(spark, dir).count() == base.count())
+  }
+
+  test("compactLatest rewrites the head snapshot into fewer files") {
+    val dir = tmp()
+    val base = Tables(spark, sf, "region").repartition(8)
+    Snapshots.commit(base, dir)
+    val v = Snapshots.compactLatest(spark, dir, numFiles = 1)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir, s"v=$v"))
+      .iterator()
+    val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(parquets == 1)
+    assert(Snapshots.read(spark, dir, v).count() == base.count())
+    assert(Snapshots.committedTags(dir).exists(_.startsWith("compact-of-v")))
+  }
+
   test("diff produces the exact insert/update/delete changelog") {
     val dir = tmp()
     val base = Tables(spark, sf, "nation")
