@@ -37,7 +37,10 @@ object Hyperplanes {
 
   /** Signed projection of `vecCol` onto hyperplane (table, plane) as a
     * Spark SQL expression string — sequential left fold over the
-    * element products.
+    * element products. (A flat 64-term ± expression tree was tried and
+    * is ~10× SLOWER: 3200 scalar nodes per row blow the codegen method
+    * limits into interpreted evaluation; one higher-order fold per
+    * plane is the faster shape.)
     */
   def projExpr(vecCol: String, table: Int, plane: Int): String = {
     val arr = signs(table, plane)
