@@ -193,6 +193,37 @@ object Dedup {
       .orderBy(col("pair_rank"))
   }
 
+  /** d07: cross-document boilerplate detection (C4-style repeated-
+    * span removal): word-5-grams appearing in ≥ 3 distinct documents
+    * form the boilerplate vocabulary; each doc reports how much of it
+    * is boilerplate plus a keep flag. Two shuffles (gram df roll-up +
+    * semi join back) — both plain equi-joins on the gram key, so the
+    * pipeline scales like a word count, never pairwise.
+    */
+  def d07Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val gram5 = expr(
+      "transform(sequence(1, size(ts)-4), i -> concat_ws(' ', " +
+        "element_at(ts, i), element_at(ts, CAST(i+1 AS INT)), " +
+        "element_at(ts, CAST(i+2 AS INT)), element_at(ts, CAST(i+3 AS INT)), " +
+        "element_at(ts, CAST(i+4 AS INT))))")
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(gram5)).as("g"))
+    val boiler = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 3)
+    val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(boiler.select(col("g")), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler_grams"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_boiler_grams", coalesce(col("n_boiler_grams"), lit(0L)))
+      .withColumn("boiler_ratio",
+        col("n_boiler_grams").cast("double") / col("n_grams").cast("double"))
+      .withColumn("kept", col("boiler_ratio") <= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash signature table (doc_id, h0..h{K-1}), md5-seeded. */
   private def minhashSigs(d: DataFrame): DataFrame = {
     val sh = shingles(d).select("doc_id", "g")
@@ -309,7 +340,8 @@ object Dedup {
     "d03_minhash_lsh" -> (d03MinhashLsh _),
     "d04_simhash" -> (d04Simhash _),
     "d05_embedding_dup" -> (d05EmbeddingDup _),
-    "d06_dup_clusters" -> (d06DupClusters _)
+    "d06_dup_clusters" -> (d06DupClusters _),
+    "d07_boilerplate" -> (d07Boilerplate _)
   )
 
   private val sigSelect = (0 until K)
@@ -452,6 +484,27 @@ object Dedup {
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d07_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(ts) - 3),
+        |      i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4])) AS g5
+        |  FROM t WHERE len(ts) >= 5),
+        |boiler AS (
+        |  SELECT g5 FROM g GROUP BY g5 HAVING COUNT(DISTINCT doc_id) >= 3),
+        |per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_boiler_grams FROM g
+        |  WHERE g5 IN (SELECT g5 FROM boiler) GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_grams,
+        |  COALESCE(h.n_boiler_grams, 0) AS n_boiler_grams,
+        |  CAST(COALESCE(h.n_boiler_grams, 0) AS DOUBLE)/CAST(p.n_grams AS DOUBLE) AS boiler_ratio,
+        |  CAST(COALESCE(h.n_boiler_grams, 0) AS DOUBLE)/CAST(p.n_grams AS DOUBLE) <= 0.2 AS kept
+        |FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     "d02_ngram_jaccard" ->
       """WITH raw AS (
         |  SELECT doc_id, source,

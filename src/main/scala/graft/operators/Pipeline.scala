@@ -213,8 +213,39 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** p09: Gopher-style within-document repetition filter — the
+    * quality rule that drops degenerate/looping generations before
+    * training: duplicate-token fraction and duplicate-word-3-gram
+    * fraction, thresholded into a keep flag. Entirely row-local array
+    * work (no shuffle, embarrassingly parallel at 100 TB).
+    */
+  def p09RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val gram3 = expr(
+      "transform(sequence(1, size(ts)-2), i -> concat_ws(' ', " +
+        "element_at(ts, i), element_at(ts, CAST(i+1 AS INT)), " +
+        "element_at(ts, CAST(i+2 AS INT))))")
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .withColumn("g3", gram3)
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ts"))).cast("long").as("n_distinct_tokens"),
+        size(col("g3")).cast("long").as("n_grams3"),
+        size(array_distinct(col("g3"))).cast("long").as("n_distinct_grams3"))
+      .withColumn("dup_token_ratio",
+        lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("dup_gram3_ratio",
+        lit(1.0) - col("n_distinct_grams3").cast("double") / col("n_grams3").cast("double"))
+      .withColumn("kept",
+        col("dup_token_ratio") <= 0.5 && col("dup_gram3_ratio") <= 0.1)
+      .orderBy(col("doc_id"))
+  }
+
   /** Driver-contract registration. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p09_repetition_filter" -> (p09RepetitionFilter _),
     "p08_corpus_filter" -> (p08CorpusFilter _),
     "p07_oov_rate" -> (p07OovRate _),
     "p01_pack_sequences" -> (p01PackSequences _),
@@ -229,6 +260,29 @@ object Pipeline {
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "p09_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, ts,
+        |    list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS g3
+        |  FROM t WHERE len(ts) >= 3),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct_tokens,
+        |    CAST(len(g3) AS BIGINT) AS n_grams3,
+        |    CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct_grams3
+        |  FROM g)
+        |SELECT *,
+        |  1.0 - CAST(n_distinct_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS dup_token_ratio,
+        |  1.0 - CAST(n_distinct_grams3 AS DOUBLE)/CAST(n_grams3 AS DOUBLE) AS dup_gram3_ratio,
+        |  (1.0 - CAST(n_distinct_tokens AS DOUBLE)/CAST(n_tokens AS DOUBLE)) <= 0.5
+        |    AND (1.0 - CAST(n_distinct_grams3 AS DOUBLE)/CAST(n_grams3 AS DOUBLE)) <= 0.1 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
     "p08_corpus_filter" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang, text,

@@ -64,6 +64,42 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** s06: multi-probe LSH — the recall knob on s02's buckets. Each
+    * vector probes its own bucket PLUS the 8 single-bit-flip
+    * neighbours (the closest buckets in hamming space — where a
+    * near-miss neighbour most likely landed), trading ~9× scan cost
+    * for recall without rebuilding the index. Emits per-vector scan
+    * accounting: single-bucket vs multi-probe candidate counts and
+    * the corpus fraction scanned. Same md5-derived hyperplanes as
+    * s02, so DuckDB reproduces every bucket id exactly.
+    */
+  def s06AnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = emb(spark, dir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket"))
+    val sizes = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+    val total = bucketed.agg(count(lit(1)).as("n_total"))
+    val flips = lit(0) +: (0 until PLANES).map(p => lit(1 << p))
+    val probes = bucketed
+      .select(col("vec_id"), col("bucket"), explode(array(flips: _*)).as("flip"))
+      .select(col("vec_id"), col("bucket"),
+        col("bucket").bitwiseXOR(col("flip")).as("probe_bucket"))
+    val scanned = probes
+      .join(sizes.withColumnRenamed("bucket", "probe_bucket"), Seq("probe_bucket"), "left")
+      .groupBy(col("vec_id"), col("bucket"))
+      .agg(sum(coalesce(col("bucket_size"), lit(0L))).as("n_scanned"))
+    scanned
+      .join(sizes, Seq("bucket"))
+      .join(broadcast(total))
+      .join(bucketed.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(
+        col("vec_id"), col("label"), col("bucket"),
+        (col("bucket_size") - 1).as("n_candidates"),
+        (col("n_scanned") - 1).as("n_candidates_mp"),
+        (col("n_scanned").cast("double") / col("n_total").cast("double")).as("scan_frac"))
+      .orderBy(col("vec_id"))
+  }
+
   /** s03: IVF-style ANN — coarse quantization by per-label centroids
     * (stand-in for k-means cells), queries probe only their nearest
     * cell, exact cosine inside the cell. The corpus is scanned once to
@@ -177,6 +213,7 @@ object Similarity {
     "s01_cosine_topk" -> (s01CosineTopk _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
+    "s06_ann_multiprobe" -> (s06AnnMultiprobe _),
     "s04_tfidf_search" -> (s04TfidfSearch _),
     "s05_vector_stats" -> (s05VectorStats _)
   )
@@ -195,6 +232,32 @@ object Similarity {
          |SELECT b.vec_id, b.label, b.bucket, s.bucket_size,
          |  s.bucket_size - 1 AS n_candidates
          |FROM bucketed b JOIN sizes s USING (bucket)
+         |ORDER BY b.vec_id""".stripMargin,
+    "s06_ann_multiprobe" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, label,
+         |    (${graft.functions.Hyperplanes.bucketSql("embedding", 0, PLANES)}) AS bucket
+         |  FROM embeddings),
+         |sizes AS (
+         |  SELECT bucket, COUNT(*) AS bucket_size FROM bucketed GROUP BY bucket),
+         |total AS (SELECT COUNT(*) AS n_total FROM bucketed),
+         |probes AS (
+         |  SELECT vec_id, bucket, xor(bucket, flip) AS probe_bucket
+         |  FROM bucketed CROSS JOIN (
+         |    SELECT unnest([${(0 +: (0 until PLANES).map(1 << _).toList).mkString(", ")}]) AS flip)),
+         |scanned AS (
+         |  SELECT p.vec_id, p.bucket,
+         |    CAST(SUM(COALESCE(s.bucket_size, 0)) AS BIGINT) AS n_scanned
+         |  FROM probes p LEFT JOIN sizes s ON p.probe_bucket = s.bucket
+         |  GROUP BY p.vec_id, p.bucket)
+         |SELECT b.vec_id, b.label, sc.bucket,
+         |  sz.bucket_size - 1 AS n_candidates,
+         |  sc.n_scanned - 1 AS n_candidates_mp,
+         |  CAST(sc.n_scanned AS DOUBLE)/CAST(t.n_total AS DOUBLE) AS scan_frac
+         |FROM scanned sc
+         |JOIN sizes sz ON sc.bucket = sz.bucket
+         |JOIN bucketed b ON sc.vec_id = b.vec_id
+         |CROSS JOIN total t
          |ORDER BY b.vec_id""".stripMargin,
     // s03: full IVF pipeline mirrored — per-dimension mean centroids
     // (cast to FLOAT, same as the Spark side), nearest-centroid probe,

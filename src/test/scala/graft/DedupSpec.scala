@@ -43,6 +43,37 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"d05 recall@50 dropped to $recall")
   }
 
+  test("d07 boilerplate accounting is consistent and bounded") {
+    val rows = Dedup.d07Boilerplate(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "documents")
+      .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 5).count())
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("boiler_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_boiler_grams") <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Boolean]("kept") == (ratio <= 0.2))
+    }
+    // exact-duplicate documents share all grams → their shared grams
+    // have df >= 2; with >=3 copies they MUST be flagged boilerplate
+    val copies = Dedup.d01DedupExact(spark, sf).filter(col("n_copies") >= 3).count()
+    if (copies > 0) assert(rows.exists(_.getAs[Long]("n_boiler_grams") > 0))
+  }
+
+  test("s06 multi-probe scans at least the single bucket, at most the corpus") {
+    val rows = graft.operators.Similarity.s06AnnMultiprobe(spark, sf).collect()
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_candidates_mp") >= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("n_candidates_mp") < n)
+      val frac = r.getAs[Double]("scan_frac")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+    // multi-probe must actually widen the net for some vector
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_candidates_mp") > r.getAs[Long]("n_candidates")))
+  }
+
   test("d05 top pair is symmetric-ordered and ranked densely") {
     val rows = Dedup.d05EmbeddingDup(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("pair_rank")).toSeq == (1 to rows.length))
