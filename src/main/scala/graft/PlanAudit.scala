@@ -9,7 +9,9 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     for (q <- Seq("q26_order_priority", "q29_market_share", "q31_ship_delay",
                   "q36_disjunctive_revenue", "q39_set_ops", "s04_tfidf_search",
-                  "p01_pack_sequences", "a02_bloom_filtered_join")) {
+                  "p01_pack_sequences", "a02_bloom_filtered_join",
+                  "d05_embedding_dup", "d07_boilerplate", "s06_ann_multiprobe",
+                  "q22_small_quantity_revenue", "q34_top_supplier", "q48_stg_users_cleanse")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length
