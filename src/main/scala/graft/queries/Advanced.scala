@@ -46,26 +46,52 @@ object Advanced {
   }
 
   /** q17: window-function suite — lag/lead, first_value, running max,
-    * ntile, cume_dist, rank vs dense_rank.
+    * ntile, cume_dist, rank vs dense_rank. The per-customer windows
+    * are properly partitioned; the two GLOBAL analytics (ntile,
+    * cume_dist) are derived from [[graft.operators.Rank]]'s
+    * distributed row numbers instead of `Window.orderBy(...)` with no
+    * partition — the single-task data move this library's own Rank
+    * operator exists to avoid:
+    *  - ntile(4) = the standard bucket formula over (row_number, N)
+    *    (first N mod 4 buckets one larger);
+    *  - cume_dist = (N - rank_desc + 1)/N, where rank_desc is the
+    *    ties-min rank under DESCENDING price (so rank_desc - 1 =
+    *    rows strictly greater, N - rank_desc + 1 = rows ≤ price).
     */
   def q17WindowSuite(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("order_date"), col("o_orderkey"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNtile = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    val wCume = Window.orderBy(col("o_totalprice"))
     val wRank = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
-    t(spark, dir, "orders")
+    val base = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         to_date(col("o_orderdate")).as("order_date"))
       .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
       .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
       .withColumn("first_price", first(col("o_totalprice")).over(wRun))
       .withColumn("running_max_price", max(col("o_totalprice")).over(wRun))
-      .withColumn("price_quartile", ntile(4).over(wNtile).cast("long"))
-      .withColumn("price_cume_dist", cume_dist().over(wCume))
       .withColumn("cust_price_rank", rank().over(wRank).cast("long"))
       .withColumn("cust_price_dense_rank", dense_rank().over(wRank).cast("long"))
+    val rn = graft.operators.Rank.globalRowNumber(base,
+      Seq(col("o_totalprice").asc, col("o_orderkey").asc), "__rn_asc")
+    val rd = graft.operators.Rank.globalRank(rn,
+      values = Seq(col("o_totalprice")),
+      order = Seq(col("o_totalprice").desc),
+      tiebreak = Seq(col("o_orderkey")), rankCol = "__rdesc")
+    val n = base.agg(count(lit(1)).as("__n"))
+    rd.join(broadcast(n))
+      .withColumn("price_quartile", expr(
+        "CASE WHEN __rn_asc <= (__n % 4) * ((__n div 4) + 1) " +
+          "THEN (__rn_asc - 1) div ((__n div 4) + 1) + 1 " +
+          "ELSE (__n % 4) + ((__rn_asc - (__n % 4) * ((__n div 4) + 1)) - 1) div (__n div 4) + 1 " +
+          "END").cast("long"))
+      .withColumn("price_cume_dist",
+        (col("__n") - col("__rdesc") + 1).cast("double") / col("__n").cast("double"))
+      .drop("__rn_asc", "__rdesc", "__n")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("order_date"), col("prev_price"), col("next_price"),
+        col("first_price"), col("running_max_price"), col("price_quartile"),
+        col("price_cume_dist"), col("cust_price_rank"), col("cust_price_dense_rank"))
       .orderBy(col("o_orderkey"))
   }
 

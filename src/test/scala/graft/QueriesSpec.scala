@@ -89,6 +89,21 @@ class QueriesSpec extends AnyFunSuite {
       "q22 logical plan carries a broadcast hint")
   }
 
+  test("q17 global analytics never funnel rows through a single-partition window") {
+    // ntile/cume_dist used to be empty-partition windows (a WindowExec
+    // fed by Exchange SinglePartition — the whole fact through one
+    // task); they now ride Rank's distributed row numbers. The only
+    // SinglePartition allowed is the one-row count(1) merge (one row
+    // per partition), so assert no Window sits on such an exchange.
+    val plan = SparkEntry.queries("q17_window_suite")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val windowOnSingle =
+      "(?s)Window[^\\n]*\\n[^\\n]*Exchange SinglePartition".r
+    assert(windowOnSingle.findFirstIn(plan).isEmpty,
+      "q17 has a window fed by a single-partition exchange")
+    assert(plan.contains("ExistingRDD"), "q17 should ride Rank's shared-shuffle RDD")
+  }
+
   test("st01 streaming totals match batch totals") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("st01_stream_window")(spark, sf)
