@@ -54,9 +54,10 @@ object Advanced {
     * operator exists to avoid:
     *  - ntile(4) = the standard bucket formula over (row_number, N)
     *    (first N mod 4 buckets one larger);
-    *  - cume_dist = (N - rank_desc + 1)/N, where rank_desc is the
-    *    ties-min rank under DESCENDING price (so rank_desc - 1 =
-    *    rows strictly greater, N - rank_desc + 1 = rows ≤ price).
+    *  - cume_dist = max(row_number) within the price tie group / N
+    *    (#rows ≤ price = the greatest ascending row number among
+    *    equal prices) — one ranked pass + one VALUE-partitioned
+    *    window, no second global ranking.
     */
   def q17WindowSuite(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -74,20 +75,18 @@ object Advanced {
       .withColumn("cust_price_dense_rank", dense_rank().over(wRank).cast("long"))
     val rn = graft.operators.Rank.globalRowNumber(base,
       Seq(col("o_totalprice").asc, col("o_orderkey").asc), "__rn_asc")
-    val rd = graft.operators.Rank.globalRank(rn,
-      values = Seq(col("o_totalprice")),
-      order = Seq(col("o_totalprice").desc),
-      tiebreak = Seq(col("o_orderkey")), rankCol = "__rdesc")
+      .withColumn("__maxrn",
+        max(col("__rn_asc")).over(Window.partitionBy(col("o_totalprice"))))
     val n = base.agg(count(lit(1)).as("__n"))
-    rd.join(broadcast(n))
+    rn.join(broadcast(n))
       .withColumn("price_quartile", expr(
         "CASE WHEN __rn_asc <= (__n % 4) * ((__n div 4) + 1) " +
           "THEN (__rn_asc - 1) div ((__n div 4) + 1) + 1 " +
           "ELSE (__n % 4) + ((__rn_asc - (__n % 4) * ((__n div 4) + 1)) - 1) div (__n div 4) + 1 " +
           "END").cast("long"))
       .withColumn("price_cume_dist",
-        (col("__n") - col("__rdesc") + 1).cast("double") / col("__n").cast("double"))
-      .drop("__rn_asc", "__rdesc", "__n")
+        col("__maxrn").cast("double") / col("__n").cast("double"))
+      .drop("__rn_asc", "__maxrn", "__n")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("order_date"), col("prev_price"), col("next_price"),
         col("first_price"), col("running_max_price"), col("price_quartile"),
