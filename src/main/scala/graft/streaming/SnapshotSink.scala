@@ -21,13 +21,27 @@ import graft.sources.Snapshots
   */
 object SnapshotSink {
 
-  def ingest(stream: DataFrame, tableDir: String): StreamingQuery =
+  /** Start the ingestion query.
+    *
+    * `filesPerBatch` > 0 coalesces each micro-batch before the commit
+    * — the inline half of small-file maintenance (streaming batches
+    * are tiny relative to shuffle parallelism, and a file per shuffle
+    * partition per batch is how lakehouse tables degrade).
+    * `retainVersions` > 0 expires older versions after each commit
+    * (incremental-store retention: keep the changelog tail consumers
+    * still need, reclaim the rest — Iceberg expire_snapshots run
+    * inline instead of as a side DAG).
+    */
+  def ingest(stream: DataFrame, tableDir: String,
+      filesPerBatch: Int = 0, retainVersions: Int = 0): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val tag = s"batch=$batchId"
         if (!Snapshots.committedTags(tableDir).contains(tag) && !batch.isEmpty) {
-          Snapshots.commit(batch, tableDir, tag = Some(tag)); ()
+          val shaped = if (filesPerBatch > 0) batch.coalesce(filesPerBatch) else batch
+          Snapshots.commit(shaped, tableDir, tag = Some(tag))
+          if (retainVersions > 0) { Snapshots.expireSnapshots(tableDir, retainVersions); () }
         }
       }
       .start()

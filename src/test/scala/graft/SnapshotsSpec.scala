@@ -66,6 +66,27 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(total == Tables(spark, sf, "events").count())
   }
 
+  test("streaming sink maintenance: coalesced files + inline retention") {
+    val dir = tmp() + "/maintained"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStream.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sf)
+    val q = graft.streaming.SnapshotSink.ingest(stream, dir,
+      filesPerBatch = 1, retainVersions = 2)
+    try q.processAllAvailable() finally q.stop()
+    val vs = Snapshots.versions(dir)
+    assert(vs.nonEmpty && vs.length <= 2)
+    vs.foreach { v =>
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir, s"v=$v")).iterator()
+      val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(parquets == 1, s"v=$v has $parquets files, expected 1")
+    }
+  }
+
   test("diff distinguishes rows that differ only in WHICH column is null") {
     val dir = tmp()
     import spark.implicits._
