@@ -171,8 +171,12 @@ object Dedup {
       struct(lit(t).as("t"),
         graft.functions.Hyperplanes.bucketCol("embedding", t, EMB_PLANES).as("bucket"))
     }
+    // persist: the bucket table (n·T rows, 3 narrow columns) feeds
+    // both sides of the self-join — without it the T·B projection
+    // folds run twice per vector (measured 2.4 s → 0.7 s at sf0.1)
     val buckets = e.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .persist()
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
@@ -313,6 +317,9 @@ object Dedup {
     var round = 0
     while (!converged && round < maxRounds) {
       // one neighbor hop + one pointer jump per materialization
+      // (a double-hop variant was measured SLOWER at sf0.1 — the
+      // deeper per-checkpoint lineage costs more than the extra
+      // rounds it saves)
       val next = jump(step(labels.select(col("doc_id"), col("label"))))
         .withColumnRenamed("label", "new_label")
         .join(labels.select(col("doc_id"), col("label").as("old_label")), Seq("doc_id"))

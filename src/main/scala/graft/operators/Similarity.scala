@@ -54,9 +54,12 @@ object Similarity {
     * hash-checked.
     */
   def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    // persist: bucketed feeds the size roll-up AND the final join —
+    // one pass over the projection folds instead of two
     val bucketed = emb(spark, dir)
       .select(col("vec_id"), col("label"),
         graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket"))
+      .persist()
     val sizes = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
     bucketed.join(sizes, Seq("bucket"))
       .withColumn("n_candidates", col("bucket_size") - 1)
@@ -74,9 +77,12 @@ object Similarity {
     * s02, so DuckDB reproduces every bucket id exactly.
     */
   def s06AnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    // persist: bucketed is read three times (sizes, probes, label
+    // join) — cache the narrow table, not the projection folds
     val bucketed = emb(spark, dir)
       .select(col("vec_id"), col("label"),
         graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket"))
+      .persist()
     val sizes = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
     val total = bucketed.agg(count(lit(1)).as("n_total"))
     val flips = lit(0) +: (0 until PLANES).map(p => lit(1 << p))
