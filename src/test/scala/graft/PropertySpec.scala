@@ -56,6 +56,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("merge is idempotent and delete-merge partitions the key space") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (1 to 3).foreach { _ =>
+      val tKeys = List.fill(60)(rng.nextInt(40).toLong).distinct
+      val sKeys = List.fill(40)(rng.nextInt(60).toLong).distinct
+      val target = tKeys.map(k => (k, s"t$k")).toDF("k", "s")
+      val source = sKeys.map(k => (k, s"s$k")).toDF("k", "s")
+      val once = graft.operators.Merge.upsert(target, source, Seq("k"))
+      // idempotence: re-merging the same source changes nothing
+      val twice = graft.operators.Merge.upsert(once, source, Seq("k"))
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(m(once) == m(twice))
+      // union-of-keys, source-wins
+      assert(m(once).keySet == tKeys.toSet ++ sKeys.toSet)
+      sKeys.foreach(k => assert(m(once)(k) == s"s$k"))
+      // delete-merge: every source key with the delete mark vanishes,
+      // every other key is exactly what plain upsert produces
+      val delKeys = sKeys.filter(_ % 3 == 0).toSet
+      val marked = sKeys.map(k =>
+        (k, if (delKeys(k)) "__DEL__" else s"s$k")).toDF("k", "s")
+      val withDel = m(graft.operators.Merge.upsert(target, marked, Seq("k"),
+        deleteWhen = Some(col("s") === "__DEL__")))
+      assert(withDel.keySet == (tKeys.toSet ++ sKeys.toSet) -- delKeys)
+      withDel.foreach { case (k, v) =>
+        assert(v == (if (sKeys.contains(k)) s"s$k" else s"t$k"))
+      }
+    }
+  }
+
   test("pct/ratio guard division by zero to NULL, never NaN/Infinity") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
