@@ -180,9 +180,13 @@ object Similarity {
       count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t"))
     val dfs = tf.agg(dfAggs.head, dfAggs.tail: _*)
     val n = d.agg(count(lit(1)).as("n_docs"))
+    // idf rounded to 9 dp BEFORE combining: Spark's log() and
+    // DuckDB's ln() are different libm implementations that can
+    // disagree by 1 ulp for some N/df (first seen at sf0.1); the
+    // integer-tf multiply and 3-term fixed-order sum after are exact
     val score = terms.map(t =>
       col(s"tf_$t").cast("double") *
-        log(col("n_docs").cast("double") / col(s"df_$t").cast("double")))
+        round(log(col("n_docs").cast("double") / col(s"df_$t").cast("double")), 9))
       .reduce(_ + _)
     tf.join(broadcast(dfs)).join(broadcast(n))
       .withColumn("score", score)
@@ -336,9 +340,9 @@ object Similarity {
         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
         |scored AS (
         |  SELECT doc_id, tf_vector, tf_filter, tf_merge,
-        |    CAST(tf_vector AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)/CAST(df_vector AS DOUBLE))
-        |    + CAST(tf_filter AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)/CAST(df_filter AS DOUBLE))
-        |    + CAST(tf_merge AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)/CAST(df_merge AS DOUBLE)) AS score
+        |    CAST(tf_vector AS DOUBLE) * round(ln(CAST(n_docs AS DOUBLE)/CAST(df_vector AS DOUBLE)), 9)
+        |    + CAST(tf_filter AS DOUBLE) * round(ln(CAST(n_docs AS DOUBLE)/CAST(df_filter AS DOUBLE)), 9)
+        |    + CAST(tf_merge AS DOUBLE) * round(ln(CAST(n_docs AS DOUBLE)/CAST(df_merge AS DOUBLE)), 9) AS score
         |  FROM tf, dfs, n)
         |SELECT * FROM scored WHERE score > 0.0
         |ORDER BY score DESC, doc_id

@@ -19,6 +19,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def isnull(v):
+    """NULL-ish across pandas dtypes: None, NaN, NaT."""
+    if v is None:
+        return True
+    try:
+        import pandas as pd
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
 def norm(v):
     if isinstance(v, float):
         return v
@@ -57,7 +68,9 @@ def main(sf_dir, out_dir):
         for c in gc:
             for i, (a, b) in enumerate(zip(g[c], e[c])):
                 a, b = norm(a), norm(b)
-                if a is None and b is None:
+                # both-null (None/NaN/NaT) is a match — pandas NaT/NaN
+                # compare unequal to themselves under !=
+                if isnull(a) and isnull(b):
                     continue
                 try:
                     if a != b and not (isinstance(a, float) and
