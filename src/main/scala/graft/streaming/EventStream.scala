@@ -183,17 +183,73 @@ object EventStream {
     spark.table("st04_out").orderBy(col("event_type"))
   }
 
+  /** st05: stream-stream INTERVAL join — purchases matched to the
+    * same user's views from the preceding 6 hours, both sides unbounded
+    * streams. The event-time range condition plus the two watermarks
+    * is what lets Spark BOUND the join state (each side's buffer ages
+    * out once the other side's watermark passes the interval) — the
+    * property that separates a runnable 100 TB stream-stream join
+    * from one whose state grows forever. Pairs are emitted append-
+    * mode; the per-user rollup happens batch-side on the sink.
+    */
+  def st05StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src() = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val views = src().filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val pairs = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS") &&
+        col("v_ts") <= col("p_ts"))
+    spark.catalog.dropTempView("st05_out")
+    val q = pairs.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("st05_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("st05_out")
+      .groupBy(col("p_user").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases_with_view"),
+        countDistinct(col("v_id")).as("n_distinct_views"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stateful_counts" -> (st02StatefulCounts _),
     "st03_stream_static_join" -> (st03StreamStaticJoin _),
-    "st04_stream_dedup" -> (st04StreamDedup _)
+    "st04_stream_dedup" -> (st04StreamDedup _),
+    "st05_stream_stream_join" -> (st05StreamStreamJoin _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    "st05_stream_stream_join" ->
+      """SELECT p.user_id AS user_id,
+        |  COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT p.event_id) AS n_purchases_with_view,
+        |  COUNT(DISTINCT v.event_id) AS n_distinct_views
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL 6 HOUR AND v.ts <= p.ts
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "st04_stream_dedup" ->
       """SELECT event_type,
         |  COUNT(*) AS n_events,

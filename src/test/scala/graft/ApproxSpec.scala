@@ -96,4 +96,19 @@ class ApproxSpec extends AnyFunSuite {
     val total = rows.map(_.getAs[Long]("n_events")).sum
     assert(total == Tables(spark, sf, "events").count())
   }
+
+  test("st05 stream-stream join equals the batch interval join") {
+    val streamed = EventStream.st05StreamStreamJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_pairs"))).toMap
+    val e = Tables(spark, sf, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val batch = p.join(v, col("pu") === col("vu") &&
+        col("vts") >= col("pts") - expr("INTERVAL 6 HOURS") && col("vts") <= col("pts"))
+      .groupBy(col("pu")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
 }
