@@ -106,6 +106,40 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** s07: multi-probe ANN SEARCH — the end-to-end query path on the
+    * s02/s06 bucket index: each query probes its own hyperplane
+    * bucket plus the 8 one-bit-flip neighbours, exact cosine runs
+    * only inside the probed buckets, top-5 per query. Queries are a
+    * bounded broadcast set; the corpus stays partitioned and is
+    * touched only where bucket ids match — ~9/256 of it per query at
+    * scale. Exactly oracle-checked on the same md5 hyperplanes.
+    */
+  def s07AnnMultiprobeTopk(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = emb(spark, dir)
+    val bucketed = e
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket"))
+      .persist()
+    val flips = lit(0) +: (0 until PLANES).map(p => lit(1 << p))
+    val probes = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(array(flips: _*)).as("flip"),
+        col("bucket"))
+      .select(col("qid"), col("qe"),
+        col("bucket").bitwiseXOR(col("flip")).as("probe_bucket"))
+    val hits = bucketed
+      .join(broadcast(probes),
+        col("bucket") === col("probe_bucket") && col("vec_id") =!= col("qid"))
+      .withColumn("sim", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    hits.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("vec_id").as("cid"), col("label"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** s03: IVF-style ANN — coarse quantization by per-label centroids
     * (stand-in for k-means cells), queries probe only their nearest
     * cell, exact cosine inside the cell. The corpus is scanned once to
@@ -224,6 +258,7 @@ object Similarity {
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
     "s06_ann_multiprobe" -> (s06AnnMultiprobe _),
+    "s07_ann_multiprobe_topk" -> (s07AnnMultiprobeTopk _),
     "s04_tfidf_search" -> (s04TfidfSearch _),
     "s05_vector_stats" -> (s05VectorStats _)
   )
@@ -269,6 +304,30 @@ object Similarity {
          |JOIN bucketed b ON sc.vec_id = b.vec_id
          |CROSS JOIN total t
          |ORDER BY b.vec_id""".stripMargin,
+    "s07_ann_multiprobe_topk" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, label, embedding,
+         |    (${graft.functions.Hyperplanes.bucketSql("embedding", 0, PLANES)}) AS bucket
+         |  FROM embeddings),
+         |probes AS (
+         |  SELECT vec_id AS qid, embedding AS qe, xor(bucket, flip) AS probe_bucket
+         |  FROM bucketed CROSS JOIN (
+         |    SELECT unnest([${(0 +: (0 until PLANES).map(1 << _).toList).mkString(", ")}]) AS flip)
+         |  WHERE vec_id < 10),
+         |hits AS (
+         |  SELECT p.qid, b.vec_id AS cid, b.label,
+         |    list_sum(list_transform(range(1, len(p.qe)+1),
+         |      i -> p.qe[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+         |    (sqrt(list_sum(list_transform(p.qe, x -> x::DOUBLE * x::DOUBLE))) *
+         |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+         |  FROM bucketed b JOIN probes p
+         |    ON b.bucket = p.probe_bucket AND b.vec_id <> p.qid)
+         |SELECT qid,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk,
+         |  cid, label, round(sim, 6) AS sim_r
+         |FROM hits
+         |QUALIFY rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
     // s03: full IVF pipeline mirrored — per-dimension mean centroids
     // (cast to FLOAT, same as the Spark side), nearest-centroid probe,
     // exact cosine inside the probed cell only.
