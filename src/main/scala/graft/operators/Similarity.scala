@@ -190,6 +190,58 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  private val KMEANS_K = 8
+
+  /** s08: TRUE k-means coarse quantization — the real IVF index build
+    * that s03's per-label cells stand in for. Deterministic
+    * end-to-end: init = the K vectors with smallest md5(vec_id) (a
+    * seedless, engine-reproducible draw), then two Lloyd iterations
+    * with cosine assignment (argmax sim, ties to the smaller cell id)
+    * and per-dimension-mean centroids cast to FLOAT (absorbs
+    * summation-order jitter — same parity pattern as s03). Every
+    * stage is a bounded broadcast (K centroids) against the
+    * partitioned corpus, so iteration cost is K·n map work + one
+    * small aggregate per round at any scale. Output = per-cell size
+    * and mean member-to-centroid similarity, decimal-summed for
+    * order-independent cross-engine parity.
+    */
+  def s08AnnKmeans(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = emb(spark, dir)
+    val seeds = e
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(KMEANS_K)
+    val init = seeds
+      .withColumn("cell_id",
+        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
+      .select(col("cell_id"), col("embedding").as("centroid"))
+    def assign(centroids: org.apache.spark.sql.DataFrame) = {
+      val scored = e.crossJoin(broadcast(centroids))
+        .withColumn("sim", GraftFunctions.cosineSim(col("embedding"), col("centroid")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell_id"), col("sim"))
+    }
+    def recompute(assigned: org.apache.spark.sql.DataFrame) =
+      assigned.select(col("cell_id"), posexplode(col("embedding")))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+        .groupBy(col("cell_id"), col("i")).agg(avg(col("x").cast("double")).as("cx"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
+        .select(col("cell_id"),
+          expr("transform(pairs, p -> CAST(p.cx AS FLOAT))").as("centroid"))
+    val round2 = assign(recompute(assign(init)))
+    round2.groupBy(col("cell_id"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(round(col("sim"), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("sim_sum"))
+      .select(col("cell_id"), col("n_vectors"),
+        (col("sim_sum").cast("double") / col("n_vectors").cast("double")).as("avg_sim"))
+      .orderBy(col("cell_id"))
+  }
+
   /** s04: TF-IDF relevance search — score every document against a
     * fixed query term set (tf × ln(N/df) per term, fixed-order scalar
     * sum so the double arithmetic is cross-engine exact), top-20.
@@ -259,11 +311,56 @@ object Similarity {
     "s03_ann_ivf" -> (s03AnnIvf _),
     "s06_ann_multiprobe" -> (s06AnnMultiprobe _),
     "s07_ann_multiprobe_topk" -> (s07AnnMultiprobeTopk _),
+    "s08_ann_kmeans" -> (s08AnnKmeans _),
     "s04_tfidf_search" -> (s04TfidfSearch _),
     "s05_vector_stats" -> (s05VectorStats _)
   )
 
+  // cosine(a, b) in DuckDB list arithmetic — the same formulation the
+  // native CosineSimExpr matches bit-for-bit (established by s01)
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"
+
   val oracles: Map[String, String] = Map(
+    // s08: the full 2-iteration Lloyd pipeline mirrored — md5-seeded
+    // init, cosine argmax assignment, FLOAT-cast mean centroids.
+    "s08_ann_kmeans" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id, embedding, md5(vec_id::VARCHAR) AS h
+         |  FROM embeddings ORDER BY h, vec_id LIMIT $KMEANS_K),
+         |init AS (
+         |  SELECT (ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1)::INT AS cell_id,
+         |    embedding AS centroid
+         |  FROM seeds),
+         |s1 AS (
+         |  SELECT e.vec_id, e.embedding, c.cell_id,
+         |    ${cosSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN init c),
+         |a1 AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cell_id) AS rn FROM s1) WHERE rn = 1),
+         |flat1 AS (
+         |  SELECT cell_id, i, a1.embedding[i]::DOUBLE AS x
+         |  FROM a1 CROSS JOIN range(1, 65) t(i)),
+         |cm1 AS (SELECT cell_id, i, avg(x) AS cx FROM flat1 GROUP BY 1, 2),
+         |cent1 AS (
+         |  SELECT cell_id,
+         |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid
+         |  FROM cm1 GROUP BY cell_id),
+         |s2 AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |    ${cosSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cent1 c),
+         |a2 AS (
+         |  SELECT vec_id, cell_id, sim FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cell_id) AS rn FROM s2) WHERE rn = 1)
+         |SELECT cell_id, COUNT(*) AS n_vectors,
+         |  CAST(SUM(CAST(round(sim, 6) AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_sim
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // s02: DuckDB recomputes the SAME md5-derived hyperplane buckets
     // (identical sign literals, identical sequential fold) — exact
     // hash check of the ANN bucket path.

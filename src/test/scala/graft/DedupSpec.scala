@@ -88,6 +88,25 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"s07 recall@5 dropped to $recall")
   }
 
+  test("s08 k-means partitions the corpus and cells are coherent") {
+    val cells = graft.operators.Similarity.s08AnnKmeans(spark, sf).collect()
+    assert(cells.length <= 8 && cells.nonEmpty)
+    // every vector lands in exactly one cell
+    assert(cells.map(_.getAs[Long]("n_vectors")).sum ==
+      Tables(spark, sf, "embeddings").count())
+    cells.foreach { r =>
+      val s = r.getAs[Double]("avg_sim")
+      assert(s >= -1.0 && s <= 1.0)
+    }
+    // Lloyd iteration produces meaningful clusters: members are on
+    // average closer to their centroid than random pairs are to each
+    // other (~0.0 on this corpus)
+    val weighted = cells.map(r =>
+      r.getAs[Double]("avg_sim") * r.getAs[Long]("n_vectors")).sum /
+      cells.map(_.getAs[Long]("n_vectors")).sum
+    assert(weighted > 0.05, s"mean member-centroid sim $weighted looks unclustered")
+  }
+
   test("d05 top pair is symmetric-ordered and ranked densely") {
     val rows = Dedup.d05EmbeddingDup(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("pair_rank")).toSeq == (1 to rows.length))
