@@ -205,6 +205,29 @@ object TpchSuite {
         col("promo_revenue"), col("total_revenue"))
   }
 
+  /** q49: skew-mitigated star join as a gated query — lineitem joined
+    * to orders through [[graft.operators.Skew.saltedJoin]] (the big
+    * side salted across 8 sub-keys, the dim side replicated per
+    * salt), then revenue by order priority. The salted result is
+    * identical to the plain join — the oracle is the UNSALTED SQL —
+    * while the physical shuffle spreads any hot orderkey over 8
+    * reducers instead of melting one. The explicit-salt path matters
+    * where AQE's skew split can't kick in (post-join aggregations,
+    * known-hot keys).
+    */
+  def q49SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.Skew.saltedJoin(l, o, "l_orderkey", 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** TPC-H Q15 shape: top supplier(s) by quarterly revenue — grouped
     * revenue, global max as a one-row aggregate broadcast back
     * (ties kept). NOT an empty-partition window: `Window.partitionBy()`
@@ -478,6 +501,7 @@ object TpchSuite {
   /** Driver-contract registration: query name → runner. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_null_semantics" -> (q47NullSemantics _),
+    "q49_salted_join" -> (q49SaltedJoin _),
     "q46_range_window" -> (q46RangeWindow _),
     "q44_dormant_customers" -> (q44DormantCustomers _),
     "q45_waiting_suppliers" -> (q45WaitingSuppliers _),
@@ -503,6 +527,16 @@ object TpchSuite {
 
   /** DuckDB-dialect oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    // q49: the oracle is the UNSALTED join — salting must be
+    // result-invariant, so any salt-induced row loss/duplication
+    // hash-mismatches here.
+    "q49_salted_join" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q47_null_semantics" ->
       """WITH base AS (
         |  SELECT *, CASE WHEN o_totalprice < 100000.0 THEN NULL
