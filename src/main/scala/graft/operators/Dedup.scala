@@ -205,13 +205,9 @@ object Dedup {
     * pipeline scales like a word count, never pairwise.
     */
   def d07Boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val gram5 = expr(
-      "transform(sequence(1, size(ts)-4), i -> concat_ws(' ', " +
-        "element_at(ts, i), element_at(ts, CAST(i+1 AS INT)), " +
-        "element_at(ts, CAST(i+2 AS INT)), element_at(ts, CAST(i+3 AS INT)), " +
-        "element_at(ts, CAST(i+4 AS INT))))")
+    val gram5 = expr(graft.functions.TextGrams.gramExpr("ts", 5))
     val grams = docs(spark, dir)
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+      .select(col("doc_id"), expr(graft.functions.TextGrams.tokensExpr("text")).as("ts"))
       .filter(size(col("ts")) >= 5)
       .select(col("doc_id"), explode(array_distinct(gram5)).as("g"))
     val boiler = grams.groupBy(col("g"))
@@ -492,14 +488,13 @@ object Dedup {
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "d07_boilerplate" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
-        |  FROM documents),
-        |g AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, len(ts) - 3),
-        |      i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4])) AS g5
-        |  FROM t WHERE len(ts) >= 5),
+      s"""WITH t AS (
+         |  SELECT doc_id, ${graft.functions.TextGrams.tokensSql("text")} AS ts
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(${graft.functions.TextGrams.gramSql("ts", 5)}) AS g5
+         |  FROM t WHERE len(ts) >= 5),
         |boiler AS (
         |  SELECT g5 FROM g GROUP BY g5 HAVING COUNT(DISTINCT doc_id) >= 3),
         |per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),

@@ -136,13 +136,9 @@ object Pipeline {
     * standard decontamination sweep before an LLM training run.
     */
   def p06ContaminationCheck(spark: SparkSession, dir: String): DataFrame = {
-    val gram5 = expr(
-      "transform(sequence(1, size(ts)-4), i -> concat_ws(' ', " +
-        "element_at(ts, i), element_at(ts, CAST(i+1 AS INT)), " +
-        "element_at(ts, CAST(i+2 AS INT)), element_at(ts, CAST(i+3 AS INT)), " +
-        "element_at(ts, CAST(i+4 AS INT))))")
+    val gram5 = expr(graft.functions.TextGrams.gramExpr("ts", 5))
     val grams = docs(spark, dir)
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+      .select(col("doc_id"), expr(graft.functions.TextGrams.tokensExpr("text")).as("ts"))
       .filter(size(col("ts")) >= 5)
       .select(col("doc_id"), explode(array_distinct(gram5)).as("g"))
     val bench = grams.filter(col("doc_id") % 13 === 0)
@@ -220,12 +216,10 @@ object Pipeline {
     * work (no shuffle, embarrassingly parallel at 100 TB).
     */
   def p09RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
-    val gram3 = expr(
-      "transform(sequence(1, size(ts)-2), i -> concat_ws(' ', " +
-        "element_at(ts, i), element_at(ts, CAST(i+1 AS INT)), " +
-        "element_at(ts, CAST(i+2 AS INT))))")
+    val gram3 = expr(graft.functions.TextGrams.gramExpr("ts", 3))
     docs(spark, dir)
-      .select(col("doc_id"), col("lang"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+      .select(col("doc_id"), col("lang"),
+        expr(graft.functions.TextGrams.tokensExpr("text")).as("ts"))
       .filter(size(col("ts")) >= 3)
       .withColumn("g3", gram3)
       .select(
@@ -261,15 +255,14 @@ object Pipeline {
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
     "p09_repetition_filter" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    string_split_regex(lower(trim(text)), '\s+') AS ts
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, lang, ts,
-        |    list_transform(range(1, len(ts) - 1),
-        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS g3
-        |  FROM t WHERE len(ts) >= 3),
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    ${graft.functions.TextGrams.tokensSql("text")} AS ts
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang, ts,
+         |    ${graft.functions.TextGrams.gramSql("ts", 3)} AS g3
+         |  FROM t WHERE len(ts) >= 3),
         |c AS (
         |  SELECT doc_id, lang,
         |    CAST(len(ts) AS BIGINT) AS n_tokens,
@@ -324,14 +317,13 @@ object Pipeline {
         |FROM tot t LEFT JOIN oov o ON t.lang = o.lang
         |ORDER BY t.lang""".stripMargin,
     "p06_contamination_check" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
-        |  FROM documents
-        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 5),
-        |raw AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)-3), i ->
-        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) AS g
-        |  FROM toks),
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${graft.functions.TextGrams.tokensSql("text")} AS ts
+         |  FROM documents
+         |  WHERE len(${graft.functions.TextGrams.tokensSql("text")}) >= 5),
+         |raw AS (
+         |  SELECT doc_id, unnest(${graft.functions.TextGrams.gramSql("ts", 5)}) AS g
+         |  FROM toks),
         |grams AS (SELECT DISTINCT doc_id, g FROM raw),
         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
         |per_doc AS (

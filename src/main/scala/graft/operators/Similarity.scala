@@ -117,10 +117,12 @@ object Similarity {
   def s07AnnMultiprobeTopk(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val e = emb(spark, dir)
+    // no persist here: the probe side's vec_id filter prunes before
+    // the projection folds run, and caching this table would pin the
+    // full embedding arrays for one extra fold pass saved
     val bucketed = e
       .select(col("vec_id"), col("label"), col("embedding"),
         graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket"))
-      .persist()
     val flips = lit(0) +: (0 until PLANES).map(p => lit(1 << p))
     val probes = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -145,10 +147,9 @@ object Similarity {
     * cell, exact cosine inside the cell. The corpus is scanned once to
     * build cells; each query touches |cell| ≈ n/k vectors instead of
     * n — the 100 TB ANN pattern. Exactly oracle-checked: every stage
-    * (per-dimension mean → FLOAT centroid, probe argmax, in-cell
-    * top-5) is deterministic and mirrored in DuckDB SQL; the FLOAT
-    * cast of the centroid absorbs summation-order jitter in the
-    * double mean.
+    * (decimal-accumulated per-dimension mean → FLOAT centroid, probe
+    * argmax, in-cell top-5) is deterministic — order-independent by
+    * construction — and mirrored in DuckDB SQL.
     *
     * Recall caveat (measured): on this near-random synthetic corpus
     * (within-label cosine ≈ cross-label) single-cell probing recalls
@@ -162,8 +163,13 @@ object Similarity {
     // coarse cells: per-dimension mean per label (the "centroid")
     val flat = e.select(col("vec_id"), col("label"), posexplode(col("embedding")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+    // decimal-accumulated mean (house exactness pattern): a raw
+    // double avg() depends on partial-merge order and is only
+    // PROBABILISTICALLY equal across engines/runs; decimal sum is
+    // exact and order-independent, one IEEE division after
     val centroids = flat.groupBy(col("label"), col("i"))
-      .agg(avg(col("x")).as("cx"))
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(27, 10)))
+        .cast("double") / count(lit(1))).as("cx"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
       .select(col("label").as("c_label"),
@@ -197,8 +203,8 @@ object Similarity {
     * end-to-end: init = the K vectors with smallest md5(vec_id) (a
     * seedless, engine-reproducible draw), then two Lloyd iterations
     * with cosine assignment (argmax sim, ties to the smaller cell id)
-    * and per-dimension-mean centroids cast to FLOAT (absorbs
-    * summation-order jitter — same parity pattern as s03). Every
+    * and decimal-accumulated per-dimension-mean centroids cast to
+    * FLOAT (order-independent — same parity pattern as s03). Every
     * stage is a bounded broadcast (K centroids) against the
     * partitioned corpus, so iteration cost is K·n map work + one
     * small aggregate per round at any scale. Output = per-cell size
@@ -226,7 +232,10 @@ object Similarity {
     def recompute(assigned: org.apache.spark.sql.DataFrame) =
       assigned.select(col("cell_id"), posexplode(col("embedding")))
         .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
-        .groupBy(col("cell_id"), col("i")).agg(avg(col("x").cast("double")).as("cx"))
+        // decimal-accumulated mean — order-independent, unlike avg()
+        .groupBy(col("cell_id"), col("i"))
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(27, 10)))
+          .cast("double") / count(lit(1))).as("cx"))
         .groupBy(col("cell_id"))
         .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
         .select(col("cell_id"),
@@ -345,7 +354,10 @@ object Similarity {
          |flat1 AS (
          |  SELECT cell_id, i, a1.embedding[i]::DOUBLE AS x
          |  FROM a1 CROSS JOIN range(1, 65) t(i)),
-         |cm1 AS (SELECT cell_id, i, avg(x) AS cx FROM flat1 GROUP BY 1, 2),
+         |cm1 AS (
+         |  SELECT cell_id, i,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
+         |  FROM flat1 GROUP BY 1, 2),
          |cent1 AS (
          |  SELECT cell_id,
          |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid
@@ -433,7 +445,9 @@ object Similarity {
         |  SELECT label, i, embedding[i]::DOUBLE AS x
         |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
         |cmeans AS (
-        |  SELECT label, i, avg(x) AS cx FROM flat GROUP BY label, i),
+        |  SELECT label, i,
+        |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
+        |  FROM flat GROUP BY label, i),
         |centroids AS (
         |  SELECT label AS c_label,
         |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid

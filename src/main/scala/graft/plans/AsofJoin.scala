@@ -67,13 +67,17 @@ case class AsofJoinExec(
     // Build the broadcast index: key -> rows sorted by (time, tiebreak).
     // Like Spark's own BroadcastExchange, the build side is collected
     // to the driver — and like it, that collect must fail LOUDLY past
-    // a cap instead of OOMing the driver at scale.
+    // a cap instead of OOMing the driver at scale. executeTake(cap+1),
+    // NOT executeCollect: take is incremental (scans partitions until
+    // it has enough rows), so an oversized side trips the cap without
+    // ever materializing more than cap+1 rows driver-side.
     val maxRows = conf.getConfString(AsofJoinExec.MAX_BUILD_ROWS_KEY,
       AsofJoinExec.MAX_BUILD_ROWS_DEFAULT.toString).toLong
-    val collected = right.executeCollect()
+    val takeN = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val collected = right.executeTake(takeN)
     if (collected.length > maxRows) {
       throw new IllegalStateException(
-        s"As-of join build side has ${collected.length} rows, over the " +
+        s"As-of join build side exceeds the " +
           s"${AsofJoinExec.MAX_BUILD_ROWS_KEY}=$maxRows cap. The right side is " +
           "collected into a driver-broadcast index - filter or pre-aggregate it " +
           "(or raise the cap if the driver genuinely has the memory).")

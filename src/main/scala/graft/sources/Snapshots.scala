@@ -194,13 +194,17 @@ object Snapshots {
     val dir = Paths.get(tableDir)
     if (!Files.exists(dir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val orphans = Files.list(dir).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("v="))
-      .flatMap(p => scala.util.Try(p.getFileName.toString.stripPrefix("v=").toLong)
-        .toOption.map(v => (v, p)))
-      .filter { case (v, p) =>
-        !committed(v) && Files.getLastModifiedTime(p).toMillis < cutoff
-      }.toSeq
+    val listing = Files.list(dir)
+    val orphans =
+      try {
+        listing.iterator().asScala
+          .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("v="))
+          .flatMap(p => scala.util.Try(p.getFileName.toString.stripPrefix("v=").toLong)
+            .toOption.map(v => (v, p)))
+          .filter { case (v, p) =>
+            !committed(v) && Files.getLastModifiedTime(p).toMillis < cutoff
+          }.toSeq
+      } finally listing.close()
     orphans.foreach { case (_, p) => deleteRecursively(p) }
     orphans.map(_._1).sorted
   }
@@ -211,14 +215,17 @@ object Snapshots {
     * [[expireSnapshots]] to reclaim the pre-compaction versions.
     */
   def compactLatest(spark: SparkSession, tableDir: String, numFiles: Int): Long = {
-    val latest = versions(tableDir).last
+    val vs = versions(tableDir)
+    require(vs.nonEmpty, s"nothing to compact: no snapshots at $tableDir")
     commit(read(spark, tableDir).repartition(numFiles), tableDir,
-      tag = Some(s"compact-of-v$latest"))
+      tag = Some(s"compact-of-v${vs.last}"))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 
