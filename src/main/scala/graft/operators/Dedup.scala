@@ -144,9 +144,17 @@ object Dedup {
   // each (OR-ed bands, AND within a band — classic banding). Candidate
   // volume ~ T·n²/2^B vs n²/2 all-pairs; B is the scale knob (grow it
   // with log2(n) to keep per-bucket size — and so per-bucket fanout —
-  // constant as the corpus grows).
-  private[operators] val EMB_TABLES = 10
-  private[operators] val EMB_PLANES = 5
+  // constant as the corpus grows). Deploy-tunable via system
+  // properties: query AND oracle both derive from these values at
+  // class init, so retuning can never de-synchronize the gate.
+  private[operators] val EMB_TABLES: Int = {
+    val t = sys.props.getOrElse("graft.lsh.tables", "10").toInt
+    require(t >= 1 && t <= 64, s"graft.lsh.tables out of range: $t"); t
+  }
+  private[operators] val EMB_PLANES: Int = {
+    val b = sys.props.getOrElse("graft.lsh.planes", "5").toInt
+    require(b >= 1 && b <= 24, s"graft.lsh.planes out of range: $b"); b
+  }
 
   /** d05: embedding-cosine near-dup — top-50 most-similar CANDIDATE
     * pairs, where candidates come from banded random-hyperplane LSH

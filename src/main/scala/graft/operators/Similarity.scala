@@ -42,7 +42,12 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  private val PLANES = 8
+  // deploy-tunable (s02/s06/s07 queries and oracles regenerate in
+  // lockstep from this value at class init — see Dedup.EMB_PLANES)
+  private val PLANES: Int = {
+    val p = sys.props.getOrElse("graft.lsh.query.planes", "8").toInt
+    require(p >= 1 && p <= 24, s"graft.lsh.query.planes out of range: $p"); p
+  }
 
   /** s02: random-hyperplane LSH — 8 deterministic hyperplanes
     * (md5-derived ±1 sign vectors, [[graft.functions.Hyperplanes]])
