@@ -194,16 +194,18 @@ object EventStream {
     */
   def st05StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src() = spark.readStream
+    // ONE source, two filtered branches (a stream self-join): the
+    // events scan runs once per micro-batch instead of once per side
+    val src = spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val purchases = src().filter(col("event_type") === "purchase")
+    val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"), col("value").as("p_value"))
       .withWatermark("p_ts", "1 hour")
-    val views = src().filter(col("event_type") === "view")
+    val views = src.filter(col("event_type") === "view")
       .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
         col("ts").as("v_ts"))
       .withWatermark("v_ts", "1 hour")
