@@ -19,7 +19,7 @@ class SqlParitySpec extends AnyFunSuite {
     "q30_profit_by_nation_year", "q32_customer_distribution",
     "q33_promo_revenue", "q34_top_supplier", "q36_disjunctive_revenue",
     "q37_parts_supplier_count", "q41_grouping_sets", "q44_dormant_customers",
-    "q45_waiting_suppliers", "q47_null_semantics")
+    "q45_waiting_suppliers", "q47_null_semantics", "q49_salted_join")
 
   test("ANSI oracles run verbatim through the SQL facade and match the DataFrame API") {
     Engine.open(spark, sf)
