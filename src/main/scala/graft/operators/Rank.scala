@@ -35,6 +35,8 @@ object Rank {
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column],
       rankCol: String = "row_num"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"rank column '$rankCol' collides with an input column - pass a different name")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     // one compiled physical plan → one shuffle, shared by both jobs
@@ -68,6 +70,8 @@ object Rank {
     */
   def globalRank(df: DataFrame, values: Seq[Column], order: Seq[Column],
       tiebreak: Seq[Column], rankCol: String = "rank"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"rank column '$rankCol' collides with an input column - pass a different name")
     val rn = globalRowNumber(df, order ++ tiebreak, "__rn")
     rn.withColumn(rankCol, min(col("__rn")).over(Window.partitionBy(values: _*)))
       .drop("__rn")

@@ -63,6 +63,8 @@ case class AsofJoinExec(
       s"as-of time/tiebreak must be integral or timestamp, got $other")
   }
 
+  private def isNullKey(v: Any): Boolean = v == null
+
   override protected def doExecute(): RDD[InternalRow] = {
     // Build the broadcast index: key -> rows sorted by (time, tiebreak).
     // Like Spark's own BroadcastExchange, the build side is collected
@@ -73,7 +75,10 @@ case class AsofJoinExec(
     // ever materializing more than cap+1 rows driver-side.
     val maxRows = conf.getConfString(AsofJoinExec.MAX_BUILD_ROWS_KEY,
       AsofJoinExec.MAX_BUILD_ROWS_DEFAULT.toString).toLong
-    val takeN = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    require(maxRows > 0, s"${AsofJoinExec.MAX_BUILD_ROWS_KEY} must be positive: $maxRows")
+    // clamp BEFORE the +1: a Long.MaxValue "unlimited" cap must not
+    // overflow into executeTake(0) and silently build an empty index
+    val takeN = (math.min(maxRows, Int.MaxValue - 1L) + 1L).toInt
     val collected = right.executeTake(takeN)
     if (collected.length > maxRows) {
       throw new IllegalStateException(
@@ -88,8 +93,18 @@ case class AsofJoinExec(
     val grouped = mutable.HashMap.empty[Any, mutable.ArrayBuffer[(Long, Long, InternalRow)]]
     collected.foreach { row =>
       val r = row.copy()
-      val entry = (toLong(rTime.eval(r)), toLong(rTie.eval(r)), r)
-      grouped.getOrElseUpdate(rKey.eval(r), mutable.ArrayBuffer.empty) += entry
+      val k = rKey.eval(r)
+      val t = rTime.eval(r)
+      val tb = rTie.eval(r)
+      // SQL join semantics: a NULL key never equals anything, and a
+      // NULL time can never satisfy `rightTime <= leftTime` — such
+      // rows are unmatchable, so they are dropped from the index
+      // (NOT filed under a shared null bucket, which would wrongly
+      // match NULL-keyed left rows to each other)
+      if (!isNullKey(k) && t != null && tb != null) {
+        grouped.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
+          ((toLong(t), toLong(tb), r))
+      }
     }
     val index: Map[Any, Array[(Long, Long, InternalRow)]] =
       grouped.map { case (k, buf) => k -> buf.sortBy(e => (e._1, e._2)).toArray }.toMap
@@ -106,8 +121,14 @@ case class AsofJoinExec(
       val proj = UnsafeProjection.create(outAttrs.map(_.asInstanceOf[Expression]), outAttrs)
       val idx = bc.value
       iter.map { lrow =>
-        val t = toLong(lTime.eval(lrow))
-        val arr = idx.getOrElse(lKey.eval(lrow), null)
+        val lt = lTime.eval(lrow)
+        val lk = lKey.eval(lrow)
+        // NULL left key or time: no right row can match (SQL
+        // semantics) — emit the NULL-padded outer row
+        val arr =
+          if (lk == null || lt == null) null
+          else idx.getOrElse(lk, null)
+        val t = if (lt == null) 0L else toLong(lt)
         var best: InternalRow = null
         if (arr != null) {
           // binary search: greatest position with time <= t

@@ -104,10 +104,14 @@ object Snapshots {
     v
   }
 
-  /** Write `df` as the next snapshot; returns the new version id.
-    * `tag` (no tabs/newlines) is recorded with the version and lets
-    * retrying writers detect an already-committed attempt via
-    * [[committedTags]].
+  /** Write `df` as the next snapshot; returns the committed version
+    * id. `tag` (no tabs/newlines) is recorded with the version and
+    * makes the commit IDEMPOTENT: if the tag is already in the
+    * manifest when this commit reaches the append (re-checked INSIDE
+    * the manifest lock — a zombie writer racing its replacement
+    * instance must not double-commit a batch), the existing version
+    * is returned and the freshly written directory is left as an
+    * orphan for [[vacuumOrphans]].
     */
   def commit(df: DataFrame, tableDir: String, tag: Option[String] = None): Long = {
     tag.foreach(t => require(!t.exists(c => c == '\t' || c == '\n'),
@@ -116,11 +120,36 @@ object Snapshots {
     val next = reserveVersion(tableDir)
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
     withManifestLock(tableDir) {
-      val line = tag.fold(next.toString)(t => s"$next\t$t")
-      Files.write(manifest(tableDir), s"$line\n".getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      val existing = tag.flatMap(t =>
+        manifestLines(tableDir).find(_._2.contains(t)).map(_._1))
+      existing.getOrElse {
+        val line = tag.fold(next.toString)(t => s"$next\t$t")
+        Files.write(manifest(tableDir), s"$line\n".getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        next
+      }
     }
-    next
+  }
+
+  /** Commit `df` only if `baseVersion` is still the latest at
+    * manifest-append time — the optimistic-concurrency primitive for
+    * read-modify-write committers ([[merge]], [[compactLatest]]).
+    * Returns None on conflict (the written directory becomes a
+    * vacuumable orphan; no manifest line appears).
+    */
+  private def commitIfLatest(df: DataFrame, tableDir: String, baseVersion: Long,
+      tag: Option[String]): Option[Long] = {
+    val next = reserveVersion(tableDir)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
+    withManifestLock(tableDir) {
+      if (!versions(tableDir).lastOption.contains(baseVersion)) None
+      else {
+        val line = tag.fold(next.toString)(t => s"$next\t$t")
+        Files.write(manifest(tableDir), s"$line\n".getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        Some(next)
+      }
+    }
   }
 
   /** Read a snapshot: `version < 0` → latest (time travel otherwise). */
@@ -142,12 +171,28 @@ object Snapshots {
     * `deleteWhen` (over update-row columns) adds the Iceberg
     * `WHEN MATCHED AND cond THEN DELETE` clause — the CDC tombstone
     * path applied storage-side.
+    *
+    * Read-modify-write is OPTIMISTIC (Iceberg's model): the merge is
+    * committed only if its base is still the latest version at
+    * append time; a lost race re-reads the new head and retries, so
+    * two concurrent mergers can never silently drop each other's
+    * updates.
     */
   def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
       keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
-    val merged = graft.operators.Merge.upsert(read(spark, tableDir), updates, keys, deleteWhen)
-    commit(merged, tableDir)
+    var attempts = 0
+    while (attempts < 5) {
+      val base = versions(tableDir).last
+      val merged = graft.operators.Merge.upsert(
+        read(spark, tableDir, base), updates, keys, deleteWhen)
+      commitIfLatest(merged, tableDir, base, tag = None) match {
+        case Some(v) => return v
+        case None => attempts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"merge lost $attempts optimistic commit races at $tableDir - serialize committers")
   }
 
   /** Expire all but the newest `keep` committed snapshots — the
@@ -217,8 +262,15 @@ object Snapshots {
   def compactLatest(spark: SparkSession, tableDir: String, numFiles: Int): Long = {
     val vs = versions(tableDir)
     require(vs.nonEmpty, s"nothing to compact: no snapshots at $tableDir")
-    commit(read(spark, tableDir).repartition(numFiles), tableDir,
-      tag = Some(s"compact-of-v${vs.last}"))
+    val base = vs.last
+    // optimistic: if another commit lands first, the compaction is
+    // stale — abandon it (the caller can re-run) rather than publish
+    // a higher version that omits the concurrent commit's rows
+    commitIfLatest(read(spark, tableDir, base).repartition(numFiles), tableDir,
+      base, tag = Some(s"compact-of-v$base")).getOrElse {
+      throw new IllegalStateException(
+        s"compactLatest lost an optimistic race at $tableDir (base v$base) - re-run")
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -239,13 +291,20 @@ object Snapshots {
     def hashed(v: Long, tag: String): DataFrame = {
       val df = read(spark, tableDir, v)
       val nonKey = df.columns.filterNot(keys.contains).sorted
-      // NULL-safe fingerprint: concat_ws silently SKIPS null args, so
-      // without per-column encoding (x, NULL) and (NULL, x) hash the
-      // same. Encode NULL as an explicit sentinel and keep separators
-      // as escapes ("\u0000"/"\u0001") — a raw control byte in source
-      // makes git treat the file as binary and hide it from review.
-      val cells = nonKey.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0001<null>")))
+      // NULL-safe, UNAMBIGUOUS fingerprint. concat_ws silently SKIPS
+      // null args, so NULLs get an explicit sentinel; and the escape/
+      // separator bytes are escaped INSIDE values first (\u0001 ->
+      // \u0001e, \u0000 -> \u0001s) — otherwise a value containing
+      // the separator shifts cell boundaries and two DIFFERENT rows
+      // can hash identically. The sentinel \u0001<null> cannot
+      // collide: any literal \u0001 in data was rewritten. (Escape
+      // sequences, not raw control bytes, keep this file reviewable.)
+      val cells = nonKey.map { c =>
+        val escaped = regexp_replace(
+          regexp_replace(col(c).cast("string"), "\u0001", "\u0001e"),
+          "\u0000", "\u0001s")
+        coalesce(escaped, lit("\u0001<null>"))
+      }
       df.select(keys.map(col) :+
         md5(concat_ws("\u0000", cells: _*)).as(s"${tag}_hash"): _*)
     }

@@ -38,10 +38,24 @@ object SnapshotSink {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val tag = s"batch=$batchId"
-        if (!Snapshots.committedTags(tableDir).contains(tag) && !batch.isEmpty) {
-          val shaped = if (filesPerBatch > 0) batch.coalesce(filesPerBatch) else batch
-          Snapshots.commit(shaped, tableDir, tag = Some(tag))
-          if (retainVersions > 0) { Snapshots.expireSnapshots(tableDir, retainVersions); () }
+        // fast-path skip for replays; the authoritative idempotency
+        // re-check happens INSIDE Snapshots.commit's manifest lock,
+        // which closes the zombie-writer double-commit window
+        if (!Snapshots.committedTags(tableDir).contains(tag)) {
+          // persist: the batch is read twice (emptiness probe + the
+          // parquet write) — without it the upstream pipeline runs
+          // twice per micro-batch
+          val cached = batch.persist()
+          try {
+            if (!cached.isEmpty) {
+              val shaped =
+                if (filesPerBatch > 0) cached.coalesce(filesPerBatch) else cached
+              Snapshots.commit(shaped, tableDir, tag = Some(tag))
+              if (retainVersions > 0) {
+                Snapshots.expireSnapshots(tableDir, retainVersions); ()
+              }
+            }
+          } finally { cached.unpersist(); () }
         }
       }
       .start()

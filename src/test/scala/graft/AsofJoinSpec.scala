@@ -81,6 +81,26 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(Asof.join(p, v, "user_id", "vu", "ts", "vts", "vid").count() > 0)
   }
 
+  test("NULL keys and NULL times follow SQL semantics: never match, never crash") {
+    import spark.implicits._
+    def ts(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.timestamp_micros(c)
+    val left = Seq((Some(1L), Some(10L), 100L), (None, Some(10L), 101L),
+      (Some(1L), None, 102L))
+      .toDF("k", "t", "lid").select(col("k"), ts(col("t")).as("t"), col("lid"))
+    val right = Seq((Some(1L), Some(5L), 7L), (None, Some(5L), 8L),
+      (Some(1L), None, 9L))
+      .toDF("rk", "rt", "rid").select(col("rk"), ts(col("rt")).as("rt"), col("rid"))
+    val got = Asof.join(left, right, "k", "rk", "t", "rt", "rid")
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // lid=100: k=1,t=10 matches rid=7 (rt=5 <= 10; the NULL-key and
+    // NULL-time right rows are unmatchable). lid=101: NULL left key
+    // must NOT match the NULL-key right row. lid=102: NULL left time
+    // matches nothing.
+    assert(got == Map(100L -> 7L, 101L -> -1L, 102L -> -1L))
+  }
+
   test("Asof.join rejects colliding column names and unknown columns") {
     val events = Tables(spark, sf, "events")
     val p = events.select("user_id", "event_id", "ts")

@@ -87,6 +87,56 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("same-tag commits are idempotent even without the caller's pre-check") {
+    val dir = tmp()
+    val base = Tables(spark, sf, "region")
+    val v1 = Snapshots.commit(base, dir, tag = Some("batch=7"))
+    // a zombie writer that skipped the fast-path check and committed
+    // anyway: the in-lock re-check must return the existing version
+    val v2 = Snapshots.commit(base.withColumn("x", lit(1)), dir, tag = Some("batch=7"))
+    assert(v1 == v2)
+    assert(Snapshots.versions(dir) == Seq(v1))
+    // the doomed write left only a vacuumable orphan
+    assert(Snapshots.vacuumOrphans(dir, minAgeMs = 0L).nonEmpty)
+  }
+
+  test("concurrent merges never silently drop each other's updates") {
+    val dir = tmp()
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("k", "s"), dir)
+    val merges = (1 to 4).map(i => Future {
+      Snapshots.merge(spark, dir, Seq((100 + i, s"m$i")).toDF("k", "s"), Seq("k"))
+    })
+    Await.result(Future.sequence(merges), 3.minutes)
+    val latest = Snapshots.read(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    // optimistic retry: ALL four merged keys must survive in the head
+    assert((1 to 4).forall(i => latest.get(100 + i).contains(s"m$i")), latest.toString)
+    assert(latest(1) == "a" && latest(2) == "b")
+  }
+
+  test("diff is unambiguous when values contain the separator bytes") {
+    val dir = tmp()
+    import spark.implicits._
+    // ("x\\u0000y", "z") vs ("x", "y\\u0000z"): an unescaped
+    // concat would produce the same joined string for both rows
+    Snapshots.commit(Seq((1, "x\u0000y", "z")).toDF("k", "a", "b"), dir)
+    Snapshots.commit(Seq((1, "x", "y\u0000z")).toDF("k", "a", "b"), dir)
+    val ops = Snapshots.diff(spark, dir, 1L, 2L, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(ops.get(1).contains("update"))
+    // and a literal escape-char value is not mistaken for NULL
+    val dir2 = tmp()
+    Snapshots.commit(Seq((1, Option("\u0001<null>"))).toDF("k", "a"), dir2)
+    Snapshots.commit(Seq((1, Option.empty[String])).toDF("k", "a"), dir2)
+    val ops2 = Snapshots.diff(spark, dir2, 1L, 2L, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(ops2.get(1).contains("update"))
+  }
+
   test("diff distinguishes rows that differ only in WHICH column is null") {
     val dir = tmp()
     import spark.implicits._
