@@ -44,14 +44,23 @@ object Dedup {
     * frequent-shingle prune that keeps this linear-ish at 100 TB.
     */
   def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // One shuffle builds the pruned inverted index: gram → bounded doc
-    // list (df cap 50). Pairs are then generated MAP-SIDE from each
-    // ≤50-element list (≤1225 pairs/gram) instead of an index self-join
-    // — no second shuffle of the index, bounded fanout at any scale.
+    // Two-pass pruned inverted index (same shape as d07): pass 1 is a
+    // pure count per (source, gram) — a partial-aggregating word count
+    // whose buffer is one long no matter how hot the gram — and only
+    // grams with df ≤ 50 survive the semi-join into pass 2's
+    // collect_list. Collecting FIRST and filtering after would
+    // materialize a hyper-frequent shingle's entire doc list (millions
+    // of ids at 100 TB) in a single aggregation buffer before dropping
+    // it. Pairs are then generated MAP-SIDE from each ≤50-element list
+    // (≤1225 pairs/gram) — no index self-join, bounded fanout.
     val sh = shingles(docs(spark, dir))
-    val grouped = sh.groupBy(col("source"), col("g"))
+    val keep = sh.groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50)
+      .select(col("source"), col("g"))
+    val grouped = sh.join(keep, Seq("source", "g"), "left_semi")
+      .groupBy(col("source"), col("g"))
       .agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) <= 50)
       .persist()
     val cnt = grouped.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

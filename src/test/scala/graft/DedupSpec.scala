@@ -43,6 +43,24 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"d05 recall@50 dropped to $recall")
   }
 
+  test("d02 df-prune precedes the doc-list aggregation (no unbounded buffer)") {
+    // The semi-join against the df<=50 gram set must sit BELOW the
+    // collect_list aggregate (feed it), so no aggregation buffer ever
+    // holds a hyper-frequent gram's full doc list. Tree plans print
+    // parents first, so the aggregate's index must be smaller.
+    val plan = Dedup.d02NgramJaccard(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val agg = plan.indexOf("collect_list")
+    val semi = plan.indexOf("LeftSemi")
+    assert(agg >= 0 && semi >= 0, "expected collect_list fed by a df semi-join")
+    assert(semi > agg, "df semi-join must feed the collect_list aggregate")
+    // (a bare `size(docs) > 0` appears from InferFiltersFromGenerate
+    // under the later explode — benign; the hazard is the df CAP
+    // applied to the already-collected list)
+    assert(!"size\\(docs[^)]*\\) <=".r.findFirstIn(plan).isDefined,
+      "post-aggregation size filter has returned (unbounded buffer hazard)")
+  }
+
   test("d07 boilerplate accounting is consistent and bounded") {
     val rows = Dedup.d07Boilerplate(spark, sf).collect()
     assert(rows.length == Tables(spark, sf, "documents")
