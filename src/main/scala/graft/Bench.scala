@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * Prints ONE JSON line for the driver.
   */
 object Bench {
+  /** Short ids benched in round 3 — update each round after the
+    * driver snapshots BENCH_r{N}.json (basis of total_shared_prev). */
+  private val PREV_ROUND_IDS: Set[String] =
+    ((1 to 49).map(i => f"q$i%02d") ++ (1 to 9).map(i => f"t$i%02d") ++
+      (1 to 7).map(i => f"d$i%02d") ++ (1 to 8).map(i => f"s$i%02d") ++
+      (1 to 9).map(i => f"p$i%02d") ++ (1 to 3).map(i => f"m$i%02d") ++
+      (1 to 3).map(i => f"a$i%02d") ++ (1 to 5).map(i => f"st$i%02d")).toSet
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,12 +29,15 @@ object Bench {
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      spark.catalog.clearCache() // release per-query persisted intermediates
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // untimed; keeps later queries unpressured
+      name -> dt
     }
     // Keep the JSON line SHORT (short ids, 3-decimal secs): the driver
     // captures only a bounded tail of stdout and must json-parse this
@@ -38,7 +49,12 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Like-for-like subtotal over the PREVIOUS round's query set, so
+    // round-over-round regressions aren't masked by operator growth.
+    val sharedPrev = results
+      .filter { case (k, _) => PREV_ROUND_IDS(k.takeWhile(_ != '_')) }
+      .map(_._2).sum
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","total_shared_prev":${s3(sharedPrev)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,9 +45,14 @@ object Approx {
     perLang.select(col("lang"), col("sk"), col("exact_distinct"), col("n_docs"))
       .unionAll(all)
       .withColumn("approx_distinct", expr("hll_sketch_estimate(sk)"))
+      // 10% ≈ 6σ for default lgK=12 HLL (RSE ≈ 1.6%): sampling noise
+      // cannot trip the exact-hash gate, while a genuinely broken
+      // sketch (order-of-magnitude drift) still fails it. (a03 needs
+      // no such margin: approx_percentile's rank bound is
+      // DETERMINISTIC at ε=1/accuracy.)
       .withColumn("within_bound",
         abs(col("approx_distinct") - col("exact_distinct")).cast("double") <=
-          lit(0.05) * col("exact_distinct").cast("double"))
+          lit(0.10) * col("exact_distinct").cast("double"))
       .select(col("lang"), col("n_docs"), col("exact_distinct"), col("within_bound"))
       .orderBy(col("lang"))
   }

@@ -35,6 +35,7 @@ import org.apache.spark.sql.functions._
 object Snapshots {
 
   private def manifest(tableDir: String) = Paths.get(tableDir, "_manifest")
+  private def tagsLedger(tableDir: String) = Paths.get(tableDir, "_tags")
 
   /** Manifest lines parsed to (version, optional tag), file order. */
   private def manifestLines(tableDir: String): Seq[(Long, Option[String])] = {
@@ -54,11 +55,36 @@ object Snapshots {
   def versions(tableDir: String): Seq[Long] =
     manifestLines(tableDir).map(_._1).distinct.sorted
 
+  /** The append-only tag ledger: `version\ttag` per tagged commit.
+    * Kept SEPARATE from the manifest so [[expireSnapshots]] (which
+    * rewrites the manifest to the newest `keep` versions) can never
+    * trim the idempotency history — a batch replayed from an old
+    * checkpoint after its version expired must still be recognized
+    * as already committed, not re-applied as new data.
+    */
+  private def ledgerEntries(tableDir: String): Seq[(Long, String)] = {
+    val t = tagsLedger(tableDir)
+    if (!Files.exists(t)) Seq.empty
+    else Files.readAllLines(t, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).flatMap { line =>
+        val parts = line.split('\t')
+        parts.lift(1).map(tag => (parts(0).toLong, tag))
+      }
+  }
+
+  private def appendTag(tableDir: String, version: Long, tag: String): Unit =
+    Files.write(tagsLedger(tableDir),
+      s"$version\t$tag\n".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
   /** Tags of committed versions — the idempotency ledger for
     * at-least-once writers (see [[graft.streaming.SnapshotSink]]).
+    * Union of live manifest tags and the append-only `_tags` ledger,
+    * so retention ([[expireSnapshots]]) never forgets a tag.
     */
   def committedTags(tableDir: String): Set[String] =
-    manifestLines(tableDir).flatMap(_._2).toSet
+    manifestLines(tableDir).flatMap(_._2).toSet ++
+      ledgerEntries(tableDir).map(_._2)
 
   // FileChannel locks are held per-JVM: a second thread in the same
   // JVM (parallel test committers, streaming writers sharing a
@@ -120,12 +146,16 @@ object Snapshots {
     val next = reserveVersion(tableDir)
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
     withManifestLock(tableDir) {
+      // consult the ledger too: an EXPIRED tagged version must still
+      // block a replay (its data already flowed downstream once)
       val existing = tag.flatMap(t =>
-        manifestLines(tableDir).find(_._2.contains(t)).map(_._1))
+        manifestLines(tableDir).find(_._2.contains(t)).map(_._1)
+          .orElse(ledgerEntries(tableDir).find(_._2 == t).map(_._1)))
       existing.getOrElse {
         val line = tag.fold(next.toString)(t => s"$next\t$t")
         Files.write(manifest(tableDir), s"$line\n".getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        tag.foreach(t => appendTag(tableDir, next, t))
         next
       }
     }
@@ -147,6 +177,7 @@ object Snapshots {
         val line = tag.fold(next.toString)(t => s"$next\t$t")
         Files.write(manifest(tableDir), s"$line\n".getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        tag.foreach(t => appendTag(tableDir, next, t))
         Some(next)
       }
     }
@@ -181,6 +212,7 @@ object Snapshots {
   def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
       keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+    require(versions(tableDir).nonEmpty, s"no snapshots at $tableDir")
     var attempts = 0
     while (attempts < 5) {
       val base = versions(tableDir).last

@@ -164,6 +164,32 @@ class SnapshotsSpec extends AnyFunSuite {
       Snapshots.commit(base, dir, tag = Some("bad\ttag")))
   }
 
+  test("commit tags survive snapshot expiry (replay after retention is still skipped)") {
+    val dir = tmp()
+    val base = Tables(spark, sf, "region")
+    (0 to 3).foreach(i =>
+      Snapshots.commit(base.withColumn("gen", lit(i)), dir, tag = Some(s"batch=$i")))
+    // retention trims batch=0/1 out of the manifest...
+    assert(Snapshots.expireSnapshots(dir, keep = 2) == Seq(1L, 2L))
+    // ...but the tag ledger still remembers them
+    assert(Snapshots.committedTags(dir) ==
+      Set("batch=0", "batch=1", "batch=2", "batch=3"))
+    // a zombie writer replaying the expired batch gets the original
+    // version id back and commits NOTHING new
+    val v = Snapshots.commit(base.withColumn("gen", lit(0)), dir, tag = Some("batch=0"))
+    assert(v == 1L)
+    assert(Snapshots.versions(dir) == Seq(3L, 4L))
+    assert(Snapshots.read(spark, dir).agg(max(col("gen"))).head.getInt(0) == 3)
+  }
+
+  test("merge on an uninitialized table fails with a clear message") {
+    val dir = tmp()
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException](
+      Snapshots.merge(spark, dir, Seq((1, "a")).toDF("k", "s"), Seq("k")))
+    assert(e.getMessage.contains("no snapshots"))
+  }
+
   test("concurrent committers never clobber or duplicate a version") {
     val dir = tmp()
     val base = Tables(spark, sf, "region")
