@@ -18,7 +18,8 @@ object SparkEntry {
     Relational.queries ++ Advanced.queries ++ TpchSuite.queries ++
       Merge.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Pipeline.queries ++
-      Approx.queries ++ EventStream.queries
+      Approx.queries ++ EventStream.queries ++
+      graft.pipeline.AnalyticsDag.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check.
@@ -27,5 +28,6 @@ object SparkEntry {
     Relational.oracles ++ Advanced.oracles ++ TpchSuite.oracles ++
       Merge.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
-      Approx.oracles ++ EventStream.oracles
+      Approx.oracles ++ EventStream.oracles ++
+      graft.pipeline.AnalyticsDag.oracles
 }

@@ -1,0 +1,235 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** The reference's analytics DAG re-expressed as [[Runner]] models —
+  * staging cleanses feeding two marts, exactly the dependency graph
+  * dbt materializes for it (dag/dbt_analytics_pipeline.py:81-119;
+  * models: staging/stg_users.sql, staging/stg_orders.sql,
+  * marts/user_order_summary.sql, marts/daily_order_metrics.sql).
+  *
+  *   customer ──▶ stg_users ──┐
+  *                            ├──▶ user_order_summary   (table)
+  *   orders ───▶ stg_orders ──┤
+  *                            └──▶ daily_order_metrics  (incremental,
+  *                                                       key=metric_date)
+  *
+  * Builders take their INPUT DataFrames (resolved by the runner from
+  * the warehouse / sources), so the same logic serves the first full
+  * build and every incremental refresh.
+  */
+object AnalyticsDag {
+
+  /** stg_orders (staging/stg_orders.sql:33-50): TRIM/UPPER status,
+    * CAST DATE, size bucket, date parts. Pure projection — no shuffle.
+    */
+  def stgOrders(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      col("o_custkey"),
+      col("o_totalprice"),
+      to_date(col("o_orderdate")).as("order_date"),
+      upper(trim(col("o_orderstatus"))).as("status"),
+      when(col("o_totalprice") < 50000.0, "Small")
+        .when(col("o_totalprice") < 200000.0, "Medium")
+        .otherwise("Large").as("order_size"))
+
+  /** stg_users (staging/stg_users.sql:26-45): TRIM name, split parts,
+    * LOWER(TRIM(email)), UPPER segment, banded stage CASE.
+    */
+  def stgUsers(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_custkey").as("user_id"),
+      trim(col("c_name")).as("full_name"),
+      lower(trim(concat(col("c_name"), lit("@"), col("c_mktsegment"),
+        lit(".example.com")))).as("email"),
+      upper(trim(col("c_mktsegment"))).as("segment"),
+      when(col("c_acctbal") < 0.0, "Debt")
+        .when(col("c_acctbal") < 5000.0, "Building")
+        .otherwise("Established").as("balance_stage"))
+
+  /** daily_order_metrics (marts/daily_order_metrics.sql:17-62):
+    * per-day conditional counts, distinct customers, guarded rates.
+    * On incremental runs only days >= the mart's current frontier are
+    * recomputed (the model's own `is_incremental()` WHERE clause,
+    * daily_order_metrics.sql:33-36) — the frontier day itself is
+    * re-aggregated in full and MERGEd, so late rows on the boundary
+    * day can never be double counted. The frontier is a 1-row
+    * broadcast, not a driver-side collect.
+    */
+  def dailyOrderMetrics(stgOrders: DataFrame,
+      existing: Option[DataFrame]): DataFrame = {
+    val base = existing match {
+      case Some(cur) =>
+        val frontier = cur.agg(max(col("metric_date")).as("__frontier"))
+        stgOrders.join(broadcast(frontier))
+          .filter(col("order_date") >= col("__frontier"))
+          .drop("__frontier")
+      case None => stgOrders
+    }
+    base.groupBy(col("order_date").as("metric_date"))
+      .agg(
+        count(lit(1)).as("total_orders"),
+        count(when(col("status") === "F", 1)).as("finished_orders"),
+        count(when(col("status") === "O", 1)).as("open_orders"),
+        count(when(col("status") === "P", 1)).as("pending_orders"),
+        countDistinct(col("o_custkey")).as("unique_customers"),
+        dsum(col("o_totalprice")).as("total_revenue"),
+        dsum(when(col("status") === "F", col("o_totalprice"))).as("finished_revenue"),
+        davg(col("o_totalprice")).as("avg_order_value"),
+        min(col("o_totalprice")).as("min_order_value"),
+        max(col("o_totalprice")).as("max_order_value"))
+      .withColumn("completion_rate_pct", pct(col("finished_orders"), col("total_orders")))
+      .withColumn("revenue_per_customer", ratio(col("total_revenue"), col("unique_customers")))
+  }
+
+  /** user_order_summary (marts/user_order_summary.sql:16-60): dim⋈fact
+    * LEFT JOIN over the two staging models, conditional aggs, global
+    * revenue rank (distributed [[graft.operators.Rank]] — never a
+    * single-partition window), per-segment rank, tier CASE.
+    */
+  def userOrderSummary(stgUsers: DataFrame, stgOrders: DataFrame): DataFrame = {
+    val um = stgUsers.join(stgOrders,
+        stgUsers("user_id") === stgOrders("o_custkey"), "left")
+      .groupBy(col("user_id"), col("full_name"), col("segment"), col("balance_stage"))
+      .agg(
+        count(col("o_orderkey")).as("total_orders"),
+        count(when(col("status") === "F", 1)).as("finished_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_revenue"),
+        coalesce(dsum(when(col("status") === "F", col("o_totalprice"))), lit(0.0))
+          .as("finished_revenue"),
+        min(col("order_date")).as("first_order_date"),
+        max(col("order_date")).as("last_order_date"))
+      .withColumn("avg_order_value", ratio(col("total_revenue"), col("total_orders")))
+    val wSeg = Window.partitionBy(col("segment"))
+      .orderBy(col("total_revenue").desc, col("user_id"))
+    graft.operators.Rank.globalRowNumber(um,
+        Seq(col("total_revenue").desc, col("user_id")), "revenue_rank")
+      .withColumn("segment_revenue_rank", row_number().over(wSeg))
+      .withColumn("customer_tier",
+        when(col("total_orders") === 0, "No Orders")
+          .when(col("total_orders") === 1, "New Customer")
+          .when(col("total_orders") <= 5, "Regular Customer")
+          .otherwise("VIP Customer"))
+  }
+
+  /** The DAG itself, sources = raw `customer` + `orders`. */
+  def models: Seq[Model] = Seq(
+    Model("stg_users", Seq("customer"), Materialization.Table,
+      (in, _) => stgUsers(in("customer"))),
+    Model("stg_orders", Seq("orders"), Materialization.Table,
+      (in, _) => stgOrders(in("orders"))),
+    Model("daily_order_metrics", Seq("stg_orders"),
+      Materialization.Incremental(Seq("metric_date")),
+      (in, cur) => dailyOrderMetrics(in("stg_orders"), cur)),
+    Model("user_order_summary", Seq("stg_users", "stg_orders"),
+      Materialization.Table,
+      (in, _) => userOrderSummary(in("stg_users"), in("stg_orders"))))
+
+  private def freshWarehouse(): String =
+    java.nio.file.Files.createTempDirectory("graft-wh").toString
+
+  /** q50: the DAG end-to-end INCLUDING the incremental path — a
+    * backfill run over orders before 1996, then a second run over the
+    * full source (staging full-refreshes; the daily mart MERGEs the
+    * frontier + tail days in). Output = the daily mart read back from
+    * the versioned store; its oracle is the composed staging→mart SQL
+    * over the full source, so the gate proves backfill + incremental
+    * refresh == one full recompute.
+    */
+  def q50PipelineRun(spark: SparkSession, dir: String): DataFrame = {
+    val runner = new Runner(spark, freshWarehouse())
+    val orders = Tables(spark, dir, "orders")
+    val sources0 = Map(
+      "customer" -> Tables(spark, dir, "customer"),
+      "orders" -> orders.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")))
+    runner.run(models, sources0)
+    runner.run(models, Map(
+      "customer" -> Tables(spark, dir, "customer"),
+      "orders" -> orders))
+    runner.readModel("daily_order_metrics").orderBy(col("metric_date"))
+  }
+
+  /** q52: one full DAG run; output = the user_order_summary mart read
+    * back from the store (the reference's flagship mart), oracle = the
+    * composed stg_users + stg_orders → mart SQL.
+    */
+  def q52PipelineMart(spark: SparkSession, dir: String): DataFrame = {
+    val runner = new Runner(spark, freshWarehouse())
+    runner.run(models, Map(
+      "customer" -> Tables(spark, dir, "customer"),
+      "orders" -> Tables(spark, dir, "orders")))
+    runner.readModel("user_order_summary").orderBy(col("revenue_rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_pipeline_run" -> (q50PipelineRun _),
+    "q52_pipeline_mart" -> (q52PipelineMart _)
+  )
+
+  /** Composed staging→mart SQL — what a dbt compile of the DAG's
+    * lineage would flatten to (DuckDB dialect).
+    */
+  val oracles: Map[String, String] = Map(
+    "q50_pipeline_run" ->
+      """WITH stg AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(o_orderdate AS DATE) AS order_date,
+        |    UPPER(TRIM(o_orderstatus)) AS status
+        |  FROM orders),
+        |agg AS (
+        |  SELECT order_date AS metric_date,
+        |    COUNT(*) AS total_orders,
+        |    COUNT(CASE WHEN status = 'F' THEN 1 END) AS finished_orders,
+        |    COUNT(CASE WHEN status = 'O' THEN 1 END) AS open_orders,
+        |    COUNT(CASE WHEN status = 'P' THEN 1 END) AS pending_orders,
+        |    COUNT(DISTINCT o_custkey) AS unique_customers,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |    CAST(SUM(CASE WHEN status = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS finished_revenue,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(o_totalprice) AS avg_order_value,
+        |    MIN(o_totalprice) AS min_order_value,
+        |    MAX(o_totalprice) AS max_order_value
+        |  FROM stg GROUP BY 1)
+        |SELECT *,
+        |  CAST(finished_orders AS DOUBLE)*100.0/NULLIF(CAST(total_orders AS DOUBLE),0) AS completion_rate_pct,
+        |  total_revenue/NULLIF(CAST(unique_customers AS DOUBLE),0) AS revenue_per_customer
+        |FROM agg ORDER BY metric_date""".stripMargin,
+    "q52_pipeline_mart" ->
+      """WITH su AS (
+        |  SELECT c_custkey AS user_id, trim(c_name) AS full_name,
+        |    upper(trim(c_mktsegment)) AS segment,
+        |    CASE WHEN c_acctbal < 0.0 THEN 'Debt'
+        |         WHEN c_acctbal < 5000.0 THEN 'Building'
+        |         ELSE 'Established' END AS balance_stage
+        |  FROM customer),
+        |so AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(o_orderdate AS DATE) AS order_date,
+        |    UPPER(TRIM(o_orderstatus)) AS status
+        |  FROM orders),
+        |um AS (
+        |  SELECT u.user_id, u.full_name, u.segment, u.balance_stage,
+        |    COUNT(o.o_orderkey) AS total_orders,
+        |    COUNT(CASE WHEN o.status = 'F' THEN 1 END) AS finished_orders,
+        |    COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_revenue,
+        |    COALESCE(CAST(SUM(CASE WHEN o.status = 'F' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS finished_revenue,
+        |    MIN(o.order_date) AS first_order_date,
+        |    MAX(o.order_date) AS last_order_date
+        |  FROM su u LEFT JOIN so o ON u.user_id = o.o_custkey
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT *,
+        |  total_revenue/NULLIF(CAST(total_orders AS DOUBLE),0) AS avg_order_value,
+        |  ROW_NUMBER() OVER (ORDER BY total_revenue DESC, user_id) AS revenue_rank,
+        |  ROW_NUMBER() OVER (PARTITION BY segment ORDER BY total_revenue DESC, user_id) AS segment_revenue_rank,
+        |  CASE WHEN total_orders = 0 THEN 'No Orders'
+        |       WHEN total_orders = 1 THEN 'New Customer'
+        |       WHEN total_orders <= 5 THEN 'Regular Customer'
+        |       ELSE 'VIP Customer' END AS customer_tier
+        |FROM um ORDER BY revenue_rank""".stripMargin
+  )
+}

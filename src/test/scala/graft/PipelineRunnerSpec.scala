@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{AnalyticsDag, Materialization, Model, Runner}
+import graft.sources.Snapshots
+
+/** DAG runner semantics: dependency order, ref() reads the store,
+  * incremental == full recompute, on_schema_change=fail, cycles.
+  */
+class PipelineRunnerSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-wh").toString
+
+  private def sources(ordersFilter: Option[org.apache.spark.sql.Column]) = Map(
+    "customer" -> Tables(spark, sf, "customer"),
+    "orders" -> ordersFilter.foldLeft(Tables(spark, sf, "orders"))(_.filter(_)))
+
+  test("models materialize in dependency order, staging before marts") {
+    val runner = new Runner(spark, tmp())
+    val report = runner.run(AnalyticsDag.models, sources(None))
+    val pos = report.map(_.name).zipWithIndex.toMap
+    assert(pos("stg_users") < pos("user_order_summary"))
+    assert(pos("stg_orders") < pos("user_order_summary"))
+    assert(pos("stg_orders") < pos("daily_order_metrics"))
+    assert(report.forall(_.mode == "full")) // first run = full builds
+    // every model is a readable v1 snapshot in the warehouse
+    AnalyticsDag.models.foreach { m =>
+      assert(Snapshots.versions(runner.tableDir(m.name)) == Seq(1L))
+    }
+  }
+
+  test("backfill + incremental refresh == one full recompute (the q21 property, end-to-end)") {
+    val whInc = new Runner(spark, tmp())
+    whInc.run(AnalyticsDag.models,
+      sources(Some(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))))
+    val r2 = whInc.run(AnalyticsDag.models, sources(None))
+    assert(r2.find(_.name == "daily_order_metrics").get.mode == "merge")
+
+    val whFull = new Runner(spark, tmp())
+    whFull.run(AnalyticsDag.models, sources(None))
+
+    val inc = whInc.readModel("daily_order_metrics")
+    val full = whFull.readModel("daily_order_metrics")
+    assert(inc.count() == full.count())
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    // and the incremental mart kept its backfill history (2 versions)
+    assert(Snapshots.versions(whInc.tableDir("daily_order_metrics")).size == 2)
+  }
+
+  test("incremental runs only reprocess days at/after the mart frontier") {
+    val runner = new Runner(spark, tmp())
+    runner.run(AnalyticsDag.models,
+      sources(Some(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))))
+    val frontier = runner.readModel("daily_order_metrics")
+      .agg(max(col("metric_date"))).head.getDate(0)
+    // the second run's daily build must filter, not rescan history:
+    // plan the incremental build directly and check its row span
+    val stg = AnalyticsDag.stgOrders(Tables(spark, sf, "orders"))
+    val incBuild = AnalyticsDag.dailyOrderMetrics(stg,
+      Some(runner.readModel("daily_order_metrics")))
+    val minProcessed = incBuild.agg(min(col("metric_date"))).head.getDate(0)
+    assert(!minProcessed.before(frontier),
+      s"incremental build reprocessed $minProcessed before frontier $frontier")
+  }
+
+  test("on_schema_change=fail: incremental schema drift aborts the run") {
+    val runner = new Runner(spark, tmp())
+    val base = Model("m", Seq("src"), Materialization.Incremental(Seq("k")),
+      (in, _) => in("src"))
+    import spark.implicits._
+    runner.run(Seq(base), Map("src" -> Seq((1, "a")).toDF("k", "v")))
+    val drifted = Seq((1, "a", 0.5)).toDF("k", "v", "extra")
+    val e = intercept[IllegalArgumentException](
+      runner.run(Seq(base), Map("src" -> drifted)))
+    assert(e.getMessage.contains("on_schema_change"))
+  }
+
+  test("cycles and unresolved deps fail fast, before any write") {
+    val runner = new Runner(spark, tmp())
+    import spark.implicits._
+    val src = Map("src" -> Seq((1, "a")).toDF("k", "v"))
+    val a = Model("a", Seq("b"), Materialization.Table, (in, _) => in("b"))
+    val b = Model("b", Seq("a"), Materialization.Table, (in, _) => in("a"))
+    assert(intercept[IllegalArgumentException](
+      runner.run(Seq(a, b), src)).getMessage.contains("cycle"))
+    val dangling = Model("c", Seq("nope"), Materialization.Table, (in, _) => in("nope"))
+    assert(intercept[IllegalArgumentException](
+      runner.run(Seq(dangling), src)).getMessage.contains("unresolved"))
+    // nothing was materialized
+    AnalyticsDag.models.foreach(m =>
+      assert(Snapshots.versions(runner.tableDir(m.name)).isEmpty))
+  }
+
+  test("downstream models consume the MATERIALIZED upstream (ref semantics)") {
+    val runner = new Runner(spark, tmp())
+    import spark.implicits._
+    val up = Model("up", Seq("src"), Materialization.Table, (in, _) => in("src"))
+    val down = Model("down", Seq("up"), Materialization.Table,
+      (in, _) => in("up").agg(count(lit(1)).as("n")))
+    runner.run(Seq(up, down), Map("src" -> Seq(1, 2, 3).toDF("x")))
+    // partial run (`dbt --models down`): `up` is neither in the model
+    // list nor a source — it must resolve to the STORED table
+    runner.run(Seq(down), Map.empty)
+    assert(runner.readModel("down").head.getLong(0) == 3L)
+    assert(Snapshots.versions(runner.tableDir("down")).size == 2)
+  }
+}
