@@ -58,10 +58,10 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50)
       .select(col("source"), col("g"))
-    val grouped = sh.join(keep, Seq("source", "g"), "left_semi")
-      .groupBy(col("source"), col("g"))
-      .agg(collect_list(col("doc_id")).as("docs"))
-      .persist()
+    val grouped = graft.Caches.scoped(
+      sh.join(keep, Seq("source", "g"), "left_semi")
+        .groupBy(col("source"), col("g"))
+        .agg(collect_list(col("doc_id")).as("docs")))
     val cnt = grouped.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairArr = expr(
@@ -188,12 +188,13 @@ object Dedup {
       struct(lit(t).as("t"),
         graft.functions.Hyperplanes.bucketCol("embedding", t, EMB_PLANES).as("bucket"))
     }
-    // persist: the bucket table (n·T rows, 3 narrow columns) feeds
-    // both sides of the self-join — without it the T·B projection
-    // folds run twice per vector (measured 2.4 s → 0.7 s at sf0.1)
-    val buckets = e.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-      .persist()
+    // scoped persist: the bucket table (n·T rows, 3 narrow columns)
+    // feeds both sides of the self-join — without it the T·B
+    // projection folds run twice per vector (measured 2.4 s → 0.7 s at
+    // sf0.1); released after the query's terminal action
+    val buckets = graft.Caches.scoped(
+      e.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket")))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
@@ -342,6 +343,13 @@ object Dedup {
       labels = next.select(col("doc_id"), col("label"))
       round += 1
     }
+    // cache hygiene: sig and pairs were consumed when round 1
+    // materialized edges — free them now; edges still feeds the
+    // singleton anti-join below, so its release is deferred until the
+    // caller's terminal action completes (Caches)
+    sig.unpersist(blocking = false)
+    pairs.unpersist(blocking = false)
+    graft.Caches.deferRelease(edges)
     val singletons = d.select(col("doc_id"))
       .join(edges.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))

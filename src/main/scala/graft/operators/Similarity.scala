@@ -59,12 +59,12 @@ object Similarity {
     * hash-checked.
     */
   def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    // persist: bucketed feeds the size roll-up AND the final join —
-    // one pass over the projection folds instead of two
-    val bucketed = emb(spark, dir)
+    // scoped persist: bucketed feeds the size roll-up AND the final
+    // join — one pass over the projection folds instead of two; the
+    // cache is released after the query's terminal action (Caches)
+    val bucketed = graft.Caches.scoped(emb(spark, dir)
       .select(col("vec_id"), col("label"),
-        graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket"))
-      .persist()
+        graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket")))
     val sizes = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
     bucketed.join(sizes, Seq("bucket"))
       .withColumn("n_candidates", col("bucket_size") - 1)
@@ -82,12 +82,12 @@ object Similarity {
     * s02, so DuckDB reproduces every bucket id exactly.
     */
   def s06AnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    // persist: bucketed is read three times (sizes, probes, label
-    // join) — cache the narrow table, not the projection folds
-    val bucketed = emb(spark, dir)
+    // scoped persist: bucketed is read three times (sizes, probes,
+    // label join) — cache the narrow table, not the projection folds;
+    // released after the terminal action
+    val bucketed = graft.Caches.scoped(emb(spark, dir)
       .select(col("vec_id"), col("label"),
-        graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket"))
-      .persist()
+        graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket")))
     val sizes = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
     val total = bucketed.agg(count(lit(1)).as("n_total"))
     val flips = lit(0) +: (0 until PLANES).map(p => lit(1 << p))
@@ -271,11 +271,11 @@ object Similarity {
       explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
     val tfAggs = terms.map(t =>
       count(when(col("token") === t, 1)).as(s"tf_$t"))
-    // persist: tf (a narrow per-doc table) feeds both the df roll-up
-    // and the final scoring join — one pass over the token explosion
-    // instead of two
-    val tf = toks.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
-      .persist()
+    // scoped persist: tf (a narrow per-doc table) feeds both the df
+    // roll-up and the final scoring join — one pass over the token
+    // explosion instead of two; released after the terminal action
+    val tf = graft.Caches.scoped(
+      toks.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*))
     val dfAggs = terms.map(t =>
       count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t"))
     val dfs = tf.agg(dfAggs.head, dfAggs.tail: _*)
