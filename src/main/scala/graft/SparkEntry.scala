@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Approx, Dedup, Merge, Multimodal, Pipeline, Similarity, TextAnalysis}
-import graft.queries.{Advanced, Relational, TpchSuite}
+import graft.queries.{Advanced, Relational, TpchSuite, Warehouse}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -19,7 +19,7 @@ object SparkEntry {
       Merge.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Pipeline.queries ++
       Approx.queries ++ EventStream.queries ++
-      graft.pipeline.AnalyticsDag.queries
+      graft.pipeline.AnalyticsDag.queries ++ Warehouse.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check.
@@ -29,5 +29,5 @@ object SparkEntry {
       Merge.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
       Approx.oracles ++ EventStream.oracles ++
-      graft.pipeline.AnalyticsDag.oracles
+      graft.pipeline.AnalyticsDag.oracles ++ Warehouse.oracles
 }

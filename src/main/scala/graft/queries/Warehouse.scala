@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+import graft.sources.Sources
+
+/** Warehouse-layout queries — the on-disk organization side of the
+  * reference's lakehouse: CDC lands into tables `partitioned by` the
+  * source timestamp (docs/components/cdc.md), and every downstream
+  * mart query carries a time predicate that must prune to the touched
+  * partitions at scan PLANNING time. At 100 TB the partition filter is
+  * the difference between reading one month and reading the lake.
+  */
+object Warehouse {
+
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** The month every q51 run lands on — mid-range of the TPC-H-ish
+    * order dates, so the pruned slice is non-trivial at every sf.
+    */
+  val Q51Month = "1995-03"
+
+  /** q51: partition-pruned scan, end-to-end. Lands `orders` as
+    * Hive-partitioned parquet keyed by order month (the CDC landing
+    * layout), then computes a per-day mart over ONE month through a
+    * partition predicate. The predicate binds to the directory key, so
+    * scan planning lists only `o_month=1995-03/` — WarehouseSpec
+    * asserts the scan's PartitionFilters and that the files actually
+    * read all come from that single directory. The oracle recomputes
+    * the same month from the raw table, proving the landed layout
+    * loses nothing.
+    */
+  def q51PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val landed = landOrders(spark, dir)
+    prunedDaily(landed.df, Q51Month)
+  }
+
+  /** The landed table plus its directory, for plan assertions. */
+  final case class Landed(df: DataFrame, path: String)
+
+  def landOrders(spark: SparkSession, dir: String): Landed = {
+    val path = tempDir("graft-land")
+    val orders = Tables(spark, dir, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    Sources.writePartitioned(orders, path, Seq("o_month"))
+    Landed(Sources.readParquet(spark, path), path)
+  }
+
+  /** Per-day order metrics for one landed month; `o_month = …` is a
+    * pure partition predicate (directory prune, zero data rows read
+    * outside the month).
+    */
+  def prunedDaily(landed: DataFrame, month: String): DataFrame =
+    landed.filter(col("o_month") === month)
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("o_month", lit(month))
+      .select(col("o_month"), col("order_date"), col("n_orders"),
+        col("n_customers"), col("revenue"))
+      .orderBy(col("order_date"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_partitioned_scan" -> (q51PartitionedScan _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q51_partitioned_scan" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+         |  CAST(o_orderdate AS DATE) AS order_date,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_custkey) AS n_customers,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM orders
+         |WHERE strftime(o_orderdate, '%Y-%m') = '$Q51Month'
+         |GROUP BY 1, 2
+         |ORDER BY order_date""".stripMargin
+  )
+}

@@ -229,18 +229,123 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** st06: Kafka/Debezium-envelope ingestion — the reference's actual
+    * wire format (docs/components/cdc.md: Debezium posts each change
+    * as a key/value envelope on a Kafka topic; consumers `unwrap` it).
+    * No broker exists in this sandbox, so the topic is materialized as
+    * a file-source stream with Kafka's exact record schema (key binary,
+    * value binary, topic, partition, offset, timestamp) — the
+    * STREAMING side (envelope decode: value → JSON → op/before/after
+    * flatten to typed rows) is identical to what would run off
+    * `format("kafka")`; only the source format line differs. The
+    * flattened changelog then goes through the q16 apply semantic
+    * (latest-op-wins per key, tombstones drop the row), so the oracle
+    * proves wire-encode → stream-decode → apply loses nothing vs
+    * applying the raw table directly.
+    */
+  def st06KafkaCdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // 1. land the changelog as Kafka-wire records (what the topic holds)
+    val ev = graft.Tables(spark, dir, "events")
+      .withColumn("op",
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "error", "d")
+          .otherwise("u"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val row = struct(col("user_id"), col("event_id"), col("value"), col("ts_us"))
+    val envelope = to_json(struct(
+      col("op"), col("ts_us"),
+      when(col("op") =!= "d", row).as("after"),   // null for tombstones
+      when(col("op") === "d", row).as("before")))
+    val topicDump = ev.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      envelope.cast("binary").as("value"),
+      lit("graft.cdc.events").as("topic"),
+      pmod(col("user_id"), lit(8)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"))
+    val path = java.nio.file.Files.createTempDirectory("graft-topic").toString
+    topicDump.write.mode("overwrite").parquet(path)
+
+    // 2. STREAM the topic and decode the envelope into typed rows
+    val kafkaSchema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType),
+      StructField("topic", StringType), StructField("partition", IntegerType),
+      StructField("offset", LongType), StructField("timestamp", TimestampType)))
+    val rowSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("value", DoubleType), StructField("ts_us", LongType)))
+    val envSchema = StructType(Seq(
+      StructField("op", StringType), StructField("ts_us", LongType),
+      StructField("after", rowSchema), StructField("before", rowSchema)))
+    val flat = spark.readStream.schema(kafkaSchema).parquet(path)
+      .select(from_json(col("value").cast("string"), envSchema).as("env"))
+      .select(
+        col("env.op").as("op"),
+        coalesce(col("env.after.user_id"), col("env.before.user_id")).as("user_id"),
+        coalesce(col("env.after.event_id"), col("env.before.event_id")).as("event_id"),
+        col("env.after.value").as("value"),
+        col("env.ts_us").as("ts_us"))
+    spark.catalog.dropTempView("st06_out")
+    val q = flat.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("st06_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // 3. apply the decoded changelog: latest-op-wins, tombstones drop
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val wAll = Window.partitionBy(col("user_id"))
+    spark.table("st06_out")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(wAll))
+      .withColumn("n_deletes", count(when(col("op") === "d", 1)).over(wAll))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(
+        col("user_id"),
+        col("op").as("last_op"),
+        col("value").as("last_value"),
+        expr("ts_us div 1000").as("last_ts_ms"),
+        col("n_ops"), col("n_deletes"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stateful_counts" -> (st02StatefulCounts _),
     "st03_stream_static_join" -> (st03StreamStaticJoin _),
     "st04_stream_dedup" -> (st04StreamDedup _),
-    "st05_stream_stream_join" -> (st05StreamStreamJoin _)
+    "st05_stream_stream_join" -> (st05StreamStreamJoin _),
+    "st06_kafka_cdc" -> (st06KafkaCdc _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    // st06 = q16's apply semantic after a wire round-trip; the oracle
+    // is the same changelog math over the raw table — encode/decode
+    // must be lossless for the hash to match.
+    "st06_kafka_cdc" ->
+      """WITH ops AS (
+        |  SELECT *,
+        |    CASE WHEN event_type = 'signup' THEN 'c'
+        |         WHEN event_type = 'error' THEN 'd'
+        |         ELSE 'u' END AS op
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, op, value, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops,
+        |    COUNT(CASE WHEN op = 'd' THEN 1 END) OVER (PARTITION BY user_id) AS n_deletes
+        |  FROM ops)
+        |SELECT user_id, op AS last_op, value AS last_value,
+        |  epoch_ms(ts) AS last_ts_ms, n_ops, n_deletes
+        |FROM ranked WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin,
     "st05_stream_stream_join" ->
       """SELECT p.user_id AS user_id,
         |  COUNT(*) AS n_pairs,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Warehouse
+
+class WarehouseSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("q51 scan carries a partition filter and reads only the matching directory") {
+    val landed = Warehouse.landOrders(spark, sf)
+    val df = Warehouse.prunedDaily(landed.df, Warehouse.Q51Month)
+
+    // execute THIS dataset's own query execution so the AQE-final plan
+    // and its scan metrics are the ones inspected below
+    df.collect()
+    // AQE hides materialized stages behind leaf QueryStageExec nodes —
+    // walk through them to reach the actual file scan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no FileSourceScanExec in q51's plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("o_month")),
+      s"month predicate not a PartitionFilter: ${scan.partitionFilters}")
+    // The predicate must NOT survive as a post-scan data filter — it
+    // binds to the directory key and is consumed at planning time.
+    assert(!scan.dataFilters.exists(_.toString.contains("o_month")),
+      s"o_month leaked into data filters: ${scan.dataFilters}")
+
+    val matching = new java.io.File(
+      s"${landed.path}/o_month=${Warehouse.Q51Month}")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val allParts = new java.io.File(landed.path)
+      .listFiles().count(_.getName.startsWith("o_month="))
+    assert(allParts > 10, s"expected many month partitions, got $allParts")
+    assert(scan.metrics("numFiles").value == matching,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"matching partition holds $matching")
+  }
+
+  test("q51 pruned mart equals the same month computed from the raw table") {
+    val viaLanded = SparkEntry.queries("q51_partitioned_scan")(spark, sf)
+      .collect().map(_.toSeq.map(String.valueOf))
+    val raw = Tables(spark, sf, "orders")
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === Warehouse.Q51Month)
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        graft.functions.Exact.dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("o_month", lit(Warehouse.Q51Month))
+      .select("o_month", "order_date", "n_orders", "n_customers", "revenue")
+      .orderBy("order_date")
+      .collect().map(_.toSeq.map(String.valueOf))
+    assert(viaLanded.toSeq.map(_.mkString("|")) == raw.toSeq.map(_.mkString("|")))
+  }
+}
