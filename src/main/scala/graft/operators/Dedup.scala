@@ -281,6 +281,22 @@ object Dedup {
     * the standard large-graph CC pattern at 100 TB. Oracle: DuckDB
     * recursive CTE reaching the same component-min fixpoint.
     */
+  /** Per-round lineage cut for the CC fixpoint. localCheckpoint by
+    * default; `-Dgraft.cc.reliableCheckpoint=true` switches to
+    * reliable `checkpoint()` into `-Dgraft.cc.checkpointDir` (or a
+    * temp dir when unset — point it at HDFS/object storage on a real
+    * cluster) so the iteration survives executor loss.
+    */
+  private def ccCheckpoint(df: DataFrame): DataFrame =
+    if (java.lang.Boolean.getBoolean("graft.cc.reliableCheckpoint")) {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        sc.setCheckpointDir(sys.props.getOrElse("graft.cc.checkpointDir",
+          java.nio.file.Files.createTempDirectory("graft-cc").toString))
+      }
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+
   def d06DupClusters(spark: SparkSession, dir: String): DataFrame =
     d06DupClusters(spark, dir, maxRounds = 20)
 
@@ -302,19 +318,24 @@ object Dedup {
     // Propagate only over the candidate SUBGRAPH (nodes with ≥1 edge)
     // — a tiny fraction of the corpus at any scale. Docs outside it are
     // singletons by construction and skip the iteration entirely.
-    // localCheckpoint truncates the lineage each round: persist alone
+    // Checkpointing truncates the lineage each round: persist alone
     // is NOT enough (unpersisting a parent cascades and invalidates
     // the child's cache → exponential recomputation), and an uncut
-    // lineage grows one join deeper per round. On a cluster, swap for
-    // reliable checkpoint() if executor loss must be survivable.
+    // lineage grows one join deeper per round. Default is
+    // localCheckpoint (block-manager, fastest); set
+    // -Dgraft.cc.reliableCheckpoint=true (optionally with
+    // -Dgraft.cc.checkpointDir=hdfs://…) to write each round to
+    // reliable storage instead, so losing an executor mid-fixpoint
+    // costs one round's recompute, not the whole iteration — the
+    // setting a 1000-executor run should use.
     // Iterate to FIXPOINT (no label changed), capped: plain
     // propagation needs O(component diameter) rounds and real chains
     // exceed any fixed guess, so each round ALSO pointer-jumps
     // (label ← label's label — valid because every label is itself a
     // subgraph node id carrying a ≤ label): distance-to-min doubles
     // per round → O(log diameter) rounds on chain-shaped components.
-    var labels = edges.select(col("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var labels = ccCheckpoint(edges.select(col("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
     def step(ls: DataFrame): DataFrame = {
       val nbrMin = edges
         .join(ls.select(col("doc_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
@@ -334,11 +355,10 @@ object Dedup {
       // (a double-hop variant was measured SLOWER at sf0.1 — the
       // deeper per-checkpoint lineage costs more than the extra
       // rounds it saves)
-      val next = jump(step(labels.select(col("doc_id"), col("label"))))
+      val next = ccCheckpoint(jump(step(labels.select(col("doc_id"), col("label"))))
         .withColumnRenamed("label", "new_label")
         .join(labels.select(col("doc_id"), col("label").as("old_label")), Seq("doc_id"))
-        .select(col("doc_id"), col("old_label"), col("new_label").as("label"))
-        .localCheckpoint(true)
+        .select(col("doc_id"), col("old_label"), col("new_label").as("label")))
       converged = next.filter(col("label") =!= col("old_label")).isEmpty
       labels = next.select(col("doc_id"), col("label"))
       round += 1

@@ -155,6 +155,16 @@ object AsofJoinExec {
   /** Session conf capping the driver-collected build side. */
   val MAX_BUILD_ROWS_KEY = "spark.graft.asof.maxBuildRows"
   val MAX_BUILD_ROWS_DEFAULT = 5000000L
+
+  /** Plan-time fallback threshold: when Catalyst's size estimate for
+    * the build side exceeds this, [[Asof.join]] plans the shuffle-based
+    * window composition instead of the broadcast index (which would
+    * trip the row cap at runtime). Estimated bytes, so it is a
+    * conservative gate — the runtime row cap above stays as the hard
+    * guard for when stats under-estimate.
+    */
+  val FALLBACK_BYTES_KEY = "spark.graft.asof.fallbackBytes"
+  val FALLBACK_BYTES_DEFAULT: Long = 1L << 30 // ~5M rows x ~200 B
 }
 
 /** Optimizer rule: push left-side-only filters below AsofJoinPlan.
@@ -214,6 +224,13 @@ object Asof {
     * (by rightTime, tie-broken by rightTieBreak) with
     * `rightTime <= leftTime` and equal keys. Right columns must not
     * collide with left column names — rename them first.
+    *
+    * Physical strategy is picked at plan time from Catalyst's size
+    * estimate of the build side: small → broadcast-index
+    * [[AsofJoinExec]] (zero left-side shuffles); past
+    * `spark.graft.asof.fallbackBytes` → the shuffle-based window
+    * composition ([[composed]]), which handles a build side of ANY
+    * size. Same semantics either way.
     */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -221,16 +238,88 @@ object Asof {
       rightTieBreak: String): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"rename right-side columns colliding with left: $dup")
+    val fallbackBytes = BigInt(spark.conf
+      .get(AsofJoinExec.FALLBACK_BYTES_KEY,
+        AsofJoinExec.FALLBACK_BYTES_DEFAULT.toString).toLong)
+    val buildBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (buildBytes > fallbackBytes)
+      return composed(left, right, leftKey, rightKey, leftTime, rightTime,
+        rightTieBreak)
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column '$n' not found in [${p.output.map(_.name).mkString(", ")}]"))
-    val dup = left.columns.toSet.intersect(right.columns.toSet)
-    require(dup.isEmpty, s"rename right-side columns colliding with left: $dup")
     GraftDatasetFactory.ofRows(spark, AsofJoinPlan(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey),
       attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTieBreak)))
+  }
+
+  /** The any-size as-of plan: tag both sides, union, and carry the
+    * latest right row per key with a running `last(ignoreNulls)` over
+    * (time, side, tiebreak) — one shuffle of (left ∪ right) on the
+    * key, no driver materialization, no broadcast. The q20 composition
+    * generalized to arbitrary schemas.
+    *
+    * Ordering encodes the as-of contract exactly as the exec's binary
+    * search does: right rows sort BEFORE left rows at equal time
+    * (`rightTime <= leftTime` is inclusive), and among right rows at
+    * equal time the greatest tiebreak is carried last. Right rows with
+    * NULL key/time/tiebreak are unmatchable and dropped; left rows
+    * with NULL key/time sort before every right row in their partition
+    * and emit NULL padding — identical to the exec's NULL semantics.
+    */
+  def composed(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    // no wildcard: functions.left/right would shadow the parameters
+    import org.apache.spark.sql.functions.{col, last, lit, struct, unix_micros}
+    import org.apache.spark.sql.types.TimestampType
+    val P = "__graft_asof_"
+    // times/tiebreaks compare as the exec's toLong does: timestamps by
+    // their microsecond value, integrals widened
+    def asLong(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case _ => col(c).cast("long")
+      }
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(right.columns.map(col): _*)
+    val lStructType = left.select(lStruct).schema.head.dataType
+    val rStructType = right.select(rStruct).schema.head.dataType
+    val lPart = left.select(
+      col(leftKey).as(s"${P}k"),
+      asLong(left, leftTime).as(s"${P}t"),
+      lit(1).as(s"${P}side"),
+      lit(null).cast("long").as(s"${P}tb"),
+      lit(null).cast(rStructType).as(s"${P}r"),
+      lStruct.as(s"${P}l"))
+    val rPart = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull &&
+        col(rightTieBreak).isNotNull)
+      .select(
+        col(rightKey).as(s"${P}k"),
+        asLong(right, rightTime).as(s"${P}t"),
+        lit(0).as(s"${P}side"),
+        asLong(right, rightTieBreak).as(s"${P}tb"),
+        rStruct.as(s"${P}r"),
+        lit(null).cast(lStructType).as(s"${P}l"))
+    val w = Window.partitionBy(col(s"${P}k"))
+      .orderBy(col(s"${P}t").asc_nulls_first, col(s"${P}side").asc,
+        col(s"${P}tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lPart.unionByName(rPart)
+      .withColumn(s"${P}rc", last(col(s"${P}r"), ignoreNulls = true).over(w))
+      .filter(col(s"${P}side") === 1)
+    val outCols =
+      left.columns.map(c => col(s"${P}l.$c").as(c)) ++
+        right.columns.map(c => col(s"${P}rc.$c").as(c))
+    carried.select(outCols: _*)
   }
 }

@@ -112,4 +112,46 @@ class AsofJoinSpec extends AnyFunSuite {
       Asof.join(p, v, "user_id", "nope", "ts", "vts", "vid"))
     assert(err2.getMessage.contains("'nope' not found"))
   }
+
+  test("oversized build side auto-falls back to the window composition, same results") {
+    val events = Tables(spark, sf, "events")
+    val p = events.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"),
+        col("event_id").as("vid"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("event_id", "vid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+    val viaExec = Asof.join(p, v, "user_id", "vu", "ts", "vts", "vid")
+    // nodeName strips the Exec suffix: the operator prints as "AsofJoin"
+    assert(viaExec.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "small build side should pick the broadcast-index exec")
+    val execRows = rows(viaExec)
+    spark.conf.set(graft.plans.AsofJoinExec.FALLBACK_BYTES_KEY, "1")
+    try {
+      val viaComposed = Asof.join(p, v, "user_id", "vu", "ts", "vts", "vid")
+      assert(!viaComposed.queryExecution.executedPlan.toString.contains("AsofJoin"),
+        "past the fallback threshold the plan must not broadcast-index")
+      assert(rows(viaComposed) == execRows,
+        "fallback composition diverged from the exec path")
+    } finally spark.conf.unset(graft.plans.AsofJoinExec.FALLBACK_BYTES_KEY)
+  }
+
+  test("composed fallback keeps the exec's NULL semantics") {
+    import spark.implicits._
+    def ts(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.timestamp_micros(c)
+    val left = Seq((Some(1L), Some(10L), 100L), (None, Some(10L), 101L),
+      (Some(1L), None, 102L))
+      .toDF("k", "t", "lid").select(col("k"), ts(col("t")).as("t"), col("lid"))
+    val right = Seq((Some(1L), Some(5L), 7L), (None, Some(5L), 8L),
+      (Some(1L), None, 9L))
+      .toDF("rk", "rt", "rid").select(col("rk"), ts(col("rt")).as("rt"), col("rid"))
+    val got = Asof.composed(left, right, "k", "rk", "t", "rt", "rid")
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(100L -> 7L, 101L -> -1L, 102L -> -1L))
+  }
 }

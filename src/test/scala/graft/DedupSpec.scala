@@ -130,4 +130,18 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("pair_rank")).toSeq == (1 to rows.length))
     assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
   }
+
+  test("d06 fixpoint runs under reliable checkpointing with identical clusters") {
+    def key(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    val default = key(Dedup.d06DupClusters(spark, sf).collect())
+    System.setProperty("graft.cc.reliableCheckpoint", "true")
+    try {
+      val reliable = key(Dedup.d06DupClusters(spark, sf).collect())
+      assert(reliable == default,
+        "reliable-checkpoint run diverged from the localCheckpoint run")
+      assert(spark.sparkContext.getCheckpointDir.nonEmpty,
+        "reliable run must have installed a checkpoint dir")
+    } finally System.clearProperty("graft.cc.reliableCheckpoint")
+  }
 }
