@@ -18,6 +18,7 @@ object Engine {
       Tables(spark, dir, n).createOrReplaceTempView(n)
     }
     GraftFunctions.register(spark)
+    graft.functions.SqlDialect.register(spark)
     spark
   }
 

@@ -1,37 +1,104 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The Kyuubi-equivalent surface check: for oracles written in the
-  * ANSI subset both engines parse, the SAME SQL TEXT runs through
-  * `Engine.open` + `spark.sql` and must produce exactly the DataFrame
-  * API result. One engine, three access paths (DataFrame, Spark SQL,
-  * DuckDB oracle) — all agreeing on values.
+/** The Kyuubi-equivalent surface check: the SAME SQL TEXT the DuckDB
+  * oracle runs goes through `Engine.open` + `spark.sql` and must
+  * produce exactly the DataFrame API result — one engine, three access
+  * paths (DataFrame, Spark SQL, DuckDB), all agreeing on values.
+  * Missing-function spellings are bridged by the native
+  * [[graft.functions.SqlDialect]] aliases; only genuinely divergent
+  * SEMANTICS (0- vs 1-based dayofweek / array subscripts, IGNORE NULLS
+  * placement) get engine-specific text, exactly as they would between
+  * any two real engines.
   */
 class SqlParitySpec extends AnyFunSuite {
   import TestSession._
 
-  // oracles that avoid DuckDB-only functions (epoch_ms,
-  // string_split_regex, list_*, QUALIFY, //-division)
-  private val ansiOracles = Seq(
-    "q01_pricing_summary", "q05_revenue_by_nation", "q06_forecast_revenue",
-    "q26_order_priority", "q27_local_supplier_volume", "q28_nation_volume",
-    "q30_profit_by_nation_year", "q32_customer_distribution",
-    "q33_promo_revenue", "q34_top_supplier", "q36_disjunctive_revenue",
-    "q37_parts_supplier_count", "q41_grouping_sets", "q44_dormant_customers",
-    "q45_waiting_suppliers", "q47_null_semantics", "q49_salted_join")
+  /** Minimal engine-specific rewrites for dialect-semantic divergence. */
+  private val variants: Map[String, String => String] = Map(
+    // DuckDB dayofweek is 0-based (oracle adds 1); Spark's is 1-based
+    "q02_stg_orders" -> (_.replace(
+      "CAST(dayofweek(o_orderdate) + 1 AS BIGINT)",
+      "CAST(dayofweek(o_orderdate) AS BIGINT)")),
+    // DuckDB array subscripts are 1-based; Spark's 0-based
+    "q15_cte_pipeline" -> (sql => sql
+      .replace("string_split(c_name, '#')[1]", "split(c_name, '#')[0]")
+      .replace("string_split(c_name, '#')[2]", "split(c_name, '#')[1]")),
+    "q48_stg_users_cleanse" -> (sql => sql
+      .replace("string_split(trim(c_name), '#')[1]", "split(trim(c_name), '#')[0]")
+      .replace("string_split(trim(c_name), '#')[2]", "split(trim(c_name), '#')[1]")),
+    // IGNORE NULLS goes inside the call in DuckDB, after it in Spark
+    "q20_asof_view_purchase" -> (_.replace(
+      "END IGNORE NULLS) OVER w", "END) IGNORE NULLS OVER w")),
+    // Spark's parser rejects DuckDB's quoted date_diff unit pre-resolution
+    "q31_ship_delay" -> (_.replace(
+      "date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))",
+      "datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))")),
+    "q42_date_suite" -> (_.replace(
+      "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))",
+      "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')")),
+    // DISTINCT inside an aliased aggregate can't ride a temp-function
+    // shim; spell the Spark aggregates directly
+    "q40_array_agg" -> (sql => sql
+      .replace(
+        "array_to_string(list_sort(list(DISTINCT CAST(year(o_orderdate) AS BIGINT))), ',')",
+        "array_join(array_sort(collect_set(CAST(year(o_orderdate) AS BIGINT))), ',')")
+      .replace(
+        "array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')",
+        "array_join(array_sort(collect_set(o_orderstatus)), ',')")),
+    // DuckDB's ASOF LEFT JOIN syntax, rewritten as the equivalent
+    // ranked left join (greatest v_ts <= ts, tie-broken by v_event_id)
+    "q23_asof_exec" -> (_ =>
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id AS v_user_id, event_id AS v_event_id, ts AS v_ts, value AS v_value
+        |  FROM events WHERE event_type = 'view'),
+        |pairs AS (
+        |  SELECT p.user_id, p.event_id, p.ts, p.value,
+        |    v.v_event_id, v.v_ts, v.v_value,
+        |    ROW_NUMBER() OVER (PARTITION BY p.user_id, p.event_id
+        |      ORDER BY v.v_ts DESC, v.v_event_id DESC) AS rn
+        |  FROM p LEFT JOIN v ON p.user_id = v.v_user_id AND v.v_ts <= p.ts)
+        |SELECT user_id,
+        |  event_id AS purchase_id,
+        |  epoch_ms(ts) AS purchase_ts_ms,
+        |  value AS purchase_value,
+        |  v_event_id AS view_id,
+        |  epoch_ms(v_ts) AS view_ts_ms,
+        |  v_value AS view_value
+        |FROM pairs WHERE rn = 1
+        |ORDER BY user_id, purchase_id""".stripMargin))
 
-  test("ANSI oracles run verbatim through the SQL facade and match the DataFrame API") {
+  test("the full relational pack runs through the SQL facade and matches the DataFrame API") {
     Engine.open(spark, sf)
-    ansiOracles.foreach { name =>
-      val viaSql = spark.sql(SparkEntry.oracleSql(name))
-      val viaDf = SparkEntry.queries(name)(spark, sf)
-      val a = viaSql.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
-      val b = viaDf.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
-      assert(a.length == b.length, s"$name: row count ${a.length} vs ${b.length}")
-      a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
-        assert(x == y, s"$name row $i:\n  sql: $x\n  df:  $y")
+    val rel = SparkEntry.oracleSql.keys.filter(_.startsWith("q")).toSeq.sorted
+    assert(rel.size >= 40, s"expected the full relational pack, got ${rel.size}")
+    // driver-gate comparison rule: columns sorted by name, rows sorted
+    def rows(df: DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.map(col)
+      df.select(cols.toIndexedSeq: _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    }
+    val failures = rel.flatMap { name =>
+      val text = variants.get(name)
+        .fold(SparkEntry.oracleSql(name))(f => f(SparkEntry.oracleSql(name)))
+      try {
+        val a = rows(spark.sql(text))
+        val b = rows(SparkEntry.queries(name)(spark, sf))
+        if (a == b) None
+        else Some(s"$name: ${a.length} vs ${b.length} rows; first diff: " +
+          a.zip(b).collectFirst { case (x, y) if x != y => s"sql=$x df=$y" }
+            .getOrElse("row sets differ"))
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}")
       }
     }
+    assert(failures.isEmpty,
+      s"${failures.size} facade mismatches:\n  ${failures.mkString("\n  ")}")
+    info(s"${rel.size} queries verified facade == DataFrame")
   }
 }
