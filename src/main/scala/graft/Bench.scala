@@ -21,6 +21,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // streaming stateful stages: per-trigger volume here is tiny, so
+      // state-store count (∝ partitions) dominates — see STREAM_SHUFFLE_KEY
+      .config(graft.streaming.EventStream.STREAM_SHUFFLE_KEY, "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

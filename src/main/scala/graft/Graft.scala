@@ -31,6 +31,11 @@ object Graft {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // local drains process small triggers: per-partition state-store
+      // fixed cost dominates streaming stages, so cap their width
+      // (cluster sessions inherit the session value instead)
+      .config(graft.streaming.EventStream.STREAM_SHUFFLE_KEY,
+        math.min(cores, 4).toString)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
 

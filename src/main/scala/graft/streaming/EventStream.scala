@@ -24,6 +24,42 @@ case class UserAgg(user_id: Long, n_events: Long, total_value: Double,
   */
 object EventStream {
 
+  /** Optional session conf: shuffle width for the STREAMING stateful
+    * stages only. Stream-stream joins and streaming aggs pay per-
+    * partition state-store fixed costs (4 stores per partition for a
+    * join) every micro-batch, so the right width tracks per-TRIGGER
+    * volume, not the session-wide `spark.sql.shuffle.partitions` that
+    * is sized for full-table batch shuffles. Unset → inherit the
+    * session value (a cluster driving high-volume triggers wants them
+    * equal; a local drain of small batches wants single digits —
+    * measured at sf0.1: 32 → 4 partitions cuts st05 from 5.6 s to
+    * ~2 s with identical output).
+    */
+  val STREAM_SHUFFLE_KEY = "spark.graft.streaming.shufflePartitions"
+
+  /** Scope `body` (build + start + drain of one streaming query) to
+    * the streaming shuffle width, and skip no-data micro-batches: the
+    * extra empty batch exists to advance the watermark and evict state
+    * on a LONG-RUNNING query; for a drain-everything-then-stop run its
+    * state maintenance is pure overhead (outputs are identical — the
+    * oracle gate checks that). Both confs are restored on exit, so
+    * the caller's batch plans (including the sink-side rollup of the
+    * returned DataFrame) keep the session's width.
+    */
+  private def withStreamTuning[T](spark: SparkSession)(body: => T): T = {
+    val conf = spark.conf
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    conf.set("spark.sql.shuffle.partitions",
+      conf.get(STREAM_SHUFFLE_KEY, prevParts))
+    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body finally {
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+  }
+
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),       // TIMESTAMP(NANOS) read as long
@@ -49,15 +85,13 @@ object EventStream {
         count(lit(1)).as("n_events"),
         dsum(col("value"), 4).as("total_value"))
     spark.catalog.dropTempView("st01_out")
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName("st01_out")
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
+    withStreamTuning(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName("st01_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
     }
     spark.table("st01_out")
       .select(
@@ -105,12 +139,14 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateFn)
 
     spark.catalog.dropTempView("st02_out")
-    val q = out.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("st02_out")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamTuning(spark) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("st02_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table("st02_out").orderBy(col("user_id"))
   }
 
@@ -136,12 +172,14 @@ object EventStream {
         count(lit(1)).as("n_events"),
         dsum(col("value"), 4).as("total_value"))
     spark.catalog.dropTempView("st03_out")
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName("st03_out")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamTuning(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName("st03_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table("st03_out")
       .select(
         unix_millis(col("window.start")).as("window_start_ms"),
@@ -174,12 +212,14 @@ object EventStream {
         count(lit(1)).as("n_events"),
         dsum(col("value"), 4).as("total_value"))
     spark.catalog.dropTempView("st04_out")
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName("st04_out")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamTuning(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName("st04_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table("st04_out").orderBy(col("event_type"))
   }
 
@@ -214,12 +254,14 @@ object EventStream {
         col("v_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS") &&
         col("v_ts") <= col("p_ts"))
     spark.catalog.dropTempView("st05_out")
-    val q = pairs.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("st05_out")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamTuning(spark) {
+      val q = pairs.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("st05_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table("st05_out")
       .groupBy(col("p_user").as("user_id"))
       .agg(
@@ -266,7 +308,8 @@ object EventStream {
       col("event_id").as("offset"),
       col("ts").as("timestamp"))
     val path = java.nio.file.Files.createTempDirectory("graft-topic").toString
-    topicDump.write.mode("overwrite").parquet(path)
+    // one file per topic partition — the actual Kafka landing shape
+    topicDump.repartition(8).write.mode("overwrite").parquet(path)
 
     // 2. STREAM the topic and decode the envelope into typed rows
     val kafkaSchema = StructType(Seq(
@@ -288,12 +331,14 @@ object EventStream {
         col("env.after.value").as("value"),
         col("env.ts_us").as("ts_us"))
     spark.catalog.dropTempView("st06_out")
-    val q = flat.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("st06_out")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamTuning(spark) {
+      val q = flat.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("st06_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
 
     // 3. apply the decoded changelog: latest-op-wins, tombstones drop
     val w = Window.partitionBy(col("user_id"))
