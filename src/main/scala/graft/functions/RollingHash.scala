@@ -73,6 +73,17 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs.head, exprs(1))
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collect_capped", exprs => {
+        require(exprs.length == 2,
+          s"collect_capped expects 2 arguments, got ${exprs.length}")
+        val cap = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"collect_capped cap must be an integer literal, got $other")
+        }
+        CollectCapped(exprs.head, cap)
+      }, "scala_udf")
   }
 
   /** 64-bit rolling hash of a string column (register first). */
@@ -80,4 +91,8 @@ object GraftFunctions {
 
   /** Native codegen'd cosine similarity over float[] columns. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Bounded-buffer collect_list of a long column ([[CollectCapped]]). */
+  def collectCapped(c: Column, cap: Int): Column =
+    call_function("collect_capped", c, org.apache.spark.sql.functions.lit(cap))
 }

@@ -44,24 +44,23 @@ object Dedup {
     * frequent-shingle prune that keeps this linear-ish at 100 TB.
     */
   def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Two-pass pruned inverted index (same shape as d07): pass 1 is a
-    // pure count per (source, gram) — a partial-aggregating word count
-    // whose buffer is one long no matter how hot the gram — and only
-    // grams with df ≤ 50 survive the semi-join into pass 2's
-    // collect_list. Collecting FIRST and filtering after would
-    // materialize a hyper-frequent shingle's entire doc list (millions
-    // of ids at 100 TB) in a single aggregation buffer before dropping
-    // it. Pairs are then generated MAP-SIDE from each ≤50-element list
-    // (≤1225 pairs/gram) — no index self-join, bounded fanout.
+    // ONE-pass pruned inverted index with a BOUNDED buffer: the doc
+    // lists are aggregated by [[graft.functions.CollectCapped]], whose
+    // buffer physically stops at 51 elements, so a hyper-frequent
+    // shingle (a stop-word 3-gram at 100 TB) can never materialize its
+    // full doc list in memory — it surfaces as a 51-length list and
+    // the df-filter below drops it, exactly what a separate df-count
+    // pass + semi-join would keep (groups ≤ 50 are collected in full,
+    // order-independent) at half the shingle explosions and one fewer
+    // shuffle. Pairs are then generated MAP-SIDE from each
+    // ≤50-element list (fanout ≤ 1225/gram) — no index self-join.
+    graft.functions.GraftFunctions.register(spark)
     val sh = shingles(docs(spark, dir))
-    val keep = sh.groupBy(col("source"), col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 50)
-      .select(col("source"), col("g"))
     val grouped = graft.Caches.scoped(
-      sh.join(keep, Seq("source", "g"), "left_semi")
-        .groupBy(col("source"), col("g"))
-        .agg(collect_list(col("doc_id")).as("docs")))
+      sh.groupBy(col("source"), col("g"))
+        .agg(graft.functions.GraftFunctions
+          .collectCapped(col("doc_id"), 51).as("docs"))
+        .filter(size(col("docs")) <= 50))
     val cnt = grouped.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairArr = expr(
@@ -85,6 +84,23 @@ object Dedup {
 
   private val K = 16        // minhash permutations
   private val BANDS = 4     // LSH bands of 4 rows each
+
+  /** Minhash universal-hash family: h_i(g) = (A_i·x + B_i) mod P over
+    * x = first 32 bits of md5(g). ONE md5 per gram row instead of K —
+    * md5 was ~all of the signature stage's cost (measured 4.4 s →
+    * 1.5 s at sf0.1) — and the K derived hashes are integer
+    * multiply-adds the oracle reproduces exactly
+    * (('0x' || substr(md5(g),1,8))::BIGINT in DuckDB ==
+    * conv(substring(md5(g),1,8),16,10) in Spark; both engines then do
+    * identical positive-BIGINT arithmetic). P = 2^31-1 (Mersenne);
+    * A_i ∈ [1, P-2] odd-ish Knuth-multiplier spread, B_i arbitrary —
+    * products stay < 2^63, so no overflow on either engine.
+    */
+  private val HASH_P = 2147483647L
+  private val HASH_A: IndexedSeq[Long] =
+    (0 until K).map(s => ((2654435761L * (s + 1)) % (HASH_P - 2)) + 1)
+  private val HASH_B: IndexedSeq[Long] =
+    (0 until K).map(s => (40503L * 65537L * (s + 1)) % HASH_P)
 
   /** d03: MinHash + LSH. md5-seeded min-hashing (cross-engine-stable),
     * banded into 4×4 → candidate pairs from band-bucket collisions;
@@ -242,13 +258,19 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash signature table (doc_id, h0..h{K-1}), md5-seeded. */
+  /** MinHash signature table (doc_id, h0..h{K-1}), md5-seeded via the
+    * [[HASH_A]]/[[HASH_B]] affine family (one md5 per gram).
+    */
   private def minhashSigs(d: DataFrame): DataFrame = {
-    val sh = shingles(d).select("doc_id", "g")
+    // x projected BEFORE the groupBy: aggregate expressions get no
+    // common-subexpression elimination, so inlining x into each of the
+    // K mins would run K md5s per row again
+    val withX = shingles(d).select(col("doc_id"),
+      conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("x"))
     val hashAggs = (0 until K).map { s =>
-      min(md5(concat(lit(s"$s:"), col("g")))).as(s"h$s")
+      min((lit(HASH_A(s)) * col("x") + lit(HASH_B(s))) % lit(HASH_P)).as(s"h$s")
     }
-    sh.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
+    withX.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
   }
 
   /** Candidate-duplicate edges from MinHash-LSH band collisions. */
@@ -334,6 +356,21 @@ object Dedup {
     // (label ← label's label — valid because every label is itself a
     // subgraph node id carrying a ≤ label): distance-to-min doubles
     // per round → O(log diameter) rounds on chain-shaped components.
+    // The fixpoint operates on the candidate SUBGRAPH — orders of
+    // magnitude smaller than the corpus — so its per-round shuffles
+    // should be sized to the EDGE count, not the session width that is
+    // sized for corpus-wide scans: at 32 session partitions each round
+    // pays 2 shuffles × 32 state-less tasklets over a few thousand
+    // rows (measured ~1.2 s/round at sf0.1 → ~0.3 s at width 4). The
+    // same count also forces the persisted edge table once, so
+    // sig/pairs can be released early. Width grows back toward the
+    // session value at one partition per 50k edges — a billion-edge
+    // subgraph on a real cluster keeps full parallelism.
+    val nEdges = edges.count()
+    val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(4L, math.min(sessParts.toLong, nEdges / 50000L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val finalLabels = try {
     var labels = ccCheckpoint(edges.select(col("doc_id")).distinct()
       .withColumn("label", col("doc_id")))
     def step(ls: DataFrame): DataFrame = {
@@ -363,19 +400,26 @@ object Dedup {
       labels = next.select(col("doc_id"), col("label"))
       round += 1
     }
-    // cache hygiene: sig and pairs were consumed when round 1
-    // materialized edges — free them now; edges still feeds the
-    // singleton anti-join below, so its release is deferred until the
-    // caller's terminal action completes (Caches)
+    // cache hygiene: sig and pairs were consumed when edges was
+    // forced — free them now; edges still feeds the singleton
+    // anti-join below, so its release is deferred until the caller's
+    // terminal action completes (Caches)
     sig.unpersist(blocking = false)
     pairs.unpersist(blocking = false)
     graft.Caches.deferRelease(edges)
+    labels
+    } finally {
+      // the returned plan is physical-planned at the caller's action,
+      // after this restore — the corpus-wide final rollup keeps the
+      // session width
+      spark.conf.set("spark.sql.shuffle.partitions", sessParts)
+    }
     val singletons = d.select(col("doc_id"))
       .join(edges.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))
     // keep singletons too: the result is the full dedup manifest
     // (cluster id + canonical keep id per doc group)
-    labels.unionAll(singletons).groupBy(col("label").as("cluster_id"))
+    finalLabels.unionAll(singletons).groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         min(col("doc_id")).as("keep_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
@@ -392,13 +436,16 @@ object Dedup {
     "d07_boilerplate" -> (d07Boilerplate _)
   )
 
+  // oracle mirror of minhashSigs' affine family — same A/B/P literals
+  private val sigX = "(('0x' || substr(md5(g),1,8))::BIGINT)"
   private val sigSelect = (0 until K)
-    .map(s => s"min(md5('$s:' || g)) AS h$s").mkString(",\n    ")
+    .map(s => s"min((${HASH_A(s)} * $sigX + ${HASH_B(s)}) % $HASH_P) AS h$s")
+    .mkString(",\n    ")
   private val bandSelects = (0 until BANDS).map { b =>
-    val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+    val cols = (b * 4 until b * 4 + 4).map(i => s"h$i::VARCHAR").mkString(" || '|' || ")
     s"SELECT doc_id, $b AS band_idx, md5($cols) AS band_hash FROM sig"
   }.mkString("\n  UNION ALL ")
-  private val digestExpr = (0 until K).map(i => s"h$i").mkString(" || '|' || ")
+  private val digestExpr = (0 until K).map(i => s"h$i::VARCHAR").mkString(" || '|' || ")
   private val sigAgree = (0 until K)
     .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
   // d04 oracle pieces: unsigned-64 bit math in HUGEINT space

@@ -43,22 +43,39 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"d05 recall@50 dropped to $recall")
   }
 
-  test("d02 df-prune precedes the doc-list aggregation (no unbounded buffer)") {
-    // The semi-join against the df<=50 gram set must sit BELOW the
-    // collect_list aggregate (feed it), so no aggregation buffer ever
-    // holds a hyper-frequent gram's full doc list. Tree plans print
-    // parents first, so the aggregate's index must be smaller.
+  test("d02 collects doc lists through the BOUNDED aggregate only") {
+    // The doc lists must come from collect_capped (buffer physically
+    // stops at cap elements), never a plain collect_list whose buffer
+    // would hold a hyper-frequent gram's full doc list before any
+    // filter could drop it.
     val plan = Dedup.d02NgramJaccard(spark, sf)
       .queryExecution.optimizedPlan.toString
-    val agg = plan.indexOf("collect_list")
-    val semi = plan.indexOf("LeftSemi")
-    assert(agg >= 0 && semi >= 0, "expected collect_list fed by a df semi-join")
-    assert(semi > agg, "df semi-join must feed the collect_list aggregate")
-    // (a bare `size(docs) > 0` appears from InferFiltersFromGenerate
-    // under the later explode — benign; the hazard is the df CAP
-    // applied to the already-collected list)
-    assert(!"size\\(docs[^)]*\\) <=".r.findFirstIn(plan).isDefined,
-      "post-aggregation size filter has returned (unbounded buffer hazard)")
+    assert(plan.contains("collect_capped"),
+      "d02 must aggregate doc lists via collect_capped")
+    assert(!plan.contains("collect_list"),
+      "unbounded collect_list reappeared in d02's plan")
+  }
+
+  test("collect_capped == collect_list for under-cap groups; hard-stops at cap") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val df = spark.range(0, 1000)
+      .selectExpr("id % 10 AS k", "id AS v") // 100 values per key
+    val capped = df.groupBy(col("k"))
+      .agg(GraftFunctions.collectCapped(col("v"), 101).as("docs"))
+      .select(col("k"), size(col("docs")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped.values.forall(_ == 100), s"under-cap groups must collect fully: $capped")
+    val hardStop = df.groupBy(col("k"))
+      .agg(GraftFunctions.collectCapped(col("v"), 7).as("docs"))
+      .select(size(col("docs")).as("n"))
+      .collect().map(_.getInt(0))
+    assert(hardStop.forall(_ == 7), s"buffer must stop exactly at cap: ${hardStop.toSeq}")
+    // under-cap content equals collect_list's content (as sets)
+    val content = df.filter(col("k") === 3).groupBy(col("k"))
+      .agg(GraftFunctions.collectCapped(col("v"), 101).as("docs"))
+      .selectExpr("array_sort(docs) AS docs").collect().head.getSeq[Long](0)
+    assert(content == (3L until 1000L by 10L).toSeq)
   }
 
   test("d07 boilerplate accounting is consistent and bounded") {
