@@ -24,6 +24,10 @@ object Bench {
       // streaming stateful stages: per-trigger volume here is tiny, so
       // state-store count (∝ partitions) dominates — see STREAM_SHUFFLE_KEY
       .config(graft.streaming.EventStream.STREAM_SHUFFLE_KEY, "4")
+      // graft's typed aggregates (collect_capped) carry bounded
+      // buffers; Spark's 128-key sort fallback would wrongly demote
+      // their hash aggregation on high-cardinality gram keys
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -35,6 +39,10 @@ object Bench {
       spark.catalog.clearCache() // release per-query persisted intermediates
     }
     val results = names.map { name =>
+      // untimed GC breather: without it a query pays for its
+      // predecessors' garbage (measured multi-second swings on the
+      // heaviest queries in a ~100-query session)
+      System.gc()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }

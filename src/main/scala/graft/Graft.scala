@@ -54,6 +54,9 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // typed aggregates here (collect_capped) have bounded buffers —
+      // don't let the 128-key default demote them to sort aggregation
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       // programmatic injection works even on a reused SparkContext;
       // the static conf only takes effect on a fresh one (spark-submit)
       .withExtensions(new GraftExtensions)
