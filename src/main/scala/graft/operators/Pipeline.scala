@@ -238,7 +238,53 @@ object Pipeline {
   }
 
   /** Driver-contract registration. */
+  /** p10: domain mixing — the source-weighted downsampling every LLM
+    * corpus recipe runs (web gets 0.25×, books 1.0×, …). Each doc
+    * draws a deterministic md5 uniform and survives iff u < its
+    * source's weight, so the mix is i.i.d.-correct per doc yet exactly
+    * reproducible across engines, re-runs, and cluster sizes.
+    * Map-side only (one narrow filter + final per-source rollup) — at
+    * 100 TB the sample never shuffles the corpus. Weights here derive
+    * from the source index (idx%4+1)/4 ∈ {.25,.5,.75,1}; a real
+    * deployment passes a weight table and broadcast-joins it.
+    */
+  def p10DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val w = ((idx % 4) + 1) / lit(4.0)
+    // u = first 32 md5 bits / 2^32: exactly representable in double,
+    // so the < comparison is bit-deterministic in both engines
+    val u = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+    docs(spark, dir)
+      .withColumn("w", w)
+      .withColumn("kept", u < col("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_kept"))
+      .withColumn("eff_rate",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  /** p11: deterministic global shuffle — the training-order shuffle, as
+    * a distributed range sort on a salted md5 key (reproducible, no
+    * single-partition window: ranks come from [[Rank.globalRowNumber]]'s
+    * two-job shuffle-reuse design). Emits the first 100 positions.
+    */
+  def p11GlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("shuffle_key"))
+    Rank.globalRowNumber(keyed, Seq(col("shuffle_key"), col("doc_id")), "shuffle_rank")
+      .filter(col("shuffle_rank") <= 100)
+      .select(col("shuffle_rank"), col("doc_id"), col("source"), col("shuffle_key"))
+      .orderBy(col("shuffle_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_domain_mix" -> (p10DomainMix _),
+    "p11_global_shuffle" -> (p11GlobalShuffle _),
     "p09_repetition_filter" -> (p09RepetitionFilter _),
     "p08_corpus_filter" -> (p08CorpusFilter _),
     "p07_oov_rate" -> (p07OovRate _),
@@ -254,6 +300,26 @@ object Pipeline {
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    "p10_domain_mix" ->
+      """WITH mixed AS (
+        |  SELECT source,
+        |    ((CAST(substring(source, 4) AS INT) % 4) + 1) / 4.0 AS w,
+        |    (('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT)::DOUBLE
+        |      / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT source, w,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN u < w THEN 1 END) AS n_kept,
+        |  CAST(COUNT(CASE WHEN u < w THEN 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS eff_rate
+        |FROM mixed GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    "p11_global_shuffle" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY md5('shuffle:' || doc_id), doc_id)
+        |    AS shuffle_rank,
+        |  doc_id, source, md5('shuffle:' || doc_id) AS shuffle_key
+        |FROM documents
+        |QUALIFY shuffle_rank <= 100
+        |ORDER BY shuffle_rank""".stripMargin,
     "p09_repetition_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,
