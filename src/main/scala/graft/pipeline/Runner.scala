@@ -19,12 +19,26 @@ object Materialization {
     */
   case object Table extends Materialization
 
+  /** dbt's `on_schema_change` contract for incremental models. */
+  sealed trait SchemaChange
+  object SchemaChange {
+    /** Any column drift aborts the run — the safe default. */
+    case object Fail extends SchemaChange
+    /** Columns NEW in the model output are added to the mart (existing
+      * rows read NULL there — dbt's `append_new_columns`); columns the
+      * model DROPPED still fail, since silently carrying stale values
+      * for them corrupts the mart.
+      */
+    case object AppendNewColumns extends SchemaChange
+  }
+
   /** MERGE upsert by `uniqueKeys` into the current snapshot — dbt's
     * `incremental_strategy='merge'`. The first run is a full build.
-    * Schema drift fails the run (`on_schema_change='fail'`): silently
-    * merging mismatched columns corrupts a mart.
+    * `onSchemaChange` defaults to [[SchemaChange.Fail]].
     */
-  final case class Incremental(uniqueKeys: Seq[String]) extends Materialization
+  final case class Incremental(
+      uniqueKeys: Seq[String],
+      onSchemaChange: SchemaChange = SchemaChange.Fail) extends Materialization
 }
 
 /** One dbt-model-shaped DAG node.
@@ -120,17 +134,41 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
       case Materialization.Table =>
         val df = m.build(inputs, None)
         ModelRun(m.name, Snapshots.commit(df, dir), "full")
-      case Materialization.Incremental(keys) =>
+      case Materialization.Incremental(keys, policy) =>
         val df = m.build(inputs, existing)
         existing match {
           case None =>
             ModelRun(m.name, Snapshots.commit(df, dir), "full")
           case Some(cur) =>
-            require(cur.columns.sorted.sameElements(df.columns.sorted),
-              s"on_schema_change=fail: model '${m.name}' schema drift " +
-                s"(have ${cur.columns.sorted.mkString(",")}; " +
-                s"new ${df.columns.sorted.mkString(",")})")
-            ModelRun(m.name, Snapshots.merge(spark, dir, df, keys), "merge")
+            val dropped = cur.columns.toSet -- df.columns.toSet
+            val added = df.columns.toSet -- cur.columns.toSet
+            policy match {
+              case Materialization.SchemaChange.Fail =>
+                require(dropped.isEmpty && added.isEmpty,
+                  s"on_schema_change=fail: model '${m.name}' schema drift " +
+                    s"(have ${cur.columns.sorted.mkString(",")}; " +
+                    s"new ${df.columns.sorted.mkString(",")})")
+                ModelRun(m.name, Snapshots.merge(spark, dir, df, keys), "merge")
+              case Materialization.SchemaChange.AppendNewColumns =>
+                require(dropped.isEmpty,
+                  s"on_schema_change=append_new_columns: model '${m.name}' " +
+                    s"DROPPED columns ${dropped.toSeq.sorted.mkString(",")} — " +
+                    "only additions are appendable")
+                if (added.isEmpty)
+                  ModelRun(m.name, Snapshots.merge(spark, dir, df, keys), "merge")
+                else {
+                  // widen the stored mart first (existing rows read NULL
+                  // in the new columns), commit the widened snapshot,
+                  // then merge normally against the widened base
+                  val newCols = df.schema.fields.filter(f => added.contains(f.name))
+                  val widened = newCols.foldLeft(cur)((acc, f) =>
+                    acc.withColumn(f.name,
+                      org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+                  Snapshots.commit(
+                    widened.select(df.columns.toIndexedSeq.map(widened.col): _*), dir)
+                  ModelRun(m.name, Snapshots.merge(spark, dir, df, keys), "merge+widen")
+                }
+            }
         }
     }
   }

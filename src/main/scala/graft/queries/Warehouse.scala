@@ -66,8 +66,39 @@ object Warehouse {
         col("n_customers"), col("revenue"))
       .orderBy(col("order_date"))
 
+  /** q53: small-file compaction end-to-end — the maintenance job every
+    * streaming/CDC landing zone needs (one file per micro-batch per
+    * partition degrades scans with open/footer overhead). Lands orders
+    * deliberately fragmented (64 shards — the micro-batch shape), runs
+    * [[Sources.compact]] with a date sort (row-group min/max stats
+    * become prunable), and computes a monthly mart from the COMPACTED
+    * copy; the oracle recomputes it from the raw table, proving the
+    * rewrite is lossless. WarehouseSpec asserts the file-count drop.
+    */
+  def q53Compaction(spark: SparkSession, dir: String): DataFrame =
+    monthlyRollup(compactOrders(spark, dir).df)
+
+  def compactOrders(spark: SparkSession, dir: String): Landed = {
+    val frag = tempDir("graft-frag")
+    val out = tempDir("graft-compact")
+    Tables(spark, dir, "orders").repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    Sources.compact(spark, frag, out, targetMB = 256, sortCols = Seq("o_orderdate"))
+    Landed(Sources.readParquet(spark, out), out)
+  }
+
+  def monthlyRollup(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_month"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q51_partitioned_scan" -> (q51PartitionedScan _)
+    "q51_partitioned_scan" -> (q51PartitionedScan _),
+    "q53_compaction" -> (q53Compaction _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -80,6 +111,14 @@ object Warehouse {
          |FROM orders
          |WHERE strftime(o_orderdate, '%Y-%m') = '$Q51Month'
          |GROUP BY 1, 2
-         |ORDER BY order_date""".stripMargin
+         |ORDER BY order_date""".stripMargin,
+    "q53_compaction" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY o_month""".stripMargin
   )
 }

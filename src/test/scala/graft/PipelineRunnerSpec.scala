@@ -79,6 +79,28 @@ class PipelineRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("on_schema_change"))
   }
 
+  test("on_schema_change=append_new_columns: mart widens, old rows read NULL") {
+    val runner = new Runner(spark, tmp())
+    val m = Model("m", Seq("src"), Materialization.Incremental(Seq("k"),
+      Materialization.SchemaChange.AppendNewColumns),
+      (in, _) => in("src"))
+    import spark.implicits._
+    runner.run(Seq(m), Map("src" -> Seq((1, "a"), (2, "b")).toDF("k", "v")))
+    val drifted = Seq((2, "b2", 0.5), (3, "c", 0.7)).toDF("k", "v", "extra")
+    val report = runner.run(Seq(m), Map("src" -> drifted))
+    assert(report.head.mode == "merge+widen")
+    val rows = runner.readModel("m").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2).toString)).toSeq
+    // k=1 untouched (NULL in the new column), k=2 updated, k=3 inserted
+    assert(rows == Seq((1, "a", null), (2, "b2", "0.5"), (3, "c", "0.7")))
+    // dropping a column still fails even under append_new_columns
+    val narrowed = Seq((4, 0.9)).toDF("k", "extra")
+    val e = intercept[IllegalArgumentException](
+      runner.run(Seq(m), Map("src" -> narrowed)))
+    assert(e.getMessage.contains("DROPPED"))
+  }
+
   test("cycles and unresolved deps fail fast, before any write") {
     val runner = new Runner(spark, tmp())
     import spark.implicits._

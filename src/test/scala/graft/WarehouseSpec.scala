@@ -47,6 +47,17 @@ class WarehouseSpec extends AnyFunSuite {
         s"matching partition holds $matching")
   }
 
+  test("q53 compaction collapses the fragmented landing into few sorted files") {
+    val landed = Warehouse.compactOrders(spark, sf)
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val outFiles = parquetFiles(landed.path)
+    assert(outFiles < 64 && outFiles >= 1,
+      s"expected compaction below the 64 landed shards, got $outFiles")
+    // lossless: compacted row count equals the raw table's
+    assert(landed.df.count() == Tables(spark, sf, "orders").count())
+  }
+
   test("q51 pruned mart equals the same month computed from the raw table") {
     val viaLanded = SparkEntry.queries("q51_partitioned_scan")(spark, sf)
       .collect().map(_.toSeq.map(String.valueOf))
