@@ -11,7 +11,9 @@ object PlanAudit {
                   "q36_disjunctive_revenue", "q39_set_ops", "s04_tfidf_search",
                   "p01_pack_sequences", "a02_bloom_filtered_join",
                   "d05_embedding_dup", "d07_boilerplate", "s06_ann_multiprobe",
-                  "q22_small_quantity_revenue", "q34_top_supplier", "q48_stg_users_cleanse")) {
+                  "q22_small_quantity_revenue", "q34_top_supplier", "q48_stg_users_cleanse",
+                  "q51_partitioned_scan", "q53_compaction", "d02_ngram_jaccard",
+                  "d03_minhash_lsh", "p10_domain_mix", "p11_global_shuffle")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

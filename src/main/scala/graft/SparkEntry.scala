@@ -19,7 +19,8 @@ object SparkEntry {
       Merge.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Pipeline.queries ++
       Approx.queries ++ EventStream.queries ++
-      graft.pipeline.AnalyticsDag.queries ++ Warehouse.queries
+      graft.pipeline.AnalyticsDag.queries ++ Warehouse.queries ++
+      graft.pipeline.Checks.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check.
@@ -29,5 +30,6 @@ object SparkEntry {
       Merge.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
       Approx.oracles ++ EventStream.oracles ++
-      graft.pipeline.AnalyticsDag.oracles ++ Warehouse.oracles
+      graft.pipeline.AnalyticsDag.oracles ++ Warehouse.oracles ++
+      graft.pipeline.Checks.oracles
 }

@@ -58,7 +58,8 @@ final case class Model(
     name: String,
     deps: Seq[String],
     materialization: Materialization,
-    build: (Map[String, DataFrame], Option[DataFrame]) => DataFrame)
+    build: (Map[String, DataFrame], Option[DataFrame]) => DataFrame,
+    checks: Seq[Checks.Check] = Nil)
 
 /** What one model run did: `mode` ∈ full | merge. */
 final case class ModelRun(name: String, version: Long, mode: String)
@@ -121,7 +122,21 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
         d -> (if (byName.contains(d)) readModel(d)
               else sources.getOrElse(d, readModel(d)))
       }.toMap
-      materialize(m, inputs)
+      val run = materialize(m, inputs)
+      // dbt's `dbt test` after build, severity=error: a failing check
+      // aborts the DAG before anything downstream consumes bad data.
+      // The committed version stays in history (time-travel debuggable)
+      // but is never read by a later run that repairs and re-commits.
+      if (m.checks.nonEmpty) {
+        val failed = Checks.summary(readModel(m.name), m.checks)
+          .filter(!org.apache.spark.sql.functions.col("passed"))
+          .collect()
+        require(failed.isEmpty,
+          s"model '${m.name}' failed data checks: " +
+            failed.map(r => s"${r.getString(0)}(${r.getString(1)})=" +
+              s"${r.getLong(2)} violations").mkString("; "))
+      }
+      run
     }
   }
 

@@ -101,6 +101,21 @@ class PipelineRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DROPPED"))
   }
 
+  test("model checks run after build and abort the DAG on violations") {
+    import graft.pipeline.Checks
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    val clean = Model("m", Seq("src"), Materialization.Table,
+      (in, _) => in("src"),
+      checks = Seq(Checks.NotNull("v"), Checks.Unique("k")))
+    runner.run(Seq(clean), Map("src" -> Seq((1, "a"), (2, "b")).toDF("k", "v")))
+    assert(runner.readModel("m").count() == 2)
+    val dirty = Seq((1, "a"), (1, "b")).toDF("k", "v") // duplicate key
+    val e = intercept[IllegalArgumentException](
+      runner.run(Seq(clean), Map("src" -> dirty)))
+    assert(e.getMessage.contains("unique(k)"))
+  }
+
   test("cycles and unresolved deps fail fast, before any write") {
     val runner = new Runner(spark, tmp())
     import spark.implicits._
