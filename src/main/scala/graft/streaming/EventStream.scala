@@ -117,20 +117,32 @@ object EventStream {
 
     val updateFn = (uid: Long, it: Iterator[RawEvent], state: GroupState[UserAgg]) => {
       import java.math.{BigDecimal => JBD, RoundingMode}
-      val evs = it.toArray.sortBy(e => (e.ts, e.event_id))
       val prior = state.getOption
-      val priorSum = prior.map(p => JBD.valueOf(p.total_value).setScale(4, RoundingMode.HALF_UP))
+      // ONE streaming pass over the batch slice — no buffering/sorting
+      // of the key's events (a hot key with millions of events per
+      // micro-batch must not materialize in executor memory). The
+      // decimal sum is order-independent (exact addition); "last" is a
+      // running max over (ts, event_id), equal to what sorting found.
+      var n = prior.map(_.n_events).getOrElse(0L)
+      var sum = prior.map(p => JBD.valueOf(p.total_value).setScale(4, RoundingMode.HALF_UP))
         .getOrElse(JBD.ZERO.setScale(4))
-      val batchSum = evs.foldLeft(priorSum) { (acc, e) =>
-        acc.add(JBD.valueOf(e.value).setScale(4, RoundingMode.HALF_UP))
+      var bestTs = Long.MinValue
+      var bestId = Long.MinValue
+      var bestType: String = null
+      it.foreach { e =>
+        n += 1L
+        sum = sum.add(JBD.valueOf(e.value).setScale(4, RoundingMode.HALF_UP))
+        if (e.ts > bestTs || (e.ts == bestTs && e.event_id > bestId)) {
+          bestTs = e.ts; bestId = e.event_id; bestType = e.event_type
+        }
       }
-      val last = evs.lastOption
       val agg = UserAgg(
         uid,
-        prior.map(_.n_events).getOrElse(0L) + evs.length,
-        batchSum.doubleValue,
-        last.map(_.event_type).orElse(prior.map(_.last_event_type)).orNull,
-        last.map(_.ts / 1000000L).orElse(prior.map(_.last_ts_ms)).getOrElse(0L))
+        n,
+        sum.doubleValue,
+        Option(bestType).orElse(prior.map(_.last_event_type)).orNull,
+        if (bestType != null) bestTs / 1000000L
+        else prior.map(_.last_ts_ms).getOrElse(0L))
       state.update(agg)
       Iterator.single(agg)
     }
