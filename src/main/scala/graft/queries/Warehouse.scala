@@ -96,9 +96,37 @@ object Warehouse {
         dsum(col("o_totalprice")).as("revenue"))
       .orderBy(col("o_month"))
 
+  /** q55: incremental (changelog) read between snapshot versions —
+    * the Iceberg incremental-scan surface, via [[Snapshots.diff]]:
+    * v1 holds orders before 1996; v2 the window from mid-1993 on,
+    * with statuses rewritten to 'X' for the first half of 1994. The
+    * diff must surface exactly the pre-1993-06 keys as deletes, the
+    * 1996+ keys as inserts, the rewritten window as updates, and stay
+    * silent on the untouched overlap. Oracle recomputes all three
+    * slices from the raw table.
+    */
+  def q55Changelog(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"${tempDir("graft-cdc")}/orders_v"
+    val stg = Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      to_date(col("o_orderdate")).as("order_date"),
+      col("o_orderstatus").as("status"))
+    val v1 = graft.sources.Snapshots.commit(
+      stg.filter(col("order_date") < lit("1996-01-01")), t)
+    val v2 = graft.sources.Snapshots.commit(
+      stg.filter(col("order_date") >= lit("1993-06-01"))
+        .withColumn("status",
+          when(col("order_date") >= lit("1994-01-01") &&
+            col("order_date") < lit("1994-06-01"), lit("X"))
+            .otherwise(col("status"))), t)
+    graft.sources.Snapshots.diff(spark, t, v1, v2, Seq("o_orderkey"))
+      .orderBy(col("op"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_partitioned_scan" -> (q51PartitionedScan _),
-    "q53_compaction" -> (q53Compaction _)
+    "q53_compaction" -> (q53Compaction _),
+    "q55_changelog" -> (q55Changelog _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +147,20 @@ object Warehouse {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY 1
-        |ORDER BY o_month""".stripMargin
+        |ORDER BY o_month""".stripMargin,
+    "q55_changelog" ->
+      """WITH stg AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+        |  FROM orders)
+        |SELECT o_orderkey, 'delete' AS op
+        |FROM stg WHERE order_date < DATE '1993-06-01'
+        |UNION ALL
+        |SELECT o_orderkey, 'insert'
+        |FROM stg WHERE order_date >= DATE '1996-01-01'
+        |UNION ALL
+        |SELECT o_orderkey, 'update'
+        |FROM stg WHERE order_date >= DATE '1994-01-01'
+        |  AND order_date < DATE '1994-06-01'
+        |ORDER BY op, o_orderkey""".stripMargin
   )
 }
