@@ -77,6 +77,26 @@ object Snapshots {
       s"$version\t$tag\n".getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 
+  private def timesFile(tableDir: String) = Paths.get(tableDir, "_times")
+
+  /** Commit wall-clock per version (ms), appended at manifest-append
+    * time — the record behind timestamp time travel ([[readAsOf]]).
+    */
+  def commitTimes(tableDir: String): Map[Long, Long] = {
+    val t = timesFile(tableDir)
+    if (!Files.exists(t)) Map.empty
+    else Files.readAllLines(t, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).map { line =>
+        val parts = line.split('\t')
+        parts(0).toLong -> parts(1).toLong
+      }.toMap
+  }
+
+  private def appendTime(tableDir: String, version: Long): Unit =
+    Files.write(timesFile(tableDir),
+      s"$version\t${System.currentTimeMillis()}\n".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
   /** Tags of committed versions — the idempotency ledger for
     * at-least-once writers (see [[graft.streaming.SnapshotSink]]).
     * Union of live manifest tags and the append-only `_tags` ledger,
@@ -156,9 +176,26 @@ object Snapshots {
         Files.write(manifest(tableDir), s"$line\n".getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         tag.foreach(t => appendTag(tableDir, next, t))
+        appendTime(tableDir, next)
         next
       }
     }
+  }
+
+  /** Timestamp time travel — Iceberg/Trino's `FOR TIMESTAMP AS OF`
+    * (docs/components/iceberg.md): the latest snapshot whose commit
+    * time is ≤ `tsMillis`. Versions predating the `_times` record
+    * (older tables) are treated as always visible; expired versions
+    * are excluded by intersecting with the live manifest.
+    */
+  def readAsOf(spark: SparkSession, tableDir: String, tsMillis: Long): DataFrame = {
+    val live = versions(tableDir)
+    val times = commitTimes(tableDir)
+    val visible = live.filter(v => times.getOrElse(v, Long.MinValue) <= tsMillis)
+    require(visible.nonEmpty,
+      s"no snapshot at $tableDir as of $tsMillis (earliest commit: " +
+        s"${live.headOption.flatMap(times.get).getOrElse("unknown")})")
+    read(spark, tableDir, visible.max)
   }
 
   /** Commit `df` only if `baseVersion` is still the latest at
@@ -178,6 +215,7 @@ object Snapshots {
         Files.write(manifest(tableDir), s"$line\n".getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         tag.foreach(t => appendTag(tableDir, next, t))
+        appendTime(tableDir, next)
         Some(next)
       }
     }

@@ -118,6 +118,24 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(latest(1) == "a" && latest(2) == "b")
   }
 
+  test("timestamp time travel: readAsOf resolves the snapshot live at that instant") {
+    val dir = tmp()
+    import spark.implicits._
+    Snapshots.commit(Seq((1, "v1")).toDF("k", "v"), dir)
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    Snapshots.commit(Seq((1, "v2")).toDF("k", "v"), dir)
+    def vAt(ts: Long): String =
+      Snapshots.readAsOf(spark, dir, ts).collect().head.getString(1)
+    assert(vAt(between) == "v1")
+    assert(vAt(System.currentTimeMillis()) == "v2")
+    val tooEarly = Snapshots.commitTimes(dir).values.min - 1
+    val e = intercept[IllegalArgumentException](
+      Snapshots.readAsOf(spark, dir, tooEarly))
+    assert(e.getMessage.contains("no snapshot"))
+  }
+
   test("diff is unambiguous when values contain the separator bytes") {
     val dir = tmp()
     import spark.implicits._
