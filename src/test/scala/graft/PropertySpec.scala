@@ -105,4 +105,27 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(rows.count(_.isNullAt(0)) == 2) // both zero-den rows are NULL
   }
+
+  test("collect_capped keeps exactly a df-prune's groups under any partitioning") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // random key→values with group sizes straddling the cap
+    val rows = List.fill(2000)((rng.nextInt(40), rng.nextLong().abs))
+    val cap = 51
+    (1 to 8 by 3).foreach { parts =>
+      val df = rows.toDF("k", "v").repartition(parts)
+      val survivors = df.groupBy(col("k"))
+        .agg(GraftFunctions.collectCapped(col("v"), cap).as("docs"))
+        .filter(size(col("docs")) <= cap - 1)
+        .select(col("k"), explode(col("docs")).as("v"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      // ground truth: the two-pass df-prune (count first, then keep)
+      val counts = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      val expected = rows.filter { case (k, _) => counts(k) <= cap - 1 }.toSet
+      assert(survivors == expected,
+        s"capped prune diverged from df-prune at $parts partitions")
+    }
+  }
 }
