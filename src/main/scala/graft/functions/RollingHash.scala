@@ -74,6 +74,12 @@ object GraftFunctions {
           exprs.head, exprs(1))
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_grams", exprs => {
+        require(exprs.length == 2,
+          s"char_grams expects 2 arguments, got ${exprs.length}")
+        CharGramsExpr(exprs.head, exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "collect_capped", exprs => {
         require(exprs.length == 2,
           s"collect_capped expects 2 arguments, got ${exprs.length}")
@@ -95,4 +101,8 @@ object GraftFunctions {
   /** Bounded-buffer collect_list of a long column ([[CollectCapped]]). */
   def collectCapped(c: Column, cap: Int): Column =
     call_function("collect_capped", c, org.apache.spark.sql.functions.lit(cap))
+
+  /** Distinct char-n-grams of a string column ([[CharGramsExpr]]). */
+  def charGrams(c: Column, n: Int): Column =
+    call_function("char_grams", c, org.apache.spark.sql.functions.lit(n))
 }
