@@ -394,9 +394,11 @@ object Dedup {
     var round = 0
     while (!converged && round < maxRounds) {
       // one neighbor hop + one pointer jump per materialization
-      // (a double-hop variant was measured SLOWER at sf0.1 — the
-      // deeper per-checkpoint lineage costs more than the extra
-      // rounds it saves)
+      // (measured at sf0.1: a double-hop variant is SLOWER — the
+      // extra edges-join per checkpoint costs more than the rounds it
+      // saves — and a double-jump variant saves no rounds at all on
+      // these shallow components while paying a deeper lineage; a
+      // step-folded init likewise measured net-negative)
       val next = ccCheckpoint(jump(step(labels.select(col("doc_id"), col("label"))))
         .withColumnRenamed("label", "new_label")
         .join(labels.select(col("doc_id"), col("label").as("old_label")), Seq("doc_id"))
