@@ -28,8 +28,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Caches {
   private val pending = new ConcurrentLinkedQueue[DataFrame]()
-  private val hooked = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // weak: a stopped/abandoned SparkSession must not stay pinned by
+  // this registry in a long-lived multi-session JVM
+  private val hooked = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Persist `df` and schedule its release after the next completed
     * action on `df`'s session. Returns `df` for chaining.

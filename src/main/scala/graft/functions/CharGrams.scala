@@ -24,6 +24,19 @@ case class CharGramsExpr(child: Expression, nExpr: Expression)
   override def right: Expression = nExpr
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // loud analysis-time rejection: the SQL facade exposes char_grams,
+  // so a wrong-typed argument must not surface as an executor-side
+  // codegen/ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType &&
+      nExpr.dataType == org.apache.spark.sql.types.IntegerType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_grams expects (STRING, INT), got " +
+          s"(${child.dataType.sql}, ${nExpr.dataType.sql})")
+    }
+
   override protected def nullSafeEval(s: Any, n: Any): Any =
     CharGramsExpr.grams(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
 

@@ -48,6 +48,12 @@ object SqlDialect {
         val translated = fmt.toString
           .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
           .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+        // fail LOUDLY on escapes this shim doesn't translate — passing
+        // them through would silently re-interpret the letter as a
+        // date_format pattern and return wrong strings
+        require(!translated.contains("%"),
+          s"strftime shim supports %Y %m %d %H %M %S only, got: $fmt — " +
+            "use engine-specific date_format text for other escapes")
         DateFormatClass(Cast(ts, TimestampType), Literal(translated))
       case other => throw new IllegalArgumentException(
         s"strftime shim needs (expr, literal format), got $other")

@@ -319,7 +319,7 @@ object Dedup {
       val sc = df.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty) {
         sc.setCheckpointDir(sys.props.getOrElse("graft.cc.checkpointDir",
-          java.nio.file.Files.createTempDirectory("graft-cc").toString))
+          graft.TempDirs.scratch("graft-cc")))
       }
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)

@@ -132,7 +132,7 @@ object AnalyticsDag {
       (in, _) => userOrderSummary(in("stg_users"), in("stg_orders"))))
 
   private def freshWarehouse(): String =
-    java.nio.file.Files.createTempDirectory("graft-wh").toString
+    graft.TempDirs.scratch("graft-wh")
 
   /** q50: the DAG end-to-end INCLUDING the incremental path — a
     * backfill run over orders before 1996, then a second run over the

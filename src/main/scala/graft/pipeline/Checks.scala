@@ -44,41 +44,57 @@ object Checks {
     val name = "relationships"
   }
 
+  /** Violation-count aggregate for a scalar (non-join) check. */
+  private def violationsAgg(check: Check): Column = check match {
+    case NotNull(c) => count(when(col(c).isNull, 1))
+    case Unique(c) => count(col(c)) - countDistinct(col(c))
+    // NULLs are not_null's job, not accepted_values' (dbt ditto)
+    case AcceptedValues(c, vs) => count(when(!col(c).isin(vs: _*), 1))
+    case r: Relationships =>
+      throw new IllegalArgumentException(s"${r.name} is not a scalar check")
+  }
+
+  private def report(nameC: Column, colC: Column, violations: Column) =
+    struct(nameC.as("check_name"), colC.as("col_name"),
+      violations.cast("long").as("n_violations"))
+
   /** One check → a one-row DataFrame (check_name, col_name,
     * n_violations, passed).
     */
-  def summaryOne(df: DataFrame, check: Check): DataFrame = {
-    def wrap(violations: Column): DataFrame =
-      df.agg(violations.cast("long").as("n_violations"))
-        .select(
-          lit(check.name).as("check_name"),
-          lit(check.column).as("col_name"),
-          col("n_violations"),
-          (col("n_violations") === 0L).as("passed"))
-    check match {
-      case NotNull(c) =>
-        wrap(count(when(col(c).isNull, 1)))
-      case Unique(c) =>
-        wrap(count(col(c)) - countDistinct(col(c)))
-      case AcceptedValues(c, vs) =>
-        // NULLs are not_null's job, not accepted_values' (dbt ditto)
-        wrap(count(when(!col(c).isin(vs: _*), 1)))
-      case Relationships(c, refCol, ref) =>
-        val child = df.select(col(c)).filter(col(c).isNotNull)
-        val orphans = child.join(ref().select(col(refCol).as(c)), Seq(c), "left_anti")
-        orphans.agg(count(lit(1)).cast("long").as("n_violations"))
-          .select(
-            lit(check.name).as("check_name"),
-            lit(check.column).as("col_name"),
-            col("n_violations"),
-            (col("n_violations") === 0L).as("passed"))
-    }
-  }
+  def summaryOne(df: DataFrame, check: Check): DataFrame =
+    summary(df, Seq(check))
 
-  /** A suite → one report DataFrame, ordered by (check_name, col_name). */
+  /** A suite → one report DataFrame, ordered by (check_name,
+    * col_name). ALL scalar checks (not_null / unique /
+    * accepted_values) share ONE aggregate pass over the table —
+    * a 4-check suite on a 100 TB mart must not scan it 4 times;
+    * only relationships checks add a pass (their anti-join).
+    */
   def summary(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty check suite")
-    checks.map(summaryOne(df, _)).reduce(_.unionAll(_))
+    val (relational, scalar) = checks.partition(_.isInstanceOf[Relationships])
+    val parts = Seq.newBuilder[DataFrame]
+    if (scalar.nonEmpty) {
+      val aggs = scalar.zipWithIndex.map { case (c, i) =>
+        violationsAgg(c).cast("long").as(s"v$i")
+      }
+      val reports = scalar.zipWithIndex.map { case (c, i) =>
+        report(lit(c.name), lit(c.column), col(s"v$i"))
+      }
+      parts += df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(reports: _*)).as("r"))
+        .select(col("r.check_name"), col("r.col_name"), col("r.n_violations"))
+    }
+    relational.foreach { case Relationships(c, refCol, ref) =>
+      val child = df.select(col(c)).filter(col(c).isNotNull)
+      val orphans = child.join(ref().select(col(refCol).as(c)), Seq(c), "left_anti")
+      parts += orphans
+        .agg(count(lit(1)).cast("long").as("n_violations"))
+        .select(lit("relationships").as("check_name"), lit(c).as("col_name"),
+          col("n_violations"))
+    }
+    parts.result().reduce(_.unionAll(_))
+      .withColumn("passed", col("n_violations") === 0L)
       .orderBy(col("check_name"), col("col_name"))
   }
 

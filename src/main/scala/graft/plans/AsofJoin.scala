@@ -279,14 +279,17 @@ object Asof {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.expressions.Window
     // no wildcard: functions.left/right would shadow the parameters
-    import org.apache.spark.sql.functions.{col, last, lit, struct, unix_micros}
-    import org.apache.spark.sql.types.TimestampType
+    import org.apache.spark.sql.functions.{col, last, lit, struct, unix_date, unix_micros}
+    import org.apache.spark.sql.types.{DateType, TimestampType}
     val P = "__graft_asof_"
     // times/tiebreaks compare as the exec's toLong does: timestamps by
-    // their microsecond value, integrals widened
+    // their microsecond value, dates by their epoch-day Int (a direct
+    // date→long cast is an invalid Cast and would fail analysis),
+    // integrals widened
     def asLong(df: DataFrame, c: String): Column =
       df.schema(c).dataType match {
         case TimestampType => unix_micros(col(c))
+        case DateType => unix_date(col(c)).cast("long")
         case _ => col(c).cast("long")
       }
     val lStruct = struct(left.columns.map(col): _*)

@@ -17,7 +17,7 @@ import graft.sources.Sources
 object Warehouse {
 
   private def tempDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    graft.TempDirs.scratch(prefix)
 
   /** The month every q51 run lands on — mid-range of the TPC-H-ish
     * order dates, so the pruned slice is non-trivial at every sf.

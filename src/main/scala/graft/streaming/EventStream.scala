@@ -126,22 +126,26 @@ object EventStream {
       var n = prior.map(_.n_events).getOrElse(0L)
       var sum = prior.map(p => JBD.valueOf(p.total_value).setScale(4, RoundingMode.HALF_UP))
         .getOrElse(JBD.ZERO.setScale(4))
+      // sawAny, NOT bestType==null, decides whether this batch had
+      // events: an event with a NULL event_type must still win the
+      // running max and propagate its (null) type + timestamp
+      var sawAny = false
       var bestTs = Long.MinValue
       var bestId = Long.MinValue
       var bestType: String = null
       it.foreach { e =>
         n += 1L
         sum = sum.add(JBD.valueOf(e.value).setScale(4, RoundingMode.HALF_UP))
-        if (e.ts > bestTs || (e.ts == bestTs && e.event_id > bestId)) {
-          bestTs = e.ts; bestId = e.event_id; bestType = e.event_type
+        if (!sawAny || e.ts > bestTs || (e.ts == bestTs && e.event_id > bestId)) {
+          sawAny = true; bestTs = e.ts; bestId = e.event_id; bestType = e.event_type
         }
       }
       val agg = UserAgg(
         uid,
         n,
         sum.doubleValue,
-        Option(bestType).orElse(prior.map(_.last_event_type)).orNull,
-        if (bestType != null) bestTs / 1000000L
+        if (sawAny) bestType else prior.map(_.last_event_type).orNull,
+        if (sawAny) bestTs / 1000000L
         else prior.map(_.last_ts_ms).getOrElse(0L))
       state.update(agg)
       Iterator.single(agg)
@@ -319,7 +323,7 @@ object EventStream {
       pmod(col("user_id"), lit(8)).cast("int").as("partition"),
       col("event_id").as("offset"),
       col("ts").as("timestamp"))
-    val path = java.nio.file.Files.createTempDirectory("graft-topic").toString
+    val path = graft.TempDirs.scratch("graft-topic")
     // one file per topic partition — the actual Kafka landing shape
     topicDump.repartition(8).write.mode("overwrite").parquet(path)
 
@@ -395,7 +399,8 @@ object EventStream {
         |  FROM events),
         |ranked AS (
         |  SELECT user_id, op, value, ts,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
         |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops,
         |    COUNT(CASE WHEN op = 'd' THEN 1 END) OVER (PARTITION BY user_id) AS n_deletes
         |  FROM ops)

@@ -139,6 +139,24 @@ class AsofJoinSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.AsofJoinExec.FALLBACK_BYTES_KEY)
   }
 
+  test("composed fallback handles DateType times like the exec path") {
+    import spark.implicits._
+    def d(s: String) = org.apache.spark.sql.functions.to_date(
+      org.apache.spark.sql.functions.lit(s))
+    val left = Seq(100L, 101L).toDF("lid")
+      .withColumn("k", org.apache.spark.sql.functions.lit(1L))
+      .withColumn("t", d("1995-03-15"))
+    val right = Seq((1L, 7L), (1L, 8L)).toDF("rk", "rid")
+      .withColumn("rt", d("1995-03-01"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val viaExec = rows(Asof.join(left, right, "k", "rk", "t", "rt", "rid"))
+    val viaComposed = rows(Asof.composed(left, right, "k", "rk", "t", "rt", "rid"))
+    assert(viaComposed == viaExec)
+    assert(viaComposed == Set(100L -> 8L, 101L -> 8L))
+  }
+
   test("composed fallback keeps the exec's NULL semantics") {
     import spark.implicits._
     def ts(c: org.apache.spark.sql.Column) =
