@@ -115,10 +115,47 @@ object Approx {
       .orderBy(col("lang"))
   }
 
+  /** a04: count-min-sketch heavy hitters — the mergeable
+    * frequency sketch that replaces exact token counting when the
+    * vocabulary no longer fits (the 100 TB top-k path). One
+    * distributed `count_min_sketch` aggregate builds the sketch
+    * (eps=1e-4, δ=1e-4, fixed seed); the exact top-10 tokens (computed
+    * distributedly, rank deterministic by count desc + token) are then
+    * probed against it driver-side — the same one-small-row fetch
+    * pattern as a02's bloom build. `within_bound` asserts the CMS
+    * contract: estimate ≥ exact always (CMS never undercounts), and
+    * ≤ exact + 10·eps·N — a ~6σ-style margin over the ε·N guarantee,
+    * so sampling noise cannot trip the exact-hash gate while an
+    * order-of-magnitude-broken sketch still fails it.
+    */
+  def a04CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val skBytes = toks
+      .agg(expr("count_min_sketch(token, 0.0001d, 0.9999d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val margin = (10.0 * 0.0001 * cms.totalCount()).toLong
+    // exact top-10 computed DISTRIBUTEDLY (agg + deterministic rank);
+    // only the 10 winners come to the driver for their sketch probes
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+      .limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    import spark.implicits._
+    top.zipWithIndex.map { case ((t, exact), i) =>
+      val est = cms.estimateCount(t)
+      ((i + 1).toLong, t, exact, est >= exact && est <= exact + margin)
+    }.toSeq.toDF("est_rank", "token", "exact_cnt", "within_bound")
+      .orderBy(col("est_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_hll_sketches" -> (a01HllSketches _),
     "a02_bloom_filtered_join" -> (a02BloomFilteredJoin _),
-    "a03_quantile_sketch" -> (a03QuantileSketch _)
+    "a03_quantile_sketch" -> (a03QuantileSketch _),
+    "a04_cms_heavy_hitters" -> (a04CmsHeavyHitters _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,6 +176,17 @@ object Approx {
         |  TRUE AS ok_p50, TRUE AS ok_p90
         |FROM documents GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "a04_cms_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY 1)
+        |SELECT ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, token) AS est_rank,
+        |  token, exact_cnt, TRUE AS within_bound
+        |FROM counts
+        |QUALIFY est_rank <= 10
+        |ORDER BY est_rank""".stripMargin,
     "a02_bloom_filtered_join" ->
       """SELECT c_mktsegment,
         |  COUNT(*) AS n_orders,

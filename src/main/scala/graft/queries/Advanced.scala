@@ -159,6 +159,43 @@ object Advanced {
     * so AQE must stay free to pick broadcast at small sf and a
     * shuffle join at scale.
     */
+  /** q56: ordered funnel analysis — the product-analytics staple over
+    * the events stream: per user, the first signup, the first view AT
+    * OR AFTER it, and the first purchase at or after that view; stage
+    * = deepest step reached. Three per-user aggregates chained by
+    * time joins — each a small shuffle on user_id, no windows over
+    * the raw stream, no per-user event buffering (the conversion path
+    * at 100 TB events). Timestamps compare at microsecond precision
+    * on both engines.
+    */
+  def q56Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    def firstAtOrAfter(evType: String, anchor: DataFrame, anchorCol: String,
+        outCol: String): DataFrame =
+      e.filter(col("event_type") === evType)
+        .join(anchor, Seq("user_id"))
+        .filter(col("ts") >= col(anchorCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outCol))
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val view = firstAtOrAfter("view", signup, "s_ts", "v_ts")
+    val purchase = firstAtOrAfter("purchase", view, "v_ts", "p_ts")
+    e.select(col("user_id")).distinct()
+      .join(signup, Seq("user_id"), "left")
+      .join(view, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        unix_millis(col("s_ts")).as("signup_ts_ms"),
+        unix_millis(col("v_ts")).as("view_ts_ms"),
+        unix_millis(col("p_ts")).as("purchase_ts_ms"),
+        when(col("p_ts").isNotNull, "purchase")
+          .when(col("v_ts").isNotNull, "view")
+          .when(col("s_ts").isNotNull, "signup")
+          .otherwise("none").as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   def q22SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
     val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
@@ -245,10 +282,38 @@ object Advanced {
     "q18_cube_status_segment" -> (q18CubeStatusSegment _),
     "q19_json_props" -> (q19JsonProps _),
     "q20_asof_view_purchase" -> (q20AsofViewPurchase _),
-    "q22_small_quantity_revenue" -> (q22SmallQuantityRevenue _)
+    "q22_small_quantity_revenue" -> (q22SmallQuantityRevenue _),
+    "q56_funnel" -> (q56Funnel _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q56_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |v AS (
+        |  SELECT e.user_id, MIN(e.ts) AS v_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) >= epoch_us(s.s_ts)
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= epoch_us(v.v_ts)
+        |  GROUP BY 1)
+        |SELECT u.user_id,
+        |  epoch_ms(s.s_ts) AS signup_ts_ms,
+        |  epoch_ms(v.v_ts) AS view_ts_ms,
+        |  epoch_ms(p.p_ts) AS purchase_ts_ms,
+        |  CASE WHEN p.p_ts IS NOT NULL THEN 'purchase'
+        |       WHEN v.v_ts IS NOT NULL THEN 'view'
+        |       WHEN s.s_ts IS NOT NULL THEN 'signup'
+        |       ELSE 'none' END AS stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s ON u.user_id = s.user_id
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "q24_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(o_orderdate AS DATE) AS order_date,
