@@ -196,6 +196,35 @@ object Advanced {
       .orderBy(col("user_id"))
   }
 
+  /** q57: cohort retention — users cohorted by first-activity week,
+    * retention = share of the cohort active again k weeks later
+    * (k ∈ 1..4). Two aggregates (first activity per user, distinct
+    * user-week activity) and one join — the cohort matrix at 100 TB
+    * events without windows or per-user state. Weeks are epoch-aligned
+    * 7-day buckets (floor(epoch_days/7) — identical arithmetic both
+    * engines, no locale week rules).
+    */
+  def q57CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"),
+        floor(unix_date(to_date(col("ts"))) / 7).cast("long").as("week"))
+    val firstWeek = e.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val active = e.distinct()
+    val joined = active.join(firstWeek, Seq("user_id"))
+      .withColumn("weeks_since", col("week") - col("cohort_week"))
+    joined
+      .groupBy(col("cohort_week"))
+      .agg(
+        countDistinct(col("user_id")).as("cohort_size"),
+        countDistinct(when(col("weeks_since") === 1, col("user_id"))).as("w1"),
+        countDistinct(when(col("weeks_since") === 2, col("user_id"))).as("w2"),
+        countDistinct(when(col("weeks_since") === 3, col("user_id"))).as("w3"),
+        countDistinct(when(col("weeks_since") === 4, col("user_id"))).as("w4"))
+      .withColumn("w1_rate", col("w1").cast("double") / col("cohort_size").cast("double"))
+      .orderBy(col("cohort_week"))
+  }
+
   def q22SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
     val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
@@ -283,10 +312,31 @@ object Advanced {
     "q19_json_props" -> (q19JsonProps _),
     "q20_asof_view_purchase" -> (q20AsofViewPurchase _),
     "q22_small_quantity_revenue" -> (q22SmallQuantityRevenue _),
-    "q56_funnel" -> (q56Funnel _)
+    "q56_funnel" -> (q56Funnel _),
+    "q57_cohort_retention" -> (q57CohortRetention _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+        |  FROM events),
+        |fw AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY 1),
+        |j AS (
+        |  SELECT act.user_id, fw.cohort_week,
+        |    act.week - fw.cohort_week AS weeks_since
+        |  FROM act JOIN fw ON act.user_id = fw.user_id)
+        |SELECT cohort_week,
+        |  COUNT(DISTINCT user_id) AS cohort_size,
+        |  COUNT(DISTINCT CASE WHEN weeks_since = 1 THEN user_id END) AS w1,
+        |  COUNT(DISTINCT CASE WHEN weeks_since = 2 THEN user_id END) AS w2,
+        |  COUNT(DISTINCT CASE WHEN weeks_since = 3 THEN user_id END) AS w3,
+        |  COUNT(DISTINCT CASE WHEN weeks_since = 4 THEN user_id END) AS w4,
+        |  CAST(COUNT(DISTINCT CASE WHEN weeks_since = 1 THEN user_id END) AS DOUBLE)
+        |    / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS w1_rate
+        |FROM j GROUP BY 1 ORDER BY cohort_week""".stripMargin,
     "q56_funnel" ->
       """WITH s AS (
         |  SELECT user_id, MIN(ts) AS s_ts FROM events
