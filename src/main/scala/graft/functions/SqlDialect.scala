@@ -23,10 +23,14 @@ object SqlDialect {
     def install(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")
 
-    // epoch_ms(ts): milliseconds since epoch (DuckDB/Postgres-ish)
+    // epoch_ms(ts) / epoch_us(ts): ms/µs since epoch (DuckDB-ish)
     install("epoch_ms") {
       case Seq(ts) => UnixMillis(Cast(ts, TimestampType))
       case other => throw badArgs("epoch_ms", 1, other)
+    }
+    install("epoch_us") {
+      case Seq(ts) => UnixMicros(Cast(ts, TimestampType))
+      case other => throw badArgs("epoch_us", 1, other)
     }
 
     // json_extract_string(json, path) = get_json_object

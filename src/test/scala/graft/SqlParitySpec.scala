@@ -40,6 +40,9 @@ class SqlParitySpec extends AnyFunSuite {
     "q42_date_suite" -> (_.replace(
       "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))",
       "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')")),
+    "q57_cohort_retention" -> (_.replace(
+      "date_diff('day', DATE '1970-01-01',\n      CAST(ts AS DATE))",
+      "datediff(CAST(ts AS DATE), DATE '1970-01-01')")),
     // DISTINCT inside an aliased aggregate can't ride a temp-function
     // shim; spell the Spark aggregates directly
     "q40_array_agg" -> (sql => sql
