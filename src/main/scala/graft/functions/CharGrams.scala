@@ -51,6 +51,10 @@ case class CharGramsExpr(child: Expression, nExpr: Expression)
 
 object CharGramsExpr {
   def grams(s: UTF8String, n: Int): ArrayData = {
+    // loud, not [""]-for-every-row: n<=0 would make substringSQL(_, n)
+    // emit the empty gram for every position and silently collapse
+    // all documents into one shingle class
+    require(n > 0, s"char_grams n must be positive, got $n")
     val chars = s.numChars()
     if (chars < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()

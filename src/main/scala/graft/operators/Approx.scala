@@ -130,19 +130,26 @@ object Approx {
     */
   def a04CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
+    // persist: the tokenized scan feeds BOTH the sketch aggregate and
+    // the exact top-10 — both actions happen inside this function, so
+    // release is a plain try/finally (Caches' after-next-action
+    // release would fire on the FIRST of the two actions)
     val toks = Tables(spark, dir, "documents")
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
-    val skBytes = toks
-      .agg(expr("count_min_sketch(token, 0.0001d, 0.9999d, 42)"))
-      .head().getAs[Array[Byte]](0)
-    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(skBytes))
-    val margin = (10.0 * 0.0001 * cms.totalCount()).toLong
-    // exact top-10 computed DISTRIBUTEDLY (agg + deterministic rank);
-    // only the 10 winners come to the driver for their sketch probes
-    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("token"))
-      .limit(10)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .persist()
+    val (top, margin, cms) = try {
+      val skBytes = toks
+        .agg(expr("count_min_sketch(token, 0.0001d, 0.9999d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val sk = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(skBytes))
+      // exact top-10 computed DISTRIBUTEDLY (agg + deterministic
+      // rank); only the 10 winners come to the driver for probes
+      val t = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+        .limit(10)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      (t, (10.0 * 0.0001 * sk.totalCount()).toLong, sk)
+    } finally toks.unpersist(blocking = false)
     import spark.implicits._
     top.zipWithIndex.map { case ((t, exact), i) =>
       val est = cms.estimateCount(t)

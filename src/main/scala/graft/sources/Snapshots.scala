@@ -173,10 +173,16 @@ object Snapshots {
           .orElse(ledgerEntries(tableDir).find(_._2 == t).map(_._1)))
       existing.getOrElse {
         val line = tag.fold(next.toString)(t => s"$next\t$t")
+        // time BEFORE manifest: a version visible in the manifest but
+        // missing from _times would read as "always existed" in
+        // readAsOf's back-compat fallback — a reader racing this
+        // commit could see brand-new data at any past timestamp. A
+        // _times entry for a not-yet-manifested version is harmless
+        // (readAsOf intersects with live versions).
+        appendTime(tableDir, next)
         Files.write(manifest(tableDir), s"$line\n".getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         tag.foreach(t => appendTag(tableDir, next, t))
-        appendTime(tableDir, next)
         next
       }
     }
@@ -212,10 +218,10 @@ object Snapshots {
       if (!versions(tableDir).lastOption.contains(baseVersion)) None
       else {
         val line = tag.fold(next.toString)(t => s"$next\t$t")
+        appendTime(tableDir, next) // BEFORE the manifest line — see commit()
         Files.write(manifest(tableDir), s"$line\n".getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         tag.foreach(t => appendTag(tableDir, next, t))
-        appendTime(tableDir, next)
         Some(next)
       }
     }
