@@ -123,10 +123,52 @@ object Warehouse {
       .orderBy(col("op"), col("o_orderkey"))
   }
 
+  /** q58: bucketed co-located join, end-to-end — the layout that turns
+    * the biggest fact⋈fact join from a full-cluster shuffle into local
+    * merges: both sides land bucketed (and sorted) by the join key, so
+    * the join plans with ZERO shuffle exchanges (WarehouseSpec asserts
+    * it). The oracle recomputes the same rollup from the raw tables,
+    * proving the bucketed landing is lossless.
+    */
+  def q58BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = bucketTable(spark, "g58_orders_b",
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
+    val l = bucketTable(spark, "g58_lineitem_b",
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      "l_orderkey")
+    bucketedRollup(o, l)
+  }
+
+  /** (Re)land a bucketed external table and return it. */
+  def bucketTable(spark: SparkSession, name: String, df: DataFrame,
+      bucketCol: String): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.mode("overwrite")
+      .bucketBy(8, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", tempDir(s"graft-$name"))
+      .format("parquet")
+      .saveAsTable(name)
+    spark.table(name)
+  }
+
+  def bucketedRollup(o: DataFrame, l: DataFrame): DataFrame =
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        dsum(col("l_quantity")).as("total_qty"),
+        dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_partitioned_scan" -> (q51PartitionedScan _),
     "q53_compaction" -> (q53Compaction _),
-    "q55_changelog" -> (q55Changelog _)
+    "q55_changelog" -> (q55Changelog _),
+    "q58_bucketed_join" -> (q58BucketedJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,6 +203,15 @@ object Warehouse {
         |SELECT o_orderkey, 'update'
         |FROM stg WHERE order_date >= DATE '1994-01-01'
         |  AND order_date < DATE '1994-06-01'
-        |ORDER BY op, o_orderkey""".stripMargin
+        |ORDER BY op, o_orderkey""".stripMargin,
+    "q58_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_lines,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

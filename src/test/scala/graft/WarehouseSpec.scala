@@ -58,6 +58,31 @@ class WarehouseSpec extends AnyFunSuite {
     assert(landed.df.count() == Tables(spark, sf, "orders").count())
   }
 
+  test("q58 bucketed sides join with zero shuffle exchanges") {
+    val o = Warehouse.bucketTable(spark, "g58_orders_b",
+      Tables(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
+    val l = Warehouse.bucketTable(spark, "g58_lineitem_b",
+      Tables(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      "l_orderkey")
+    // disable broadcast for the assertion: at test sf the small side
+    // broadcasts (also shuffle-free); the bucketed layout is what
+    // keeps the join exchange-free at the scale where it CAN'T
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${plan.take(800)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("q51 pruned mart equals the same month computed from the raw table") {
     val viaLanded = SparkEntry.queries("q51_partitioned_scan")(spark, sf)
       .collect().map(_.toSeq.map(String.valueOf))
