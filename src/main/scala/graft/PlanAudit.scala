@@ -13,7 +13,9 @@ object PlanAudit {
                   "d05_embedding_dup", "d07_boilerplate", "s06_ann_multiprobe",
                   "q22_small_quantity_revenue", "q34_top_supplier", "q48_stg_users_cleanse",
                   "q51_partitioned_scan", "q53_compaction", "d02_ngram_jaccard",
-                  "d03_minhash_lsh", "p10_domain_mix", "p11_global_shuffle")) {
+                  "d03_minhash_lsh", "p10_domain_mix", "p11_global_shuffle",
+                  "q56_funnel", "q57_cohort_retention", "q58_bucketed_join",
+                  "q54_quality_checks", "a04_cms_heavy_hitters")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length
