@@ -87,6 +87,35 @@ object Dedup {
       .orderBy(col("pair_rank"))
   }
 
+  /** d08: INCREMENTAL exact dedup — the daily-ingest shape d01's
+    * global pass doesn't cover: an arriving batch (including
+    * at-least-once REDELIVERIES of corpus docs) is deduped against
+    * the existing corpus without rescanning or re-deduping it. One
+    * semi-shaped left join against the corpus's distinct hash index +
+    * one batch-local window — at 100 TB the corpus side is a compact
+    * hash table (bloom-able), and only the day's batch shuffles.
+    * Split is modulo-deterministic (corpus = doc_id%5≠0; batch =
+    * doc_id%5=0 plus corpus docs with doc_id%7=0 re-delivered), so
+    * the oracle reproduces it at any sf.
+    */
+  def d08IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val corpus = hashed.filter(col("doc_id") % 5 =!= 0)
+    val arriving = hashed.filter(col("doc_id") % 5 === 0)
+      .unionAll(corpus.filter(col("doc_id") % 7 === 0)) // redelivery
+    val corpusHashes = corpus.select(col("h")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val w = Window.partitionBy(col("h"))
+    arriving.join(corpusHashes, Seq("h"), "left")
+      .withColumn("dup_of_corpus", coalesce(col("in_corpus"), lit(false)))
+      .withColumn("first_in_batch", col("doc_id") === min(col("doc_id")).over(w))
+      .withColumn("keep", !col("dup_of_corpus") && col("first_in_batch"))
+      .select(col("doc_id"), col("h").as("content_md5"),
+        col("dup_of_corpus"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   private val K = 16        // minhash permutations
   private val BANDS = 4     // LSH bands of 4 rows each
 
@@ -440,7 +469,8 @@ object Dedup {
     "d04_simhash" -> (d04Simhash _),
     "d05_embedding_dup" -> (d05EmbeddingDup _),
     "d06_dup_clusters" -> (d06DupClusters _),
-    "d07_boilerplate" -> (d07Boilerplate _)
+    "d07_boilerplate" -> (d07Boilerplate _),
+    "d08_incremental_dedup" -> (d08IncrementalDedup _)
   )
 
   // oracle mirror of minhashSigs' affine family — same A/B/P literals
@@ -586,6 +616,20 @@ object Dedup {
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d08_incremental_dedup" ->
+      """WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |corpus AS (SELECT * FROM hashed WHERE doc_id % 5 <> 0),
+        |arriving AS (
+        |  SELECT * FROM hashed WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT * FROM corpus WHERE doc_id % 7 = 0),
+        |marked AS (
+        |  SELECT a.doc_id, a.h,
+        |    EXISTS (SELECT 1 FROM corpus c WHERE c.h = a.h) AS dup_of_corpus,
+        |    a.doc_id = MIN(a.doc_id) OVER (PARTITION BY a.h) AS first_in_batch
+        |  FROM arriving a)
+        |SELECT doc_id, h AS content_md5, dup_of_corpus,
+        |  (NOT dup_of_corpus) AND first_in_batch AS keep
+        |FROM marked ORDER BY doc_id""".stripMargin,
     "d07_boilerplate" ->
       s"""WITH t AS (
          |  SELECT doc_id, ${graft.functions.TextGrams.tokensSql("text")} AS ts
