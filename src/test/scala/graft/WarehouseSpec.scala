@@ -59,10 +59,12 @@ class WarehouseSpec extends AnyFunSuite {
   }
 
   test("q58 bucketed sides join with zero shuffle exchanges") {
-    val o = Warehouse.bucketTable(spark, "g58_orders_b",
+    // spec-private table names: suites run in parallel in one JVM, and
+    // QueriesSpec exercises q58 (which owns the g58_* names) concurrently
+    val o = Warehouse.bucketTable(spark, "g58spec_orders_b",
       Tables(spark, sf, "orders")
         .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
-    val l = Warehouse.bucketTable(spark, "g58_lineitem_b",
+    val l = Warehouse.bucketTable(spark, "g58spec_lineitem_b",
       Tables(spark, sf, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
       "l_orderkey")
