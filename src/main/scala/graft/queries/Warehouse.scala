@@ -141,16 +141,18 @@ object Warehouse {
     bucketedRollup(o, l)
   }
 
+  // stable scratch path per bucketed table name: re-landing the same
+  // table overwrites in place instead of orphaning the previous run's
+  // full external copy (DROP TABLE leaves external files behind)
+  private val bucketPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** (Re)land a bucketed external table and return it. */
   def bucketTable(spark: SparkSession, name: String, df: DataFrame,
       bucketCol: String): DataFrame = {
+    val path = bucketPaths.computeIfAbsent(name, n => tempDir(s"graft-$n"))
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    df.write.mode("overwrite")
-      .bucketBy(8, bucketCol)
-      .sortBy(bucketCol)
-      .option("path", tempDir(s"graft-$name"))
-      .format("parquet")
-      .saveAsTable(name)
+    Sources.writeBucketed(df, name, bucketCol, numBuckets = 8, Some(path))
     spark.table(name)
   }
 

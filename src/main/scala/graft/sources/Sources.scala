@@ -45,12 +45,13 @@ object Sources {
     * saveAsTable (bucketing metadata lives in the catalog).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      numBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+      numBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Small-file compaction — streaming/CDC ingest (one file per
     * micro-batch per partition, the reference's Kafka→Iceberg sink

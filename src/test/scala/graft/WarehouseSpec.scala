@@ -59,8 +59,10 @@ class WarehouseSpec extends AnyFunSuite {
   }
 
   test("q58 bucketed sides join with zero shuffle exchanges") {
-    // spec-private table names: suites run in parallel in one JVM, and
-    // QueriesSpec exercises q58 (which owns the g58_* names) concurrently
+    // spec-private table names: q58 itself (run by QueriesSpec /
+    // SqlParitySpec in the same session) owns the g58_* names and
+    // re-lands them; keeping this test on its own tables makes it
+    // order-independent of those suites
     val o = Warehouse.bucketTable(spark, "g58spec_orders_b",
       Tables(spark, sf, "orders")
         .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
