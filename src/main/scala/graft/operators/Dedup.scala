@@ -400,15 +400,25 @@ object Dedup {
     // sig/pairs can be released early. Width grows back toward the
     // session value at one partition per 50k edges — a billion-edge
     // subgraph on a real cluster keeps full parallelism.
+    //
+    // The narrow width is scoped to a CLONED session (shared context +
+    // cache, isolated conf) rather than set/restored on the shared
+    // session conf: a query planned concurrently on the same
+    // SparkSession must never be silently planned at the loop's width.
+    // The final labels are re-rooted onto the caller's session below,
+    // so the corpus-wide final rollup keeps the session width.
     val nEdges = edges.count()
     val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
     val loopParts = math.max(4L, math.min(sessParts.toLong, nEdges / 50000L))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val finalLabels = try {
-    var labels = ccCheckpoint(edges.select(col("doc_id")).distinct()
+    val loopSpark = org.apache.spark.sql.GraftShims.cloneWithConf(spark,
+      "spark.sql.shuffle.partitions" -> loopParts.toString)
+    // same persisted edge table, planned under the loop session (the
+    // CacheManager lives in SharedState, so the cache hit carries over)
+    val edgesL = org.apache.spark.sql.GraftShims.reRoot(loopSpark, edges)
+    var labels = ccCheckpoint(edgesL.select(col("doc_id")).distinct()
       .withColumn("label", col("doc_id")))
     def step(ls: DataFrame): DataFrame = {
-      val nbrMin = edges
+      val nbrMin = edgesL
         .join(ls.select(col("doc_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
         .groupBy(col("doc_id")).agg(min(col("nbr_label")).as("min_nbr_label"))
       ls.join(nbrMin, Seq("doc_id"), "left")
@@ -443,13 +453,9 @@ object Dedup {
     sig.unpersist(blocking = false)
     pairs.unpersist(blocking = false)
     graft.Caches.deferRelease(edges)
-    labels
-    } finally {
-      // the returned plan is physical-planned at the caller's action,
-      // after this restore — the corpus-wide final rollup keeps the
-      // session width
-      spark.conf.set("spark.sql.shuffle.partitions", sessParts)
-    }
+    // back onto the caller's session: the final corpus-wide rollup
+    // plans at the session width, not the loop width
+    val finalLabels = org.apache.spark.sql.GraftShims.reRoot(spark, labels)
     val singletons = d.select(col("doc_id"))
       .join(edges.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))

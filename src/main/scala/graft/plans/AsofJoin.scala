@@ -280,17 +280,22 @@ object Asof {
     import org.apache.spark.sql.expressions.Window
     // no wildcard: functions.left/right would shadow the parameters
     import org.apache.spark.sql.functions.{col, last, lit, struct, unix_date, unix_micros}
-    import org.apache.spark.sql.types.{DateType, TimestampType}
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampType}
     val P = "__graft_asof_"
     // times/tiebreaks compare as the exec's toLong does: timestamps by
     // their microsecond value, dates by their epoch-day Int (a direct
     // date→long cast is an invalid Cast and would fail analysis),
-    // integrals widened
+    // integrals widened. Anything else throws — EXACTLY like the
+    // exec's toLong: a double/string time column must fail loudly on
+    // both paths, not silently truncate on this one once the build
+    // side crosses the fallback threshold.
     def asLong(df: DataFrame, c: String): Column =
       df.schema(c).dataType match {
         case TimestampType => unix_micros(col(c))
         case DateType => unix_date(col(c)).cast("long")
-        case _ => col(c).cast("long")
+        case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+        case other => throw new IllegalArgumentException(
+          s"as-of time/tiebreak must be integral or timestamp, got $other ('$c')")
       }
     val lStruct = struct(left.columns.map(col): _*)
     val rStruct = struct(right.columns.map(col): _*)

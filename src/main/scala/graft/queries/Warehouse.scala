@@ -147,13 +147,25 @@ object Warehouse {
   private val bucketPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** (Re)land a bucketed external table and return it. */
+  // process-unique suffix for catalog table names: two drivers sharing
+  // a warehouse/metastore (parallel suites) must never race a DROP +
+  // overwrite on the same catalog name and read a half-rewritten table
+  private val bucketToken: String = java.lang.Long.toHexString(
+    ProcessHandle.current().pid())
+
+  /** (Re)land a bucketed external table and return it. `name` is
+    * logical; the registered catalog name (and scratch path) carry a
+    * process-unique suffix, so the land-and-read is private to this
+    * driver. Within the process, re-landing the same logical name
+    * still overwrites in place.
+    */
   def bucketTable(spark: SparkSession, name: String, df: DataFrame,
       bucketCol: String): DataFrame = {
-    val path = bucketPaths.computeIfAbsent(name, n => tempDir(s"graft-$n"))
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    Sources.writeBucketed(df, name, bucketCol, numBuckets = 8, Some(path))
-    spark.table(name)
+    val unique = s"${name}_$bucketToken"
+    val path = bucketPaths.computeIfAbsent(unique, n => tempDir(s"graft-$n"))
+    spark.sql(s"DROP TABLE IF EXISTS $unique")
+    Sources.writeBucketed(df, unique, bucketCol, numBuckets = 8, Some(path))
+    spark.table(unique)
   }
 
   def bucketedRollup(o: DataFrame, l: DataFrame): DataFrame =

@@ -37,27 +37,25 @@ object EventStream {
     */
   val STREAM_SHUFFLE_KEY = "spark.graft.streaming.shufflePartitions"
 
-  /** Scope `body` (build + start + drain of one streaming query) to
-    * the streaming shuffle width, and skip no-data micro-batches: the
-    * extra empty batch exists to advance the watermark and evict state
-    * on a LONG-RUNNING query; for a drain-everything-then-stop run its
-    * state maintenance is pure overhead (outputs are identical — the
-    * oracle gate checks that). Both confs are restored on exit, so
-    * the caller's batch plans (including the sink-side rollup of the
-    * returned DataFrame) keep the session's width.
+  /** A CLONED session carrying the streaming tuning: the streaming
+    * shuffle width, plus no-data micro-batches skipped (the extra
+    * empty batch exists to advance the watermark and evict state on a
+    * LONG-RUNNING query; for a drain-everything-then-stop run its
+    * state maintenance is pure overhead — outputs are identical, the
+    * oracle gate checks that). Each stXX builds its WHOLE pipeline on
+    * the clone, so the overrides are scoped to that pipeline's plans:
+    * nothing is ever set/restored on the shared session, and a query
+    * planned concurrently on it can never be planned at the stream
+    * width. With [[STREAM_SHUFFLE_KEY]] unset the clone inherits the
+    * session width — the cluster configuration — so the sink-side
+    * rollups plan identically there.
     */
-  private def withStreamTuning[T](spark: SparkSession)(body: => T): T = {
+  private def streamSession(spark: SparkSession): SparkSession = {
     val conf = spark.conf
-    val prevParts = conf.get("spark.sql.shuffle.partitions")
-    val prevNoData =
-      conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    conf.set("spark.sql.shuffle.partitions",
-      conf.get(STREAM_SHUFFLE_KEY, prevParts))
-    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try body finally {
-      conf.set("spark.sql.shuffle.partitions", prevParts)
-      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-    }
+    org.apache.spark.sql.GraftShims.cloneWithConf(spark,
+      "spark.sql.shuffle.partitions" ->
+        conf.get(STREAM_SHUFFLE_KEY, conf.get("spark.sql.shuffle.partitions")),
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
   }
 
   val eventsSchema: StructType = StructType(Seq(
@@ -73,7 +71,8 @@ object EventStream {
     */
   def st01StreamWindow(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
+    val s = streamSession(spark)
+    val stream = s.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")  // file source needs a dir
       .parquet(dir)
@@ -84,8 +83,8 @@ object EventStream {
       .agg(
         count(lit(1)).as("n_events"),
         dsum(col("value"), 4).as("total_value"))
-    spark.catalog.dropTempView("st01_out")
-    withStreamTuning(spark) {
+    s.catalog.dropTempView("st01_out")
+    locally {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
@@ -93,7 +92,7 @@ object EventStream {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table("st01_out")
+    s.table("st01_out")
       .select(
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("total_value"))
@@ -106,17 +105,32 @@ object EventStream {
     * `BigDecimal.valueOf(_).setScale(4, HALF_UP)`, mirroring Spark's
     * own double→DECIMAL(18,4) cast so the oracle matches bit-exact.
     */
-  def st02StatefulCounts(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .as[RawEvent]
+  /** Event-time state retention for st02: a user's state is evicted
+    * once the watermark passes their last activity + this many ms of
+    * event time; a later event for the key restarts its aggregate
+    * from zero. On a real deployment this is what keeps per-key state
+    * reclaimable (state ∝ ACTIVE users, not the all-time key
+    * universe).
+    */
+  val St02RetentionMs: Long = 30L * 24 * 3600 * 1000
 
+  /** The st02 stateful core over an already-watermarked event stream
+    * — separated so the spec can drive it batch-by-batch from a
+    * MemoryStream and observe a key's state actually expire.
+    */
+  private[graft] def statefulCounts(
+      events: org.apache.spark.sql.Dataset[RawEvent]): org.apache.spark.sql.Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
     val updateFn = (uid: Long, it: Iterator[RawEvent], state: GroupState[UserAgg]) => {
       import java.math.{BigDecimal => JBD, RoundingMode}
+      if (state.hasTimedOut) {
+        // watermark passed last activity + retention: reclaim the
+        // state. Nothing is emitted — every update was already emitted
+        // append-mode, so expiry changes state SIZE, never output; a
+        // later event for this key re-aggregates from zero.
+        state.remove()
+        Iterator.empty
+      } else {
       val prior = state.getOption
       // ONE streaming pass over the batch slice — no buffering/sorting
       // of the key's events (a hot key with millions of events per
@@ -148,14 +162,38 @@ object EventStream {
         if (sawAny) bestTs / 1000000L
         else prior.map(_.last_ts_ms).getOrElse(0L))
       state.update(agg)
+      // schedule eviction strictly beyond the current watermark (a
+      // timeout at-or-before it would be rejected); event-time based,
+      // so retention tracks the DATA's clock, not the wall clock
+      state.setTimeoutTimestamp(
+        math.max(state.getCurrentWatermarkMs() + 1,
+          agg.last_ts_ms + St02RetentionMs))
       Iterator.single(agg)
+      }
     }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateFn)
+  }
 
-    val out = stream.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateFn)
+  def st02StatefulCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
+    import s.implicits._
+    // the watermark column exists only to drive EventTimeTimeout state
+    // expiry; `as[RawEvent]` drops it at the typed boundary
+    val stream = s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .as[RawEvent]
 
-    spark.catalog.dropTempView("st02_out")
-    withStreamTuning(spark) {
+    val out = statefulCounts(stream)
+
+    s.catalog.dropTempView("st02_out")
+    locally {
       val q = out.writeStream
         .outputMode("append")
         .format("memory")
@@ -163,7 +201,7 @@ object EventStream {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table("st02_out").orderBy(col("user_id"))
+    s.table("st02_out").orderBy(col("user_id"))
   }
 
   /** st03: stream-static join — the streaming events enriched against
@@ -173,9 +211,10 @@ object EventStream {
     */
   def st03StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val customers = graft.Tables(spark, dir, "customer")
+    val s = streamSession(spark)
+    val customers = graft.Tables(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val stream = spark.readStream
+    val stream = s.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -187,8 +226,8 @@ object EventStream {
       .agg(
         count(lit(1)).as("n_events"),
         dsum(col("value"), 4).as("total_value"))
-    spark.catalog.dropTempView("st03_out")
-    withStreamTuning(spark) {
+    s.catalog.dropTempView("st03_out")
+    locally {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
@@ -196,7 +235,7 @@ object EventStream {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table("st03_out")
+    s.table("st03_out")
       .select(
         unix_millis(col("window.start")).as("window_start_ms"),
         col("c_mktsegment"), col("n_events"), col("total_value"))
@@ -213,7 +252,8 @@ object EventStream {
     */
   def st04StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
+    val s = streamSession(spark)
+    val stream = s.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -227,8 +267,8 @@ object EventStream {
       .agg(
         count(lit(1)).as("n_events"),
         dsum(col("value"), 4).as("total_value"))
-    spark.catalog.dropTempView("st04_out")
-    withStreamTuning(spark) {
+    s.catalog.dropTempView("st04_out")
+    locally {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
@@ -236,7 +276,7 @@ object EventStream {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table("st04_out").orderBy(col("event_type"))
+    s.table("st04_out").orderBy(col("event_type"))
   }
 
   /** st05: stream-stream INTERVAL join — purchases matched to the
@@ -250,9 +290,10 @@ object EventStream {
     */
   def st05StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
     // ONE source, two filtered branches (a stream self-join): the
     // events scan runs once per micro-batch instead of once per side
-    val src = spark.readStream
+    val src = s.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -269,8 +310,8 @@ object EventStream {
       col("p_user") === col("v_user") &&
         col("v_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS") &&
         col("v_ts") <= col("p_ts"))
-    spark.catalog.dropTempView("st05_out")
-    withStreamTuning(spark) {
+    s.catalog.dropTempView("st05_out")
+    locally {
       val q = pairs.writeStream
         .outputMode("append")
         .format("memory")
@@ -278,7 +319,7 @@ object EventStream {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table("st05_out")
+    s.table("st05_out")
       .groupBy(col("p_user").as("user_id"))
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -304,8 +345,9 @@ object EventStream {
   def st06KafkaCdc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
     // 1. land the changelog as Kafka-wire records (what the topic holds)
-    val ev = graft.Tables(spark, dir, "events")
+    val ev = graft.Tables(s, dir, "events")
       .withColumn("op",
         when(col("event_type") === "signup", "c")
           .when(col("event_type") === "error", "d")
@@ -338,7 +380,7 @@ object EventStream {
     val envSchema = StructType(Seq(
       StructField("op", StringType), StructField("ts_us", LongType),
       StructField("after", rowSchema), StructField("before", rowSchema)))
-    val flat = spark.readStream.schema(kafkaSchema).parquet(path)
+    val flat = s.readStream.schema(kafkaSchema).parquet(path)
       .select(from_json(col("value").cast("string"), envSchema).as("env"))
       .select(
         col("env.op").as("op"),
@@ -346,8 +388,8 @@ object EventStream {
         coalesce(col("env.after.event_id"), col("env.before.event_id")).as("event_id"),
         col("env.after.value").as("value"),
         col("env.ts_us").as("ts_us"))
-    spark.catalog.dropTempView("st06_out")
-    withStreamTuning(spark) {
+    s.catalog.dropTempView("st06_out")
+    locally {
       val q = flat.writeStream
         .outputMode("append")
         .format("memory")
@@ -360,7 +402,7 @@ object EventStream {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").desc, col("event_id").desc)
     val wAll = Window.partitionBy(col("user_id"))
-    spark.table("st06_out")
+    s.table("st06_out")
       .withColumn("rn", row_number().over(w))
       .withColumn("n_ops", count(lit(1)).over(wAll))
       .withColumn("n_deletes", count(when(col("op") === "d", 1)).over(wAll))

@@ -20,4 +20,28 @@ object GraftShims {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Clone `spark` (shared SparkContext/SharedState — so the cache
+    * manager and catalog tables carry over; cloned SessionState — so
+    * conf, temp views and functions are copied, then isolated) and
+    * apply `entries` to the CLONE's conf only. This is how an operator
+    * scopes a conf override (e.g. a narrower shuffle width for an
+    * iterative fixpoint, or streaming-specific tuning) to its own
+    * plans: queries planned concurrently on the original session are
+    * untouched — no session-global set/restore window.
+    */
+  def cloneWithConf(spark: SparkSession, entries: (String, String)*): SparkSession = {
+    val c = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+    entries.foreach { case (k, v) => c.conf.set(k, v) }
+    c
+  }
+
+  /** Re-root an already-analyzed DataFrame onto another session (same
+    * SparkContext): the plan is re-planned under `spark`'s conf, and
+    * cached tables still resolve (the CacheManager is in SharedState
+    * and matches by canonicalized plan, not by session).
+    */
+  def reRoot(spark: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      df.queryExecution.analyzed)
 }

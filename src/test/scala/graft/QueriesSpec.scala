@@ -112,4 +112,44 @@ class QueriesSpec extends AnyFunSuite {
       .agg(sum("n_events")).head.getLong(0)
     assert(streamed == Tables(spark, sf, "events").count())
   }
+
+  test("st02 state expires on event-time timeout and re-aggregates from zero") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.RawEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    val ds = input.toDS()
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+      .as[RawEvent]
+    val out = graft.streaming.EventStream.statefulCounts(ds)
+    spark.catalog.dropTempView("st02_timeout")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("st02_timeout").start()
+    try {
+      input.addData(
+        RawEvent(1, 1 * dayNs, 7L, "view", 1.0, "{}"),
+        RawEvent(2, 1 * dayNs + 1000, 7L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      // advance the watermark far past user 7's last activity +
+      // EventStream.St02RetentionMs (30 d of event time)
+      input.addData(RawEvent(3, 40 * dayNs, 8L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      // the batch at which 7's expiry callback fires (timeouts are
+      // evaluated against the PREVIOUS batch's watermark)
+      input.addData(RawEvent(4, 41 * dayNs, 8L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      // post-expiry event for user 7: the aggregate must restart
+      input.addData(RawEvent(5, 42 * dayNs, 7L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("st02_timeout").filter($"user_id" === 7L)
+      .orderBy($"last_ts_ms").collect()
+    assert(rows.head.getAs[Long]("n_events") == 2)
+    assert(rows.last.getAs[Long]("n_events") == 1,
+      "state for user 7 was not evicted by the event-time timeout")
+  }
 }
