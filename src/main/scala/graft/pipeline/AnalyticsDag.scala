@@ -167,15 +167,113 @@ object AnalyticsDag {
     runner.readModel("user_order_summary").orderBy(col("revenue_rank"))
   }
 
+  /** The seed dim, version-controlled here exactly like a dbt
+    * `seeds/segment_targets.csv` would be: (segment, target_revenue,
+    * tier). Scala CSV and oracle VALUES both derive from this ONE
+    * sequence, so the gate can never de-synchronize from the seed.
+    */
+  val SegmentTargets: Seq[(String, Double, String)] = Seq(
+    ("AUTOMOBILE", 9.0e8, "strategic"),
+    ("BUILDING", 9.5e8, "strategic"),
+    ("FURNITURE", 8.5e8, "growth"),
+    ("HOUSEHOLD", 9.0e8, "growth"),
+    ("MACHINERY", 8.8e8, "maintain"))
+
+  private def seedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("segment",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("target_revenue",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("tier",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Write the seed CSV artifact (the `seed-paths` file dbt would
+    * version-control) into scratch and return its path.
+    */
+  def writeSegmentTargetsCsv(): String = {
+    val dir = graft.TempDirs.scratch("graft-seed")
+    val path = java.nio.file.Paths.get(dir, "segment_targets.csv")
+    val body = "segment,target_revenue,tier\n" + SegmentTargets
+      .map { case (s, t, tier) => s"$s,$t,$tier" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(path,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    path.toString
+  }
+
+  /** Per-segment revenue vs the seeded target — the mart that
+    * `ref()`s a seed: one fact-side aggregate (shuffle on segment, 5
+    * groups), then a broadcast join against the 5-row seeded dim.
+    */
+  def segmentAttainment(customer: DataFrame, orders: DataFrame,
+      targets: DataFrame): DataFrame =
+    customer.select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      .join(orders.select(col("o_custkey"), col("o_totalprice")),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("segment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .join(broadcast(targets), Seq("segment"))
+      .withColumn("attainment_pct",
+        round(col("revenue") / col("target_revenue") * 100.0, 6))
+      .withColumn("met_target", col("revenue") >= col("target_revenue"))
+      .select(col("segment"), col("tier"), col("target_revenue"),
+        col("n_customers"), col("n_orders"), col("revenue"),
+        col("attainment_pct"), col("met_target"))
+
+  /** q59: seed → mart, end-to-end through the Runner — the reference
+    * DAG's actual first step (dag/dbt_analytics_pipeline.py:76-81
+    * seeds before any model runs). The seed CSV is loaded as a
+    * versioned warehouse table; the mart `ref()`s it alongside raw
+    * sources; output is the mart read back from the store. The oracle
+    * reproduces the seed as an inline VALUES list (same constants),
+    * so the CSV → warehouse → join round trip is exactly hash-checked.
+    */
+  def q59SeededMart(spark: SparkSession, dir: String): DataFrame = {
+    val runner = new Runner(spark, freshWarehouse())
+    val dag = Seq(
+      Model.seed("segment_targets", writeSegmentTargetsCsv(), Some(seedSchema)),
+      Model("segment_attainment", Seq("customer", "orders", "segment_targets"),
+        Materialization.Table,
+        (in, _) => segmentAttainment(in("customer"), in("orders"),
+          in("segment_targets"))))
+    runner.run(dag, Map(
+      "customer" -> Tables(spark, dir, "customer"),
+      "orders" -> Tables(spark, dir, "orders")))
+    runner.readModel("segment_attainment").orderBy(col("segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_pipeline_run" -> (q50PipelineRun _),
-    "q52_pipeline_mart" -> (q52PipelineMart _)
+    "q52_pipeline_mart" -> (q52PipelineMart _),
+    "q59_seeded_mart" -> (q59SeededMart _)
   )
+
+  // oracle mirror of the seed — same constants, rendered as VALUES
+  private val targetsValues = SegmentTargets
+    .map { case (s, t, tier) => s"('$s', $t, '$tier')" }.mkString(",\n    ")
 
   /** Composed staging→mart SQL — what a dbt compile of the DAG's
     * lineage would flatten to (DuckDB dialect).
     */
   val oracles: Map[String, String] = Map(
+    "q59_seeded_mart" ->
+      s"""WITH targets(segment, target_revenue, tier) AS (
+         |  VALUES $targetsValues),
+         |rev AS (
+         |  SELECT c_mktsegment AS segment,
+         |    COUNT(DISTINCT c_custkey) AS n_customers,
+         |    COUNT(*) AS n_orders,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |  FROM customer JOIN orders ON c_custkey = o_custkey
+         |  GROUP BY 1)
+         |SELECT r.segment, t.tier, t.target_revenue, r.n_customers,
+         |  r.n_orders, r.revenue,
+         |  round(r.revenue / t.target_revenue * 100.0, 6) AS attainment_pct,
+         |  r.revenue >= t.target_revenue AS met_target
+         |FROM rev r JOIN targets t ON r.segment = t.segment
+         |ORDER BY r.segment""".stripMargin,
     "q50_pipeline_run" ->
       """WITH stg AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice,

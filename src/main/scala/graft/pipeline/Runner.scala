@@ -39,6 +39,21 @@ object Materialization {
   final case class Incremental(
       uniqueKeys: Seq[String],
       onSchemaChange: SchemaChange = SchemaChange.Fail) extends Materialization
+
+  /** dbt `seed` (reference: dag/dbt_analytics_pipeline.py:76-81
+    * `DbtSparkSeedOperator` runs first in the DAG; dbt_project.yml:12
+    * `seed-paths`): a small version-controlled CSV loaded into the
+    * warehouse as a versioned table that downstream models `ref()` —
+    * the hand-maintained reference dim (targets, mappings, tiers)
+    * every analytics DAG starts from. Each run re-commits the CSV as
+    * a new snapshot, so seed edits are time-travel auditable like any
+    * model. `schema` pins the column types (header-only inference is
+    * non-deterministic across engines; seeds feeding oracle-checked
+    * marts should always pin).
+    */
+  final case class Seed(
+      csvPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None) extends Materialization
 }
 
 /** One dbt-model-shaped DAG node.
@@ -61,7 +76,21 @@ final case class Model(
     build: (Map[String, DataFrame], Option[DataFrame]) => DataFrame,
     checks: Seq[Checks.Check] = Nil)
 
-/** What one model run did: `mode` ∈ full | merge. */
+object Model {
+  /** A seed node: no deps, no build — materializes straight from its
+    * CSV ([[Materialization.Seed]]). Participates in DAG ordering and
+    * `checks` like any model (dbt runs generic tests on seeds too).
+    */
+  def seed(name: String, csvPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      checks: Seq[Checks.Check] = Nil): Model =
+    Model(name, Nil, Materialization.Seed(csvPath, schema),
+      (_, _) => throw new IllegalStateException(
+        s"seed '$name' materializes from its CSV, not a build"),
+      checks)
+}
+
+/** What one model run did: `mode` ∈ seed | full | merge(+widen). */
 final case class ModelRun(name: String, version: Long, mode: String)
 
 /** Dependency-ordered model materialization into the versioned
@@ -146,6 +175,10 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
     val existing =
       if (Snapshots.versions(dir).nonEmpty) Some(readModel(m.name)) else None
     m.materialization match {
+      case Materialization.Seed(path, schema) =>
+        val reader = spark.read.option("header", "true")
+        val df = schema.fold(reader.option("inferSchema", "true"))(reader.schema).csv(path)
+        ModelRun(m.name, Snapshots.commit(df, dir), "seed")
       case Materialization.Table =>
         val df = m.build(inputs, None)
         ModelRun(m.name, Snapshots.commit(df, dir), "full")

@@ -67,6 +67,43 @@ class PipelineRunnerSpec extends AnyFunSuite {
       s"incremental build reprocessed $minProcessed before frontier $frontier")
   }
 
+  test("seed nodes load the CSV as a versioned table models can ref()") {
+    val runner = new Runner(spark, tmp())
+    val csv = AnalyticsDag.writeSegmentTargetsCsv()
+    val seed = Model.seed("segment_targets", csv)
+    // run 1: seed lands as v1 with the CSV's 5 rows
+    val r1 = runner.run(Seq(seed))
+    assert(r1.map(_.mode) == Seq("seed"))
+    val landed = runner.readModel("segment_targets")
+    assert(landed.count() == AnalyticsDag.SegmentTargets.size)
+    assert(landed.columns.toSeq == Seq("segment", "target_revenue", "tier"))
+    // run 2: re-seeding commits a NEW version (seed edits are
+    // time-travel auditable), and a dependent model reads the store
+    val dag2 = Seq(seed,
+      Model("tier_counts", Seq("segment_targets"), Materialization.Table,
+        (in, _) => in("segment_targets").groupBy(col("tier"))
+          .agg(count(lit(1)).as("n"))))
+    runner.run(dag2)
+    assert(Snapshots.versions(runner.tableDir("segment_targets")) == Seq(1L, 2L))
+    val tiers = runner.readModel("tier_counts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiers == Map("strategic" -> 2L, "growth" -> 2L, "maintain" -> 1L))
+  }
+
+  test("q59 seeded mart joins every segment against the seed dim") {
+    val df = SparkEntry.queries("q59_seeded_mart")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == AnalyticsDag.SegmentTargets.size)
+    val bySegment = rows.map(r => r.getAs[String]("segment") -> r).toMap
+    assert(bySegment.keySet == AnalyticsDag.SegmentTargets.map(_._1).toSet)
+    // attainment is consistent with its own columns
+    rows.foreach { r =>
+      val pct = r.getAs[Double]("attainment_pct")
+      val expect = r.getAs[Double]("revenue") / r.getAs[Double]("target_revenue") * 100.0
+      assert(math.abs(pct - expect) < 1e-4)
+    }
+  }
+
   test("on_schema_change=fail: incremental schema drift aborts the run") {
     val runner = new Runner(spark, tmp())
     val base = Model("m", Seq("src"), Materialization.Incremental(Seq("k")),
