@@ -178,11 +178,55 @@ object Warehouse {
         dsum(col("l_extendedprice")).as("total_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** q60's evolved landing: 1995 under the MONTH spec, then the spec
+    * evolves and 1996-Q1 lands under the DAY spec; the query range
+    * spans the evolution boundary.
+    */
+  val Q60From = "1995-11-15"
+  val Q60To = "1996-02-15"
+
+  def landEvolvedOrders(spark: SparkSession, dir: String): Landed = {
+    import graft.sources.Layouts
+    val path = tempDir("graft-evolve")
+    val orders = Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderdate"))
+    def slice(from: String, until: String) =
+      orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+    Layouts.evolveTo(path, Layouts.ByMonth)
+    Layouts.append(spark, path, slice("1995-01-01", "1996-01-01"), "o_orderdate")
+    // the table grew; partitions evolve month -> day WITHOUT rewriting
+    // the 1995 files (they keep their month directories)
+    Layouts.evolveTo(path, Layouts.ByDay)
+    Layouts.append(spark, path, slice("1996-01-01", "1996-04-01"), "o_orderdate")
+    Landed(Layouts.scan(spark, path, "o_orderdate", Q60From, Q60To), path)
+  }
+
+  /** q60: partition-spec evolution, end-to-end — the Iceberg
+    * hidden-partitioning surface ([[graft.sources.Layouts]]): orders
+    * land month-partitioned, the spec evolves to day partitions, later
+    * data lands under the new layout, and ONE date-range query spans
+    * both. Each layout is pruned at scan planning from the same
+    * user-facing range (WarehouseSpec asserts PartitionFilters and the
+    * files read on both sides); the oracle recomputes the range from
+    * the raw table, proving the two-layout union loses nothing.
+    */
+  def q60EvolvedPartitions(spark: SparkSession, dir: String): DataFrame =
+    landEvolvedOrders(spark, dir).df
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_month"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_partitioned_scan" -> (q51PartitionedScan _),
     "q53_compaction" -> (q53Compaction _),
     "q55_changelog" -> (q55Changelog _),
-    "q58_bucketed_join" -> (q58BucketedJoin _)
+    "q58_bucketed_join" -> (q58BucketedJoin _),
+    "q60_evolved_partitions" -> (q60EvolvedPartitions _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -218,6 +262,15 @@ object Warehouse {
         |FROM stg WHERE order_date >= DATE '1994-01-01'
         |  AND order_date < DATE '1994-06-01'
         |ORDER BY op, o_orderkey""".stripMargin,
+    "q60_evolved_partitions" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+         |  COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_custkey) AS n_customers,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM orders
+         |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '$Q60From' AND DATE '$Q60To'
+         |GROUP BY 1
+         |ORDER BY o_month""".stripMargin,
     "q58_bucketed_join" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_lines,

@@ -87,6 +87,53 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q60 evolution: both layouts prune, old files never rewritten") {
+    val landed = Warehouse.landEvolvedOrders(spark, sf)
+    val df = landed.df
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.length == 2, s"expected one scan per spec, got ${scans.length}")
+    // each spec's scan prunes on ITS OWN partition column, derived
+    // from the one user-facing date range (hidden partitioning)
+    val monthScan = scans.find(_.partitionFilters.exists(_.toString.contains("p_month")))
+    val dayScan = scans.find(_.partitionFilters.exists(_.toString.contains("p_day")))
+    assert(monthScan.isDefined && dayScan.isDefined,
+      scans.map(_.partitionFilters).mkString("; "))
+    def files(dir: String, prefix: String, lo: String, hi: String): (Int, Int) = {
+      val all = new java.io.File(dir).listFiles().filter(_.getName.startsWith(prefix))
+      val inRange = all.filter { f =>
+        val v = f.getName.stripPrefix(prefix)
+        v >= lo && v <= hi
+      }
+      (all.map(d => d.listFiles.count(_.getName.endsWith(".parquet"))).sum,
+        inRange.map(d => d.listFiles.count(_.getName.endsWith(".parquet"))).sum)
+    }
+    val (mAll, mIn) = files(s"${landed.path}/spec=0", "p_month=", "1995-11", "1996-02")
+    val (dAll, dIn) = files(s"${landed.path}/spec=1", "p_day=", "1996-01-01", "1996-02-15")
+    assert(mAll > mIn && dAll > dIn, "range must exclude some dirs on both specs")
+    assert(monthScan.get.metrics("numFiles").value == mIn,
+      s"month scan read ${monthScan.get.metrics("numFiles").value}, pruned dirs hold $mIn")
+    assert(dayScan.get.metrics("numFiles").value == dIn,
+      s"day scan read ${dayScan.get.metrics("numFiles").value}, pruned dirs hold $dIn")
+    // evolution appended a NEW spec dir; the month files stayed put
+    assert(new java.io.File(s"${landed.path}/spec=0").exists())
+    assert(new java.io.File(s"${landed.path}/spec=1").exists())
+    // and the union is lossless over the range vs the raw table
+    val expected = Tables(spark, sf, "orders")
+      .filter(col("o_orderdate").cast("date")
+        .between(lit(Warehouse.Q60From).cast("date"), lit(Warehouse.Q60To).cast("date")))
+      .count()
+    assert(df.count() == expected)
+  }
+
   test("q51 pruned mart equals the same month computed from the raw table") {
     val viaLanded = SparkEntry.queries("q51_partitioned_scan")(spark, sf)
       .collect().map(_.toSeq.map(String.valueOf))
