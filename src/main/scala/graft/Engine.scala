@@ -27,4 +27,80 @@ object Engine {
     open(spark, dir)
     spark.sql(query)
   }
+
+  /** Register every [[graft.sources.Snapshots]] table under
+    * `warehouseDir` (any subdirectory with a `_manifest`) as a temp
+    * view over its LATEST snapshot — the warehouse side of the Kyuubi
+    * surface, where a SQL user sees the versioned marts the pipeline
+    * [[graft.pipeline.Runner]] materialized.
+    */
+  def openWarehouse(spark: SparkSession, warehouseDir: String): SparkSession = {
+    warehouseTables(warehouseDir).foreach { name =>
+      graft.sources.Snapshots.read(spark, s"$warehouseDir/$name")
+        .createOrReplaceTempView(name)
+    }
+    GraftFunctions.register(spark)
+    graft.functions.SqlDialect.register(spark)
+    spark
+  }
+
+  private def warehouseTables(warehouseDir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(warehouseDir)
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      val listing = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter(p => java.nio.file.Files.exists(p.resolve("_manifest")))
+          .map(_.getFileName.toString).toSeq.sorted
+      } finally listing.close()
+    }
+  }
+
+  // Iceberg/Trino time-travel clauses, rewritten ahead of Spark's
+  // parser (temp views have no V2 time-travel path to hook into):
+  //   <table> VERSION AS OF <n>
+  //   <table> TIMESTAMP AS OF '<yyyy-MM-dd HH:mm:ss[.SSS]>' | <epochMillis>
+  private val VersionAsOf =
+    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val TimestampAsOf =
+    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))""".r
+
+  /** Open the warehouse + run one SQL statement that may carry
+    * Iceberg-style time travel (`VERSION AS OF` / `TIMESTAMP AS OF` —
+    * docs/components/iceberg.md's headline read path). Each travel
+    * clause is rewritten to a snapshot-pinned temp view
+    * (`Snapshots.read` / `Snapshots.readAsOf`) before the statement
+    * reaches Spark's parser; everything else is plain Spark SQL over
+    * the latest-version views.
+    */
+  def sqlWarehouse(spark: SparkSession, warehouseDir: String,
+      query: String): DataFrame = {
+    openWarehouse(spark, warehouseDir)
+    val tables = warehouseTables(warehouseDir).toSet
+    val afterVersion = VersionAsOf.replaceAllIn(query, m => {
+      val (t, v) = (m.group(1), m.group(2).toLong)
+      if (!tables(t)) m.matched
+      else {
+        val view = s"${t}__v$v"
+        graft.sources.Snapshots.read(spark, s"$warehouseDir/$t", v)
+          .createOrReplaceTempView(view)
+        view
+      }
+    })
+    val rewritten = TimestampAsOf.replaceAllIn(afterVersion, m => {
+      val t = m.group(1)
+      if (!tables(t)) m.matched
+      else {
+        val millis = Option(m.group(3)).map(_.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(m.group(2)).getTime)
+        val view = s"${t}__ts$millis"
+        graft.sources.Snapshots.readAsOf(spark, s"$warehouseDir/$t", millis)
+          .createOrReplaceTempView(view)
+        view
+      }
+    })
+    spark.sql(rewritten)
+  }
 }

@@ -104,4 +104,46 @@ class SqlParitySpec extends AnyFunSuite {
       s"${failures.size} facade mismatches:\n  ${failures.mkString("\n  ")}")
     info(s"${rel.size} queries verified facade == DataFrame")
   }
+
+  test("facade time travel: VERSION AS OF / TIMESTAMP AS OF reach snapshot history") {
+    import graft.sources.Snapshots
+    val wh = java.nio.file.Files.createTempDirectory("graft-tt-wh").toString
+    val t = s"$wh/orders_tt"
+    val stg = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v1 = Snapshots.commit(stg.filter(col("o_orderkey") % 2 === 0), t)
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    val v2 = Snapshots.commit(stg, t)
+
+    def n(df: DataFrame): Long = df.count()
+    // latest view == v2
+    Engine.openWarehouse(spark, wh)
+    assert(n(spark.table("orders_tt")) == n(Snapshots.read(spark, t, v2)))
+    // VERSION AS OF == Snapshots.read(version)
+    val viaSql = Engine.sqlWarehouse(spark, wh,
+      s"SELECT COUNT(*) AS n FROM orders_tt VERSION AS OF $v1")
+      .head.getLong(0)
+    assert(viaSql == n(Snapshots.read(spark, t, v1)),
+      "facade VERSION AS OF diverges from Snapshots.read")
+    assert(viaSql != n(Snapshots.read(spark, t, v2))) // history, not latest
+    // TIMESTAMP AS OF (epoch-millis form) between the commits == v1
+    val viaTs = Engine.sqlWarehouse(spark, wh,
+      s"SELECT COUNT(*) AS n FROM orders_tt TIMESTAMP AS OF $between")
+      .head.getLong(0)
+    assert(viaTs == n(Snapshots.read(spark, t, v1)),
+      "facade TIMESTAMP AS OF diverges from Snapshots.readAsOf")
+    // a travel clause on a NON-warehouse name is left for the parser
+    intercept[Exception] {
+      Engine.sqlWarehouse(spark, wh, "SELECT * FROM nosuch VERSION AS OF 1")
+    }
+    // and a join of two versions of the SAME table works in one query
+    val drift = Engine.sqlWarehouse(spark, wh,
+      s"""SELECT COUNT(*) AS n
+         |FROM orders_tt VERSION AS OF $v2 a
+         |LEFT ANTI JOIN orders_tt VERSION AS OF $v1 b
+         |  ON a.o_orderkey = b.o_orderkey""".stripMargin)
+      .head.getLong(0)
+    assert(drift == n(Snapshots.read(spark, t, v2)) - n(Snapshots.read(spark, t, v1)))
+  }
 }
