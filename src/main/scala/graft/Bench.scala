@@ -7,13 +7,13 @@ import org.apache.spark.sql.SparkSession
   * Prints ONE JSON line for the driver.
   */
 object Bench {
-  /** Short ids benched in round 3 — update each round after the
+  /** Short ids benched in round 4 — update each round after the
     * driver snapshots BENCH_r{N}.json (basis of total_shared_prev). */
   private val PREV_ROUND_IDS: Set[String] =
-    ((1 to 49).map(i => f"q$i%02d") ++ (1 to 9).map(i => f"t$i%02d") ++
-      (1 to 7).map(i => f"d$i%02d") ++ (1 to 8).map(i => f"s$i%02d") ++
-      (1 to 9).map(i => f"p$i%02d") ++ (1 to 3).map(i => f"m$i%02d") ++
-      (1 to 3).map(i => f"a$i%02d") ++ (1 to 5).map(i => f"st$i%02d")).toSet
+    ((1 to 58).map(i => f"q$i%02d") ++ (1 to 9).map(i => f"t$i%02d") ++
+      (1 to 8).map(i => f"d$i%02d") ++ (1 to 8).map(i => f"s$i%02d") ++
+      (1 to 11).map(i => f"p$i%02d") ++ (1 to 3).map(i => f"m$i%02d") ++
+      (1 to 4).map(i => f"a$i%02d") ++ (1 to 6).map(i => f"st$i%02d")).toSet
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,10 +53,16 @@ object Bench {
     // heavy queries (>1 s) get a second timed run and report the MIN:
     // single-pass totals swung ~10% run-to-run from ambient load/GC,
     // almost entirely on the heavy tail; re-running only that tail
-    // bounds the noise without doubling bench wall time
+    // bounds the noise without doubling bench wall time. The |t1-t2|
+    // divergence is kept and reported as `spread`, so ambient-variance
+    // claims about any heavy query are verifiable from the artifact
+    // alone (min-of-2 discards exactly that information otherwise).
     val results = names.map { name =>
       val t1 = timed(name)
-      name -> (if (t1 > 1.0) math.min(t1, timed(name)) else t1)
+      if (t1 > 1.0) {
+        val t2 = timed(name)
+        (name, math.min(t1, t2), Some(math.abs(t1 - t2)))
+      } else (name, t1, None)
     }
     // Keep the JSON line SHORT (short ids, 3-decimal secs): the driver
     // captures only a bounded tail of stdout and must json-parse this
@@ -64,16 +70,22 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would emit 0,123 and
     // break the JSON parse.
     def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    def short(k: String): String = k.takeWhile(_ != '_')
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s3(v) }
+      .map { case (k, v, _) => "\"" + short(k) + "\":" + s3(v) }
+      .mkString("{", ",", "}")
+    // run1/run2 divergence of the twice-run heavy tail only — keeps
+    // the line inside the driver's bounded stdout-tail capture
+    val spread = results
+      .collect { case (k, _, Some(d)) => "\"" + short(k) + "\":" + s3(d) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Like-for-like subtotal over the PREVIOUS round's query set, so
     // round-over-round regressions aren't masked by operator growth.
     val sharedPrev = results
-      .filter { case (k, _) => PREV_ROUND_IDS(k.takeWhile(_ != '_')) }
+      .filter { case (k, _, _) => PREV_ROUND_IDS(short(k)) }
       .map(_._2).sum
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","total_shared_prev":${s3(sharedPrev)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","total_shared_prev":${s3(sharedPrev)},"spread":$spread,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
