@@ -221,12 +221,56 @@ object Warehouse {
         dsum(col("o_totalprice")).as("revenue"))
       .orderBy(col("o_month"))
 
+  /** q61: SQL-facade time travel, end-to-end — the Kyuubi/Trino user's
+    * view of the Iceberg history surface: orders land as a versioned
+    * snapshot table twice (v1 = pre-1995 slice, v2 = full), then ONE
+    * SQL statement through [[graft.Engine.sqlWarehouse]] joins
+    * `VERSION AS OF` both versions into a version-drift report (what
+    * each month gained between the snapshots). The travel clauses are
+    * rewritten to snapshot-pinned views ahead of the parser
+    * (Engine.scala); the oracle recomputes both versions' rollups from
+    * the raw table, proving the facade reads exactly the committed
+    * history. Scale shape: each version scans only its own snapshot's
+    * files; the drift join is a per-month merge of two pre-aggregated
+    * sides.
+    */
+  def q61TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val wh = tempDir("graft-ttwh")
+    val t = s"$wh/orders_tt"
+    val stg = Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderdate"))
+    val v1 = graft.sources.Snapshots.commit(
+      stg.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp")), t)
+    val v2 = graft.sources.Snapshots.commit(stg, t)
+    graft.Engine.sqlWarehouse(spark, wh,
+      s"""WITH now_m AS (
+         |  SELECT date_format(o_orderdate, 'yyyy-MM') AS o_month,
+         |    COUNT(*) AS n_now,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev_now
+         |  FROM orders_tt VERSION AS OF $v2
+         |  GROUP BY 1),
+         |then_m AS (
+         |  SELECT date_format(o_orderdate, 'yyyy-MM') AS o_month,
+         |    COUNT(*) AS n_then,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev_then
+         |  FROM orders_tt VERSION AS OF $v1
+         |  GROUP BY 1)
+         |SELECT now_m.o_month AS o_month,
+         |  n_now,
+         |  COALESCE(n_then, CAST(0 AS BIGINT)) AS n_then,
+         |  rev_now - COALESCE(rev_then, 0.0) AS rev_added
+         |FROM now_m LEFT JOIN then_m ON now_m.o_month = then_m.o_month
+         |ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_partitioned_scan" -> (q51PartitionedScan _),
     "q53_compaction" -> (q53Compaction _),
     "q55_changelog" -> (q55Changelog _),
     "q58_bucketed_join" -> (q58BucketedJoin _),
-    "q60_evolved_partitions" -> (q60EvolvedPartitions _)
+    "q60_evolved_partitions" -> (q60EvolvedPartitions _),
+    "q61_time_travel" -> (q61TimeTravel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -271,6 +315,26 @@ object Warehouse {
          |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '$Q60From' AND DATE '$Q60To'
          |GROUP BY 1
          |ORDER BY o_month""".stripMargin,
+    "q61_time_travel" ->
+      """WITH now_m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |    COUNT(*) AS n_now,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev_now
+        |  FROM orders
+        |  GROUP BY 1),
+        |then_m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |    COUNT(*) AS n_then,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev_then
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT now_m.o_month AS o_month,
+        |  n_now,
+        |  COALESCE(n_then, CAST(0 AS BIGINT)) AS n_then,
+        |  rev_now - COALESCE(rev_then, 0.0) AS rev_added
+        |FROM now_m LEFT JOIN then_m ON now_m.o_month = then_m.o_month
+        |ORDER BY 1""".stripMargin,
     "q58_bucketed_join" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_lines,
