@@ -416,13 +416,57 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** st07: streaming sessionization via `session_window` — the
+    * gap-based event-time window (30 min inactivity closes a session),
+    * the streaming counterpart of q08's batch sessionize. Sessions
+    * merge in state as events arrive (Spark's MergingSessions
+    * aggregation); at scale, state is proportional to OPEN sessions
+    * per user — the watermark finalizes and evicts closed ones. The
+    * oracle recomputes the same sessions from the raw table with the
+    * lag/flag/cumsum composition (new session at gap ≥ 30 min,
+    * session end = last event + gap — session_window's exact
+    * semantics).
+    */
+  def st07SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
+    val stream = s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+    val agg = stream
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 4).as("total_value"))
+    s.catalog.dropTempView("st07_out")
+    locally {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName("st07_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("st07_out")
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stateful_counts" -> (st02StatefulCounts _),
     "st03_stream_static_join" -> (st03StreamStaticJoin _),
     "st04_stream_dedup" -> (st04StreamDedup _),
     "st05_stream_stream_join" -> (st05StreamStreamJoin _),
-    "st06_kafka_cdc" -> (st06KafkaCdc _)
+    "st06_kafka_cdc" -> (st06KafkaCdc _),
+    "st07_session_window" -> (st07SessionWindow _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
@@ -498,6 +542,29 @@ object EventStream {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    // session_window semantics: a gap >= 30 min of event time starts a
+    // new session; the session's end is its last event + the gap
+    "st07_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ms, value,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |           OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |sess AS (
+        |  SELECT user_id, ms, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  MIN(ms) AS session_start_ms,
+        |  MAX(ms) + 1800000 AS session_end_ms,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin
   )
 }
