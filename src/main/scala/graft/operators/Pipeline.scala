@@ -282,7 +282,38 @@ object Pipeline {
       .orderBy(col("shuffle_rank"))
   }
 
+  /** p12: document chunking with overlap — the context-window prep
+    * step: each doc splits into 64-token chunks at stride 48 (16-token
+    * overlap carries context across boundaries), short docs yield one
+    * chunk. Entirely map-side (explode of a per-row `sequence`; no
+    * shuffle, no UDF — chunk count and slices are closed-form column
+    * math), so at 100 TB it pipelines inside the scan stage. Emits
+    * chunk token counts + md5 fingerprints; the oracle recomputes them
+    * with DuckDB list slicing.
+    */
+  def p12ChunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val C = 64  // chunk size (tokens)
+    val S = 48  // stride = C - overlap(16)
+    val base = docs(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= C, lit(1L))
+          .otherwise(((col("n") - C + (S - 1)) / S).cast("long") + 1L))
+    base
+      .select(col("doc_id"), col("toks"), col("n"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .withColumn("chunk",
+        slice(col("toks"), (col("chunk_idx") * S + 1L).cast("int"), lit(C)))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("n_chunks"),
+        size(col("chunk")).cast("long").as("chunk_n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_chunk_documents" -> (p12ChunkDocuments _),
     "p10_domain_mix" -> (p10DomainMix _),
     "p11_global_shuffle" -> (p11GlobalShuffle _),
     "p09_repetition_filter" -> (p09RepetitionFilter _),
@@ -300,6 +331,29 @@ object Pipeline {
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    // DuckDB list slice toks[a:b] is 1-based and end-inclusive with
+    // out-of-range clamp — exactly Spark's slice(toks, a, 64)
+    "p12_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS n_chunks
+        |  FROM n),
+        |x AS (
+        |  SELECT doc_id, toks, n, n_chunks,
+        |    UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, n_chunks,
+        |  CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
+        |    AS chunk_n_tokens,
+        |  md5(array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
+        |    AS chunk_md5
+        |FROM x
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "p10_domain_mix" ->
       """WITH mixed AS (
         |  SELECT source,
