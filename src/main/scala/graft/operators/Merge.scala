@@ -79,8 +79,84 @@ object Merge {
     upsert(target, source, Seq("user_id")).orderBy(col("user_id"))
   }
 
+  /** dbt-snapshot (SCD type-2) incremental apply — the `dbt snapshot`
+    * `check` strategy as one MERGE-shaped transform: a batch of
+    * current-state rows lands on a type-2 dimension; rows whose
+    * tracked columns changed get their current version CLOSED
+    * (valid_to = effective date, is_current = false) and a new current
+    * version inserted; brand-new keys insert a first version;
+    * unchanged keys and already-closed history pass through untouched.
+    *
+    * `dim` must carry `keys ++ tracked ++ (valid_from DATE, valid_to
+    * DATE, is_current BOOLEAN)`; `batch` carries `keys ++ tracked`.
+    * Change detection is null-safe (`<=>` per tracked column).
+    *
+    * Scale shape: two key-shuffled joins of the CURRENT slice against
+    * the batch (close + insert classification) — Catalyst reuses the
+    * exchange across the two branches — plus a pass-through of closed
+    * history; no window, no driver-side state. The same plan cost as
+    * a storage-level MERGE at 100 TB.
+    */
+  def scd2Apply(dim: DataFrame, batch: DataFrame, keys: Seq[String],
+      tracked: Seq[String], effective: org.apache.spark.sql.Column): DataFrame = {
+    require(keys.nonEmpty && tracked.nonEmpty, "scd2Apply needs keys and tracked columns")
+    val current = dim.filter(col("is_current"))
+    val s = batch.as("s")
+    def joinCond = keys.map(k => col(s"d.$k") === col(s"s.$k")).reduce(_ && _)
+    val changedCond = tracked.map(c => !(col(s"d.$c") <=> col(s"s.$c"))).reduce(_ || _)
+    val sPresent = col(s"s.${keys.head}").isNotNull
+    val closedOrKept = current.as("d").join(s, joinCond, "left")
+      .select(dim.columns.toSeq.map {
+        case "valid_to" =>
+          when(sPresent && changedCond, effective.cast("date"))
+            .otherwise(col("d.valid_to")).as("valid_to")
+        case "is_current" =>
+          when(sPresent && changedCond, lit(false))
+            .otherwise(col("d.is_current")).as("is_current")
+        case other => col(s"d.$other").as(other)
+      }: _*)
+    val inserts = s.join(current.as("d"), joinCond, "left")
+      .filter(col(s"d.${keys.head}").isNull || changedCond)
+      .select((keys ++ tracked).map(c => col(s"s.$c").as(c)) ++ Seq(
+        effective.cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current")): _*)
+    dim.filter(!col("is_current"))
+      .unionByName(closedOrKept)
+      .unionByName(inserts)
+  }
+
+  /** q62: the snapshot apply end-to-end on `customer` — base dim =
+    * all but the `% 11 = 3` keys (those arrive later as NEW keys);
+    * the batch re-states every `% 7 = 0` key with a shifted balance
+    * (→ close + re-insert) and every `% 5 = 0` key unchanged (→
+    * no-op), exercising all four paths. Oracle reconstructs the same
+    * final dimension set-wise.
+    */
+  def q62Scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val base = cust.filter(col("c_custkey") % 11 =!= 3).select(
+      col("c_custkey").as("custkey"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").as("balance"))
+      .withColumn("valid_from", lit("1995-01-01").cast("date"))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val batch = cust
+      .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 5 === 0)
+      .select(
+        col("c_custkey").as("custkey"),
+        col("c_mktsegment").as("segment"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("balance"))
+    scd2Apply(base, batch, Seq("custkey"), Seq("segment", "balance"),
+      lit("1996-06-01"))
+      .orderBy(col("custkey"), col("valid_from"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q21_incremental_merge" -> (q21IncrementalMerge _)
+    "q21_incremental_merge" -> (q21IncrementalMerge _),
+    "q62_scd2_apply" -> (q62Scd2Apply _)
   )
 
   // The merge of stale+recomputed snapshots must equal the full
@@ -99,6 +175,42 @@ object Merge {
         |  epoch_ms(ts) AS last_ts_ms,
         |  n_changes
         |FROM ranked WHERE rn = 1
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "q62_scd2_apply" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+        |    c_acctbal AS balance
+        |  FROM customer WHERE c_custkey % 11 <> 3),
+        |batch AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS balance
+        |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 5 = 0),
+        |changed AS (
+        |  SELECT b.custkey FROM base b JOIN batch s USING (custkey)
+        |  WHERE s.segment IS DISTINCT FROM b.segment
+        |     OR s.balance IS DISTINCT FROM b.balance),
+        |closed AS (
+        |  SELECT custkey, segment, balance,
+        |    DATE '1995-01-01' AS valid_from,
+        |    DATE '1996-06-01' AS valid_to, FALSE AS is_current
+        |  FROM base WHERE custkey IN (SELECT custkey FROM changed)),
+        |kept AS (
+        |  SELECT custkey, segment, balance,
+        |    DATE '1995-01-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        |  FROM base WHERE custkey NOT IN (SELECT custkey FROM changed)),
+        |new_rows AS (
+        |  SELECT s.custkey, s.segment, s.balance,
+        |    DATE '1996-06-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        |  FROM batch s
+        |  WHERE s.custkey IN (SELECT custkey FROM changed)
+        |     OR s.custkey NOT IN (SELECT custkey FROM base))
+        |SELECT * FROM (
+        |  SELECT * FROM closed
+        |  UNION ALL SELECT * FROM kept
+        |  UNION ALL SELECT * FROM new_rows)
+        |ORDER BY custkey, valid_from""".stripMargin
   )
 }

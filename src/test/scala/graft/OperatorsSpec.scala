@@ -41,6 +41,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "keep", 10.0), (3L, "UPD", 99.0), (4L, "ins", 40.0)))
   }
 
+  test("Merge.scd2Apply: close+reinsert, new-key, no-op, history passthrough, null-safe") {
+    import spark.implicits._
+    val eff = lit("2000-06-01")
+    val dim = Seq(
+      // already-closed history row: must pass through untouched
+      (1L, Some("old"), Some("1999-01-01"), Some("2000-01-01"), false),
+      (1L, Some("a"), Some("2000-01-01"), None, true),   // changed by batch
+      (2L, Some("b"), Some("2000-01-01"), None, true),   // batch re-states same → no-op
+      (3L, None, Some("2000-01-01"), None, true),        // NULL tracked, batch NULL → no-op
+      (4L, Some("d"), Some("2000-01-01"), None, true))   // not in batch → untouched
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_from", col("valid_from").cast("date"))
+      .withColumn("valid_to", col("valid_to").cast("date"))
+    val batch = Seq(
+      (1L, Some("A")),                 // changed → close + insert
+      (2L, Some("b")),                 // unchanged
+      (3L, None: Option[String]),      // NULL == NULL → unchanged (null-safe)
+      (9L, Some("new")))               // brand-new key → first version
+      .toDF("k", "attr")
+    val got = Merge.scd2Apply(dim, batch, Seq("k"), Seq("attr"), eff)
+      .orderBy(col("k"), col("valid_from"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, Some("old"), "1999-01-01", Some("2000-01-01"), false),
+      (1L, Some("a"), "2000-01-01", Some("2000-06-01"), false),
+      (1L, Some("A"), "2000-06-01", None, true),
+      (2L, Some("b"), "2000-01-01", None, true),
+      (3L, None, "2000-01-01", None, true),
+      (4L, Some("d"), "2000-01-01", None, true),
+      (9L, Some("new"), "2000-06-01", None, true)))
+  }
+
   test("Skew.saltedJoin equals the plain join") {
     val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
