@@ -327,17 +327,125 @@ object Similarity {
     "s07_ann_multiprobe_topk" -> (s07AnnMultiprobeTopk _),
     "s08_ann_kmeans" -> (s08AnnKmeans _),
     "s04_tfidf_search" -> (s04TfidfSearch _),
-    "s05_vector_stats" -> (s05VectorStats _)
+    "s05_vector_stats" -> (s05VectorStats _),
+    "s09_ann_recall" -> (s09AnnRecall _)
   )
 
   // cosine(a, b) in DuckDB list arithmetic — the same formulation the
   // native CosineSimExpr matches bit-for-bit (established by s01)
+  /** s09: recall evaluation of the LSH ladder — "measure, don't
+    * guess" for the ANN trade-off: per query, recall@5 of (a) the
+    * single-bucket probe and (b) the s07 multi-probe against the
+    * exact cosine top-5. At scale this is the harness that justifies
+    * the probe budget: the exact pass runs on a sampled query set
+    * (here the 10 fixed queries), never the full corpus, while the
+    * candidate generation is the same bucket-equi-join the production
+    * path uses. Oracle recomputes all three top-5 sets and the
+    * intersection counts exactly.
+    */
+  def s09AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = emb(spark, dir)
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+      graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    def top5(pairs: DataFrame): DataFrame = pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"))
+    val exact5 = top5(e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", GraftFunctions.cosineSim(col("qe"), col("ce"))))
+    def probed5(nProbes: Int): DataFrame = {
+      val flips = lit(0) +: (0 until (nProbes - 1)).map(p => lit(1 << p))
+      val probes = q
+        .select(col("qid"), col("qe"), explode(array(flips: _*)).as("flip"),
+          col("qbucket"))
+        .select(col("qid"), col("qe"),
+          col("qbucket").bitwiseXOR(col("flip")).as("probe_bucket"))
+      top5(bucketed
+        .join(broadcast(probes),
+          col("bucket") === col("probe_bucket") && col("vec_id") =!= col("qid"))
+        .withColumn("sim", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+        .withColumnRenamed("vec_id", "cid"))
+    }
+    def hits(cand: DataFrame, as: String): DataFrame = exact5
+      .join(cand, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as(as))
+    q.select(col("qid"))
+      .join(hits(probed5(1), "n_hit_single"), Seq("qid"), "left")
+      .join(hits(probed5(PLANES + 1), "n_hit_mp"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit_single"), lit(0L)).as("n_hit_single"),
+        coalesce(col("n_hit_mp"), lit(0L)).as("n_hit_mp"))
+      .withColumn("recall_single", col("n_hit_single").cast("double") / 5.0)
+      .withColumn("recall_mp", col("n_hit_mp").cast("double") / 5.0)
+      .orderBy(col("qid"))
+  }
+
   private def cosSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / " +
       s"(sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) * " +
       s"sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    // s09: the same three top-5 sets (exact / own-bucket / multiprobe)
+    // and intersection counts, on the shared md5 hyperplane buckets
+    "s09_ann_recall" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding,
+         |    (${graft.functions.Hyperplanes.bucketSql("embedding", 0, PLANES)}) AS bucket
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+         |  FROM bucketed WHERE vec_id < 10),
+         |hits_all AS (
+         |  SELECT q.qid, b.vec_id AS cid,
+         |    ${cosSql("q.qe", "b.embedding")} AS sim
+         |  FROM bucketed b CROSS JOIN q WHERE b.vec_id <> q.qid),
+         |exact5 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, cid) AS rnk FROM hits_all) WHERE rnk <= 5),
+         |probes AS (
+         |  SELECT qid, qe, xor(qbucket, flip) AS probe_bucket
+         |  FROM q CROSS JOIN (
+         |    SELECT unnest([${(0 +: (0 until PLANES).map(1 << _).toList).mkString(", ")}]) AS flip)),
+         |hits_mp AS (
+         |  SELECT p.qid, b.vec_id AS cid,
+         |    ${cosSql("p.qe", "b.embedding")} AS sim
+         |  FROM bucketed b JOIN probes p
+         |    ON b.bucket = p.probe_bucket AND b.vec_id <> p.qid),
+         |mp5 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, cid) AS rnk FROM hits_mp) WHERE rnk <= 5),
+         |hits_single AS (
+         |  SELECT q.qid, b.vec_id AS cid,
+         |    ${cosSql("q.qe", "b.embedding")} AS sim
+         |  FROM bucketed b JOIN q
+         |    ON b.bucket = q.qbucket AND b.vec_id <> q.qid),
+         |single5 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, cid) AS rnk FROM hits_single) WHERE rnk <= 5),
+         |hs AS (
+         |  SELECT e.qid, COUNT(*) AS n FROM exact5 e
+         |  JOIN single5 s ON e.qid = s.qid AND e.cid = s.cid GROUP BY 1),
+         |hm AS (
+         |  SELECT e.qid, COUNT(*) AS n FROM exact5 e
+         |  JOIN mp5 m ON e.qid = m.qid AND e.cid = m.cid GROUP BY 1)
+         |SELECT q.qid,
+         |  COALESCE(hs.n, 0) AS n_hit_single,
+         |  COALESCE(hm.n, 0) AS n_hit_mp,
+         |  CAST(COALESCE(hs.n, 0) AS DOUBLE) / 5.0 AS recall_single,
+         |  CAST(COALESCE(hm.n, 0) AS DOUBLE) / 5.0 AS recall_mp
+         |FROM q LEFT JOIN hs ON q.qid = hs.qid
+         |LEFT JOIN hm ON q.qid = hm.qid
+         |ORDER BY q.qid""".stripMargin,
     // s08: the full 2-iteration Lloyd pipeline mirrored — md5-seeded
     // init, cosine argmax assignment, FLOAT-cast mean centroids.
     "s08_ann_kmeans" ->
