@@ -131,13 +131,48 @@ object Multimodal {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  /** m04: media content dedup — the same payload bytes ingested under
+    * different keys (here: a mirrored second ingest of every third
+    * doc, offset ids — the "same image from two crawls" shape)
+    * collapse by content hash: one md5 per payload map-side, one
+    * groupBy on the digest, canonical id = min. At 100 TB this is the
+    * first pass of any media pipeline (exact-duplicate removal before
+    * expensive decode); the hash shuffle carries digests + ids only,
+    * never the payload bytes.
+    */
+  def m04MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val mirrored = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("payload"))
+    d.unionAll(mirrored)
+      .select(col("doc_id"), md5(col("payload")).as("content_md5"))
+      .groupBy(col("content_md5"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("canonical_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("content_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_frame_sample" -> (m02FrameSample _),
-    "m03_resize_features" -> (m03ResizeFeatures _)
+    "m03_resize_features" -> (m03ResizeFeatures _),
+    "m04_media_dedup" -> (m04MediaDedup _)
   )
 
   val oracles: Map[String, String] = Map(
+    "m04_media_dedup" ->
+      """WITH all_media AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT md5(text) AS content_md5,
+        |  COUNT(*) AS n_copies,
+        |  MIN(doc_id) AS canonical_id,
+        |  MAX(doc_id) AS max_id
+        |FROM all_media GROUP BY 1 ORDER BY 1""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN n_chars % 3 = 0 THEN 'image'
