@@ -15,7 +15,10 @@ object PlanAudit {
                   "q51_partitioned_scan", "q53_compaction", "d02_ngram_jaccard",
                   "d03_minhash_lsh", "p10_domain_mix", "p11_global_shuffle",
                   "q56_funnel", "q57_cohort_retention", "q58_bucketed_join",
-                  "q54_quality_checks", "a04_cms_heavy_hitters")) {
+                  "q54_quality_checks", "a04_cms_heavy_hitters",
+                  "q59_seeded_mart", "q60_evolved_partitions", "q61_time_travel",
+                  "q62_scd2_apply", "p12_chunk_documents", "s09_ann_recall",
+                  "m04_media_dedup")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

@@ -346,8 +346,12 @@ object Similarity {
   def s09AnnRecall(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val e = emb(spark, dir)
-    val bucketed = e.select(col("vec_id"), col("embedding"),
-      graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket"))
+    // scoped persist: three corpus-wide passes read this table (exact
+    // pairs, single-probe, multi-probe) — cache the narrow projection
+    // once instead of re-running the hyperplane folds per pass;
+    // released after the query's terminal action (Caches)
+    val bucketed = graft.Caches.scoped(e.select(col("vec_id"), col("embedding"),
+      graft.functions.Hyperplanes.bucketCol("embedding", 0, PLANES).as("bucket")))
     val q = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("bucket").as("qbucket"))
