@@ -74,10 +74,13 @@ object Bench {
     val qs = results
       .map { case (k, v, _) => "\"" + short(k) + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    // run1/run2 divergence of the twice-run heavy tail only — keeps
-    // the line inside the driver's bounded stdout-tail capture
+    // run1/run2 divergence of the twice-run heavy tail — capped to the
+    // 15 largest so the JSON line stays inside the driver's bounded
+    // (~2000 char) stdout-tail capture as the query count grows
     val spread = results
-      .collect { case (k, _, Some(d)) => "\"" + short(k) + "\":" + s3(d) }
+      .collect { case (k, _, Some(d)) => (short(k), d) }
+      .sortBy(-_._2).take(15).sortBy(_._1)
+      .map { case (k, d) => "\"" + k + "\":" + s3(d) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Like-for-like subtotal over the PREVIOUS round's query set, so
