@@ -264,13 +264,45 @@ object Warehouse {
          |ORDER BY 1""".stripMargin)
   }
 
+  /** q63: snapshot maintenance, end-to-end — the table-service pass
+    * every versioned lake table needs (Iceberg expire_snapshots /
+    * remove_orphan_files / rewrite_data_files): three versions land,
+    * retention expires all but the last two, orphan files are
+    * vacuumed (age gate 0 — everything expired goes now), and the
+    * LATEST version is compacted to one file. The gated result reads
+    * BOTH retained versions after maintenance — a drift rollup
+    * proving expiry+vacuum+rewrite lost nothing readable; the oracle
+    * recomputes both versions' rollups from the raw table.
+    */
+  def q63SnapshotMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val t = s"${tempDir("graft-maint")}/orders_m"
+    val stg = Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderdate"))
+    Snapshots.commit(stg.filter(col("o_orderdate") < lit("1994-01-01").cast("timestamp")), t)
+    val v2 = Snapshots.commit(stg.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")), t)
+    val v3 = Snapshots.commit(stg, t)
+    Snapshots.expireSnapshots(t, keep = 2)
+    Snapshots.vacuumOrphans(t, minAgeMs = 0L)
+    Snapshots.compactLatest(spark, t, numFiles = 1)
+    val yearly = (v: Long, n: String) => Snapshots.read(spark, t, v)
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg(count(lit(1)).as(n))
+    yearly(v3, "n_now").join(yearly(v2, "n_then"), Seq("o_year"), "left")
+      .select(col("o_year"), col("n_now"),
+        coalesce(col("n_then"), lit(0L)).as("n_then"))
+      .orderBy(col("o_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_partitioned_scan" -> (q51PartitionedScan _),
     "q53_compaction" -> (q53Compaction _),
     "q55_changelog" -> (q55Changelog _),
     "q58_bucketed_join" -> (q58BucketedJoin _),
     "q60_evolved_partitions" -> (q60EvolvedPartitions _),
-    "q61_time_travel" -> (q61TimeTravel _)
+    "q61_time_travel" -> (q61TimeTravel _),
+    "q63_snapshot_maintenance" -> (q63SnapshotMaintenance _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -334,6 +366,19 @@ object Warehouse {
         |  COALESCE(n_then, CAST(0 AS BIGINT)) AS n_then,
         |  rev_now - COALESCE(rev_then, 0.0) AS rev_added
         |FROM now_m LEFT JOIN then_m ON now_m.o_month = then_m.o_month
+        |ORDER BY 1""".stripMargin,
+    "q63_snapshot_maintenance" ->
+      """WITH now_y AS (
+        |  SELECT strftime(o_orderdate, '%Y') AS o_year, COUNT(*) AS n_now
+        |  FROM orders GROUP BY 1),
+        |then_y AS (
+        |  SELECT strftime(o_orderdate, '%Y') AS o_year, COUNT(*) AS n_then
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT now_y.o_year AS o_year, n_now,
+        |  COALESCE(n_then, CAST(0 AS BIGINT)) AS n_then
+        |FROM now_y LEFT JOIN then_y ON now_y.o_year = then_y.o_year
         |ORDER BY 1""".stripMargin,
     "q58_bucketed_join" ->
       """SELECT o_orderpriority,
