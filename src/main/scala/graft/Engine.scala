@@ -67,13 +67,28 @@ object Engine {
   private val TimestampAsOf =
     """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))""".r
 
+  /** True when offset `i` in `sql` falls inside a single-quoted
+    * string literal (standard SQL `''` escaping) — travel-clause
+    * rewriting must never touch literal text.
+    */
+  private def inStringLiteral(sql: String, i: Int): Boolean = {
+    var open = false
+    var j = 0
+    while (j < i) {
+      if (sql.charAt(j) == '\'') open = !open
+      j += 1
+    }
+    open
+  }
+
   /** Open the warehouse + run one SQL statement that may carry
     * Iceberg-style time travel (`VERSION AS OF` / `TIMESTAMP AS OF` —
     * docs/components/iceberg.md's headline read path). Each travel
     * clause is rewritten to a snapshot-pinned temp view
     * (`Snapshots.read` / `Snapshots.readAsOf`) before the statement
     * reaches Spark's parser; everything else is plain Spark SQL over
-    * the latest-version views.
+    * the latest-version views. Matches inside single-quoted string
+    * literals are left untouched.
     */
   def sqlWarehouse(spark: SparkSession, warehouseDir: String,
       query: String): DataFrame = {
@@ -81,7 +96,7 @@ object Engine {
     val tables = warehouseTables(warehouseDir).toSet
     val afterVersion = VersionAsOf.replaceAllIn(query, m => {
       val (t, v) = (m.group(1), m.group(2).toLong)
-      if (!tables(t)) m.matched
+      if (!tables(t) || inStringLiteral(query, m.start)) m.matched
       else {
         val view = s"${t}__v$v"
         graft.sources.Snapshots.read(spark, s"$warehouseDir/$t", v)
@@ -91,7 +106,7 @@ object Engine {
     })
     val rewritten = TimestampAsOf.replaceAllIn(afterVersion, m => {
       val t = m.group(1)
-      if (!tables(t)) m.matched
+      if (!tables(t) || inStringLiteral(afterVersion, m.start)) m.matched
       else {
         val millis = Option(m.group(3)).map(_.toLong).getOrElse(
           java.sql.Timestamp.valueOf(m.group(2)).getTime)

@@ -420,12 +420,15 @@ object EventStream {
     * gap-based event-time window (30 min inactivity closes a session),
     * the streaming counterpart of q08's batch sessionize. Sessions
     * merge in state as events arrive (Spark's MergingSessions
-    * aggregation); at scale, state is proportional to OPEN sessions
-    * per user — the watermark finalizes and evicts closed ones. The
-    * oracle recomputes the same sessions from the raw table with the
-    * lag/flag/cumsum composition (new session at gap ≥ 30 min,
-    * session end = last event + gap — session_window's exact
-    * semantics).
+    * aggregation). This local drain runs COMPLETE mode into the
+    * memory sink (deterministic full output regardless of batch
+    * count); a production deployment runs the same plan in
+    * append/update mode, where the watermark finalizes closed
+    * sessions and EVICTS their state — state ∝ open sessions, not
+    * history. The oracle recomputes the same sessions from the raw
+    * table with the lag/flag/cumsum composition (new session at gap
+    * ≥ 30 min, session end = last event + gap — session_window's
+    * exact semantics).
     */
   def st07SessionWindow(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

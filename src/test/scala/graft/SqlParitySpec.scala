@@ -137,6 +137,10 @@ class SqlParitySpec extends AnyFunSuite {
     intercept[Exception] {
       Engine.sqlWarehouse(spark, wh, "SELECT * FROM nosuch VERSION AS OF 1")
     }
+    // travel-looking text inside a string LITERAL is never rewritten
+    val lit = Engine.sqlWarehouse(spark, wh,
+      s"SELECT 'orders_tt VERSION AS OF $v1' AS s").head.getString(0)
+    assert(lit == s"orders_tt VERSION AS OF $v1")
     // and a join of two versions of the SAME table works in one query
     val drift = Engine.sqlWarehouse(spark, wh,
       s"""SELECT COUNT(*) AS n

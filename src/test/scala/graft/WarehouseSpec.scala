@@ -134,6 +134,36 @@ class WarehouseSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("q63 maintenance: expire+vacuum deletes v1 files, compact leaves one file, retained versions read") {
+    import graft.sources.Snapshots
+    val t = java.nio.file.Files.createTempDirectory("graft-maint-spec").toString + "/orders_m"
+    val stg = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val v1 = Snapshots.commit(stg.limit(100), t)
+    val v2 = Snapshots.commit(stg.limit(200), t)
+    val v3 = Snapshots.commit(stg, t)
+    val n2 = Snapshots.read(spark, t, v2).count()
+    val n3 = Snapshots.read(spark, t, v3).count()
+    Snapshots.expireSnapshots(t, keep = 2)
+    Snapshots.vacuumOrphans(t, minAgeMs = 0L)
+    val v4 = Snapshots.compactLatest(spark, t, numFiles = 1)
+    // v1's data directory is physically gone
+    def dataDir(v: Long) = java.nio.file.Paths.get(t, s"v=$v")
+    assert(!java.nio.file.Files.exists(dataDir(v1)),
+      s"expired v$v1 files survived vacuum")
+    // the compacted latest holds exactly one parquet file
+    val files = java.nio.file.Files.list(dataDir(v4))
+    val nParquet = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    } finally files.close()
+    assert(nParquet == 1, s"compactLatest left $nParquet parquet files")
+    // both retained pre-maintenance versions still read losslessly
+    assert(Snapshots.read(spark, t, v2).count() == n2)
+    assert(Snapshots.read(spark, t, v3).count() == n3)
+    assert(Snapshots.read(spark, t, v4).count() == n3)
+  }
+
   test("q51 pruned mart equals the same month computed from the raw table") {
     val viaLanded = SparkEntry.queries("q51_partitioned_scan")(spark, sf)
       .collect().map(_.toSeq.map(String.valueOf))
