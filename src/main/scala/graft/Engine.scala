@@ -28,6 +28,16 @@ object Engine {
     spark.sql(query)
   }
 
+  /** A new CONNECTION over the shared engine — the Kyuubi session
+    * semantic (docs: one Spark application, many isolated user
+    * sessions): shares the SparkContext, cached data and catalog
+    * metastore, but carries its OWN temp-view namespace, conf and
+    * function registry. Two connections can `openWarehouse` different
+    * warehouse dirs (or pin different snapshot versions) without
+    * clobbering each other's view names.
+    */
+  def connect(spark: SparkSession): SparkSession = spark.newSession()
+
   /** Register every [[graft.sources.Snapshots]] table under
     * `warehouseDir` (any subdirectory with a `_manifest`) as a temp
     * view over its LATEST snapshot — the warehouse side of the Kyuubi

@@ -141,6 +141,17 @@ class SqlParitySpec extends AnyFunSuite {
     val lit = Engine.sqlWarehouse(spark, wh,
       s"SELECT 'orders_tt VERSION AS OF $v1' AS s").head.getString(0)
     assert(lit == s"orders_tt VERSION AS OF $v1")
+    // two CONNECTIONS (Kyuubi sessions) see isolated view namespaces:
+    // each opens its own warehouse; neither sees the other's tables
+    locally {
+      val whB = java.nio.file.Files.createTempDirectory("graft-tt-whB").toString
+      Snapshots.commit(stg.limit(10), s"$whB/other_tbl")
+      val (c1, c2) = (Engine.connect(spark), Engine.connect(spark))
+      Engine.openWarehouse(c1, wh)
+      Engine.openWarehouse(c2, whB)
+      assert(c1.catalog.tableExists("orders_tt") && !c1.catalog.tableExists("other_tbl"))
+      assert(c2.catalog.tableExists("other_tbl") && !c2.catalog.tableExists("orders_tt"))
+    }
     // and a join of two versions of the SAME table works in one query
     val drift = Engine.sqlWarehouse(spark, wh,
       s"""SELECT COUNT(*) AS n
