@@ -462,6 +462,45 @@ object EventStream {
       .orderBy(col("user_id"), col("session_start_ms"))
   }
 
+  /** st08: streaming → versioned-table ingestion end-to-end, multi
+    * batch — the Kafka→Iceberg sink path under the oracle gate: the
+    * event table lands as a 16-shard copy (the micro-batch litter
+    * shape), streams back 4 files per trigger, and every micro-batch
+    * commits as one compacted snapshot version via [[SnapshotSink]]
+    * (idempotent `batch=<id>` tags — a replayed batch can never
+    * double-commit). The gated result unions ALL committed versions
+    * (the changelog a downstream incremental consumer replays) and
+    * rolls it up per event type; the oracle computes the same rollup
+    * from the raw table, proving the multi-batch wire path landed
+    * every event exactly once.
+    */
+  def st08StreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
+    val src = graft.TempDirs.scratch("graft-st08-src")
+    // land ts as long micros: the sharded copy must round-trip through
+    // the long-typed streaming schema (eventsSchema) unchanged
+    graft.Tables(spark, dir, "events")
+      .withColumn("ts", unix_micros(col("ts")))
+      .repartition(16)
+      .write.mode("overwrite").parquet(src)
+    val t = s"${graft.TempDirs.scratch("graft-st08-tbl")}/events_ingest"
+    val stream = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(src)
+    val q = SnapshotSink.ingest(stream, t, filesPerBatch = 1)
+    try q.processAllAvailable() finally q.stop()
+    val all = graft.sources.Snapshots.versions(t)
+      .map(v => graft.sources.Snapshots.read(spark, t, v))
+      .reduce(_ unionAll _)
+    all.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 4).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stateful_counts" -> (st02StatefulCounts _),
@@ -469,7 +508,8 @@ object EventStream {
     "st04_stream_dedup" -> (st04StreamDedup _),
     "st05_stream_stream_join" -> (st05StreamStreamJoin _),
     "st06_kafka_cdc" -> (st06KafkaCdc _),
-    "st07_session_window" -> (st07SessionWindow _)
+    "st07_session_window" -> (st07SessionWindow _),
+    "st08_stream_ingest" -> (st08StreamIngest _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
@@ -546,6 +586,15 @@ object EventStream {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // st08 = the raw-table rollup: every event must land exactly once
+    // across the multi-batch snapshot commits for the hash to match
+    "st08_stream_ingest" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // session_window semantics: a gap >= 30 min of event time starts a
     // new session; the session's end is its last event + the gap
     "st07_session_window" ->
