@@ -118,8 +118,11 @@ object Engine {
       val t = m.group(1)
       if (!tables(t) || inStringLiteral(afterVersion, m.start)) m.matched
       else {
+        // quoted form parses as UTC, matching the engine's session
+        // timeZone convention (Timestamp.valueOf would use JVM-local)
         val millis = Option(m.group(3)).map(_.toLong).getOrElse(
-          java.sql.Timestamp.valueOf(m.group(2)).getTime)
+          java.time.LocalDateTime.parse(m.group(2).replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
         val view = s"${t}__ts$millis"
         graft.sources.Snapshots.readAsOf(spark, s"$warehouseDir/$t", millis)
           .createOrReplaceTempView(view)

@@ -133,6 +133,15 @@ class SqlParitySpec extends AnyFunSuite {
       .head.getLong(0)
     assert(viaTs == n(Snapshots.read(spark, t, v1)),
       "facade TIMESTAMP AS OF diverges from Snapshots.readAsOf")
+    // quoted timestamp form parses as UTC (the session convention)
+    val utc = java.time.Instant.ofEpochMilli(between)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val viaTsQuoted = Engine.sqlWarehouse(spark, wh,
+      s"SELECT COUNT(*) AS n FROM orders_tt TIMESTAMP AS OF '$utc'")
+      .head.getLong(0)
+    assert(viaTsQuoted == viaTs, "quoted TIMESTAMP AS OF diverges from epoch form")
     // a travel clause on a NON-warehouse name is left for the parser
     intercept[Exception] {
       Engine.sqlWarehouse(spark, wh, "SELECT * FROM nosuch VERSION AS OF 1")
