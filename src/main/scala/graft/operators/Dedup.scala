@@ -116,6 +116,28 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d09: LSH recall evaluation — "measure, don't guess" for the
+    * dedup ladder: of the top-20 STRONGEST true near-dup pairs (d02's
+    * exact df-pruned Jaccard ranking), which does d03's MinHash
+    * banding actually surface as candidates? The strongest pairs are
+    * precisely the ones a production dedup must not miss; a `caught =
+    * false` row at high Jaccard says the band/row parameters need
+    * retuning before a 100 TB run. Truth side is the bounded d02
+    * computation (never all-pairs); candidate side is the same O(n·
+    * bands) band join d03 ships. Oracle recomputes both sides and the
+    * flag exactly.
+    */
+  def d09LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = d02NgramJaccard(spark, dir)
+    val caught = lshPairs(minhashSigs(docs(spark, dir)))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+      .withColumn("caught", lit(true))
+    truth.join(caught, Seq("doc_a", "doc_b"), "left")
+      .select(col("pair_rank"), col("doc_a"), col("doc_b"), col("jaccard"),
+        coalesce(col("caught"), lit(false)).as("caught"))
+      .orderBy(col("pair_rank"))
+  }
+
   private val K = 16        // minhash permutations
   private val BANDS = 4     // LSH bands of 4 rows each
 
@@ -476,7 +498,8 @@ object Dedup {
     "d05_embedding_dup" -> (d05EmbeddingDup _),
     "d06_dup_clusters" -> (d06DupClusters _),
     "d07_boilerplate" -> (d07Boilerplate _),
-    "d08_incremental_dedup" -> (d08IncrementalDedup _)
+    "d08_incremental_dedup" -> (d08IncrementalDedup _),
+    "d09_lsh_recall" -> (d09LshRecall _)
   )
 
   // oracle mirror of minhashSigs' affine family — same A/B/P literals
@@ -679,6 +702,53 @@ object Dedup {
         |FROM j
         |QUALIFY pair_rank <= 20
         |ORDER BY pair_rank""".stripMargin,
+    // d09 = d02's exact truth chain (d-prefixed CTEs) left-joined
+    // against d03's band-collision candidates (canonical CTE names so
+    // the shared sig/band fragments splice in unchanged)
+    "d09_lsh_recall" ->
+      s"""WITH draw AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_transform(range(1, len(text)-1), i -> substring(text, i, 3))) AS g
+         |  FROM documents WHERE len(text) >= 3),
+         |dsh AS (SELECT DISTINCT doc_id, source, g FROM draw),
+         |dfc AS (SELECT source, g FROM dsh GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+         |dkept AS (SELECT dsh.* FROM dsh JOIN dfc USING (source, g)),
+         |dcnt AS (SELECT doc_id, COUNT(*) AS n FROM dkept GROUP BY 1),
+         |dpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM dkept a JOIN dkept b
+         |    ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dj AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(n_common AS DOUBLE)/CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+         |  FROM dpairs JOIN dcnt ca ON doc_a = ca.doc_id JOIN dcnt cb ON doc_b = cb.doc_id),
+         |truth AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS pair_rank,
+         |    doc_a, doc_b, jaccard
+         |  FROM dj
+         |  QUALIFY pair_rank <= 20),
+         |raw AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(text)-1), i -> substring(text, i, 3))) AS g
+         |  FROM documents WHERE len(text) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, g FROM raw),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id)
+         |SELECT t.pair_rank, t.doc_a, t.doc_b, t.jaccard,
+         |  (c.doc_a IS NOT NULL) AS caught
+         |FROM truth t LEFT JOIN cand c
+         |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+         |ORDER BY t.pair_rank""".stripMargin,
     "d03_minhash_lsh" ->
       s"""WITH raw AS (
          |  SELECT doc_id,
