@@ -49,6 +49,15 @@ object Dedup {
     * frequent-shingle prune that keeps this linear-ish at 100 TB.
     */
   def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    d02From(shingles(docs(spark, dir)))
+  }
+
+  /** d02's pipeline from an externally supplied shingle table — d09
+    * shares one persisted shingle pass between the truth and
+    * candidate sides.
+    */
+  private def d02From(sh: DataFrame): DataFrame = {
     // ONE-pass pruned inverted index with a BOUNDED buffer: the doc
     // lists are aggregated by [[graft.functions.CollectCapped]], whose
     // buffer physically stops at 51 elements, so a hyper-frequent
@@ -59,8 +68,6 @@ object Dedup {
     // order-independent) at half the shingle explosions and one fewer
     // shuffle. Pairs are then generated MAP-SIDE from each
     // ≤50-element list (fanout ≤ 1225/gram) — no index self-join.
-    graft.functions.GraftFunctions.register(spark)
-    val sh = shingles(docs(spark, dir))
     val grouped = graft.Caches.scoped(
       sh.groupBy(col("source"), col("g"))
         .agg(graft.functions.GraftFunctions
@@ -128,8 +135,12 @@ object Dedup {
     * flag exactly.
     */
   def d09LshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val truth = d02NgramJaccard(spark, dir)
-    val caught = lshPairs(minhashSigs(docs(spark, dir)))
+    graft.functions.GraftFunctions.register(spark)
+    // ONE shingle explosion feeds both sides (truth index + minhash
+    // signatures) — persisted for the query, released at its action
+    val sh = graft.Caches.scoped(shingles(docs(spark, dir)))
+    val truth = d02From(sh)
+    val caught = lshPairs(minhashSigsFrom(sh))
       .select(col("da").as("doc_a"), col("db").as("doc_b"))
       .withColumn("caught", lit(true))
     truth.join(caught, Seq("doc_a", "doc_b"), "left")
@@ -317,11 +328,17 @@ object Dedup {
   /** MinHash signature table (doc_id, h0..h{K-1}), md5-seeded via the
     * [[HASH_A]]/[[HASH_B]] affine family (one md5 per gram).
     */
-  private def minhashSigs(d: DataFrame): DataFrame = {
+  private def minhashSigs(d: DataFrame): DataFrame =
+    minhashSigsFrom(shingles(d))
+
+  /** Signatures from an externally supplied shingle table (d09 shares
+    * one persisted shingle pass with the d02 truth side).
+    */
+  private def minhashSigsFrom(sh: DataFrame): DataFrame = {
     // x projected BEFORE the groupBy: aggregate expressions get no
     // common-subexpression elimination, so inlining x into each of the
     // K mins would run K md5s per row again
-    val withX = shingles(d).select(col("doc_id"),
+    val withX = sh.select(col("doc_id"),
       conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("x"))
     val hashAggs = (0 until K).map { s =>
       min((lit(HASH_A(s)) * col("x") + lit(HASH_B(s))) % lit(HASH_P)).as(s"h$s")

@@ -76,6 +76,27 @@ class OperatorsSpec extends AnyFunSuite {
       (9L, Some("new"), "2000-06-01", None, true)))
   }
 
+  test("Merge.scd2Apply is idempotent: re-applying the same batch changes nothing") {
+    import spark.implicits._
+    val eff = lit("2000-06-01")
+    val dim = Seq(
+      (1L, "a", "2000-01-01", true),
+      (2L, "b", "2000-01-01", true))
+      .toDF("k", "attr", "valid_from", "is_current")
+      .withColumn("valid_from", col("valid_from").cast("date"))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .select("k", "attr", "valid_from", "valid_to", "is_current")
+    val batch = Seq((1L, "A"), (3L, "new")).toDF("k", "attr")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("k"), col("valid_from"), col("is_current"))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    val once = Merge.scd2Apply(dim, batch, Seq("k"), Seq("attr"), eff)
+    // second apply of the SAME batch at the same effective date: every
+    // batch row now matches an identical current version → all no-ops
+    val twice = Merge.scd2Apply(once, batch, Seq("k"), Seq("attr"), eff)
+    assert(rows(once) == rows(twice))
+  }
+
   test("Skew.saltedJoin equals the plain join") {
     val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
