@@ -17,22 +17,32 @@ import graft.Tables
   */
 object Checks {
 
+  /** dbt `severity:` config — `error` (default) aborts the DAG,
+    * `warn` reports the failure and lets the run proceed.
+    */
+  final val Error = "error"
+  final val Warn = "warn"
+
   sealed trait Check {
     def name: String
     def column: String
+    def severity: String
   }
   /** Column must contain no NULLs. */
-  final case class NotNull(column: String) extends Check {
+  final case class NotNull(column: String,
+      severity: String = Error) extends Check {
     val name = "not_null"
   }
   /** Column values must be pairwise distinct (violations = extra
     * copies beyond the first of each value).
     */
-  final case class Unique(column: String) extends Check {
+  final case class Unique(column: String,
+      severity: String = Error) extends Check {
     val name = "unique"
   }
   /** Non-null values must come from the accepted set. */
-  final case class AcceptedValues(column: String, values: Seq[String]) extends Check {
+  final case class AcceptedValues(column: String, values: Seq[String],
+      severity: String = Error) extends Check {
     val name = "accepted_values"
   }
   /** Non-null values must exist in `refColumn` of the parent table —
@@ -40,16 +50,16 @@ object Checks {
     * lazily so a suite can be declared before the warehouse exists.
     */
   final case class Relationships(column: String, refColumn: String,
-      ref: () => DataFrame) extends Check {
+      ref: () => DataFrame, severity: String = Error) extends Check {
     val name = "relationships"
   }
 
   /** Violation-count aggregate for a scalar (non-join) check. */
   private def violationsAgg(check: Check): Column = check match {
-    case NotNull(c) => count(when(col(c).isNull, 1))
-    case Unique(c) => count(col(c)) - countDistinct(col(c))
+    case NotNull(c, _) => count(when(col(c).isNull, 1))
+    case Unique(c, _) => count(col(c)) - countDistinct(col(c))
     // NULLs are not_null's job, not accepted_values' (dbt ditto)
-    case AcceptedValues(c, vs) => count(when(!col(c).isin(vs: _*), 1))
+    case AcceptedValues(c, vs, _) => count(when(!col(c).isin(vs: _*), 1))
     case r: Relationships =>
       throw new IllegalArgumentException(s"${r.name} is not a scalar check")
   }
@@ -85,7 +95,7 @@ object Checks {
         .select(explode(array(reports: _*)).as("r"))
         .select(col("r.check_name"), col("r.col_name"), col("r.n_violations"))
     }
-    relational.foreach { case Relationships(c, refCol, ref) =>
+    relational.foreach { case Relationships(c, refCol, ref, _) =>
       val child = df.select(col(c)).filter(col(c).isNotNull)
       val orphans = child.join(ref().select(col(refCol).as(c)), Seq(c), "left_anti")
       parts += orphans

@@ -117,8 +117,17 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
     * execution order. Cycles and unresolved deps fail fast, before
     * anything is written.
     */
+  /** `retries` mirrors the reference DAG's Airflow task policy
+    * (dag/dbt_analytics_pipeline.py:40-42 `retries: 1`): each model's
+    * materialization gets 1+retries attempts before the DAG aborts.
+    * Safe to retry because commits are manifest-last: a failed
+    * attempt leaves at most an orphan data directory (vacuumable),
+    * never a visible version. The scheduler's retry_delay is omitted
+    * in-process — a real deployment backs off between attempts.
+    */
   def run(models: Seq[Model],
-      sources: Map[String, DataFrame] = Map.empty): Seq[ModelRun] = {
+      sources: Map[String, DataFrame] = Map.empty,
+      retries: Int = 0): Seq[ModelRun] = {
     val byName = models.map(m => m.name -> m).toMap
     require(byName.size == models.size, "duplicate model names in DAG")
     models.foreach { m =>
@@ -151,22 +160,49 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
         d -> (if (byName.contains(d)) readModel(d)
               else sources.getOrElse(d, readModel(d)))
       }.toMap
-      val run = materialize(m, inputs)
-      // dbt's `dbt test` after build, severity=error: a failing check
-      // aborts the DAG before anything downstream consumes bad data.
+      val run = retrying(m.name, retries)(materialize(m, inputs))
+      // dbt's `dbt test` after build: a failing severity=error check
+      // aborts the DAG before anything downstream consumes bad data;
+      // severity=warn failures are reported and the run proceeds.
       // The committed version stays in history (time-travel debuggable)
       // but is never read by a later run that repairs and re-commits.
       if (m.checks.nonEmpty) {
         val failed = Checks.summary(readModel(m.name), m.checks)
           .filter(!org.apache.spark.sql.functions.col("passed"))
           .collect()
-        require(failed.isEmpty,
-          s"model '${m.name}' failed data checks: " +
-            failed.map(r => s"${r.getString(0)}(${r.getString(1)})=" +
-              s"${r.getLong(2)} violations").mkString("; "))
+        def describe(rows: Seq[org.apache.spark.sql.Row]) = rows
+          .map(r => s"${r.getString(0)}(${r.getString(1)})=" +
+            s"${r.getLong(2)} violations").mkString("; ")
+        val bySeverity = m.checks.map(c => (c.name, c.column) -> c.severity).toMap
+        val (warned, fatal) = failed.partition(r =>
+          bySeverity.getOrElse((r.getString(0), r.getString(1)),
+            Checks.Error) == Checks.Warn)
+        if (warned.nonEmpty) {
+          System.err.println(
+            s"[runner] WARN model '${m.name}' checks: ${describe(warned.toSeq)}")
+        }
+        require(fatal.isEmpty,
+          s"model '${m.name}' failed data checks: ${describe(fatal.toSeq)}")
       }
       run
     }
+  }
+
+  /** 1+retries attempts; non-fatal failures between attempts are
+    * swallowed (the failed attempt left no visible version).
+    */
+  private def retrying[A](model: String, retries: Int)(attempt: => A): A = {
+    var left = math.max(0, retries)
+    while (true) {
+      try return attempt
+      catch {
+        case scala.util.control.NonFatal(e) if left > 0 =>
+          left -= 1
+          System.err.println(
+            s"[runner] RETRY model '$model' after: ${e.getMessage} ($left left)")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def materialize(m: Model,

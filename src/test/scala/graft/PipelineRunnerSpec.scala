@@ -153,6 +153,45 @@ class PipelineRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unique(k)"))
   }
 
+  test("severity=warn checks report but never abort; error still does") {
+    import graft.pipeline.Checks
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    val dirty = Seq((1, "a"), (1, "b")).toDF("k", "v") // duplicate key
+    val warned = Model("mw", Seq("src"), Materialization.Table,
+      (in, _) => in("src"),
+      checks = Seq(Checks.Unique("k", severity = Checks.Warn)))
+    // warn: the run completes and the model is readable
+    runner.run(Seq(warned), Map("src" -> dirty))
+    assert(runner.readModel("mw").count() == 2)
+    // the same failing check at default (error) severity aborts
+    val fatal = warned.copy(name = "me",
+      checks = Seq(Checks.Unique("k")))
+    val e = intercept[IllegalArgumentException](
+      runner.run(Seq(fatal), Map("src" -> dirty)))
+    assert(e.getMessage.contains("unique(k)"))
+  }
+
+  test("a flaky model succeeds within the Airflow-style retry budget") {
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = Model("f", Seq("src"), Materialization.Table,
+      (in, _) => {
+        if (attempts.incrementAndGet() == 1)
+          throw new RuntimeException("transient source hiccup")
+        in("src")
+      })
+    val src = Map("src" -> Seq((1, "a")).toDF("k", "v"))
+    // no budget → the first failure aborts the DAG
+    intercept[RuntimeException](runner.run(Seq(flaky), src))
+    attempts.set(0)
+    // retries=1 (the reference DAG's default_args) → second attempt lands
+    val report = runner.run(Seq(flaky), src, retries = 1)
+    assert(report.map(_.name) == Seq("f") && attempts.get() == 2)
+    assert(runner.readModel("f").count() == 1)
+  }
+
   test("cycles and unresolved deps fail fast, before any write") {
     val runner = new Runner(spark, tmp())
     import spark.implicits._
