@@ -122,11 +122,75 @@ object Checks {
         () => Tables(spark, dir, "customer"))))
   }
 
+  /** dbt source freshness (`dbt source freshness`; the reference
+    * ships it as a first-class DAG task —
+    * dag/operators/dbt_spark_operator.py `DbtSparkFreshnessOperator`):
+    * how stale is a source, measured as `asOf - max(loaded_at)`
+    * against warn/error thresholds. ONE max-aggregate per source —
+    * at 100 TB the max comes from footer stats if the landing is
+    * time-sorted.
+    */
+  def sourceFreshness(df: DataFrame, sourceName: String, loadedAt: Column,
+      asOfMs: Long, warnAfterMs: Long, errorAfterMs: Long): DataFrame = {
+    require(warnAfterMs <= errorAfterMs, "warn_after must be <= error_after")
+    // NTZ sources cast to TIMESTAMP first (session tz is UTC, so the
+    // naive value is read as UTC — matching the oracle's epoch_ms)
+    df.agg(max(unix_millis(loadedAt.cast("timestamp"))).as("max_loaded_ms"))
+      .select(
+        lit(sourceName).as("source"),
+        col("max_loaded_ms"),
+        (lit(asOfMs) - col("max_loaded_ms")).as("age_ms"))
+      .withColumn("status",
+        when(col("age_ms") > errorAfterMs, "error")
+          .when(col("age_ms") > warnAfterMs, "warn")
+          .otherwise("pass"))
+  }
+
+  /** q64: source freshness end-to-end over both time-carrying tables,
+    * pinned to a fixed as-of instant so the report is deterministic:
+    * events is fresh at its thresholds (`pass`), orders (date
+    * frontier 2001-08-01 at every sf) is checked 45 days later —
+    * landing in `warn` but not `error`. Oracle recomputes max/age/
+    * status in SQL.
+    */
+  def q64SourceFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400000L
+    val evAsOf = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+    val ordAsOf = java.time.Instant.parse("2001-09-15T00:00:00Z").toEpochMilli
+    sourceFreshness(Tables(spark, dir, "events"), "events", col("ts"),
+      evAsOf, warnAfterMs = 45 * day, errorAfterMs = 90 * day)
+      .unionAll(sourceFreshness(Tables(spark, dir, "orders"), "orders",
+        col("o_orderdate"), ordAsOf, warnAfterMs = 30 * day,
+        errorAfterMs = 60 * day))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q54_quality_checks" -> (q54QualityChecks _)
+    "q54_quality_checks" -> (q54QualityChecks _),
+    "q64_source_freshness" -> (q64SourceFreshness _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q64_source_freshness" -> {
+      val day = 86400000L
+      val evAsOf = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+      val ordAsOf = java.time.Instant.parse("2001-09-15T00:00:00Z").toEpochMilli
+      s"""WITH f AS (
+         |  SELECT 'events' AS source, epoch_ms(MAX(ts)) AS max_loaded_ms,
+         |    $evAsOf - epoch_ms(MAX(ts)) AS age_ms,
+         |    ${45 * day} AS warn_after, ${90 * day} AS error_after
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'orders', epoch_ms(MAX(o_orderdate)),
+         |    $ordAsOf - epoch_ms(MAX(o_orderdate)),
+         |    ${30 * day}, ${60 * day}
+         |  FROM orders)
+         |SELECT source, max_loaded_ms, age_ms,
+         |  CASE WHEN age_ms > error_after THEN 'error'
+         |       WHEN age_ms > warn_after THEN 'warn'
+         |       ELSE 'pass' END AS status
+         |FROM f ORDER BY source""".stripMargin
+    },
     "q54_quality_checks" ->
       """SELECT * FROM (
         |  SELECT 'not_null' AS check_name, 'o_custkey' AS col_name,
