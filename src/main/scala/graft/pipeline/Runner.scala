@@ -101,6 +101,44 @@ final case class ModelRun(name: String, version: Long, mode: String)
   * run never leaves a half-visible table and every run is time-travel
   * auditable.
   */
+object Runner {
+  /** dbt node selection (`--select`, which the reference's operator
+    * forwards verbatim — dag/operators/dbt_spark_operator.py:153):
+    * `name` picks one model, `+name` adds its ancestors, `name+` its
+    * descendants, `+name+` both; several selectors union. Returns the
+    * selected sub-DAG in the input order. Running a selection whose
+    * upstream is NOT included still works when that upstream is
+    * already materialized — [[Runner.run]]'s partial-run semantic
+    * reads the stored `ref()`.
+    */
+  def select(models: Seq[Model], selectors: Seq[String]): Seq[Model] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val children: Map[String, Seq[String]] = models
+      .flatMap(m => m.deps.filter(byName.contains).map(_ -> m.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def walk(start: String, step: String => Seq[String]): Set[String] = {
+      val seen = scala.collection.mutable.Set(start)
+      var frontier = Seq(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(step).filterNot(seen)
+        seen ++= frontier
+      }
+      seen.toSet
+    }
+    val picked = selectors.flatMap { sel =>
+      val up = sel.startsWith("+")
+      val down = sel.endsWith("+")
+      val name = sel.stripPrefix("+").stripSuffix("+")
+      require(byName.contains(name), s"--select: unknown model '$name'")
+      var s = Set(name)
+      if (up) s ++= walk(name, n => byName(n).deps.filter(byName.contains))
+      if (down) s ++= walk(name, n => children.getOrElse(n, Nil))
+      s
+    }.toSet
+    models.filter(m => picked(m.name))
+  }
+}
+
 final class Runner(spark: SparkSession, warehouseDir: String) {
 
   def tableDir(name: String): String = s"$warehouseDir/$name"

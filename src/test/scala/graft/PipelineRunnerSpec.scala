@@ -192,6 +192,28 @@ class PipelineRunnerSpec extends AnyFunSuite {
     assert(runner.readModel("f").count() == 1)
   }
 
+  test("dbt --select graph operators pick the right sub-DAG; partial run reads stored refs") {
+    val names = (sel: Seq[String]) =>
+      Runner.select(AnalyticsDag.models, sel).map(_.name).toSet
+    assert(names(Seq("stg_orders")) == Set("stg_orders"))
+    assert(names(Seq("+user_order_summary")) ==
+      Set("stg_users", "stg_orders", "user_order_summary"))
+    assert(names(Seq("stg_orders+")) ==
+      Set("stg_orders", "daily_order_metrics", "user_order_summary"))
+    assert(names(Seq("+daily_order_metrics", "stg_users")) ==
+      Set("stg_orders", "daily_order_metrics", "stg_users"))
+    intercept[IllegalArgumentException](Runner.select(AnalyticsDag.models, Seq("nope")))
+    // end-to-end partial run: materialize ancestors first, then run a
+    // selection WITHOUT its upstream — it reads the stored ref()
+    val runner = new Runner(spark, tmp())
+    runner.run(Runner.select(AnalyticsDag.models, Seq("+stg_orders", "+stg_users")),
+      sources(None))
+    val report = runner.run(
+      Runner.select(AnalyticsDag.models, Seq("user_order_summary")), sources(None))
+    assert(report.map(_.name) == Seq("user_order_summary"))
+    assert(runner.readModel("user_order_summary").count() > 0)
+  }
+
   test("cycles and unresolved deps fail fast, before any write") {
     val runner = new Runner(spark, tmp())
     import spark.implicits._
