@@ -47,6 +47,51 @@ object Merge {
       .select(cols: _*)
   }
 
+  /** Last-writer-wins CDC apply — the Iceberg
+    * `WHEN MATCHED AND s.ts > t.ts THEN UPDATE` idiom
+    * (reference docs/components/cdc.md: Debezium changelog upserts)
+    * with SOFT-DELETE tombstones, so applying micro-batches is
+    * ORDER-INSENSITIVE and IDEMPOTENT:
+    *
+    *  - both sides share the target schema: `keys ++ payload`, where
+    *    payload includes `orderCols` (a lexicographic version vector,
+    *    e.g. `(ts, event_id)`) and the boolean `deletedCol`;
+    *  - on a key match the row with the GREATER `orderCols` tuple
+    *    wins whole-row; ties keep the target (replaying a batch is a
+    *    no-op);
+    *  - a delete is just a payload row with `deletedCol = true` — the
+    *    tombstone is RETAINED, so a stale pre-delete update arriving
+    *    late loses the version race instead of resurrecting the key.
+    *    Readers filter `!deletedCol`; actual removal is a compaction
+    *    concern (`Snapshots.expireSnapshots`/`compactLatest`).
+    *
+    * `batch` must be pre-reduced to one row per key (`max_by` on the
+    * same `orderCols` — a map-side-combinable aggregate). One
+    * key-shuffled full-outer join per apply, no window, no ordering
+    * requirement across applies — the shape that survives Kafka's
+    * per-partition-only ordering at 100 TB.
+    */
+  def cdcApply(target: DataFrame, batch: DataFrame, keys: Seq[String],
+      orderCols: Seq[String], deletedCol: String): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty, "cdcApply needs keys and orderCols")
+    require(target.columns.contains(deletedCol), s"target lacks $deletedCol")
+    val t = target.as("t")
+    val s = batch.as("s")
+    val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val sPresent = col(s"s.${keys.head}").isNotNull
+    val tPresent = col(s"t.${keys.head}").isNotNull
+    // lexicographic "source is strictly newer" over the version vector
+    val srcNewer = orderCols.foldRight(lit(false)) { (c, tieBreak) =>
+      (col(s"s.$c") > col(s"t.$c")) ||
+        (col(s"s.$c") === col(s"t.$c") && tieBreak)
+    }
+    val takeSource = sPresent && (!tPresent || srcNewer)
+    val cols = target.columns.toSeq.map { c =>
+      when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+    }
+    t.join(s, cond, "full_outer").select(cols: _*)
+  }
+
   /** q21: incremental-merge materialization of the CDC latest-wins
     * snapshot: a stale snapshot (events before the cutoff) merged with
     * a recompute for users active after the cutoff. Result must equal

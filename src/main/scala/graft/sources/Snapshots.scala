@@ -255,21 +255,47 @@ object Snapshots {
     */
   def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
       keys: Seq[String],
-      deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Long =
+    mergeWith(spark, tableDir, updates)(
+      graft.operators.Merge.upsert(_, _, keys, deleteWhen))
+
+  /** Generic optimistic read-modify-write: commit `fn(latest,
+    * updates)` as the next version, retrying from the new head on a
+    * lost race — [[merge]] with a pluggable merge function (e.g.
+    * `Merge.cdcApply` for last-writer-wins changelog application, or
+    * `Merge.scd2Apply` for dbt-snapshot dimensions).
+    *
+    * `tag` makes the commit idempotent ACROSS RETRIES AND REPLAYS: a
+    * tag already in the manifest or the ledger short-circuits to the
+    * existing version without re-running `fn` — the streaming
+    * foreachBatch contract (a restarted query re-offers the same
+    * batch id; it must not double-apply).
+    */
+  def mergeWith(spark: SparkSession, tableDir: String, updates: DataFrame,
+      tag: Option[String] = None)(fn: (DataFrame, DataFrame) => DataFrame): Long = {
     require(versions(tableDir).nonEmpty, s"no snapshots at $tableDir")
+    val already = tag.flatMap(taggedVersion(tableDir, _))
+    if (already.isDefined) return already.get
     var attempts = 0
     while (attempts < 5) {
       val base = versions(tableDir).last
-      val merged = graft.operators.Merge.upsert(
-        read(spark, tableDir, base), updates, keys, deleteWhen)
-      commitIfLatest(merged, tableDir, base, tag = None) match {
+      val merged = fn(read(spark, tableDir, base), updates)
+      commitIfLatest(merged, tableDir, base, tag) match {
         case Some(v) => return v
-        case None => attempts += 1
+        case None =>
+          attempts += 1
+          // the race winner may have been a replica committing OUR tag
+          val replayed = tag.flatMap(taggedVersion(tableDir, _))
+          if (replayed.isDefined) return replayed.get
       }
     }
     throw new IllegalStateException(
       s"merge lost $attempts optimistic commit races at $tableDir - serialize committers")
   }
+
+  private def taggedVersion(tableDir: String, tag: String): Option[Long] =
+    manifestLines(tableDir).find(_._2.contains(tag)).map(_._1)
+      .orElse(ledgerEntries(tableDir).find(_._2 == tag).map(_._1))
 
   /** Expire all but the newest `keep` committed snapshots — the
     * Iceberg `expire_snapshots` maintenance surface (reference

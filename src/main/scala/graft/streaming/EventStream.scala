@@ -501,6 +501,105 @@ object EventStream {
       .orderBy(col("event_type"))
   }
 
+  /** st09: streaming CDC upsert into the versioned store — the full
+    * reference flow (docs/components/cdc.md: Debezium → Kafka → Spark
+    * → Iceberg MERGE) end-to-end: the changelog lands as Kafka-wire
+    * envelopes sharded RANDOMLY across 16 topic files (Kafka orders
+    * per partition only — cross-key arrival order is arbitrary, and
+    * this gate proves the pipeline survives it), streams back 4 files
+    * per trigger, and every micro-batch MERGEs into the snapshot
+    * store via [[graft.operators.Merge.cdcApply]] — last-writer-wins
+    * on `(ts_us, event_id)` with soft-delete tombstones, so the final
+    * state is independent of batch boundaries and arrival order.
+    * Batch-id commit tags make a replayed batch a no-op (the
+    * exactly-once contract of foreachBatch + idempotent sink).
+    *
+    * The gated result is the LATEST snapshot with tombstones filtered
+    * — the live-rows view a downstream consumer reads — plus the
+    * version count proving the multi-batch path (seed + 4 merges).
+    * The oracle recomputes the same latest-wins state from the raw
+    * table in one window.
+    */
+  def st09CdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
+    // 1. the topic: st06's Debezium envelope, randomly sharded
+    val ev = graft.Tables(s, dir, "events")
+      .withColumn("op",
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "error", "d")
+          .otherwise("u"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val row = struct(col("user_id"), col("event_id"), col("value"), col("ts_us"))
+    val envelope = to_json(struct(
+      col("op"), col("ts_us"),
+      when(col("op") =!= "d", row).as("after"),
+      when(col("op") === "d", row).as("before")))
+    val topic = graft.TempDirs.scratch("graft-st09-topic")
+    ev.select(envelope.cast("binary").as("value"))
+      .repartition(16).write.mode("overwrite").parquet(topic)
+
+    // 2. seed the target table (empty v0) with the upsert-state schema
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts_us", LongType),
+      StructField("last_event_id", LongType),
+      StructField("last_op", StringType),
+      StructField("last_value", DoubleType),
+      StructField("deleted", BooleanType)))
+    val table = s"${graft.TempDirs.scratch("graft-st09-tbl")}/users_upsert"
+    graft.sources.Snapshots.commit(
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        stateSchema), table)
+
+    // 3. stream-decode the envelope; MERGE each micro-batch
+    val rowSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("value", DoubleType), StructField("ts_us", LongType)))
+    val envSchema = StructType(Seq(
+      StructField("op", StringType), StructField("ts_us", LongType),
+      StructField("after", rowSchema), StructField("before", rowSchema)))
+    val flat = s.readStream
+      .schema(StructType(Seq(StructField("value", BinaryType))))
+      .option("maxFilesPerTrigger", "4")
+      .parquet(topic)
+      .select(from_json(col("value").cast("string"), envSchema).as("env"))
+      .select(
+        coalesce(col("env.after.user_id"), col("env.before.user_id")).as("user_id"),
+        col("env.ts_us").as("ts_us"),
+        coalesce(col("env.after.event_id"), col("env.before.event_id")).as("last_event_id"),
+        col("env.op").as("last_op"),
+        col("env.after.value").as("last_value"),
+        (col("env.op") === "d").as("deleted"))
+    val q = flat.writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st09-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // pre-reduce to one row per key (map-side combinable), then LWW-merge
+        val reduced = batch.groupBy(col("user_id"))
+          .agg(max_by(
+            struct(batch.columns.map(col): _*),
+            struct(col("ts_us"), col("last_event_id"))).as("w"))
+          .select(col("w.*"))
+        graft.sources.Snapshots.mergeWith(
+          batch.sparkSession, table, reduced, tag = Some(s"cdc-batch=$id"))(
+          graft.operators.Merge.cdcApply(_, _, Seq("user_id"),
+            Seq("ts_us", "last_event_id"), "deleted"))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // 4. the live view + the wire-path proof (seed + 4 merge commits)
+    val nVersions = graft.sources.Snapshots.versions(table).size
+    graft.sources.Snapshots.read(spark, table)
+      .filter(!col("deleted"))
+      .select(
+        col("user_id"), col("last_op"), col("last_value"),
+        expr("ts_us div 1000").as("last_ts_ms"),
+        lit(nVersions).as("n_versions"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stateful_counts" -> (st02StatefulCounts _),
@@ -509,7 +608,8 @@ object EventStream {
     "st05_stream_stream_join" -> (st05StreamStreamJoin _),
     "st06_kafka_cdc" -> (st06KafkaCdc _),
     "st07_session_window" -> (st07SessionWindow _),
-    "st08_stream_ingest" -> (st08StreamIngest _)
+    "st08_stream_ingest" -> (st08StreamIngest _),
+    "st09_cdc_merge" -> (st09CdcMerge _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
@@ -519,6 +619,27 @@ object EventStream {
     // st06 = q16's apply semantic after a wire round-trip; the oracle
     // is the same changelog math over the raw table — encode/decode
     // must be lossless for the hash to match.
+    // st09 = the storage-side apply of the same changelog: LWW state
+    // (soft deletes filtered) must equal the raw-table latest-wins
+    // snapshot no matter how the wire shuffled the batches; 5 versions
+    // = seed + exactly ceil(16 files / 4 per trigger) merge commits.
+    "st09_cdc_merge" ->
+      """WITH ops AS (
+        |  SELECT *,
+        |    CASE WHEN event_type = 'signup' THEN 'c'
+        |         WHEN event_type = 'error' THEN 'd'
+        |         ELSE 'u' END AS op
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, op,
+        |    CASE WHEN op <> 'd' THEN value END AS value, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM ops)
+        |SELECT user_id, op AS last_op, value AS last_value,
+        |  epoch_ms(ts) AS last_ts_ms, 5 AS n_versions
+        |FROM ranked WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin,
     "st06_kafka_cdc" ->
       """WITH ops AS (
         |  SELECT *,

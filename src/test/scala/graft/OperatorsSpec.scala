@@ -41,6 +41,67 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "keep", 10.0), (3L, "UPD", 99.0), (4L, "ins", 40.0)))
   }
 
+  test("Merge.cdcApply: newer wins, older loses, tombstone retained, no resurrection") {
+    import spark.implicits._
+    val target = Seq(
+      (1L, 100L, 10L, 1.0, false),  // will be beaten by a newer update
+      (2L, 100L, 11L, 2.0, false),  // will survive a STALE update
+      (3L, 100L, 12L, 3.0, true))   // tombstone — a stale update must not resurrect
+      .toDF("k", "ts", "eid", "v", "deleted")
+    val batch = Seq(
+      (1L, 200L, 20L, 9.0, false),  // newer → wins
+      (2L, 50L, 21L, 8.0, false),   // older → loses
+      (3L, 50L, 22L, 7.0, false),   // older than the tombstone → loses
+      (4L, 200L, 23L, 6.0, false),  // new key → inserted
+      (5L, 200L, 24L, 5.0, true))   // new-key tombstone → retained as deleted
+      .toDF("k", "ts", "eid", "v", "deleted")
+    val got = Merge.cdcApply(target, batch, Seq("k"), Seq("ts", "eid"), "deleted")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 200L, 9.0, false), (2L, 100L, 2.0, false),
+      (3L, 100L, 3.0, true), (4L, 200L, 6.0, false), (5L, 200L, 5.0, true)))
+  }
+
+  test("Merge.cdcApply: order-insensitive across batches, tie keeps target (replay no-op)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long, Double, Boolean)]
+      .toDF("k", "ts", "eid", "v", "deleted")
+    // one key's history incl. a same-ts tie broken by eid, one delete
+    val b1 = Seq((1L, 100L, 1L, 1.0, false), (2L, 100L, 2L, 2.0, false))
+      .toDF("k", "ts", "eid", "v", "deleted")
+    val b2 = Seq((1L, 100L, 3L, 1.5, false), (2L, 200L, 4L, 0.0, true))
+      .toDF("k", "ts", "eid", "v", "deleted")
+    def state(batches: Seq[org.apache.spark.sql.DataFrame]) =
+      batches.foldLeft(empty)(Merge.cdcApply(_, _, Seq("k"), Seq("ts", "eid"), "deleted"))
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .toSeq
+    val fwd = state(Seq(b1, b2))
+    assert(fwd == state(Seq(b2, b1)), "arrival order must not matter")
+    assert(fwd == state(Seq(b1, b2, b2, b1)), "replaying batches must be a no-op")
+    assert(fwd == Seq((1L, 100L, 3L, 1.5, false), (2L, 200L, 4L, 0.0, true)))
+  }
+
+  test("Snapshots.mergeWith tag: replayed batch returns existing version, no new commit") {
+    import spark.implicits._
+    val dir = s"${graft.TempDirs.scratch("graft-mergewith-spec")}/t"
+    val seed = Seq((1L, 100L, 1.0, false)).toDF("k", "ts", "v", "deleted")
+    val v0 = graft.sources.Snapshots.commit(seed, dir)
+    val batch = Seq((1L, 200L, 2.0, false), (2L, 100L, 3.0, false))
+      .toDF("k", "ts", "v", "deleted")
+    def apply() = graft.sources.Snapshots.mergeWith(spark, dir, batch,
+      tag = Some("cdc-batch=7"))(
+      Merge.cdcApply(_, _, Seq("k"), Seq("ts"), "deleted"))
+    val v1 = apply()
+    val v2 = apply()
+    assert(v1 == v2, "same tag must short-circuit to the committed version")
+    assert(graft.sources.Snapshots.versions(dir) == Seq(v0, v1))
+    val live = graft.sources.Snapshots.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(live.toSeq == Seq((1L, 200L, 2.0), (2L, 100L, 3.0)))
+  }
+
   test("Merge.scd2Apply: close+reinsert, new-key, no-op, history passthrough, null-safe") {
     import spark.implicits._
     val eff = lit("2000-06-01")
