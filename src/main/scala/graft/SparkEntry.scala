@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Approx, Dedup, Merge, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.operators.{Approx, Dedup, Merge, Multimodal, Pipeline, RangeJoin, Similarity, TextAnalysis}
 import graft.queries.{Advanced, Relational, TpchSuite, Warehouse}
 import graft.streaming.EventStream
 
@@ -20,7 +20,7 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++ Pipeline.queries ++
       Approx.queries ++ EventStream.queries ++
       graft.pipeline.AnalyticsDag.queries ++ Warehouse.queries ++
-      graft.pipeline.Checks.queries
+      graft.pipeline.Checks.queries ++ RangeJoin.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check.
@@ -31,5 +31,5 @@ object SparkEntry {
       Similarity.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
       Approx.oracles ++ EventStream.oracles ++
       graft.pipeline.AnalyticsDag.oracles ++ Warehouse.oracles ++
-      graft.pipeline.Checks.oracles
+      graft.pipeline.Checks.oracles ++ RangeJoin.oracles
 }

@@ -102,6 +102,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(live.toSeq == Seq((1L, 200L, 2.0), (2L, 100L, 3.0)))
   }
 
+  test("RangeJoin.binned == naive BETWEEN join; plan has no nested loop") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // overlapping + point + empty + negative-crossing intervals, NULLs
+    val intervals = Seq(
+      (10L, Some(0.0), Some(100.0)),
+      (11L, Some(50.0), Some(150.0)),   // overlaps 10
+      (12L, Some(75.0), Some(75.0)),    // degenerate point interval
+      (13L, Some(-120.0), Some(30.0)),  // crosses zero (negative bins)
+      (14L, Some(200.0), Some(100.0)),  // inverted → matches nothing
+      (15L, None, Some(50.0)))          // NULL bound → matches nothing
+      .toDF("rid", "lo", "hi")
+    val points = Seq(
+      (1L, Some(75.0)), (2L, Some(-80.0)), (3L, Some(100.0)),
+      (4L, Some(151.0)), (5L, None: Option[Double]))
+      .toDF("pid", "v")
+    val got = RangeJoin.binned(points, "v", intervals, "lo", "hi", 64.0)
+    val naive = points.join(intervals,
+      col("v") >= col("lo") && col("v") <= col("hi"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs(got) == pairs(naive))
+    assert(pairs(got) == Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 13L), (3L, 10L), (3L, 11L)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned range join must be an equi join:\n$plan")
+    assert(plan.contains("Join"), "expected a real join in the plan")
+  }
+
   test("Merge.scd2Apply: close+reinsert, new-key, no-op, history passthrough, null-safe") {
     import spark.implicits._
     val eff = lit("2000-06-01")
