@@ -295,8 +295,73 @@ object Warehouse {
       .orderBy(col("o_year"))
   }
 
+  /** q66: incremental aggregate maintenance (IVM) — refreshing a
+    * materialized rollup from the CHANGELOG instead of recomputing:
+    * maintenance cost ∝ |changed rows|, recompute cost ∝ |table| —
+    * at 100 TB with a per-mille daily churn that is the difference
+    * between seconds and hours (the scale rationale behind dbt's
+    * incremental materializations and Iceberg's incremental scans,
+    * which the reference pairs in daily_order_metrics.sql +
+    * docs/components/iceberg.md).
+    *
+    * v1 = pre-1996 orders; v2 = inserts (1996+), updates (every
+    * `%7` key repriced), deletes (every pre-1996 `%13` key). The
+    * maintained state keeps EXACT internal measures (long count,
+    * DECIMAL sum); `Snapshots.diff` yields changed keys, two
+    * LEFT-SEMI joins recover old/new rows, and signed partial
+    * aggregates merge into the materialization with one full-outer
+    * join on the group key. Additive measures update in place;
+    * AVG derives from the maintained sums at read. Groups whose
+    * count reaches 0 drop out. Gate = maintained rollup; oracle =
+    * full recompute over the v2 state — IVM must be EXACTLY
+    * lossless, decimal-bit-for-bit.
+    */
+  def q66IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val t = s"${tempDir("graft-ivm")}/orders_ivm"
+    val cutoff = lit("1996-01-01").cast("date")
+    val stg = Tables(spark, dir, "orders").select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+      to_date(col("o_orderdate")).as("order_date"),
+      col("o_totalprice"))
+    val v1 = Snapshots.commit(
+      stg.filter(col("order_date") < cutoff)
+        .select(col("o_orderkey"), col("o_month"),
+          col("o_totalprice").as("price")), t)
+    val v2 = Snapshots.commit(
+      stg.filter(!(col("o_orderkey") % 13 === 0 && col("order_date") < cutoff))
+        .select(col("o_orderkey"), col("o_month"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("price")), t)
+
+    // the stored materialization over v1 (exact internal state)
+    val mat = Snapshots.read(spark, t, v1).groupBy("o_month").agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("price").cast("decimal(18,2)")).as("rev"))
+
+    // changed keys only → recover old/new rows → additive maintenance
+    val d = Snapshots.diff(spark, t, v1, v2, Seq("o_orderkey"))
+    def side(v: Long, ops: Seq[String]) =
+      Snapshots.read(spark, t, v)
+        .join(d.filter(col("op").isin(ops: _*)).select("o_orderkey"),
+          Seq("o_orderkey"), "left_semi")
+    graft.operators.Ivm.maintain(mat,
+        oldRows = side(v1, Seq("delete", "update")),
+        newRows = side(v2, Seq("insert", "update")),
+        groupCols = Seq("o_month"), countCol = "n_orders",
+        sums = Seq("price" -> "rev"))
+      .select(
+        col("o_month"),
+        col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") / col("n_orders")).as("avg_price"))
+      .orderBy(col("o_month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_partitioned_scan" -> (q51PartitionedScan _),
+    "q66_incremental_agg" -> (q66IncrementalAgg _),
     "q53_compaction" -> (q53Compaction _),
     "q55_changelog" -> (q55Changelog _),
     "q58_bucketed_join" -> (q58BucketedJoin _),
@@ -306,6 +371,22 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q66 = full recompute over the v2 state — IVM must be lossless
+    "q66_incremental_agg" ->
+      """WITH v2 AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 13 = 0
+        |             AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'))
+        |SELECT o_month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM v2
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q51_partitioned_scan" ->
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
          |  CAST(o_orderdate AS DATE) AS order_date,

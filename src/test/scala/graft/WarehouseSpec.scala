@@ -164,6 +164,33 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, t, v4).count() == n3)
   }
 
+  test("Ivm.maintain: update/insert/delete, group drops at zero, new group appears") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    // base state: g=a {k1:10, k2:20}, g=b {k3:30}
+    val base = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+      .toDF("g", "k", "v")
+    val mat = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(18,2)")).as("sv"))
+    // transition: k1 repriced, k3 deleted (b drops to zero),
+    // k4 inserted into new group c
+    val oldRows = Seq(("a", 1L, 10.0), ("b", 3L, 30.0)).toDF("g", "k", "v")
+    val newRows = Seq(("a", 1L, 15.0), ("c", 4L, 40.0)).toDF("g", "k", "v")
+    val got = Ivm.maintain(mat, oldRows, newRows, Seq("g"), "n", Seq("v" -> "sv"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    assert(got.toSeq == Seq(("a", 2L, 35.0), ("c", 1L, 40.0)))
+    // and it must equal the full recompute of the new state
+    val newState = Seq(("a", 1L, 15.0), ("a", 2L, 20.0), ("c", 4L, 40.0))
+      .toDF("g", "k", "v")
+    val recomputed = newState.groupBy("g").agg(
+        count(lit(1)).as("n"), sum(col("v").cast("decimal(18,2)")).as("sv"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    assert(got.toSeq == recomputed.toSeq)
+  }
+
   test("q51 pruned mart equals the same month computed from the raw table") {
     val viaLanded = SparkEntry.queries("q51_partitioned_scan")(spark, sf)
       .collect().map(_.toSeq.map(String.valueOf))
