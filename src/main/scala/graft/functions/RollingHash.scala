@@ -90,6 +90,17 @@ object GraftFunctions {
         }
         CollectCapped(exprs.head, cap)
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "k_min_values", exprs => {
+        require(exprs.length == 2,
+          s"k_min_values expects 2 arguments, got ${exprs.length}")
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"k_min_values k must be an integer literal, got $other")
+        }
+        KMinValues(exprs.head, k)
+      }, "scala_udf")
   }
 
   /** 64-bit rolling hash of a string column (register first). */
@@ -105,4 +116,8 @@ object GraftFunctions {
   /** Distinct char-n-grams of a string column ([[CharGramsExpr]]). */
   def charGrams(c: Column, n: Int): Column =
     call_function("char_grams", c, org.apache.spark.sql.functions.lit(n))
+
+  /** KMV distinct sketch of a long hash column ([[KMinValues]]). */
+  def kMinValues(c: Column, k: Int): Column =
+    call_function("k_min_values", c, org.apache.spark.sql.functions.lit(k))
 }

@@ -158,14 +158,91 @@ object Approx {
       .orderBy(col("est_rank"))
   }
 
+  /** a05: K-Minimum-Values distinct sketch ([[graft.functions
+    * .KMinValues]] — native bounded TypedImperativeAggregate, O(k)
+    * state, map-side mergeable) with the estimate checked EXACTLY:
+    * KMV over md5-derived 60-bit hashes is cross-engine
+    * deterministic, so unlike a01's HLL (engine-private registers,
+    * bound-only check) the DuckDB oracle reproduces sketch AND
+    * estimator bit-for-bit. Per-returnflag sketches of distinct
+    * order keys, plus the ALL row built by UNIONING the per-flag
+    * sketches (explode + re-aggregate — sketch-of-union ==
+    * union-of-sketches, deduplicating order keys shared across
+    * flags: the mergeability that justifies sketches at 100 TB).
+    * Estimator: n<k → exact; else (k−1)·2^60/h_(k).
+    */
+  def a05KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val K = 128
+    GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.kMinValues
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+        conv(substring(md5(col("l_orderkey").cast("string").cast("binary")), 1, 15),
+          16, 10).cast("long").as("hv"))
+    def estimate(sk: org.apache.spark.sql.Column) =
+      when(size(sk) < K, size(sk).cast("double"))
+        .otherwise(lit((K - 1).toDouble) * lit(1152921504606846976L).cast("double") /
+          element_at(sk, K).cast("double"))
+    val perFlag = li.groupBy(col("flag")).agg(
+      kMinValues(col("hv"), K).as("sk"),
+      countDistinct(col("l_orderkey")).as("n_exact"))
+    val allExact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    val allRow = perFlag.select(explode(col("sk")).as("hv"))
+      .agg(kMinValues(col("hv"), K).as("sk"))
+      .crossJoin(allExact)   // two one-row sides
+      .select(lit("ALL").as("flag"), col("sk"), col("n_exact"))
+    perFlag.unionByName(allRow)
+      .select(col("flag"), col("n_exact"), estimate(col("sk")).as("kmv_est"))
+      .orderBy(col("flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_hll_sketches" -> (a01HllSketches _),
+    "a05_kmv_distinct" -> (a05KmvDistinct _),
     "a02_bloom_filtered_join" -> (a02BloomFilteredJoin _),
     "a03_quantile_sketch" -> (a03QuantileSketch _),
     "a04_cms_heavy_hitters" -> (a04CmsHeavyHitters _)
   )
 
   val oracles: Map[String, String] = Map(
+    // a05: the sketch AND estimator are cross-engine deterministic —
+    // DuckDB recomputes the identical k-min hash sets and estimate.
+    "a05_kmv_distinct" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT flag, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY flag) AS nd
+        |  FROM hv),
+        |exact AS (
+        |  SELECT l_returnflag AS flag, COUNT(DISTINCT l_orderkey) AS n_exact
+        |  FROM lineitem GROUP BY 1),
+        |per_flag AS (
+        |  SELECT r.flag, e.n_exact,
+        |    CASE WHEN MAX(r.nd) < 128 THEN CAST(MAX(r.nd) AS DOUBLE)
+        |         ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) /
+        |              CAST(MAX(CASE WHEN r.rn = 128 THEN r.hv END) AS DOUBLE) END AS kmv_est
+        |  FROM ranked r JOIN exact e ON r.flag = e.flag
+        |  GROUP BY r.flag, e.n_exact),
+        |all_sk AS (
+        |  SELECT DISTINCT hv FROM ranked WHERE rn <= 128),
+        |all_ranked AS (
+        |  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn,
+        |    COUNT(*) OVER () AS nd
+        |  FROM all_sk),
+        |all_row AS (
+        |  SELECT 'ALL' AS flag,
+        |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_exact,
+        |    CASE WHEN MAX(nd) < 128 THEN CAST(MAX(nd) AS DOUBLE)
+        |         ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) /
+        |              CAST(MAX(CASE WHEN rn = 128 THEN hv END) AS DOUBLE) END AS kmv_est
+        |  FROM all_ranked)
+        |SELECT flag, n_exact, kmv_est FROM per_flag
+        |UNION ALL SELECT flag, n_exact, kmv_est FROM all_row
+        |ORDER BY 1""".stripMargin,
     // a01/a03: exact halves recomputed in DuckDB; the booleans are
     // expected TRUE — the Spark side computes them from the live
     // sketch, so an out-of-bound estimate hash-mismatches.
