@@ -42,12 +42,18 @@ object Ivm {
         sums.map { case (src, matCol) =>
           sum(col(src).cast(dec) * col("__graft_w")).as(s"__graft_d_$matCol")
         }: _*)
-    mat.join(delta, groupCols, "full_outer")
-      .select(groupCols.map(col) ++ Seq(
-        (coalesce(col(countCol), lit(0L)) +
+    // NULL-SAFE merge join: SQL GROUP BY puts NULL keys in one group,
+    // so the maintenance join must match them too (<=>), not drop
+    // them into two disjoint rows as a plain equi join would
+    val m = mat.as("m")
+    val d = delta.as("d")
+    val cond = groupCols.map(c => col(s"m.$c") <=> col(s"d.$c")).reduce(_ && _)
+    m.join(d, cond, "full_outer")
+      .select(groupCols.map(c => coalesce(col(s"m.$c"), col(s"d.$c")).as(c)) ++ Seq(
+        (coalesce(col(s"m.$countCol"), lit(0L)) +
           coalesce(col("__graft_dn"), lit(0L))).as(countCol)) ++
         sums.map { case (_, matCol) =>
-          (coalesce(col(matCol), lit(0).cast(dec)) +
+          (coalesce(col(s"m.$matCol"), lit(0).cast(dec)) +
             coalesce(col(s"__graft_d_$matCol"), lit(0).cast(dec))).as(matCol)
         }: _*)
       .filter(col(countCol) > 0)

@@ -600,6 +600,71 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** st10: streaming MATERIALIZED VIEW — a storage-backed rollup kept
+    * fresh by additive IVM ([[graft.operators.Ivm.maintain]]) from
+    * each micro-batch, instead of a state-store streaming aggregation:
+    * maintained state lives in the versioned table (restart-safe,
+    * queryable mid-stream, size ∝ #groups not #keys-in-watermark),
+    * each batch costs one |batch|-sized delta aggregate + one
+    * #groups-sized merge — the Kafka→live-mart pattern the reference
+    * pairs with its incremental dbt models. Append-only stream ⇒ the
+    * IVM old-side is empty; batch-id tags make replays no-ops. The
+    * gate reads the final maintained rollup (+ version count proving
+    * the multi-batch path); the oracle recomputes it from the raw
+    * table — additive maintenance must be decimal-exact across any
+    * batch partitioning.
+    */
+  def st10StreamingIvm(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
+    val src = graft.TempDirs.scratch("graft-st10-src")
+    graft.Tables(spark, dir, "events")
+      .withColumn("ts", unix_micros(col("ts")))
+      .repartition(16)
+      .write.mode("overwrite").parquet(src)
+
+    val matSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("n_events", LongType),
+      StructField("total_value", DecimalType(18, 4))))
+    val table = s"${graft.TempDirs.scratch("graft-st10-tbl")}/events_mv"
+    graft.sources.Snapshots.commit(
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        matSchema), table)
+
+    val stream = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(src)
+      .select(col("event_type"), col("value"))
+    val q = stream.writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st10-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.Snapshots.mergeWith(
+          batch.sparkSession, table, batch, tag = Some(s"mv-batch=$id")) { (mat, b) =>
+          graft.operators.Ivm.maintain(mat,
+              oldRows = b.limit(0), newRows = b,
+              groupCols = Seq("event_type"), countCol = "n_events",
+              sums = Seq("value" -> "total_value"), scale = 4)
+            // keep the stored schema stable across commits
+            .select(col("event_type"), col("n_events"),
+              col("total_value").cast("decimal(18,4)").as("total_value"))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val nVersions = graft.sources.Snapshots.versions(table).size
+    graft.sources.Snapshots.read(spark, table)
+      .select(
+        col("event_type"),
+        col("n_events"),
+        col("total_value").cast("double").as("total_value"),
+        lit(nVersions).as("n_versions"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stateful_counts" -> (st02StatefulCounts _),
@@ -609,7 +674,8 @@ object EventStream {
     "st06_kafka_cdc" -> (st06KafkaCdc _),
     "st07_session_window" -> (st07SessionWindow _),
     "st08_stream_ingest" -> (st08StreamIngest _),
-    "st09_cdc_merge" -> (st09CdcMerge _)
+    "st09_cdc_merge" -> (st09CdcMerge _),
+    "st10_streaming_ivm" -> (st10StreamingIvm _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
@@ -619,6 +685,17 @@ object EventStream {
     // st06 = q16's apply semantic after a wire round-trip; the oracle
     // is the same changelog math over the raw table — encode/decode
     // must be lossless for the hash to match.
+    // st10 = the IVM-maintained rollup must equal the batch rollup of
+    // the raw table exactly; 5 versions = seed + 16/4 maintenance
+    // commits (NULL-typed events count rows but not sums, as in SQL).
+    "st10_streaming_ivm" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |  5 AS n_versions
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     // st09 = the storage-side apply of the same changelog: LWW state
     // (soft deletes filtered) must equal the raw-table latest-wins
     // snapshot no matter how the wire shuffled the batches; 5 versions

@@ -191,6 +191,20 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.toSeq == recomputed.toSeq)
   }
 
+  test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    val base = Seq((Option("a"), 1L, 10.0), (None, 2L, 20.0), (None, 3L, 5.0))
+      .toDF("g", "k", "v")
+    val mat = base.groupBy("g").agg(
+      count(lit(1)).as("n"), sum(col("v").cast("decimal(18,2)")).as("sv"))
+    val newRows = Seq((None: Option[String], 4L, 7.0)).toDF("g", "k", "v")
+    val got = Ivm.maintain(mat, newRows.limit(0), newRows, Seq("g"), "n", Seq("v" -> "sv"))
+      .orderBy(asc_nulls_first("g")).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDecimal(2).doubleValue))
+    assert(got.toSeq == Seq((None, 3L, 32.0), (Some("a"), 1L, 10.0)))
+  }
+
   test("q51 pruned mart equals the same month computed from the raw table") {
     val viaLanded = SparkEntry.queries("q51_partitioned_scan")(spark, sf)
       .collect().map(_.toSeq.map(String.valueOf))
