@@ -359,9 +359,42 @@ object Warehouse {
       .orderBy(col("o_month"))
   }
 
+  /** q67: stat-based file skipping end-to-end — the third leg of
+    * layout-driven scan pruning next to q51 (partition dirs) and q58
+    * (buckets): orders land range-clustered on `o_custkey` with a
+    * per-file min/max manifest ([[Sources.landWithStats]] — Iceberg's
+    * `lower_bounds`/`upper_bounds` metadata skipping), and a narrow
+    * custkey-range mart reads only the files whose bounds intersect
+    * ([[Sources.readSkipping]]) + the exact residual filter. At
+    * 100 TB this is the difference between scanning the table and
+    * scanning the one-in-N files a selective predicate touches,
+    * with no partition-column constraint on the layout. The gated
+    * output carries `pruned` = files_selected < files_total (TRUE in
+    * the oracle); WarehouseSpec asserts the skip ratio and that the
+    * pruned read equals the full-scan filter.
+    */
+  def q67FileSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val p = tempDir("graft-skip")
+    Sources.landWithStats(
+      Tables(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice")),
+      p, "o_custkey", numFiles = 16)
+    val sk = Sources.readSkipping(spark, p, "o_custkey", 100L, 199L)
+    sk.df.filter(col("o_custkey").between(100L, 199L)) // exact residual
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("pruned", lit(sk.selected < sk.total))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_partitioned_scan" -> (q51PartitionedScan _),
     "q66_incremental_agg" -> (q66IncrementalAgg _),
+    "q67_file_skipping" -> (q67FileSkipping _),
     "q53_compaction" -> (q53Compaction _),
     "q55_changelog" -> (q55Changelog _),
     "q58_bucketed_join" -> (q58BucketedJoin _),
@@ -371,6 +404,17 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q67: stats prune I/O only — result must equal the plain filter
+    "q67_file_skipping" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  TRUE AS pruned
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 199
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q66 = full recompute over the v2 state — IVM must be lossless
     "q66_incremental_agg" ->
       """WITH v2 AS (

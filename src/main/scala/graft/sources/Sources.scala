@@ -75,4 +75,61 @@ object Sources {
     laid.write.mode(SaveMode.Overwrite).parquet(outPath)
     nFiles.toLong
   }
+
+  /** A pruned read produced by [[readSkipping]]: the DataFrame over
+    * only the surviving files, plus the skip accounting.
+    */
+  case class Skipped(df: DataFrame, selected: Int, total: Int)
+
+  /** Land `df` range-clustered on a LONG column with a per-file
+    * min/max stats manifest — Iceberg's metadata-based file skipping
+    * (manifests record `lower_bounds`/`upper_bounds` per data file;
+    * a predicate prunes files before any I/O). Clustering makes the
+    * per-file ranges narrow, so skipping is effective; the stats
+    * pass is one aggregation producing #files rows (manifest-sized).
+    * The manifest lands as `_stats.tsv` (underscore-prefixed — Spark
+    * file listing ignores it).
+    */
+  def landWithStats(df: DataFrame, path: String, statsCol: String,
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(df.schema(statsCol).dataType == org.apache.spark.sql.types.LongType,
+      s"landWithStats clusters a BIGINT column, got ${df.schema(statsCol).dataType.sql}")
+    df.repartitionByRange(numFiles, df.col(statsCol))
+      .sortWithinPartitions(statsCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val stats = df.sparkSession.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"))
+      .collect() // #files rows — manifest-sized, not data-sized
+      .filterNot(_.isNullAt(1)) // all-NULL file: no bounds → never scanned
+      .map(r => s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path.stripPrefix("file:"), "_stats.tsv"),
+      stats.sorted.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Scan only the files whose recorded `[lo, hi]` intersects
+    * `[qLo, qHi]` — file-granular, so callers still apply the exact
+    * predicate as a residual (same contract as Iceberg skipping:
+    * stats prune I/O, they don't evaluate the filter). All-NULL
+    * files carry no bounds and are skipped (a BETWEEN never matches
+    * NULL).
+    */
+  def readSkipping(spark: SparkSession, path: String, statsCol: String,
+      qLo: Long, qHi: Long): Skipped = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path.stripPrefix("file:"), "_stats.tsv")).asScala
+    val all = lines.filter(_.nonEmpty).map { l =>
+      val Array(f, lo, hi) = l.split('\t')
+      (f, lo.toLong, hi.toLong)
+    }
+    val keep = all.filter { case (_, lo, hi) => hi >= qLo && lo <= qHi }
+    val df =
+      if (keep.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(keep.map(_._1).toSeq: _*)
+    Skipped(df, keep.size, all.size)
+  }
 }

@@ -191,6 +191,29 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.toSeq == recomputed.toSeq)
   }
 
+  test("q67 stats skipping: strict file subset, equals the unpruned filter, empty range") {
+    import graft.sources.Sources
+    val p = s"${graft.TempDirs.scratch("graft-skip-spec")}/orders"
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Sources.landWithStats(orders, p, "o_custkey", numFiles = 16)
+    val sk = Sources.readSkipping(spark, p, "o_custkey", 100L, 199L)
+    assert(sk.total == 16, s"expected 16 landed files, saw ${sk.total}")
+    // range-clustered landing → a narrow key range must skip most
+    // files (the key span varies with sf, so bound relatively)
+    assert(sk.selected >= 1 && sk.selected < sk.total / 2,
+      s"expected under half the files to survive, got ${sk.selected}/${sk.total}")
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("o_custkey").between(100L, 199L))
+        .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)"))).head()
+    val pruned = rollup(sk.df)
+    val full = rollup(orders)
+    assert(pruned == full, "pruned read must equal the unpruned filter")
+    // a range outside every file's bounds selects nothing but still reads
+    val none = Sources.readSkipping(spark, p, "o_custkey", -500L, -100L)
+    assert(none.selected == 0 && none.df.count() == 0)
+  }
+
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
     import spark.implicits._
     import graft.operators.Ivm
