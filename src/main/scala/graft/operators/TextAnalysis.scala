@@ -209,6 +209,32 @@ object TextAnalysis {
         repeat(col("lang"), 2).as("lang_twice"))
       .orderBy(col("doc_id"))
 
+  /** t10: higher-order-function suite — Spark SQL's lambda surface
+    * (`transform`/`filter`/`aggregate`/`exists`/`forall` + array
+    * combinators), the codegen-friendly way to compute per-row over
+    * nested arrays WITHOUT exploding (no row-count blowup, no
+    * re-aggregation shuffle — at 100 TB an explode+groupBy for a
+    * per-doc token statistic is a self-inflicted shuffle of every
+    * token). DuckDB's list lambdas (`list_filter`/`list_transform`/
+    * `list_sum`) mirror each expression exactly in the oracle.
+    */
+  def t10HofSuite(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(
+        col("doc_id"),
+        size(col("ts")).cast("long").as("n_toks"),
+        expr("size(filter(ts, t -> length(t) > 4))").cast("long").as("n_long"),
+        expr("aggregate(ts, 0L, (acc, t) -> acc + length(t))").as("total_chars"),
+        expr("exists(ts, t -> t rlike '^[0-9]+$')").as("has_number"),
+        expr("forall(ts, t -> length(t) < 20)").as("all_short"),
+        expr("array_join(slice(array_sort(array_distinct(ts)), 1, 3), '|')")
+          .as("first3_sorted"),
+        expr("array_join(transform(slice(ts, 1, 3), " +
+          "t -> concat(t, ':', CAST(length(t) AS STRING))), ',')")
+          .as("head_tagged"))
+      .orderBy(col("doc_id"))
+
   /** t09: LM-perplexity quality score (CCNet-style filtering) — score
     * each document by average negative log-likelihood under the
     * corpus's own per-language bigram model (unseen bigrams smoothed
@@ -244,6 +270,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_hof_suite" -> (t10HofSuite _),
     "t09_lm_score" -> (t09LmScore _),
     "t08_string_suite" -> (t08StringSuite _),
     "t01_token_stats" -> (t01TokenStats _),
@@ -304,6 +331,22 @@ object TextAnalysis {
          |  list_aggregate(tfs, 'max') AS max_token_fp,
          |  CAST(length(list_distinct(tfs)) AS BIGINT) AS n_distinct_token_fps
          |FROM s ORDER BY doc_id""".stripMargin,
+    "t10_hof_suite" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_toks,
+        |  CAST(len(list_filter(ts, t -> length(t) > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS total_chars,
+        |  len(list_filter(ts, t -> regexp_full_match(t, '[0-9]+'))) > 0 AS has_number,
+        |  len(list_filter(ts, t -> length(t) >= 20)) = 0 AS all_short,
+        |  array_to_string(list_sort(list_distinct(ts))[1:3], '|') AS first3_sorted,
+        |  array_to_string(list_transform(ts[1:3],
+        |    t -> t || ':' || CAST(length(t) AS VARCHAR)), ',') AS head_tagged
+        |FROM toks
+        |ORDER BY doc_id""".stripMargin,
     "t09_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ts
