@@ -18,7 +18,9 @@ object PlanAudit {
                   "q54_quality_checks", "a04_cms_heavy_hitters",
                   "q59_seeded_mart", "q60_evolved_partitions", "q61_time_travel",
                   "q62_scd2_apply", "p12_chunk_documents", "s09_ann_recall",
-                  "m04_media_dedup")) {
+                  "m04_media_dedup",
+                  "q65_range_join", "q66_incremental_agg", "q67_file_skipping",
+                  "a05_kmv_distinct", "t10_hof_suite")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length
