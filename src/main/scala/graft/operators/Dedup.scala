@@ -507,6 +507,68 @@ object Dedup {
       .orderBy(col("cluster_size").desc, col("cluster_id"))
   }
 
+  // d10's near-dup threshold on the rounded within-cluster cosine.
+  // Low for this near-random corpus (top pair sims are only ~0.4-0.5,
+  // see d05's Scaladoc); a production embedding space runs ~0.95+.
+  private[operators] val SEM_TAU = 0.38
+
+  /** d10: SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540) — the embedding-space dedup pass modern LLM
+    * data recipes run AFTER exact/fuzzy text dedup: k-means the
+    * corpus embeddings, then compare pairs only WITHIN a cluster and
+    * drop the member of each near-dup pair farther from its centroid
+    * (we keep the centroid-closest exemplar; the paper's keep-farthest
+    * variant is the same machinery with the comparison flipped).
+    *
+    * Scale shape: reuses s08's bounded-broadcast Lloyd iterations
+    * ([[Similarity.kmeansAssignments]]), then ONE equi-join on
+    * cell_id — pair generation is Σ |cell|², bounded by keeping
+    * expected cluster size constant (K grows ∝ n; the paper runs
+    * K=11k for 233M docs). Never an all-pairs corpus join. Output =
+    * per-cluster dedup accounting (8 rows at K=8).
+    *
+    * Determinism: md5-seeded k-means, cosine via the codegen'd
+    * [[graft.functions.CosineSimExpr]] (DuckDB-bit-identical, est.
+    * by s01), comparisons on round(·,6) values — so the gate is
+    * exactly oracled, not rows-only.
+    */
+  def d10SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // scoped persist: the assignment table feeds both self-join sides
+    // and the per-cell rollup — one Lloyd pass, not three
+    val asn = graft.Caches.scoped(
+      Similarity.kmeansAssignments(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("cell_id"),
+          round(col("sim"), 6).as("simc")))
+    val a = asn.select(col("cell_id"), col("vec_id").as("a_id"),
+      col("embedding").as("a_e"), col("simc").as("a_simc"))
+    val b = asn.select(col("cell_id"), col("vec_id").as("b_id"),
+      col("embedding").as("b_e"), col("simc").as("b_simc"))
+    val dup = a.join(b, Seq("cell_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(graft.functions.GraftFunctions.cosineSim(col("a_e"), col("b_e")), 6)
+        >= SEM_TAU)
+      .select(col("cell_id"), col("a_id"), col("b_id"),
+        col("a_simc"), col("b_simc"))
+    // loser of a pair = farther-from-centroid member (tie → larger id)
+    val losers = dup.select(col("cell_id"),
+      when(col("a_simc") > col("b_simc"), col("b_id"))
+        .when(col("a_simc") < col("b_simc"), col("a_id"))
+        .otherwise(greatest(col("a_id"), col("b_id"))).as("drop_id"))
+    val pairStats = dup.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    val dropStats = losers.groupBy(col("cell_id"))
+      .agg(countDistinct(col("drop_id")).as("n_dropped"))
+    asn.groupBy(col("cell_id")).agg(count(lit(1)).as("n_vectors"))
+      .join(pairStats, Seq("cell_id"), "left")
+      .join(dropStats, Seq("cell_id"), "left")
+      .select(col("cell_id"), col("n_vectors"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vectors") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cell_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01DedupExact _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -516,7 +578,8 @@ object Dedup {
     "d06_dup_clusters" -> (d06DupClusters _),
     "d07_boilerplate" -> (d07Boilerplate _),
     "d08_incremental_dedup" -> (d08IncrementalDedup _),
-    "d09_lsh_recall" -> (d09LshRecall _)
+    "d09_lsh_recall" -> (d09LshRecall _),
+    "d10_semantic_dedup" -> (d10SemanticDedup _)
   )
 
   // oracle mirror of minhashSigs' affine family — same A/B/P literals
@@ -790,6 +853,36 @@ object Dedup {
          |SELECT s.doc_id, md5($digestExpr) AS sig_digest, h0 AS minhash_0,
          |  COALESCE(p.n_candidates, 0) AS n_candidates
          |FROM sig s LEFT JOIN partners p ON s.doc_id = p.doc_id
-         |ORDER BY s.doc_id""".stripMargin
+         |ORDER BY s.doc_id""".stripMargin,
+    // d10: the shared k-means CTE chain (Similarity.kmeansSqlCtes)
+    // extended with the within-cell pair math, mirrored exactly
+    "d10_semantic_dedup" ->
+      s"""WITH ${Similarity.kmeansSqlCtes},
+         |asn AS (
+         |  SELECT vec_id, embedding, cell_id, round(sim, 6) AS simc FROM a2),
+         |dup AS (
+         |  SELECT a.cell_id, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    a.simc AS a_simc, b.simc AS b_simc
+         |  FROM asn a JOIN asn b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  WHERE round(${Similarity.cosSql("a.embedding", "b.embedding")}, 6)
+         |    >= $SEM_TAU),
+         |losers AS (
+         |  SELECT cell_id,
+         |    CASE WHEN a_simc > b_simc THEN b_id
+         |         WHEN a_simc < b_simc THEN a_id
+         |         ELSE greatest(a_id, b_id) END AS drop_id
+         |  FROM dup),
+         |pc AS (SELECT cell_id, COUNT(*) AS n_dup_pairs FROM dup GROUP BY 1),
+         |dc AS (
+         |  SELECT cell_id, COUNT(DISTINCT drop_id) AS n_dropped
+         |  FROM losers GROUP BY 1),
+         |nv AS (SELECT cell_id, COUNT(*) AS n_vectors FROM asn GROUP BY 1)
+         |SELECT nv.cell_id, nv.n_vectors,
+         |  COALESCE(pc.n_dup_pairs, 0) AS n_dup_pairs,
+         |  COALESCE(dc.n_dropped, 0) AS n_dropped,
+         |  nv.n_vectors - COALESCE(dc.n_dropped, 0) AS n_kept
+         |FROM nv LEFT JOIN pc USING (cell_id) LEFT JOIN dc USING (cell_id)
+         |ORDER BY nv.cell_id""".stripMargin
   )
 }

@@ -203,20 +203,14 @@ object Similarity {
 
   private val KMEANS_K = 8
 
-  /** s08: TRUE k-means coarse quantization — the real IVF index build
-    * that s03's per-label cells stand in for. Deterministic
-    * end-to-end: init = the K vectors with smallest md5(vec_id) (a
-    * seedless, engine-reproducible draw), then two Lloyd iterations
-    * with cosine assignment (argmax sim, ties to the smaller cell id)
-    * and decimal-accumulated per-dimension-mean centroids cast to
-    * FLOAT (order-independent — same parity pattern as s03). Every
-    * stage is a bounded broadcast (K centroids) against the
-    * partitioned corpus, so iteration cost is K·n map work + one
-    * small aggregate per round at any scale. Output = per-cell size
-    * and mean member-to-centroid similarity, decimal-summed for
-    * order-independent cross-engine parity.
+  /** The deterministic 2-round Lloyd assignment stage behind s08 —
+    * shared with d10's SemDeDup pass. Returns one row per vector:
+    * (vec_id, embedding, cell_id, sim-to-final-centroid). Every stage
+    * is a bounded broadcast (K centroids) against the partitioned
+    * corpus; [[kmeansSqlCtes]] is its DuckDB twin.
     */
-  def s08AnnKmeans(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def kmeansAssignments(
+      spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val e = emb(spark, dir)
     val seeds = e
@@ -245,7 +239,65 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
         .select(col("cell_id"),
           expr("transform(pairs, p -> CAST(p.cx AS FLOAT))").as("centroid"))
-    val round2 = assign(recompute(assign(init)))
+    assign(recompute(assign(init)))
+  }
+
+  /** DuckDB CTE chain mirroring [[kmeansAssignments]] bit-for-bit —
+    * terminal CTE `a2` has (vec_id, embedding, cell_id, sim). Spliced
+    * into the s08 and d10 oracles so retuning K can never
+    * de-synchronize a gate from its oracle.
+    */
+  private[operators] def kmeansSqlCtes: String =
+    s"""seeds AS (
+       |  SELECT vec_id, embedding, md5(vec_id::VARCHAR) AS h
+       |  FROM embeddings ORDER BY h, vec_id LIMIT $KMEANS_K),
+       |init AS (
+       |  SELECT (ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1)::INT AS cell_id,
+       |    embedding AS centroid
+       |  FROM seeds),
+       |s1 AS (
+       |  SELECT e.vec_id, e.embedding, c.cell_id,
+       |    ${cosSql("e.embedding", "c.centroid")} AS sim
+       |  FROM embeddings e CROSS JOIN init c),
+       |a1 AS (
+       |  SELECT vec_id, embedding, cell_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cell_id) AS rn FROM s1) WHERE rn = 1),
+       |flat1 AS (
+       |  SELECT cell_id, i, a1.embedding[i]::DOUBLE AS x
+       |  FROM a1 CROSS JOIN range(1, 65) t(i)),
+       |cm1 AS (
+       |  SELECT cell_id, i,
+       |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
+       |  FROM flat1 GROUP BY 1, 2),
+       |cent1 AS (
+       |  SELECT cell_id,
+       |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid
+       |  FROM cm1 GROUP BY cell_id),
+       |s2 AS (
+       |  SELECT e.vec_id, e.embedding, c.cell_id,
+       |    ${cosSql("e.embedding", "c.centroid")} AS sim
+       |  FROM embeddings e CROSS JOIN cent1 c),
+       |a2 AS (
+       |  SELECT vec_id, embedding, cell_id, sim FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cell_id) AS rn FROM s2) WHERE rn = 1)""".stripMargin
+
+  /** s08: TRUE k-means coarse quantization — the real IVF index build
+    * that s03's per-label cells stand in for. Deterministic
+    * end-to-end: init = the K vectors with smallest md5(vec_id) (a
+    * seedless, engine-reproducible draw), then two Lloyd iterations
+    * with cosine assignment (argmax sim, ties to the smaller cell id)
+    * and decimal-accumulated per-dimension-mean centroids cast to
+    * FLOAT (order-independent — same parity pattern as s03). Every
+    * stage is a bounded broadcast (K centroids) against the
+    * partitioned corpus, so iteration cost is K·n map work + one
+    * small aggregate per round at any scale. Output = per-cell size
+    * and mean member-to-centroid similarity, decimal-summed for
+    * order-independent cross-engine parity.
+    */
+  def s08AnnKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val round2 = kmeansAssignments(spark, dir)
     round2.groupBy(col("cell_id"))
       .agg(
         count(lit(1)).as("n_vectors"),
@@ -390,7 +442,7 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
-  private def cosSql(a: String, b: String): String =
+  private[operators] def cosSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / " +
       s"(sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) * " +
       s"sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"
@@ -453,40 +505,7 @@ object Similarity {
     // s08: the full 2-iteration Lloyd pipeline mirrored — md5-seeded
     // init, cosine argmax assignment, FLOAT-cast mean centroids.
     "s08_ann_kmeans" ->
-      s"""WITH seeds AS (
-         |  SELECT vec_id, embedding, md5(vec_id::VARCHAR) AS h
-         |  FROM embeddings ORDER BY h, vec_id LIMIT $KMEANS_K),
-         |init AS (
-         |  SELECT (ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1)::INT AS cell_id,
-         |    embedding AS centroid
-         |  FROM seeds),
-         |s1 AS (
-         |  SELECT e.vec_id, e.embedding, c.cell_id,
-         |    ${cosSql("e.embedding", "c.centroid")} AS sim
-         |  FROM embeddings e CROSS JOIN init c),
-         |a1 AS (
-         |  SELECT vec_id, embedding, cell_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY sim DESC, cell_id) AS rn FROM s1) WHERE rn = 1),
-         |flat1 AS (
-         |  SELECT cell_id, i, a1.embedding[i]::DOUBLE AS x
-         |  FROM a1 CROSS JOIN range(1, 65) t(i)),
-         |cm1 AS (
-         |  SELECT cell_id, i,
-         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
-         |  FROM flat1 GROUP BY 1, 2),
-         |cent1 AS (
-         |  SELECT cell_id,
-         |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid
-         |  FROM cm1 GROUP BY cell_id),
-         |s2 AS (
-         |  SELECT e.vec_id, c.cell_id,
-         |    ${cosSql("e.embedding", "c.centroid")} AS sim
-         |  FROM embeddings e CROSS JOIN cent1 c),
-         |a2 AS (
-         |  SELECT vec_id, cell_id, sim FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY sim DESC, cell_id) AS rn FROM s2) WHERE rn = 1)
+      s"""WITH $kmeansSqlCtes
          |SELECT cell_id, COUNT(*) AS n_vectors,
          |  CAST(SUM(CAST(round(sim, 6) AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_sim
          |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,

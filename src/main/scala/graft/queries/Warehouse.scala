@@ -391,10 +391,101 @@ object Warehouse {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q68: z-order clustering + two-dimensional file skipping — the
+    * layout answer when TWO independent predicate columns matter
+    * (Iceberg `rewrite_data_files(strategy => 'zorder')`): q67's
+    * single-column clustering prunes only its lead column; the
+    * bit-interleaved z-layout keeps every file's range narrow on BOTH
+    * columns, so a predicate on orderkey ALONE and a predicate on
+    * partkey ALONE each scan a strict file subset of the same landed
+    * copy (WarehouseSpec asserts both prune < half the files). At
+    * 100 TB this is one clustered rewrite serving two query families,
+    * instead of two sorted copies. Oracle = both rollups from the
+    * raw table (the layout must lose nothing).
+    */
+  def q68ZorderSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val p = tempDir("graft-zorder")
+    Sources.landZOrdered(
+      Tables(spark, dir, "lineitem").select(
+        col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice")),
+      p, "l_orderkey", "l_partkey", numFiles = 32)
+    def rollup(sk: Sources.Skipped, residual: org.apache.spark.sql.Column,
+        tag: String): DataFrame =
+      sk.df.filter(residual)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("total_qty"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .select(lit(tag).as("dim"), col("n_rows"), col("total_qty"),
+          col("revenue"), lit(sk.selected < sk.total).as("pruned"))
+    val byOrd = rollup(
+      Sources.readSkipping2(spark, p, Some((1000L, 1499L)), None),
+      col("l_orderkey").between(1000L, 1499L), "by_orderkey")
+    val byPart = rollup(
+      Sources.readSkipping2(spark, p, None, Some((100L, 199L))),
+      col("l_partkey").between(100L, 199L), "by_partkey")
+    byOrd.unionAll(byPart).orderBy(col("dim"))
+  }
+
+  /** q69: write-audit-publish — Iceberg's WAP pattern (the `wap.id`
+    * staged-commit workflow the reference's quality gates want at the
+    * warehouse boundary): an ingest writes its full snapshot STAGED
+    * (invisible to every reader), the dbt-style check suite audits
+    * the staged data out-of-band, and only a passing audit publishes
+    * — one manifest append, atomic reader flip. A failing audit
+    * aborts; the bad data never existed for consumers. Here a broken
+    * extract (custkeys lost) stages, fails not_null, aborts; the
+    * corrected extract stages, passes, publishes. The gated rollup
+    * reads the published table; flags + version count prove the
+    * control flow (bad aborted, staged state never reader-visible).
+    */
+  def q69Wap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    import graft.pipeline.Checks
+    val t = s"${tempDir("graft-wap")}/orders_wap"
+    val base = Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    Snapshots.commit(base, t, Some("base"))
+    def lateBatch(df: DataFrame): DataFrame =
+      df.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    // a broken extract: the late batch arrives with custkeys lost
+    Snapshots.stage(
+      base.unionAll(lateBatch(base).withColumn("o_custkey", lit(null).cast("long"))),
+      t, "wap-bad")
+    val hiddenWhileStaged = Snapshots.versions(t).size == 1
+    val badFailed = Checks.summary(
+        Snapshots.readStaged(spark, t, "wap-bad"),
+        Seq(Checks.NotNull("o_custkey")))
+      .filter(!col("passed")).count() > 0  // bounded by the check count
+    if (badFailed) Snapshots.abortStaged(t, "wap-bad")
+    // the corrected extract: same batch, custkeys intact
+    Snapshots.stage(base.unionAll(lateBatch(base)), t, "wap-good")
+    val goodPassed = Checks.summary(
+        Snapshots.readStaged(spark, t, "wap-good"),
+        Seq(Checks.NotNull("o_custkey")))
+      .filter(!col("passed")).count() == 0
+    if (goodPassed) Snapshots.publish(t, "wap-good")
+    Snapshots.read(spark, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("bad_batch_aborted", lit(badFailed))
+      .withColumn("staged_was_hidden", lit(hiddenWhileStaged))
+      .withColumn("n_versions", lit(Snapshots.versions(t).size))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_partitioned_scan" -> (q51PartitionedScan _),
     "q66_incremental_agg" -> (q66IncrementalAgg _),
     "q67_file_skipping" -> (q67FileSkipping _),
+    "q68_zorder_skipping" -> (q68ZorderSkipping _),
+    "q69_wap" -> (q69Wap _),
     "q53_compaction" -> (q53Compaction _),
     "q55_changelog" -> (q55Changelog _),
     "q58_bucketed_join" -> (q58BucketedJoin _),
@@ -404,6 +495,40 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q68: two independent single-column predicates over ONE z-ordered
+    // copy — each must equal the plain filter on the raw table
+    "q68_zorder_skipping" ->
+      """SELECT * FROM (
+        |  SELECT 'by_orderkey' AS dim, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    TRUE AS pruned
+        |  FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 1499
+        |  UNION ALL
+        |  SELECT 'by_partkey', COUNT(*),
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        |    TRUE
+        |  FROM lineitem WHERE l_partkey BETWEEN 100 AND 199)
+        |ORDER BY dim""".stripMargin,
+    // q69: the published state = base + the corrected late batch; the
+    // aborted bad batch must leave no trace in the rollup
+    "q69_wap" ->
+      """WITH published AS (
+        |  SELECT o_orderstatus, o_custkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  TRUE AS bad_batch_aborted,
+        |  TRUE AS staged_was_hidden,
+        |  2 AS n_versions
+        |FROM published
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q67: stats prune I/O only — result must equal the plain filter
     "q67_file_skipping" ->
       """SELECT o_orderstatus,

@@ -188,6 +188,98 @@ object Snapshots {
     }
   }
 
+  // ---- Write-Audit-Publish (Iceberg's WAP pattern: stage a snapshot
+  // under a wap id, audit it out-of-band, then publish or abort;
+  // normal readers never see unpublished data) ----
+
+  private def stagedFile(tableDir: String) = Paths.get(tableDir, "_staged")
+
+  private def stagedEntries(tableDir: String): Seq[(String, Long)] = {
+    val f = stagedFile(tableDir)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(id, v) = line.split('\t'); (id, v.toLong)
+      }
+  }
+
+  private def rewriteStaged(tableDir: String, entries: Seq[(String, Long)]): Unit = {
+    val body = entries.map { case (id, v) => s"$id\t$v" }
+      .mkString("", "\n", if (entries.isEmpty) "" else "\n")
+    Files.write(stagedFile(tableDir), body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Stage `df` as an UNPUBLISHED snapshot under `wapId` — the
+    * write step of write-audit-publish. The data lands in a normal
+    * `v=<n>` directory with a reserved id, but no manifest line is
+    * appended, so [[read]]/[[versions]]/time travel cannot see it;
+    * only [[readStaged]] can. Idempotent per wapId (a replayed stage
+    * returns the existing staged version). Returns the staged id.
+    */
+  def stage(df: DataFrame, tableDir: String, wapId: String): Long = {
+    require(!wapId.exists(c => c == '\t' || c == '\n'),
+      s"wap id must not contain tab/newline: $wapId")
+    Files.createDirectories(Paths.get(tableDir))
+    val next = reserveVersion(tableDir)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
+    withManifestLock(tableDir) {
+      stagedEntries(tableDir).find(_._1 == wapId).map(_._2).getOrElse {
+        Files.write(stagedFile(tableDir),
+          s"$wapId\t$next\n".getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        next
+      }
+    }
+  }
+
+  /** The audit-side read of a staged snapshot — the ONLY way to see
+    * unpublished data. Run quality checks against this, then
+    * [[publish]] or [[abortStaged]].
+    */
+  def readStaged(spark: SparkSession, tableDir: String, wapId: String): DataFrame = {
+    val v = stagedEntries(tableDir).find(_._1 == wapId).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no staged snapshot for wap id '$wapId' at $tableDir"))
+    spark.read.parquet(s"$tableDir/v=$v")
+  }
+
+  /** Publish a staged snapshot: one manifest append under the lock
+    * (readers flip atomically — the Iceberg cherry-pick). The wapId
+    * is recorded as the commit's tag, so a replayed publish after the
+    * staged entry is gone is recognized via the ledger and returns
+    * the already-published version instead of failing or forking.
+    */
+  def publish(tableDir: String, wapId: String): Long =
+    withManifestLock(tableDir) {
+      stagedEntries(tableDir).find(_._1 == wapId) match {
+        case None =>
+          // already published (replay) → resolve through tag/ledger
+          taggedVersion(tableDir, wapId).getOrElse(
+            throw new IllegalArgumentException(
+              s"no staged snapshot or published tag for wap id '$wapId'"))
+        case Some((_, v)) =>
+          appendTime(tableDir, v)  // time before manifest, as in commit()
+          Files.write(manifest(tableDir),
+            s"$v\t$wapId\n".getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+          appendTag(tableDir, v, wapId)
+          rewriteStaged(tableDir, stagedEntries(tableDir).filterNot(_._1 == wapId))
+          v
+      }
+    }
+
+  /** Abort a staged snapshot: drop the staging entry and delete its
+    * data directory. The version id stays burned (reserve markers are
+    * never reused), so an aborted wap can never alias a later commit.
+    */
+  def abortStaged(tableDir: String, wapId: String): Unit =
+    withManifestLock(tableDir) {
+      stagedEntries(tableDir).find(_._1 == wapId).foreach { case (_, v) =>
+        rewriteStaged(tableDir, stagedEntries(tableDir).filterNot(_._1 == wapId))
+        deleteRecursively(Paths.get(tableDir, s"v=$v"))
+      }
+    }
+
   /** Timestamp time travel — Iceberg/Trino's `FOR TIMESTAMP AS OF`
     * (docs/components/iceberg.md): the latest snapshot whose commit
     * time is ≤ `tsMillis`. Versions predating the `_times` record
@@ -337,7 +429,8 @@ object Snapshots {
     * Returns the vacuumed version ids.
     */
   def vacuumOrphans(tableDir: String, minAgeMs: Long = 24L * 3600 * 1000): Seq[Long] = {
-    val committed = versions(tableDir).toSet
+    // staged-but-unpublished WAP snapshots are pending, not orphaned
+    val committed = versions(tableDir).toSet ++ stagedEntries(tableDir).map(_._2)
     val dir = Paths.get(tableDir)
     if (!Files.exists(dir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMs

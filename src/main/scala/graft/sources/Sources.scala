@@ -132,4 +132,84 @@ object Sources {
       else spark.read.parquet(keep.map(_._1).toSeq: _*)
     Skipped(df, keep.size, all.size)
   }
+
+  /** Z-order landing — [[landWithStats]] generalized to TWO cluster
+    * columns (Iceberg `rewrite_data_files(strategy => 'zorder')`):
+    * each BIGINT column is linearly scaled to 16 bits over its global
+    * [min, max] (one 1-row aggregate), the bits are interleaved into
+    * one 32-bit z-value, and the write is a single range-shuffle on
+    * z. Because z-neighbors are neighbors in BOTH dimensions, every
+    * file's min/max range is narrow on each column SEPARATELY — so a
+    * predicate on either column alone prunes files, where a
+    * single-column sort gives pruning on the lead column only. The
+    * two-column bounds manifest lands as `_stats2.tsv`; a column
+    * whose bounds are all-NULL in a file carries no entry for that
+    * dimension (a range predicate can't match NULL → skip).
+    */
+  def landZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    Seq(colA, colB).foreach { c =>
+      require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"landZOrdered clusters BIGINT columns, got ${df.schema(c).dataType.sql} ('$c')")
+    }
+    val b = df.agg(
+      min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB))).head()
+    def scaled(c: String, lo: Long, hi: Long): org.apache.spark.sql.Column =
+      if (hi == lo) lit(0L)
+      else expr(s"((`$c` - ${lo}L) * 65535L) div ${hi - lo}L")
+    val za = scaled(colA, b.getLong(0), b.getLong(1))
+    val zb = scaled(colB, b.getLong(2), b.getLong(3))
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(col("_za"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("_zb"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)  // disjoint bit positions: + == bitwise OR
+    df.withColumn("_za", za).withColumn("_zb", zb).withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_za", "_zb", "_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val stats = df.sparkSession.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colA)).as("loA"), max(col(colA)).as("hiA"),
+        min(col(colB)).as("loB"), max(col(colB)).as("hiB"))
+      .collect() // #files rows — manifest-sized, not data-sized
+      .map { r =>
+        def dim(i: Int): String =
+          if (r.isNullAt(i)) "-\t-" else s"${r.getLong(i)}\t${r.getLong(i + 1)}"
+        s"${r.getString(0)}\t${dim(1)}\t${dim(3)}"
+      }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path.stripPrefix("file:"), "_stats2.tsv"),
+      stats.sorted.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Prune a [[landZOrdered]] layout on either (or both) dimensions:
+    * a file survives when, for EVERY supplied range, its recorded
+    * bounds on that dimension exist and intersect. Same contract as
+    * [[readSkipping]]: stats prune I/O at file granularity; callers
+    * still apply the exact predicate as a residual.
+    */
+  def readSkipping2(spark: SparkSession, path: String,
+      qA: Option[(Long, Long)], qB: Option[(Long, Long)]): Skipped = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path.stripPrefix("file:"), "_stats2.tsv")).asScala
+    val all = lines.filter(_.nonEmpty).map { l =>
+      val Array(f, loA, hiA, loB, hiB) = l.split('\t')
+      (f, (loA, hiA), (loB, hiB))
+    }
+    def hit(bounds: (String, String), q: Option[(Long, Long)]): Boolean =
+      q match {
+        case None => true
+        case Some((qLo, qHi)) =>
+          bounds._1 != "-" && bounds._2.toLong >= qLo && bounds._1.toLong <= qHi
+      }
+    val keep = all.filter { case (_, ba, bb) => hit(ba, qA) && hit(bb, qB) }
+    val df =
+      if (keep.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(keep.map(_._1).toSeq: _*)
+    Skipped(df, keep.size, all.size)
+  }
 }

@@ -50,12 +50,17 @@ object EventStream {
     * session width — the cluster configuration — so the sink-side
     * rollups plan identically there.
     */
-  private def streamSession(spark: SparkSession): SparkSession = {
+  private def streamSession(spark: SparkSession,
+      noDataBatches: Boolean = false): SparkSession = {
     val conf = spark.conf
     org.apache.spark.sql.GraftShims.cloneWithConf(spark,
       "spark.sql.shuffle.partitions" ->
         conf.get(STREAM_SHUFFLE_KEY, conf.get("spark.sql.shuffle.partitions")),
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+      // no-data drain batches are wasted triggers for the inner-agg
+      // streams (the st05 r4 perf fix) — but OUTER-join null emission
+      // and state eviction happen only in a watermark-advancing batch,
+      // so st11 opts back in
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString)
   }
 
   val eventsSchema: StructType = StructType(Seq(
@@ -665,6 +670,67 @@ object EventStream {
       .orderBy(col("event_type"))
   }
 
+  /** st11: stream-stream LEFT OUTER interval join — st05's missing
+    * half: purchases with NO preceding view must still emit, null-
+    * padded. This is the outer-join eviction contract: an unmatched
+    * left row is held in state until the watermark proves no matching
+    * right row can still arrive (here: views watermark passes p_ts),
+    * THEN emits with nulls — so outer results are exactly-once and
+    * state stays bounded on both unbounded sides.
+    *
+    * Determinism at the stream tail: rows within the watermark delay
+    * of the stream's frontier are never evicted (nothing proves their
+    * match can't arrive), so the gate scopes to purchases ≥ 2 h
+    * (delay + margin) behind max event time — computed in-plan from
+    * the batch table as a one-row broadcast, identically in the
+    * oracle. A production deployment has no such scope: the frontier
+    * advances forever and every row eventually resolves.
+    */
+  def st11StreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark, noDataBatches = true)
+    val src = s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val pairs = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS") &&
+        col("v_ts") <= col("p_ts"),
+      "left_outer")
+    s.catalog.dropTempView("st11_out")
+    locally {
+      val q = pairs.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("st11_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val cutoff = graft.Tables(s, dir, "events")
+      .agg(max(col("ts")).as("max_ts"))
+      .select((col("max_ts") - expr("INTERVAL 2 HOURS")).as("cutoff"))
+    s.table("st11_out")
+      .crossJoin(broadcast(cutoff))
+      .filter(col("p_ts") <= col("cutoff"))
+      .groupBy(col("p_user").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v_id")).as("n_matched_rows"),
+        sum(when(col("v_id").isNull, 1).otherwise(0)).as("n_unmatched_purchases"),
+        countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stateful_counts" -> (st02StatefulCounts _),
@@ -675,7 +741,8 @@ object EventStream {
     "st07_session_window" -> (st07SessionWindow _),
     "st08_stream_ingest" -> (st08StreamIngest _),
     "st09_cdc_merge" -> (st09CdcMerge _),
-    "st10_streaming_ivm" -> (st10StreamingIvm _)
+    "st10_streaming_ivm" -> (st10StreamingIvm _),
+    "st11_stream_left_join" -> (st11StreamLeftJoin _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
@@ -735,6 +802,31 @@ object EventStream {
         |  epoch_ms(ts) AS last_ts_ms, n_ops, n_deletes
         |FROM ranked WHERE rn = 1 AND op <> 'd'
         |ORDER BY user_id""".stripMargin,
+    // st11 = the left-outer twin: null-padded unmatched purchases,
+    // scoped 2 h behind the frontier (the watermark-resolvable set)
+    "st11_stream_left_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id AS v_id, user_id AS v_user, ts AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |mx AS (SELECT max(ts) AS max_ts FROM events),
+        |j AS (
+        |  SELECT p.p_user, p.p_id, v.v_id
+        |  FROM p LEFT JOIN v
+        |    ON p.p_user = v.v_user
+        |   AND v.v_ts >= p.p_ts - INTERVAL 6 HOUR
+        |   AND v.v_ts <= p.p_ts
+        |  WHERE p.p_ts <= (SELECT max_ts FROM mx) - INTERVAL 2 HOUR)
+        |SELECT p_user AS user_id,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(v_id) AS n_matched_rows,
+        |  CAST(SUM(CASE WHEN v_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched_purchases,
+        |  COUNT(DISTINCT p_id) AS n_purchases
+        |FROM j GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "st05_stream_stream_join" ->
       """SELECT p.user_id AS user_id,
         |  COUNT(*) AS n_pairs,

@@ -111,4 +111,30 @@ class ApproxSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(streamed == batch)
   }
+
+  test("st11 left-outer join emits null-padded unmatched purchases exactly") {
+    val rows = EventStream.st11StreamLeftJoin(spark, sf).collect()
+    val unmatched = rows.map(_.getAs[Long]("n_unmatched_purchases")).sum
+    assert(unmatched > 0, "expected purchases with no preceding view")
+    // batch recomputation over the same watermark-resolvable scope
+    val e = Tables(spark, sf, "events")
+    val mx = e.agg(max(col("ts"))).head().getTimestamp(0)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("pu"),
+        col("ts").as("pts"))
+      .filter(col("pts") <= lit(mx) - expr("INTERVAL 2 HOURS"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"),
+        col("event_id").as("v_id"))
+    val batch = p.join(v, col("pu") === col("vu") &&
+        col("vts") >= col("pts") - expr("INTERVAL 6 HOURS") &&
+        col("vts") <= col("pts"), "left")
+      .groupBy(col("pu"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v_id").isNull, 1).otherwise(0)).as("n_unmatched"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val streamed = rows.map(r => (r.getAs[Long]("user_id"),
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("n_unmatched_purchases")))).toMap
+    assert(streamed == batch)
+  }
 }

@@ -161,4 +161,25 @@ class DedupSpec extends AnyFunSuite {
         "reliable run must have installed a checkpoint dir")
     } finally System.clearProperty("graft.cc.reliableCheckpoint")
   }
+
+  test("d10 semantic dedup: accounting consistent, pair join never a cartesian") {
+    val df = Dedup.d10SemanticDedup(spark, sf)
+    // k-means probes are bounded K-row broadcasts; the within-cluster
+    // PAIR join must plan as an equi-join on cell_id, never a
+    // corpus-wide cartesian
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "d10 pair generation planned a cartesian product")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum ==
+      Tables(spark, sf, "embeddings").count(),
+      "every vector must be assigned to exactly one cluster")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_vectors") - r.getAs[Long]("n_dropped"))
+      // each pair names at most one distinct loser
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_dup_pairs"))
+    }
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum > 0,
+      "expected near-dup pairs at SEM_TAU on this corpus")
+  }
 }

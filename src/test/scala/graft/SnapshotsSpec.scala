@@ -295,4 +295,39 @@ class SnapshotsSpec extends AnyFunSuite {
     assert((20 until 25).forall(k => ops(k) == "insert"))
     assert(!ops.contains(6)) // unchanged rows are absent
   }
+
+  test("WAP: staged snapshots are reader-invisible until published; abort leaves no trace") {
+    val dir = tmp()
+    val base = Tables(spark, sf, "nation")
+    Snapshots.commit(base, dir, Some("base"))
+    val staged = Snapshots.stage(base.limit(3), dir, "wap-1")
+    // invisible to every normal read path
+    assert(Snapshots.versions(dir).size == 1)
+    assert(Snapshots.read(spark, dir).count() == base.count())
+    assert(Snapshots.readAsOf(spark, dir, System.currentTimeMillis()).count() ==
+      base.count())
+    // audit-side read sees exactly the staged data
+    assert(Snapshots.readStaged(spark, dir, "wap-1").count() == 3)
+    // replayed stage is idempotent
+    assert(Snapshots.stage(base.limit(3), dir, "wap-1") == staged)
+    // vacuum must not reap a pending staged snapshot (age 0 anyway,
+    // but force the age check to be the only guard)
+    assert(!Snapshots.vacuumOrphans(dir, minAgeMs = -1L).contains(staged))
+    // publish flips readers atomically to the staged state
+    val published = Snapshots.publish(dir, "wap-1")
+    assert(published == staged)
+    assert(Snapshots.versions(dir).size == 2)
+    assert(Snapshots.read(spark, dir).count() == 3)
+    // replayed publish resolves via the tag ledger
+    assert(Snapshots.publish(dir, "wap-1") == published)
+    // a second wap: abort deletes the staged data, readers unaffected
+    val s2 = Snapshots.stage(base.limit(1), dir, "wap-2")
+    Snapshots.abortStaged(dir, "wap-2")
+    assert(Snapshots.versions(dir).size == 2)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"v=$s2")))
+    intercept[IllegalArgumentException](Snapshots.readStaged(spark, dir, "wap-2"))
+    // the burned id is never reused by a later commit
+    assert(Snapshots.commit(base, dir) > s2)
+  }
 }

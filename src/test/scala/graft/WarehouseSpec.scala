@@ -214,6 +214,37 @@ class WarehouseSpec extends AnyFunSuite {
     assert(none.selected == 0 && none.df.count() == 0)
   }
 
+  test("q68 z-order: BOTH single-column predicates prune the same landed copy") {
+    import graft.sources.Sources
+    val p = s"${graft.TempDirs.scratch("graft-zorder-spec")}/lineitem"
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    Sources.landZOrdered(li, p, "l_orderkey", "l_partkey", numFiles = 32)
+    // ~1/8 of each key span, derived from the data so the spec holds
+    // at every sf
+    val mx = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+    val (oQ, pQ) = ((mx.getLong(0) / 8, mx.getLong(0) / 4),
+      (mx.getLong(1) / 8, mx.getLong(1) / 4))
+    val byOrd = Sources.readSkipping2(spark, p, Some(oQ), None)
+    val byPart = Sources.readSkipping2(spark, p, None, Some(pQ))
+    assert(byOrd.total == 32 && byPart.total == 32)
+    assert(byOrd.selected >= 1 && byOrd.selected < byOrd.total / 2,
+      s"orderkey-only predicate did not prune: ${byOrd.selected}/32")
+    assert(byPart.selected >= 1 && byPart.selected < byPart.total / 2,
+      s"partkey-only predicate did not prune: ${byPart.selected}/32")
+    // both dimensions together prune at least as hard as either alone
+    val both = Sources.readSkipping2(spark, p, Some(oQ), Some(pQ))
+    assert(both.selected <= math.min(byOrd.selected, byPart.selected))
+    // pruned reads equal the raw filters — the layout loses nothing
+    def sums(df: org.apache.spark.sql.DataFrame,
+        c: String, q: (Long, Long)) =
+      df.filter(col(c).between(q._1, q._2))
+        .agg(count(lit(1)), sum(col("l_extendedprice").cast("decimal(18,2)")))
+        .head()
+    assert(sums(byOrd.df, "l_orderkey", oQ) == sums(li, "l_orderkey", oQ))
+    assert(sums(byPart.df, "l_partkey", pQ) == sums(li, "l_partkey", pQ))
+  }
+
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
     import spark.implicits._
     import graft.operators.Ivm
