@@ -196,9 +196,71 @@ object Approx {
       .orderBy(col("flag"))
   }
 
+  /** a06: KMV sketch SET ALGEBRA — the theta-sketch surface on top of
+    * a05's sketches (Beyer et al. 2007, "On Synopses for Distinct
+    * Value Estimation Under Multiset Operations"): from two stored
+    * per-partition sketches alone — never the raw data — estimate
+    * |A∪B| (combined sketch, standard KMV estimator on its k-th
+    * value), Jaccard (ρ = |combined ∩ A ∩ B| / k) and |A∩B| (ρ ×
+    * union est). This is the query a 100 TB deployment answers from
+    * kilobyte sketches: "how many distinct orders have BOTH flags"
+    * without ever co-scanning the two partitions. All array math is
+    * row-local on ≤k-element lists; under-full combined sketches
+    * degrade to EXACT set ops (the sketch holds every hash). Same
+    * md5-derived 60-bit hash space as a05 → the estimates themselves
+    * are exactly oracled, and exact counts ride along for the error
+    * story.
+    */
+  def a06KmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val K = 128
+    GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.kMinValues
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("t"), col("l_orderkey"),
+        conv(substring(md5(col("l_orderkey").cast("string").cast("binary")), 1, 15),
+          16, 10).cast("long").as("hv"))
+    val sk = li.groupBy(col("t")).agg(
+      kMinValues(col("hv"), K).as("sk"),
+      countDistinct(col("l_orderkey")).as("n_exact"))
+    // 3 one-row sides — the pair join is driver-bounded by design
+    val pairs = sk.as("a").join(sk.as("b"), col("a.t") < col("b.t"))
+      .select(col("a.t").as("ta"), col("b.t").as("tb"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"),
+        col("a.n_exact").as("na"), col("b.n_exact").as("nb"))
+      .withColumn("sku",
+        slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, K))
+      .withColumn("k_inter",
+        size(array_intersect(array_intersect(col("sku"), col("ska")), col("skb"))))
+    val full = size(col("sku")) >= K
+    val unionEst = when(!full, size(col("sku")).cast("double"))
+      .otherwise(lit((K - 1).toDouble) * lit(1152921504606846976L).cast("double") /
+        element_at(col("sku"), K).cast("double"))
+    val est = pairs
+      .withColumn("kmv_union_est", unionEst)
+      .withColumn("est_jaccard",
+        when(!full,
+          size(array_intersect(col("ska"), col("skb"))).cast("double") /
+            size(col("sku")).cast("double"))
+        .otherwise(col("k_inter").cast("double") / lit(K.toDouble)))
+      .withColumn("kmv_inter_est", col("est_jaccard") * col("kmv_union_est"))
+    // exact pair truth (for the error story; the estimator never sees it)
+    val users = li.select(col("t"), col("l_orderkey")).distinct()
+    val inter = users.as("x").join(users.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("ta"), col("y.t").as("tb"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    est.join(inter, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"),
+        (col("na") + col("nb") - col("n_inter_exact")).as("n_union_exact"),
+        col("n_inter_exact"),
+        col("kmv_union_est"), col("kmv_inter_est"), col("est_jaccard"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_hll_sketches" -> (a01HllSketches _),
     "a05_kmv_distinct" -> (a05KmvDistinct _),
+    "a06_kmv_set_ops" -> (a06KmvSetOps _),
     "a02_bloom_filtered_join" -> (a02BloomFilteredJoin _),
     "a03_quantile_sketch" -> (a03QuantileSketch _),
     "a04_cms_heavy_hitters" -> (a04CmsHeavyHitters _)
@@ -207,6 +269,50 @@ object Approx {
   val oracles: Map[String, String] = Map(
     // a05: the sketch AND estimator are cross-engine deterministic —
     // DuckDB recomputes the identical k-min hash sets and estimate.
+    // a06: the pair sketches, combined sketch, and BOTH estimators
+    // recomputed bit-for-bit in list space; exact pair truth joined on
+    "a06_kmv_set_ops" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT l_returnflag AS t,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM lineitem),
+        |sk AS (
+        |  SELECT t, list(hv ORDER BY hv)[1:128] AS sk FROM hv GROUP BY t),
+        |ex AS (
+        |  SELECT l_returnflag AS t, COUNT(DISTINCT l_orderkey) AS n_exact
+        |  FROM lineitem GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.t AS ta, b.t AS tb, a.sk AS ska, b.sk AS skb,
+        |    ea.n_exact AS na, eb.n_exact AS nb
+        |  FROM sk a JOIN sk b ON a.t < b.t
+        |  JOIN ex ea ON ea.t = a.t JOIN ex eb ON eb.t = b.t),
+        |comb AS (
+        |  SELECT *, list_sort(list_distinct(ska || skb))[1:128] AS sku FROM pairs),
+        |scored AS (
+        |  SELECT *,
+        |    CASE WHEN len(sku) < 128 THEN CAST(len(sku) AS DOUBLE)
+        |         ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) /
+        |              CAST(sku[128] AS DOUBLE) END AS kmv_union_est,
+        |    CASE WHEN len(sku) < 128
+        |         THEN CAST(len(list_intersect(ska, skb)) AS DOUBLE) /
+        |              CAST(len(sku) AS DOUBLE)
+        |         ELSE CAST(len(list_intersect(list_intersect(sku, ska), skb)) AS DOUBLE) /
+        |              CAST(128 AS DOUBLE) END AS est_jaccard
+        |  FROM comb),
+        |inter AS (
+        |  SELECT x.f AS ta, y.f AS tb, COUNT(*) AS n_inter_exact
+        |  FROM (SELECT DISTINCT l_returnflag AS f, l_orderkey AS k FROM lineitem) x
+        |  JOIN (SELECT DISTINCT l_returnflag AS f, l_orderkey AS k FROM lineitem) y
+        |    ON x.k = y.k AND x.f < y.f
+        |  GROUP BY 1, 2)
+        |SELECT s.ta, s.tb,
+        |  s.na + s.nb - i.n_inter_exact AS n_union_exact,
+        |  i.n_inter_exact,
+        |  s.kmv_union_est,
+        |  s.est_jaccard * s.kmv_union_est AS kmv_inter_est,
+        |  s.est_jaccard
+        |FROM scored s JOIN inter i ON s.ta = i.ta AND s.tb = i.tb
+        |ORDER BY s.ta, s.tb""".stripMargin,
     "a05_kmv_distinct" ->
       """WITH hv AS (
         |  SELECT DISTINCT l_returnflag AS flag,

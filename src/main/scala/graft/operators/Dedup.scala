@@ -569,6 +569,64 @@ object Dedup {
       .orderBy(col("cell_id"))
   }
 
+  /** p13: fuzzy (MinHash-LSH) benchmark-contamination sweep — p06's
+    * exact 5-gram overlap misses near-verbatim contamination (light
+    * edits, reflowed punctuation); the production screen is
+    * signature-level: train corpus × eval slice through d03's
+    * md5-seeded MinHash machinery. Candidates come from an ASYMMETRIC
+    * train×bench band equi-join — O(n·bands) with the bench side
+    * small, never train×train — then each candidate pair is scored by
+    * signature agreement and kept at est Jaccard ≥ 14/16 (d06's
+    * verify bar; raw band collisions over-fire on char-3-grams).
+    * Output: every flagged train doc with its strong-hit count and
+    * best match.
+    * The eval slice is doc_id % 13 == 0, same as p06 — so the two
+    * sweeps are directly comparable (exact-overlap vs fuzzy recall).
+    */
+  def p13FuzzyContamination(spark: SparkSession, dir: String): DataFrame = {
+    // scoped persist: the signature table feeds banding twice and the
+    // pair scoring twice — one gram pass, not four
+    val sig = graft.Caches.scoped(minhashSigs(docs(spark, dir)))
+    def banded(df: DataFrame): DataFrame = {
+      val withBands = (0 until BANDS).foldLeft(df) { (d, b) =>
+        val cols = (b * 4 until b * 4 + 4).map(i => col(s"h$i"))
+        d.withColumn(s"band$b", md5(concat_ws("|", cols: _*)))
+      }
+      withBands.selectExpr("doc_id",
+        s"stack($BANDS, ${(0 until BANDS).map(b => s"$b, band$b").mkString(", ")}) as (band_idx, band_hash)")
+    }
+    val trainB = banded(sig.filter(col("doc_id") % 13 =!= 0))
+    val benchB = banded(sig.filter(col("doc_id") % 13 === 0))
+    val cand = trainB.as("a").join(benchB.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("t_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sa = sig.select(
+      col("doc_id").as("t_id") +: (0 until K).map(i => col(s"h$i").as(s"a_h$i")): _*)
+    val sb = sig.select(
+      col("doc_id").as("b_id") +: (0 until K).map(i => col(s"h$i").as(s"b_h$i")): _*)
+    val agree = (0 until K).map(i =>
+      when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0)).reduce(_ + _)
+    // verify gate: candidates are just band collisions (char-3-gram
+    // similarity between unrelated same-language docs is high, see
+    // d06) — only signature agreement ≥ 14/16 (est J ≥ 0.875, d06's
+    // verify bar) counts as contamination
+    val scored = cand.join(sa, "t_id").join(sb, "b_id")
+      .select(col("t_id"), col("b_id"), agree.as("agree"))
+      .filter(col("agree") >= 14)
+    val w = Window.partitionBy(col("t_id")).orderBy(col("agree").desc, col("b_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_bench_hits",
+        count(lit(1)).over(Window.partitionBy(col("t_id"))))
+      .filter(col("rn") === 1)
+      .select(col("t_id").as("doc_id"), col("n_bench_hits"),
+        col("b_id").as("best_match"), col("agree").as("best_agree"),
+        (col("agree") / lit(16.0)).as("est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (d01DedupExact _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -579,7 +637,8 @@ object Dedup {
     "d07_boilerplate" -> (d07Boilerplate _),
     "d08_incremental_dedup" -> (d08IncrementalDedup _),
     "d09_lsh_recall" -> (d09LshRecall _),
-    "d10_semantic_dedup" -> (d10SemanticDedup _)
+    "d10_semantic_dedup" -> (d10SemanticDedup _),
+    "p13_fuzzy_contamination" -> (p13FuzzyContamination _)
   )
 
   // oracle mirror of minhashSigs' affine family — same A/B/P literals
@@ -854,6 +913,42 @@ object Dedup {
          |  COALESCE(p.n_candidates, 0) AS n_candidates
          |FROM sig s LEFT JOIN partners p ON s.doc_id = p.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+    // p13: same md5 signature family; asymmetric train×bench band
+    // join; agreement scored on the full signatures
+    "p13_fuzzy_contamination" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(text)-1), i -> substring(text, i, 3))) AS g
+         |  FROM documents WHERE len(text) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, g FROM raw),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS t_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  WHERE a.doc_id % 13 <> 0 AND b.doc_id % 13 = 0),
+         |scored AS (
+         |  SELECT * FROM (
+         |    SELECT c.t_id, c.b_id, ($sigAgree) AS agree
+         |    FROM cand c
+         |    JOIN sig sa ON sa.doc_id = c.t_id
+         |    JOIN sig sb ON sb.doc_id = c.b_id)
+         |  WHERE agree >= 14),
+         |ranked AS (
+         |  SELECT t_id, b_id, agree,
+         |    ROW_NUMBER() OVER (PARTITION BY t_id
+         |      ORDER BY agree DESC, b_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY t_id) AS n_bench_hits
+         |  FROM scored)
+         |SELECT t_id AS doc_id, n_bench_hits, b_id AS best_match,
+         |  agree AS best_agree, agree/16.0 AS est_jaccard
+         |FROM ranked WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
     // d10: the shared k-means CTE chain (Similarity.kmeansSqlCtes)
     // extended with the within-cell pair math, mirrored exactly
     "d10_semantic_dedup" ->

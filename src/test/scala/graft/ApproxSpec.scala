@@ -91,6 +91,20 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("a06 KMV set algebra lands inside the sketch error envelope") {
+    // K=128 → relative stderr ~1/sqrt(K-2) ≈ 9%; allow 3 sigma
+    val rows = graft.operators.Approx.a06KmvSetOps(spark, sf).collect()
+    assert(rows.length == 3, "three flag pairs expected")
+    rows.foreach { r =>
+      val uEx = r.getAs[Long]("n_union_exact").toDouble
+      val iEx = r.getAs[Long]("n_inter_exact").toDouble
+      assert(math.abs(r.getAs[Double]("kmv_union_est") - uEx) / uEx < 0.27,
+        s"union estimate off: ${r.getAs[Double]("kmv_union_est")} vs $uEx")
+      assert(math.abs(r.getAs[Double]("est_jaccard") - iEx / uEx) < 0.25,
+        s"jaccard estimate off: ${r.getAs[Double]("est_jaccard")} vs ${iEx / uEx}")
+    }
+  }
+
   test("st04 streaming dedup removes the injected duplicates exactly") {
     val rows = EventStream.st04StreamDedup(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_events")).sum

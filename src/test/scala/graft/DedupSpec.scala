@@ -182,4 +182,16 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_dropped")).sum > 0,
       "expected near-dup pairs at SEM_TAU on this corpus")
   }
+
+  test("p13 fuzzy contamination flags train docs against the eval slice only") {
+    val rows = Dedup.p13FuzzyContamination(spark, sf).collect()
+    assert(rows.nonEmpty, "expected contamination flags on this corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 13 != 0, "flagged doc must be train-side")
+      assert(r.getAs[Long]("best_match") % 13 == 0, "best match must be bench-side")
+      assert(r.getAs[Int]("best_agree") >= 14, "below the verify gate")
+      assert(r.getAs[Double]("est_jaccard") == r.getAs[Int]("best_agree") / 16.0)
+      assert(r.getAs[Long]("n_bench_hits") >= 1)
+    }
+  }
 }
