@@ -242,6 +242,56 @@ object Similarity {
     assign(recompute(assign(init)))
   }
 
+  /** DuckDB CTE chain mirroring [[pqModel]] bit-for-bit — terminal
+    * CTEs: `subs` (vec_id, sp, sub), `cent1` (sp, code, cent — the
+    * trained codebook), `a2` (vec_id, sp, code, d2 — final codes).
+    */
+  private[operators] def pqSqlCtes: String =
+    s"""sps AS (SELECT unnest([${(0 until PQ_S).mkString(", ")}]) AS sp),
+       |subs AS (
+       |  SELECT e.vec_id, sps.sp,
+       |    e.embedding[sps.sp*$PQ_SUBDIM+1 : sps.sp*$PQ_SUBDIM+$PQ_SUBDIM] AS sub
+       |  FROM embeddings e CROSS JOIN sps),
+       |pqseeds AS (
+       |  SELECT vec_id, embedding, md5(vec_id::VARCHAR) AS h
+       |  FROM embeddings ORDER BY h, vec_id LIMIT $PQ_K),
+       |pqinit AS (
+       |  SELECT sps.sp,
+       |    (ROW_NUMBER() OVER (PARTITION BY sps.sp ORDER BY h, vec_id) - 1)::INT AS code,
+       |    s.embedding[sps.sp*$PQ_SUBDIM+1 : sps.sp*$PQ_SUBDIM+$PQ_SUBDIM] AS cent
+       |  FROM pqseeds s CROSS JOIN sps),
+       |pd1 AS (
+       |  SELECT u.vec_id, u.sp, c.code,
+       |    list_sum(list_transform(range(1, ${PQ_SUBDIM + 1}),
+       |      i -> (u.sub[i]::DOUBLE - c.cent[i]::DOUBLE) *
+       |           (u.sub[i]::DOUBLE - c.cent[i]::DOUBLE))) AS d2
+       |  FROM subs u JOIN pqinit c ON u.sp = c.sp),
+       |pa1 AS (
+       |  SELECT vec_id, sp, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sp
+       |      ORDER BY d2, code) AS rn FROM pd1) WHERE rn = 1),
+       |pflat AS (
+       |  SELECT pa1.sp, pa1.code, t.i, u.sub[t.i]::DOUBLE AS x
+       |  FROM pa1 JOIN subs u ON pa1.vec_id = u.vec_id AND pa1.sp = u.sp
+       |  CROSS JOIN range(1, ${PQ_SUBDIM + 1}) t(i)),
+       |pcm AS (
+       |  SELECT sp, code, i,
+       |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
+       |  FROM pflat GROUP BY 1, 2, 3),
+       |cent1 AS (
+       |  SELECT sp, code, list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS cent
+       |  FROM pcm GROUP BY sp, code),
+       |pd2 AS (
+       |  SELECT u.vec_id, u.sp, c.code,
+       |    list_sum(list_transform(range(1, ${PQ_SUBDIM + 1}),
+       |      i -> (u.sub[i]::DOUBLE - c.cent[i]::DOUBLE) *
+       |           (u.sub[i]::DOUBLE - c.cent[i]::DOUBLE))) AS d2
+       |  FROM subs u JOIN cent1 c ON u.sp = c.sp),
+       |a2 AS (
+       |  SELECT vec_id, sp, code, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sp
+       |      ORDER BY d2, code) AS rn FROM pd2) WHERE rn = 1)""".stripMargin
+
   /** DuckDB CTE chain mirroring [[kmeansAssignments]] bit-for-bit —
     * terminal CTE `a2` has (vec_id, embedding, cell_id, sim). Spliced
     * into the s08 and d10 oracles so retuning K can never
@@ -306,6 +356,142 @@ object Similarity {
       .select(col("cell_id"), col("n_vectors"),
         (col("sim_sum").cast("double") / col("n_vectors").cast("double")).as("avg_sim"))
       .orderBy(col("cell_id"))
+  }
+
+  private val PQ_S = 8       // subspaces
+  private val PQ_SUBDIM = 8  // dims per subspace (8 × 8 = 64)
+  private val PQ_K = 16      // codes per subspace codebook
+
+  /** Per-subspace slices of a vector column as (sp, <as>) structs. */
+  private def pqSlices(vec: org.apache.spark.sql.Column, as: String) =
+    explode(array((0 until PQ_S).map(s =>
+      struct(lit(s).as("sp"),
+        slice(vec, s * PQ_SUBDIM + 1, PQ_SUBDIM).as(as))): _*))
+
+  // fixed-order sequential fold — the same double arithmetic DuckDB's
+  // ordered list_sum performs, so argmin decisions agree bit-for-bit
+  private[graft] val pqDist2 = expr(
+    """aggregate(zip_with(sub, cent,
+      |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+      |            (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+      |  0D, (acc, v) -> acc + v)""".stripMargin)
+
+  /** The shared PQ training pipeline behind s10/s11: returns
+    * (codebook: (sp, code, cent), assignments: (vec_id, sp, sub,
+    * code, d2)) after one Lloyd refinement from the md5-seeded init —
+    * deterministic end-to-end; [[pqSqlCtes]] is its DuckDB twin.
+    */
+  private[graft] def pqModel(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    GraftFunctions.register(spark)
+    val e = emb(spark, dir)
+    val subs = e.select(col("vec_id"), pqSlices(col("embedding"), "sub").as("x"))
+      .select(col("vec_id"), col("x.sp").as("sp"), col("x.sub").as("sub"))
+    val seeds = e
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(PQ_K)
+    val init = seeds
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
+      .select(col("code"), pqSlices(col("embedding"), "cent").as("x"))
+      .select(col("x.sp").as("sp"), col("code"), col("x.cent").as("cent"))
+    def assign(centroids: DataFrame): DataFrame = {
+      val scored = subs.join(broadcast(centroids), Seq("sp"))
+        .withColumn("d2", pqDist2)
+      val w = Window.partitionBy(col("vec_id"), col("sp"))
+        .orderBy(col("d2"), col("code"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("sp"), col("sub"), col("code"), col("d2"))
+    }
+    def recompute(assigned: DataFrame): DataFrame = assigned
+      .select(col("sp"), col("code"), posexplode(col("sub")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+      .groupBy(col("sp"), col("code"), col("i"))
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(27, 10)))
+        .cast("double") / count(lit(1))).as("cx"))
+      .groupBy(col("sp"), col("code"))
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
+      .select(col("sp"), col("code"),
+        expr("transform(pairs, p -> CAST(p.cx AS FLOAT))").as("cent"))
+    val codebook = recompute(assign(init))
+    (codebook, assign(codebook))
+  }
+
+  /** s10: Product-Quantization codebook build (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search") — the
+    * compression leg of the IVF-PQ design that makes 100 TB ANN
+    * feasible: each vector splits into [[PQ_S]] subvectors, each
+    * subspace trains its own [[PQ_K]]-code k-means codebook, and a
+    * vector stores as S small codes (here 4×3 bits vs 64 floats —
+    * a 64× memory cut) queried via per-subspace distance tables.
+    * This entry builds the codebooks and reports per-cell population
+    * + mean quantization error (the distortion a deployment watches
+    * when sizing S/K).
+    *
+    * Same determinism recipe as s08: md5-seeded init (the 8 smallest
+    * md5(vec_id) vectors seed every subspace), L2 assignment as a
+    * fixed-order double fold (ties to the smaller code),
+    * decimal-accumulated centroid means cast to FLOAT — so the DuckDB
+    * oracle reproduces codebooks, codes, and distortions bit-for-bit.
+    * Scale shape: every stage is the corpus against a broadcast
+    * S·K-row codebook; the explode is ×S on narrow subvectors.
+    */
+  def s10PqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val (_, finalAsn) = pqModel(spark, dir)
+    finalAsn.groupBy(col("sp"), col("code"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(round(col("d2"), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("d2sum"))
+      .select(col("sp"), col("code"), col("n_vectors"),
+        (col("d2sum").cast("double") / col("n_vectors").cast("double"))
+          .as("avg_sqdist"))
+      .orderBy(col("sp"), col("code"))
+  }
+
+  /** s11: PQ asymmetric-distance search (ADC) — the query-time half
+    * of IVF-PQ: per query, ONE tiny distance table (query subvector →
+    * each of the S·K codebook cells, here 32 doubles) replaces all
+    * float math; every corpus vector is then scored by summing S
+    * table lookups on its stored codes — an exhaustive scan of the
+    * COMPRESSED domain (no corpus float I/O), which is why PQ scans
+    * billions of vectors from RAM at 100 TB corpus scale. Join shape:
+    * codes ⋈ broadcast(query tables) on (sp, code) — shuffle-free on
+    * the corpus side. Per-pair ADC distance is an S-term decimal sum
+    * of rounded table entries (order-independent → cross-engine
+    * exact); top-5 per query gated bit-for-bit.
+    *
+    * Approximation honesty (measured): on THIS near-random corpus
+    * ADC recall@5 vs exact L2 is only ~0.1 — the exact top-5 margin
+    * is smaller than the quantization noise of a 32-bit code, as
+    * expected for structure-free vectors (compare d05's 0.4-sim "near
+    * dups"). The invariant that IS corpus-independent — a query's own
+    * code word minimizes its ADC distance (its codes are argmin by
+    * construction), i.e. self-retrieval at rank 1 — is spec-proven.
+    * Real embedding spaces with cluster structure are the ones PQ is
+    * built for; S/K are the deploy knobs.
+    */
+  def s11PqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (codebook, asn) = pqModel(spark, dir)
+    val e = emb(spark, dir)
+    val qsubs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), pqSlices(col("embedding"), "sub").as("x"))
+      .select(col("qid"), col("x.sp").as("sp"), col("x.sub").as("sub"))
+    val qtab = qsubs.join(broadcast(codebook), Seq("sp"))
+      .withColumn("qd2", round(pqDist2, 6))
+      .select(col("qid"), col("sp"), col("code"), col("qd2"))
+    val adc = asn.select(col("vec_id"), col("sp"), col("code"))
+      .join(broadcast(qtab), Seq("sp", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .as("adcsum"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adcsum"), col("vec_id"))
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("vec_id").as("cid"),
+        col("adcsum").cast("double").as("adc_dist"))
+      .orderBy(col("qid"), col("rnk"))
   }
 
   /** s04: TF-IDF relevance search — score every document against a
@@ -380,7 +566,9 @@ object Similarity {
     "s08_ann_kmeans" -> (s08AnnKmeans _),
     "s04_tfidf_search" -> (s04TfidfSearch _),
     "s05_vector_stats" -> (s05VectorStats _),
-    "s09_ann_recall" -> (s09AnnRecall _)
+    "s09_ann_recall" -> (s09AnnRecall _),
+    "s10_pq_codebook" -> (s10PqCodebook _),
+    "s11_pq_search" -> (s11PqSearch _)
   )
 
   // cosine(a, b) in DuckDB list arithmetic — the same formulation the
@@ -504,6 +692,34 @@ object Similarity {
          |ORDER BY q.qid""".stripMargin,
     // s08: the full 2-iteration Lloyd pipeline mirrored — md5-seeded
     // init, cosine argmax assignment, FLOAT-cast mean centroids.
+    // s10/s11: codebooks, codes and distances reproduced bit-for-bit —
+    // same seeds, same fixed-order L2 fold, same decimal sums
+    "s10_pq_codebook" ->
+      s"""WITH $pqSqlCtes
+         |SELECT sp, code, COUNT(*) AS n_vectors,
+         |  CAST(SUM(CAST(round(d2, 6) AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_sqdist
+         |FROM a2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s11_pq_search" ->
+      s"""WITH $pqSqlCtes,
+         |qsubs AS (SELECT vec_id AS qid, sp, sub FROM subs WHERE vec_id < 10),
+         |qtab AS (
+         |  SELECT q.qid, q.sp, c.code,
+         |    round(list_sum(list_transform(range(1, ${PQ_SUBDIM + 1}),
+         |      i -> (q.sub[i]::DOUBLE - c.cent[i]::DOUBLE) *
+         |           (q.sub[i]::DOUBLE - c.cent[i]::DOUBLE))), 6) AS qd2
+         |  FROM qsubs q JOIN cent1 c ON q.sp = c.sp),
+         |adc AS (
+         |  SELECT t.qid, a.vec_id AS cid,
+         |    SUM(CAST(t.qd2 AS DECIMAL(18,6))) AS adcsum
+         |  FROM a2 a JOIN qtab t ON a.sp = t.sp AND a.code = t.code
+         |  WHERE a.vec_id <> t.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adcsum, cid) AS rnk,
+         |  cid, CAST(adcsum AS DOUBLE) AS adc_dist
+         |FROM adc
+         |QUALIFY rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
     "s08_ann_kmeans" ->
       s"""WITH $kmeansSqlCtes
          |SELECT cell_id, COUNT(*) AS n_vectors,

@@ -183,6 +183,40 @@ class DedupSpec extends AnyFunSuite {
       "expected near-dup pairs at SEM_TAU on this corpus")
   }
 
+  test("s10/s11 PQ: full coverage; ADC self-retrieval ranks every query first") {
+    import graft.operators.Similarity
+    val cb = Similarity.s10PqCodebook(spark, sf).collect()
+    assert(cb.map(_.getAs[Long]("n_vectors")).sum ==
+      8 * Tables(spark, sf, "embeddings").count(),
+      "every (vector, subspace) must hold exactly one code")
+    assert(cb.forall(_.getAs[Double]("avg_sqdist") > 0.0))
+    // ADC(q, q) = sum of q's own-code table entries, and q's codes are
+    // argmin per subspace — so no vector can beat the query itself.
+    // (Corpus-independent, unlike recall on this near-random corpus.)
+    val (codebook, asn) = Similarity.pqModel(spark, sf)
+    val q = asn.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("sp"), col("sub"))
+    val qtab = q.join(broadcast(codebook), Seq("sp"))
+      .withColumn("qd2", round(Similarity.pqDist2, 6))
+      .select(col("qid"), col("sp"), col("code"), col("qd2"))
+    val adc = asn.select(col("vec_id"), col("sp"), col("code"))
+      .join(broadcast(qtab), Seq("sp", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .as("adcsum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adcsum"), col("vec_id"))
+    val top1 = adc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), col("adcsum")).collect()
+    // rank-1 ADC must equal the query's own ADC (self or an exact tie)
+    val selfAdc = adc.filter(col("qid") === col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(2))).toMap
+    top1.foreach { r =>
+      assert(r.getDecimal(2) == selfAdc(r.getLong(0)),
+        s"query ${r.getLong(0)}: rank-1 ADC beats the query's own code word")
+    }
+  }
+
   test("p13 fuzzy contamination flags train docs against the eval slice only") {
     val rows = Dedup.p13FuzzyContamination(spark, sf).collect()
     assert(rows.nonEmpty, "expected contamination flags on this corpus")
