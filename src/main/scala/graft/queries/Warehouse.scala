@@ -480,12 +480,46 @@ object Warehouse {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q70: secondary point-lookup index — the fourth pruning leg after
+    * partitions (q51), buckets (q58) and min/max stats (q67/q68), for
+    * the case none of them covers: point queries on a column the
+    * layout is NOT clustered by (here customer lookups over an
+    * orderkey-clustered landing — every file spans the whole custkey
+    * domain, so stats prune NOTHING). `Sources.buildPointIndex` maps
+    * each key to the files holding it (one distinct-projection
+    * aggregate); `lookupByIndex` reads only those files (~rows-per-key
+    * files of 64, constant in table size since rows-per-customer is).
+    * Gate: three customers' order rollups through the index, `pruned`
+    * TRUE; oracle = the same rollups from the raw table.
+    */
+  def q70PointIndex(spark: SparkSession, dir: String): DataFrame = {
+    val p = tempDir("graft-ptidx")
+    val idx = s"$p-index"
+    Sources.landWithStats(
+      Tables(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice")),
+      p, "o_orderkey", numFiles = 64)
+    Sources.buildPointIndex(spark, p, "o_custkey", idx)
+    val keys = Seq(100L, 101L, 102L)
+    val sk = Sources.lookupByIndex(spark, p, idx, "o_custkey", keys)
+    sk.df.filter(col("o_custkey").isin(keys: _*)) // exact residual
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderkey")).as("n_distinct_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("pruned", lit(sk.selected < sk.total))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_partitioned_scan" -> (q51PartitionedScan _),
     "q66_incremental_agg" -> (q66IncrementalAgg _),
     "q67_file_skipping" -> (q67FileSkipping _),
     "q68_zorder_skipping" -> (q68ZorderSkipping _),
     "q69_wap" -> (q69Wap _),
+    "q70_point_index" -> (q70PointIndex _),
     "q53_compaction" -> (q53Compaction _),
     "q55_changelog" -> (q55Changelog _),
     "q58_bucketed_join" -> (q58BucketedJoin _),
@@ -511,6 +545,17 @@ object Warehouse {
         |    TRUE
         |  FROM lineitem WHERE l_partkey BETWEEN 100 AND 199)
         |ORDER BY dim""".stripMargin,
+    // q70: index lookups must equal the plain filter on the raw table
+    "q70_point_index" ->
+      """SELECT o_custkey,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  TRUE AS pruned
+        |FROM orders
+        |WHERE o_custkey IN (100, 101, 102)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q69: the published state = base + the corrected late batch; the
     // aborted bad batch must leave no trace in the rollup
     "q69_wap" ->

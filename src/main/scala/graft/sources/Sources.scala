@@ -212,4 +212,49 @@ object Sources {
       else spark.read.parquet(keep.map(_._1).toSeq: _*)
     Skipped(df, keep.size, all.size)
   }
+
+  /** Build a secondary point-lookup index over a landed layout: one
+    * (key, file) row per distinct key-in-file occurrence — the
+    * covering-index idea (Hyperspace / Delta bloom indexes) for point
+    * queries on a column the layout is NOT clustered by, where
+    * min/max stats prune nothing (every file spans the key domain).
+    * The build is one distinct-projection aggregate over the table;
+    * the index is itself a parquet table, read with a pushed-down key
+    * predicate at lookup time. Index size ∝ Σ per-file distinct keys
+    * — rows, not data.
+    */
+  def buildPointIndex(spark: SparkSession, path: String, keyCol: String,
+      indexPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .select(col(keyCol), input_file_name().as("file"))
+      .distinct()
+      .coalesce(4)
+      .write.mode(SaveMode.Overwrite).parquet(indexPath)
+  }
+
+  /** Point lookup through the index: scan the index with the key
+    * predicate (pushed down), read ONLY the files that contain a
+    * queried key, apply the exact predicate as a residual. The
+    * driver-side file list is bounded by the files the keys actually
+    * live in (≈ keys × rows-per-key), never the table size.
+    */
+  def lookupByIndex(spark: SparkSession, path: String, indexPath: String,
+      keyCol: String, keys: Seq[Long]): Skipped = {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val files = spark.read.parquet(indexPath)
+      .filter(col(keyCol).isin(keys: _*))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)) // bounded: files containing the keys
+    val listing = java.nio.file.Files.list(
+      java.nio.file.Paths.get(path.stripPrefix("file:")))
+    val total =
+      try listing.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally listing.close()
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files.toSeq: _*)
+    Skipped(df, files.length, total)
+  }
 }

@@ -245,6 +245,29 @@ class WarehouseSpec extends AnyFunSuite {
     assert(sums(byPart.df, "l_partkey", pQ) == sums(li, "l_partkey", pQ))
   }
 
+  test("q70 point index: reads only the keys' files, equals the raw filter, empty on a missing key") {
+    import graft.sources.Sources
+    val p = s"${graft.TempDirs.scratch("graft-ptidx-spec")}/orders"
+    val idx = s"$p-index"
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Sources.landWithStats(orders, p, "o_orderkey", numFiles = 64)
+    Sources.buildPointIndex(spark, p, "o_custkey", idx)
+    val sk = Sources.lookupByIndex(spark, p, idx, "o_custkey", Seq(100L))
+    assert(sk.total == 64)
+    // one customer's ~10 orders live in at most ~10 of 64 files
+    assert(sk.selected >= 1 && sk.selected <= 16,
+      s"point lookup touched ${sk.selected}/64 files")
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("o_custkey") === 100L)
+        .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)"))).head()
+    assert(rollup(sk.df) == rollup(orders),
+      "indexed read must equal the raw filter")
+    // a key outside the domain reads zero files and zero rows
+    val none = Sources.lookupByIndex(spark, p, idx, "o_custkey", Seq(-5L))
+    assert(none.selected == 0 && none.df.count() == 0)
+  }
+
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
     import spark.implicits._
     import graft.operators.Ivm
