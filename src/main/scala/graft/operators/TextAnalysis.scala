@@ -269,8 +269,67 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t11: BPE tokenizer training — the first three merge steps of
+    * byte-pair encoding (Sennrich et al. 2016, the subword algorithm
+    * behind every modern LLM tokenizer), run ON-CLUSTER the way a
+    * 100 TB corpus demands: train on the DISTINCT-WORD frequency
+    * table (pair statistics are Σ n over word types — never a pass
+    * over raw tokens), each round = one aggregate for the global
+    * pair counts + one map-side `replace` to apply the winning merge.
+    * Words are held as sentinel-delimited symbol strings
+    * (`<h> <e> <l> <l> <o>`), so a plain string replace IS the
+    * token-boundary-safe, leftmost-greedy, non-overlapping merge —
+    * both engines' `replace` share those semantics, which makes the
+    * whole training loop exactly oracle-checkable (no regex
+    * lookbehind, which RE2 lacks). Output: the learned merge table
+    * (pair, new token, weighted pair count, affected word types) —
+    * the artifact a tokenizer ships.
+    */
+  def t11BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("raw"))
+      .select(regexp_replace(col("raw"), "[^a-z]", "").as("w"))
+      .filter(length(col("w")).between(2, 20))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val sym0 = concat(lit("<"),
+      array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+        "> <"),
+      lit(">"))
+    // the word-type table is read 3× per round (pair counts, affected
+    // count, merge apply) — persist once, tiny (distinct words)
+    var cur = words.select(col("w"), col("n"), sym0.as("sym")).persist()
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
+    try {
+      for (k <- 1 to 3) {
+        val toks = cur.select(col("w"), col("n"), split(col("sym"), " ").as("toks"))
+        val top = toks.filter(size(col("toks")) >= 2)
+          .select(col("n"), explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+              .stripMargin)).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .head() // the single winning merge — the BPE train step's output
+        val (pair, cnt) = (top.getString(0), top.getLong(1))
+        val merged = pair.replace("> <", "")
+        val nWords = cur.filter(instr(col("sym"), pair) > 0).count()
+        merges += ((k, pair, merged, cnt, nWords))
+        val next = cur.select(col("w"), col("n"),
+          replace(col("sym"), lit(pair), lit(merged)).as("sym")).persist()
+        next.count() // materialize before dropping the parent cache
+        cur.unpersist(blocking = false)
+        cur = next
+      }
+    } finally cur.unpersist(blocking = false)
+    merges.result()
+      .toDF("merge_idx", "pair", "new_token", "pair_count", "n_word_types")
+      .orderBy(col("merge_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_hof_suite" -> (t10HofSuite _),
+    "t11_bpe_merges" -> (t11BpeMerges _),
     "t09_lm_score" -> (t09LmScore _),
     "t08_string_suite" -> (t08StringSuite _),
     "t01_token_stats" -> (t01TokenStats _),
@@ -313,7 +372,49 @@ object TextAnalysis {
        |     THEN ($u - 18446744073709551616::HUGEINT)::BIGINT
        |     ELSE $u::BIGINT END""".stripMargin
 
+  /** One BPE round's oracle CTEs: pair counts over w{k-1}, the winning
+    * merge, and the merged word table w{k}. Mirrors the Spark loop
+    * exactly (same tie-break, same leftmost-greedy replace).
+    */
+  private def bpeRoundSql(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""p$k AS (
+       |  SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+       |    SELECT n, unnest(list_transform(range(1, len(string_split(sym, ' '))),
+       |      i -> string_split(sym, ' ')[i] || ' ' || string_split(sym, ' ')[i+1])) AS pair
+       |    FROM $prev WHERE len(string_split(sym, ' ')) >= 2)
+       |  GROUP BY 1),
+       |t$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+       |m$k AS (
+       |  SELECT $k AS merge_idx, t.pair, replace(t.pair, '> <', '') AS new_token,
+       |    t.cnt AS pair_count,
+       |    (SELECT COUNT(*) FROM $prev WHERE position(t.pair IN sym) > 0) AS n_word_types
+       |  FROM t$k t),
+       |w$k AS (
+       |  SELECT w, n, replace(sym, (SELECT pair FROM m$k),
+       |    (SELECT new_token FROM m$k)) AS sym FROM $prev)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t11_bpe_merges" ->
+      s"""WITH base AS (
+         |  SELECT regexp_replace(tok, '[^a-z]', '', 'g') AS w
+         |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |        FROM documents)),
+         |w0 AS (
+         |  SELECT w, COUNT(*) AS n,
+         |    '<' || array_to_string(
+         |      list_transform(range(1, len(w)+1), i -> substring(w, i, 1)),
+         |      '> <') || '>' AS sym
+         |  FROM base WHERE len(w) BETWEEN 2 AND 20
+         |  GROUP BY w),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)}
+         |SELECT * FROM m1
+         |UNION ALL SELECT * FROM m2
+         |UNION ALL SELECT * FROM m3
+         |ORDER BY merge_idx""".stripMargin,
     "t04_fingerprint" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -207,4 +207,21 @@ class OperatorsSpec extends AnyFunSuite {
         |GROUP BY n_name ORDER BY c DESC LIMIT 3""".stripMargin).collect()
     assert(n.length == 3 && n.forall(!_.isNullAt(2)))
   }
+
+  test("t11 BPE merges: well-formed tokens and the non-increasing count invariant") {
+    val rows = graft.operators.TextAnalysis.t11BpeMerges(spark, sf)
+      .orderBy(col("merge_idx")).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[String]("new_token") ==
+        r.getAs[String]("pair").replace("> <", ""))
+      assert(r.getAs[Long]("pair_count") > 0 && r.getAs[Long]("n_word_types") > 0)
+    }
+    // a merge can only create pairs no more frequent than itself, so
+    // successive winning counts never increase — the BPE invariant
+    val counts = rows.map(_.getAs[Long]("pair_count")).toSeq
+    assert(counts == counts.sorted.reverse,
+      s"merge counts increased across rounds: $counts")
+    assert(rows.map(_.getAs[String]("pair")).distinct.length == 3)
+  }
 }
