@@ -513,6 +513,37 @@ object Warehouse {
       .orderBy(col("o_custkey"))
   }
 
+  /** q71: partition-overwrite incremental refresh — dbt-spark's
+    * DEFAULT `incremental_strategy: insert_overwrite` (the reference's
+    * dbt models run on Spark, where this is the standard backfill
+    * path): late corrections arrive for ONE month, the month is
+    * recomputed and swapped wholesale via Spark's dynamic partition
+    * overwrite — every other partition's files stay physically
+    * untouched (spec-asserted), no join, no unique key needed
+    * (q21's MERGE is the keyed alternative; this is the partition-
+    * grain one). Gate: rollup over the swapped month ± neighbors from
+    * the landed table; oracle applies the same correction to the raw
+    * table.
+    */
+  def q71InsertOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val landed = landOrders(spark, dir)
+    val fixed = Tables(spark, dir, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month") === Q51Month)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    Sources.overwritePartitions(fixed, landed.path, Seq("o_month"))
+    Sources.readParquet(spark, landed.path)
+      .filter(col("o_month").between("1995-02", "1995-04"))
+      .groupBy(col("o_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_partitioned_scan" -> (q51PartitionedScan _),
     "q66_incremental_agg" -> (q66IncrementalAgg _),
@@ -520,6 +551,7 @@ object Warehouse {
     "q68_zorder_skipping" -> (q68ZorderSkipping _),
     "q69_wap" -> (q69Wap _),
     "q70_point_index" -> (q70PointIndex _),
+    "q71_insert_overwrite" -> (q71InsertOverwrite _),
     "q53_compaction" -> (q53Compaction _),
     "q55_changelog" -> (q55Changelog _),
     "q58_bucketed_join" -> (q58BucketedJoin _),
@@ -545,6 +577,21 @@ object Warehouse {
         |    TRUE
         |  FROM lineitem WHERE l_partkey BETWEEN 100 AND 199)
         |ORDER BY dim""".stripMargin,
+    // q71: the swapped month must carry the correction, neighbors must
+    // be bit-identical to the original landing
+    "q71_insert_overwrite" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(SUM(CAST(
+        |    CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-03'
+        |              AND o_orderkey % 7 = 0
+        |         THEN o_totalprice + 10.0 ELSE o_totalprice END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-02' AND '1995-04'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q70: index lookups must equal the plain filter on the raw table
     "q70_point_index" ->
       """SELECT o_custkey,

@@ -38,6 +38,20 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Dynamic partition overwrite — replace ONLY the partitions present
+    * in `df`, leaving every other partition's files physically
+    * untouched (Spark's `partitionOverwriteMode=dynamic`, scoped to
+    * this one write). This is dbt-spark's default `incremental_
+    * strategy: insert_overwrite`: a backfill recomputes an affected
+    * day/month and swaps it wholesale — no join, no keys, and at
+    * 100 TB the cost is the recomputed partitions, never the table.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Bucketed + sorted table: both sides of a fact⋈fact join bucketed
     * the same way join with NO shuffle exchange (each bucket pairs up
     * 1:1) — the layout that turns the biggest 100 TB join from a

@@ -731,6 +731,52 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** st12: APPEND-mode windowed aggregation — the production
+    * complement of st01's complete-mode drain: in append mode a
+    * window row is emitted EXACTLY ONCE, only after the watermark
+    * passes its end (the result is final — downstream consumers can
+    * ingest it as an immutable fact), and its state is evicted at the
+    * same moment — state ∝ open windows. Windows still open when the
+    * bounded drain ends (end > final watermark = max ts − 1 h) are
+    * never emitted, so the gate scopes the oracle to finalized
+    * windows — computed from the batch table identically. Needs
+    * watermark-advancing no-data batches (st11's flag): append-mode
+    * emission happens only when a batch observes the advanced
+    * watermark.
+    */
+  def st12AppendWindows(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark, noDataBatches = true)
+    val stream = s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+    val agg = stream
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 4).as("total_value"))
+    s.catalog.dropTempView("st12_out")
+    locally {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("st12_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // the append stream emitted ONLY finalized windows; prove it by
+    // joining nothing away — the gate output IS the emitted set
+    s.table("st12_out")
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        unix_millis(col("window.end")).as("window_end_ms"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stateful_counts" -> (st02StatefulCounts _),
@@ -742,7 +788,8 @@ object EventStream {
     "st08_stream_ingest" -> (st08StreamIngest _),
     "st09_cdc_merge" -> (st09CdcMerge _),
     "st10_streaming_ivm" -> (st10StreamingIvm _),
-    "st11_stream_left_join" -> (st11StreamLeftJoin _)
+    "st11_stream_left_join" -> (st11StreamLeftJoin _),
+    "st12_append_windows" -> (st12AppendWindows _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
@@ -868,6 +915,24 @@ object EventStream {
         |  r.event_type AS last_event_type, a.last_ts_ms
         |FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
         |ORDER BY a.user_id""".stripMargin,
+    // st12 = only FINALIZED windows (end ≤ max ts − 1 h watermark) —
+    // append mode must have emitted exactly that set, once each
+    "st12_append_windows" ->
+      """WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+        |b AS (
+        |  SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+        |    time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS w_end,
+        |    event_type, value
+        |  FROM events)
+        |SELECT epoch_ms(w_start) AS window_start_ms,
+        |  epoch_ms(w_end) AS window_end_ms,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM b
+        |WHERE w_end <= (SELECT max_ts FROM mx) - INTERVAL '1 hour'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 3""".stripMargin,
     "st01_stream_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS window_start_ms,
         |  event_type,

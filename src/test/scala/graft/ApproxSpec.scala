@@ -126,6 +126,33 @@ class ApproxSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("st12 append mode emits exactly the finalized windows, once each") {
+    val rows = EventStream.st12AppendWindows(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exactly-once: (window, type) keys are unique in the emitted set
+    val keys = rows.map(r =>
+      (r.getAs[Long]("window_start_ms"), r.getAs[String]("event_type")))
+    assert(keys.distinct.length == rows.length, "append mode emitted a window twice")
+    // finalized-only: every emitted window closed before the final watermark
+    val e = Tables(spark, sf, "events")
+    val wmMs = e.agg(max(col("ts"))).head().getTimestamp(0).getTime - 3600000L
+    assert(rows.forall(_.getAs[Long]("window_end_ms") <= wmMs),
+      "append mode emitted a window still open at the final watermark")
+    // completeness: the emitted set == the batch finalized-window rollup
+    val batch = e
+      .withColumn("w_start", (floor(unix_millis(col("ts")) / 21600000L) * 21600000L))
+      .filter(col("w_start") + 21600000L <= wmMs)
+      .groupBy(col("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getAs[Long]("w_start"), r.getAs[String]("event_type")),
+        r.getAs[Long]("n"))).toMap
+    val streamed = rows.map(r =>
+      ((r.getAs[Long]("window_start_ms"), r.getAs[String]("event_type")),
+        r.getAs[Long]("n_events"))).toMap
+    assert(streamed == batch)
+  }
+
   test("st11 left-outer join emits null-padded unmatched purchases exactly") {
     val rows = EventStream.st11StreamLeftJoin(spark, sf).collect()
     val unmatched = rows.map(_.getAs[Long]("n_unmatched_purchases")).sum

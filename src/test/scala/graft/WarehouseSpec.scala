@@ -268,6 +268,40 @@ class WarehouseSpec extends AnyFunSuite {
     assert(none.selected == 0 && none.df.count() == 0)
   }
 
+  test("q71 insert_overwrite swaps only the recomputed month's files") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.Sources
+    val landed = Warehouse.landOrders(spark, sf)
+    def listing(month: String): Map[String, Long] = {
+      val d = java.nio.file.Paths.get(landed.path, s"o_month=$month")
+      if (!java.nio.file.Files.exists(d)) Map.empty
+      else {
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => p.getFileName.toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .toMap
+        finally s.close()
+      }
+    }
+    val beforeOther = listing("1995-02")
+    val beforeTarget = listing("1995-03")
+    assert(beforeOther.nonEmpty && beforeTarget.nonEmpty)
+    val total = Sources.readParquet(spark, landed.path).count()
+    val fixed = Tables(spark, sf, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month") === "1995-03")
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    Sources.overwritePartitions(fixed, landed.path, Seq("o_month"))
+    assert(listing("1995-02") == beforeOther,
+      "dynamic overwrite touched a partition it should not have")
+    assert(listing("1995-03") != beforeTarget,
+      "target partition was not rewritten")
+    assert(Sources.readParquet(spark, landed.path).count() == total,
+      "partition swap changed the row count")
+  }
+
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
     import spark.implicits._
     import graft.operators.Ivm
