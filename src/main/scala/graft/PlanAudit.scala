@@ -24,7 +24,8 @@ object PlanAudit {
                   "d10_semantic_dedup", "q68_zorder_skipping", "q69_wap",
                   "p13_fuzzy_contamination", "a06_kmv_set_ops",
                   "s10_pq_codebook", "s11_pq_search", "q70_point_index",
-                  "t11_bpe_merges", "q71_insert_overwrite")) {
+                  "t11_bpe_merges", "q71_insert_overwrite",
+                  "t12_bpe_encode")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

@@ -287,6 +287,22 @@ object TextAnalysis {
     */
   def t11BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (merges, fin) = bpeTrain(spark, dir, rounds = 3)
+    fin.unpersist(blocking = false) // merges are already driver-side
+    merges
+      .toDF("merge_idx", "pair", "new_token", "pair_count", "n_word_types")
+      .orderBy(col("merge_idx"))
+  }
+
+  /** The shared BPE trainer behind t11 (merge table) and t12 (encode):
+    * `rounds` merge steps over the distinct-word frequency table;
+    * returns the merge records AND the final word table `(w, n, sym)`
+    * with every merge applied — the word→subword dictionary a trained
+    * tokenizer IS. The returned table is persisted; the caller owns
+    * its release.
+    */
+  private def bpeTrain(spark: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     val words = docs(spark, dir)
       .select(explode(tokens(col("text"))).as("raw"))
       .select(regexp_replace(col("raw"), "[^a-z]", "").as("w"))
@@ -300,8 +316,8 @@ object TextAnalysis {
     // count, merge apply) — persist once, tiny (distinct words)
     var cur = words.select(col("w"), col("n"), sym0.as("sym")).persist()
     val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
-    try {
-      for (k <- 1 to 3) {
+    locally {
+      for (k <- 1 to rounds) {
         val toks = cur.select(col("w"), col("n"), split(col("sym"), " ").as("toks"))
         val top = toks.filter(size(col("toks")) >= 2)
           .select(col("n"), explode(expr(
@@ -321,15 +337,44 @@ object TextAnalysis {
         cur.unpersist(blocking = false)
         cur = next
       }
-    } finally cur.unpersist(blocking = false)
-    merges.result()
-      .toDF("merge_idx", "pair", "new_token", "pair_count", "n_word_types")
-      .orderBy(col("merge_idx"))
+    }
+    (merges.result(), cur)
+  }
+
+  /** t12: BPE ENCODING — the other half of the tokenizer loop: apply
+    * t11's trained merges to every document and report its subword
+    * token count. The word table after training IS the word→subword
+    * dictionary, so encoding the corpus is ONE dictionary join (word
+    * types, not tokens — the dictionary side is tiny relative to the
+    * corpus and broadcast-able at any scale) plus a per-doc rollup; no
+    * per-token merge work ever touches the 100 TB side. Output per
+    * doc: eligible-word count, their chars, and the BPE token count —
+    * chars − tokens = exactly the merge compression the 3 trained
+    * merges bought. Oracle retrains the same 3 rounds in SQL (t11's
+    * CTEs) and encodes via the same join.
+    */
+  def t12BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, dict) = bpeTrain(spark, dir, rounds = 3)
+    graft.Caches.deferRelease(dict) // released after the consuming action
+    val docWords = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("raw"))
+      .select(col("doc_id"), regexp_replace(col("raw"), "[^a-z]", "").as("w"))
+      .filter(length(col("w")).between(2, 20))
+    docWords
+      .join(dict.select(col("w"),
+        size(split(col("sym"), " ")).cast("long").as("ntok")), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("ntok")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_hof_suite" -> (t10HofSuite _),
     "t11_bpe_merges" -> (t11BpeMerges _),
+    "t12_bpe_encode" -> (t12BpeEncode _),
     "t09_lm_score" -> (t09LmScore _),
     "t08_string_suite" -> (t08StringSuite _),
     "t01_token_stats" -> (t01TokenStats _),
@@ -415,6 +460,36 @@ object TextAnalysis {
          |UNION ALL SELECT * FROM m2
          |UNION ALL SELECT * FROM m3
          |ORDER BY merge_idx""".stripMargin,
+    // t12: retrain the same 3 rounds (w3 = the trained dictionary),
+    // then encode = the same dictionary join + per-doc rollup
+    "t12_bpe_encode" ->
+      s"""WITH base AS (
+         |  SELECT regexp_replace(tok, '[^a-z]', '', 'g') AS w
+         |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |        FROM documents)),
+         |w0 AS (
+         |  SELECT w, COUNT(*) AS n,
+         |    '<' || array_to_string(
+         |      list_transform(range(1, len(w)+1), i -> substring(w, i, 1)),
+         |      '> <') || '>' AS sym
+         |  FROM base WHERE len(w) BETWEEN 2 AND 20
+         |  GROUP BY w),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)},
+         |dw AS (
+         |  SELECT doc_id, regexp_replace(tok, '[^a-z]', '', 'g') AS w
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |        FROM documents)),
+         |enc AS (SELECT w, len(string_split(sym, ' ')) AS ntok FROM w3)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN enc USING (w)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "t04_fingerprint" ->
       s"""WITH t AS (
          |  SELECT doc_id,

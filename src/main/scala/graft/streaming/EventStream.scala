@@ -670,6 +670,83 @@ object EventStream {
       .orderBy(col("event_type"))
   }
 
+  /** st13: streaming SKETCH maintenance — distinct-user counting over
+    * an unbounded stream with BOUNDED state: each micro-batch folds
+    * its rows into per-event-type KMV sketches stored in the
+    * versioned table ([[graft.functions.KMinValues]]; k·#types longs
+    * of state TOTAL, vs st02's per-key exact state ∝ key universe).
+    * The merge is union-of-hashes → re-sketch, and KMV's defining
+    * property — sketch(A ∪ B) == sketch(sketch(A) ∪ sketch(B)) —
+    * makes the maintained sketch BIT-IDENTICAL to one built over the
+    * whole history in a single pass, no matter how the stream was
+    * batched; `Snapshots.mergeWith` idempotent batch tags make
+    * replays no-ops (exactly-once). So the gate is exact, not
+    * bound-only: the DuckDB oracle recomputes sketch AND estimator
+    * from the raw table (a05's md5-derived 60-bit hash space).
+    * The 100 TB shape: kilobytes of restart-safe, queryable-mid-
+    * stream state answering "distinct users per type so far" forever.
+    */
+  def st13StreamingSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val K = 128
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftFunctions.register(spark) // before the clone: the stream session inherits
+    val s = streamSession(spark)
+    val hvCol = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val src = graft.TempDirs.scratch("graft-st13-src")
+    graft.Tables(spark, dir, "events")
+      .select(col("event_type"), hvCol.as("hv"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(src)
+
+    val skSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("sk", org.apache.spark.sql.types.ArrayType(LongType))))
+    val table = s"${graft.TempDirs.scratch("graft-st13-tbl")}/user_sketch"
+    graft.sources.Snapshots.commit(
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        skSchema), table)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_type", StringType), StructField("hv", LongType))))
+      .option("maxFilesPerTrigger", "4")
+      .parquet(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st13-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        GraftFunctions.register(batch.sparkSession) // idempotent
+        graft.sources.Snapshots.mergeWith(
+          batch.sparkSession, table, batch, tag = Some(s"sk-batch=$id")) { (mat, b) =>
+          // stored k-min hashes ∪ the batch's raw hashes → re-sketch:
+          // the KMV merge (dedup happens inside the aggregate)
+          mat.select(col("event_type"), explode(col("sk")).as("hv"))
+            .unionByName(b.select(col("event_type"), col("hv")))
+            .groupBy(col("event_type"))
+            .agg(GraftFunctions.kMinValues(col("hv"), K).as("sk"))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val nVersions = graft.sources.Snapshots.versions(table).size
+    val estimate =
+      when(size(col("sk")) < K, size(col("sk")).cast("double"))
+        .otherwise(lit((K - 1).toDouble) * lit(1152921504606846976L).cast("double") /
+          element_at(col("sk"), K).cast("double"))
+    val exact = graft.Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    graft.sources.Snapshots.read(spark, table)
+      .select(col("event_type"), estimate.as("kmv_est"))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("kmv_est"),
+        lit(nVersions).as("n_versions"))
+      .orderBy(col("event_type"))
+  }
+
   /** st11: stream-stream LEFT OUTER interval join — st05's missing
     * half: purchases with NO preceding view must still emit, null-
     * padded. This is the outer-join eviction contract: an unmatched
@@ -789,7 +866,8 @@ object EventStream {
     "st09_cdc_merge" -> (st09CdcMerge _),
     "st10_streaming_ivm" -> (st10StreamingIvm _),
     "st11_stream_left_join" -> (st11StreamLeftJoin _),
-    "st12_append_windows" -> (st12AppendWindows _)
+    "st12_append_windows" -> (st12AppendWindows _),
+    "st13_streaming_sketch" -> (st13StreamingSketch _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
@@ -933,6 +1011,30 @@ object EventStream {
         |WHERE w_end <= (SELECT max_ts FROM mx) - INTERVAL '1 hour'
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 3""".stripMargin,
+    // st13: the maintained KMV sketch is bit-identical to a single-pass
+    // sketch of the whole table (KMV union property), so the estimator
+    // itself is exactly oracled; 5 versions = seed + ceil(16/4) merges
+    "st13_streaming_sketch" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM hv),
+        |exact AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT r.event_type, e.n_exact,
+        |  CASE WHEN MAX(r.nd) < 128 THEN CAST(MAX(r.nd) AS DOUBLE)
+        |       ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) /
+        |            CAST(MAX(CASE WHEN r.rn = 128 THEN r.hv END) AS DOUBLE) END AS kmv_est,
+        |  5 AS n_versions
+        |FROM ranked r JOIN exact e ON r.event_type = e.event_type
+        |GROUP BY r.event_type, e.n_exact
+        |ORDER BY r.event_type""".stripMargin,
     "st01_stream_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS window_start_ms,
         |  event_type,

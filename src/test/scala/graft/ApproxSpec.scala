@@ -153,6 +153,32 @@ class ApproxSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("st13 maintained sketch estimate == single-pass sketch of the whole table") {
+    import graft.functions.GraftFunctions
+    val rows = EventStream.st13StreamingSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("n_versions") == 5),
+      "expected seed + ceil(16/4) merge commits")
+    // single-pass sketch over the raw table — the batched incremental
+    // maintenance must land on the IDENTICAL estimate (KMV union law)
+    GraftFunctions.register(spark)
+    val K = 128
+    val est = when(size(col("sk")) < K, size(col("sk")).cast("double"))
+      .otherwise(lit((K - 1).toDouble) * lit(1152921504606846976L).cast("double") /
+        element_at(col("sk"), K).cast("double"))
+    val onePass = Tables(spark, sf, "events")
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+          16, 10).cast("long").as("hv"))
+      .groupBy(col("event_type"))
+      .agg(GraftFunctions.kMinValues(col("hv"), K).as("sk"))
+      .select(col("event_type"), est.as("kmv_est"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val streamed = rows.map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Double]("kmv_est"))).toMap
+    assert(streamed == onePass, "incremental sketch diverged from single-pass sketch")
+  }
+
   test("st11 left-outer join emits null-padded unmatched purchases exactly") {
     val rows = EventStream.st11StreamLeftJoin(spark, sf).collect()
     val unmatched = rows.map(_.getAs[Long]("n_unmatched_purchases")).sum

@@ -224,4 +224,19 @@ class OperatorsSpec extends AnyFunSuite {
       s"merge counts increased across rounds: $counts")
     assert(rows.map(_.getAs[String]("pair")).distinct.length == 3)
   }
+
+  test("t12 BPE encode: words <= tokens <= chars per doc, corpus strictly compressed") {
+    val rows = graft.operators.TextAnalysis.t12BpeEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, t, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("n_chars"))
+      assert(w <= t && t <= c,
+        s"doc ${r.getAs[Long]("doc_id")}: words=$w tokens=$t chars=$c out of order")
+    }
+    // 3 trained merges must have bought real corpus-level compression
+    val chars = rows.map(_.getAs[Long]("n_chars")).sum
+    val toks = rows.map(_.getAs[Long]("n_bpe_tokens")).sum
+    assert(toks < chars, s"no compression: tokens=$toks chars=$chars")
+  }
 }
