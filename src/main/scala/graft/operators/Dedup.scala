@@ -627,7 +627,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d11: exact repeated-SPAN detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * their exact-substring pass, which doc-level near-dup CANNOT
+    * subsume: two mostly-different docs sharing one license header /
+    * boilerplate paragraph slip under every Jaccard threshold but
+    * still teach the model the span verbatim). Suffix arrays don't
+    * distribute; the standard cluster-scale approximation is FIXED
+    * WINDOWS: 64-char spans at stride 16 (any repeated substring
+    * ≥ 79 chars must contain an aligned window on both sides, so
+    * recall is structural, not probabilistic). Each window ships as
+    * ONE 60-bit md5-derived hash — the shuffle carries ~(16 bytes ×
+    * len/16) ≈ the text's own size, never the 4× overlapped span
+    * bytes. Cross-doc duplicated hash = span seen in ≥ 2 docs; per
+    * doc: window count, duplicated-window count (the span-level
+    * contamination fraction), distinct duplicated spans.
+    */
+  def d11DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val (w, s) = (64, 16)
+    val wins = docs(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, greatest(0, length(text) - $w) div $s),
+           |  i -> substr(text, i * $s + 1, $w))""".stripMargin)).as("span"))
+      .filter(length(col("span")) === w)
+      .select(col("doc_id"),
+        conv(substring(md5(col("span").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    // one window pass feeds both the cross-doc stats and the rollup
+    val winsP = graft.Caches.scoped(wins)
+    val crossDoc = winsP.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+    winsP.join(crossDoc, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("nd").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"),
+        countDistinct(when(col("nd").isNotNull, col("h"))).as("n_dup_spans"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_dup_spans" -> (d11DupSpans _),
     "d01_dedup_exact" -> (d01DedupExact _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
@@ -672,6 +713,26 @@ object Dedup {
   }.mkString("\n  UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // d11: same 64/16 aligned windows, same 60-bit span hashes
+    "d11_dup_spans" ->
+      """WITH wins AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(length(text) - 64, 0) // 16 + 1),
+        |      i -> substring(text, i * 16 + 1, 64))) AS span
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(span), 1, 15)) AS BIGINT) AS h
+        |  FROM wins WHERE length(span) = 64),
+        |cross_doc AS (
+        |  SELECT h FROM f GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  CAST(COUNT(DISTINCT c.h) AS BIGINT) AS n_dup_spans
+        |FROM f LEFT JOIN cross_doc c USING (h)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "d04_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

@@ -228,4 +228,38 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_bench_hits") >= 1)
     }
   }
+
+  test("d11 dup spans: exact-duplicate docs are 100% span-duplicated, bounds hold") {
+    val rows = graft.operators.Dedup.d11DupSpans(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_windows") <= r.getAs[Long]("n_windows"))
+      assert(r.getAs[Long]("n_dup_spans") <= r.getAs[Long]("n_dup_windows"))
+    }
+    assert(rows.map(_.getAs[Long]("n_dup_windows")).sum > 0,
+      "testdata's near-dup docs share aligned spans; none detected")
+    // hash-independent ground truth: one flagged shared span must be a
+    // literal substring of BOTH docs' texts (no md5 in this path)
+    val shared = Tables(spark, sf, "documents")
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, greatest(0, length(text) - 64) div 16),
+          |  i -> substr(text, i * 16 + 1, 64))""".stripMargin)).as("span"))
+      .filter(length(col("span")) === 64)
+    val pair = shared.as("a")
+      .join(shared.as("b"), col("a.span") === col("b.span") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        col("a.span").as("span"))
+      .head()
+    val (ida, idb, span) =
+      (pair.getLong(0), pair.getLong(1), pair.getString(2))
+    val texts = Tables(spark, sf, "documents")
+      .filter(col("doc_id").isin(ida, idb))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(texts(ida).contains(span) && texts(idb).contains(span))
+    // and d11 must have counted both ends of that shared span
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(ida).getAs[Long]("n_dup_windows") > 0)
+    assert(byId(idb).getAs[Long]("n_dup_windows") > 0)
+  }
 }
