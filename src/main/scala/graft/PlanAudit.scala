@@ -25,7 +25,8 @@ object PlanAudit {
                   "p13_fuzzy_contamination", "a06_kmv_set_ops",
                   "s10_pq_codebook", "s11_pq_search", "q70_point_index",
                   "t11_bpe_merges", "q71_insert_overwrite",
-                  "t12_bpe_encode", "d11_dup_spans")) {
+                  "t12_bpe_encode", "d11_dup_spans",
+                  "p14_temperature_mix")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

@@ -271,6 +271,34 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** p14: TEMPERATURE-flattened domain mix (α = 0.5) — p10's fixed
+    * weights replaced by the standard pretraining recipe (GPT-3 /
+    * multilingual-T5 style): sampling weight ∝ n^α, so over-
+    * represented domains are damped and small domains up-weighted
+    * RELATIVELY, with rates derived FROM the data (acceptance ∝
+    * 1/√n, capped at 1). Two-pass cluster shape: one tiny count
+    * aggregate → broadcast rate table → map-side deterministic
+    * accept (p10's exactly-representable 32-bit-hash u < rate), so
+    * the 100 TB side is a single filter inside the scan. α enters
+    * only through `sqrt` (correctly rounded IEEE — bit-identical
+    * cross-engine, unlike a general `pow`).
+    */
+  def p14TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("accept_rate",
+        least(lit(1.0), lit(4.0) / sqrt(col("n_docs").cast("double"))))
+    val u = conv(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+    docs(spark, dir).select(col("source"), u.as("u"))
+      .join(broadcast(counts), Seq("source"))
+      .groupBy(col("source"), col("n_docs"), col("accept_rate"))
+      .agg(count(when(col("u") < col("accept_rate"), 1)).as("n_sampled"))
+      .withColumn("eff_rate",
+        col("n_sampled").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
   /** p11: deterministic global shuffle — the training-order shuffle, as
     * a distributed range sort on a salted md5 key (reproducible, no
     * single-partition window: ranks come from [[Rank.globalRowNumber]]'s
@@ -319,6 +347,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p12_chunk_documents" -> (p12ChunkDocuments _),
     "p10_domain_mix" -> (p10DomainMix _),
+    "p14_temperature_mix" -> (p14TemperatureMix _),
     "p11_global_shuffle" -> (p11GlobalShuffle _),
     "p09_repetition_filter" -> (p09RepetitionFilter _),
     "p08_corpus_filter" -> (p08CorpusFilter _),
@@ -371,6 +400,27 @@ object Pipeline {
         |  CAST(COUNT(CASE WHEN u < w THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS eff_rate
         |FROM mixed GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    // p14: same u idiom as p10; rate = min(1, 4/√n) recomputed from
+    // the same counts — sqrt is correctly-rounded IEEE in both engines
+    "p14_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, n_docs,
+        |    least(1.0, 4.0 / sqrt(CAST(n_docs AS DOUBLE))) AS accept_rate
+        |  FROM c),
+        |h AS (
+        |  SELECT source,
+        |    (('0x' || substr(md5('temp:' || doc_id), 1, 8))::BIGINT)::DOUBLE
+        |      / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT r.source, r.n_docs, r.accept_rate,
+        |  COUNT(CASE WHEN h.u < r.accept_rate THEN 1 END) AS n_sampled,
+        |  CAST(COUNT(CASE WHEN h.u < r.accept_rate THEN 1 END) AS DOUBLE)
+        |    / CAST(r.n_docs AS DOUBLE) AS eff_rate
+        |FROM h JOIN r USING (source)
+        |GROUP BY r.source, r.n_docs, r.accept_rate
+        |ORDER BY r.source""".stripMargin,
     "p11_global_shuffle" ->
       """SELECT ROW_NUMBER() OVER (ORDER BY md5('shuffle:' || doc_id), doc_id)
         |    AS shuffle_rank,

@@ -86,4 +86,30 @@ class PipelineSpec extends AnyFunSuite {
         s"$name contains a UDF")
     }
   }
+
+  test("p14 temperature mix flattens the domain distribution (alpha = 0.5)") {
+    val rows = graft.operators.Pipeline.p14TemperatureMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k, rate) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sampled"),
+        r.getAs[Double]("accept_rate"))
+      assert(k <= n && rate > 0.0 && rate <= 1.0)
+      if (rate == 1.0) assert(k == n, "rate-1 source must be fully kept")
+      // deterministic-hash acceptance tracks the rate (binomial bound)
+      val tol = 4.0 * math.sqrt(rate * (1 - rate) / n) + 1.0 / n
+      assert(math.abs(k.toDouble / n - rate) <= tol,
+        s"${r.getAs[String]("source")}: eff ${k.toDouble / n} vs rate $rate")
+    }
+    // flattening: between damped sources, sampled sizes shrink the gap
+    val damped = rows.filter(_.getAs[Double]("accept_rate") < 1.0)
+      .sortBy(_.getAs[Long]("n_docs"))
+    if (damped.length >= 2) {
+      val (small, big) = (damped.head, damped.last)
+      val rawRatio = big.getAs[Long]("n_docs").toDouble / small.getAs[Long]("n_docs")
+      val sampledRatio =
+        big.getAs[Long]("n_sampled").toDouble / small.getAs[Long]("n_sampled")
+      assert(sampledRatio < rawRatio,
+        s"no flattening: sampled $sampledRatio vs raw $rawRatio")
+    }
+  }
 }
