@@ -544,7 +544,54 @@ object Warehouse {
       .orderBy(col("o_month"))
   }
 
+  /** q72: per-file BLOOM-index point lookup on a NON-clustered column
+    * — the FIFTH pruning leg, covering the case the other four
+    * structurally can't: the table is laid out by time (the natural
+    * ingest order), the point query is on `o_custkey`, and every
+    * file's custkey [min,max] spans essentially the whole key space
+    * (spec-measured) — q67-style range stats prune NOTHING here. A
+    * customer's orders live in only the files of the periods they
+    * ordered in; the per-file bloom knows which, at m bits per file
+    * regardless of key cardinality (where q70's exact key→file map
+    * grows with distinct keys). A false positive costs one wasted
+    * file scan, never a wrong row — the exact predicate rides as a
+    * residual and the oracle checks the rows; `bloom_pruned` gates
+    * that skipping actually happened.
+    */
+  def q72BloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val p = tempDir("graft-bloomland")
+    val idx = s"$p-index"
+    // time-clustered landing: the layout a streaming/CDC ingest leaves
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .repartitionByRange(32, col("o_orderdate"), col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(p)
+    Sources.buildBloomIndex(spark, p, "o_custkey", idx, mBits = 65536)
+    val orders = Tables(spark, dir, "orders")
+    val byCount = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val top3 = byCount
+      .orderBy(col("n").desc, col("o_custkey")).limit(3)
+      .select(col("o_custkey"))
+    val rare2 = byCount
+      .orderBy(col("n").asc, col("o_custkey")).limit(2)
+      .select(col("o_custkey"))
+    val probes = top3.unionByName(rare2)
+    val keys = probes.collect().map(_.getLong(0)).toSeq // 5 probe keys
+    val sk = Sources.lookupByBloom(spark, p, idx, "o_custkey", keys, mBits = 65536)
+    probes.join(
+        sk.df.filter(col("o_custkey").isin(keys: _*)), Seq("o_custkey"), "left")
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("bloom_pruned", lit(sk.selected < sk.total))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_bloom_skipping" -> (q72BloomSkipping _),
     "q51_partitioned_scan" -> (q51PartitionedScan _),
     "q66_incremental_agg" -> (q66IncrementalAgg _),
     "q67_file_skipping" -> (q67FileSkipping _),
@@ -577,6 +624,23 @@ object Warehouse {
         |    TRUE
         |  FROM lineitem WHERE l_partkey BETWEEN 100 AND 199)
         |ORDER BY dim""".stripMargin,
+    // q72: the probed rows must be exact despite file skipping;
+    // bloom_pruned=TRUE asserts pruning actually happened
+    "q72_bloom_skipping" ->
+      """WITH top3 AS (
+        |  SELECT o_custkey FROM orders GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, o_custkey LIMIT 3),
+        |rare2 AS (
+        |  SELECT o_custkey FROM orders GROUP BY 1
+        |  ORDER BY COUNT(*) ASC, o_custkey LIMIT 2),
+        |probes AS (SELECT * FROM top3 UNION ALL SELECT * FROM rare2)
+        |SELECT p.o_custkey,
+        |  COUNT(o.o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  TRUE AS bloom_pruned
+        |FROM probes p LEFT JOIN orders o ON p.o_custkey = o.o_custkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q71: the swapped month must carry the correction, neighbors must
     // be bit-identical to the original landing
     "q71_insert_overwrite" ->

@@ -237,6 +237,67 @@ object Sources {
     * predicate at lookup time. Index size ∝ Σ per-file distinct keys
     * — rows, not data.
     */
+  /** Per-file BLOOM index: m-bit filter with k=2 hash functions (two
+    * 32-bit slices of one md5), stored as each file's sorted
+    * occupied-bit array. Index size is O(files × min(2·keys, m))
+    * ints — INDEPENDENT of key cardinality, which is exactly where
+    * [[buildPointIndex]]'s exact key→file map stops scaling (a 100 TB
+    * table with billions of distinct keys gets a billions-row index;
+    * the bloom stays at m bits per file, at the price of a tunable
+    * false-positive rate — a fp costs one wasted file scan, never a
+    * wrong result: callers still apply the exact residual predicate).
+    */
+  def buildBloomIndex(spark: SparkSession, path: String, keyCol: String,
+      indexPath: String, mBits: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val m = lit(mBits.toLong)
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        md5(col(keyCol).cast("string").cast("binary")).as("h"))
+      .select(col("file"), explode(array(
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long") % m,
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long") % m)).as("bit"))
+      .groupBy(col("file"))
+      // bounded: ≤ min(2·distinct keys, mBits) elements per file
+      .agg(sort_array(collect_set(col("bit"))).as("bits"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(indexPath)
+  }
+
+  /** Point lookup through the bloom index: a file is a candidate for
+    * key k iff BOTH of k's bit positions are set in its filter; read
+    * only candidate files, exact predicate applied by the caller as a
+    * residual (same contract as [[readSkipping]]).
+    */
+  def lookupByBloom(spark: SparkSession, path: String, indexPath: String,
+      keyCol: String, keys: Seq[Long], mBits: Int): Skipped = {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    // the probe bit pairs — |keys| of them, computed with the same
+    // md5-slice family the index was built with
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val probeBits = keys.map { k =>
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % mBits,
+        java.lang.Long.parseLong(hex.substring(8, 16), 16) % mBits)
+    }
+    val cond = probeBits.map { case (b1, b2) =>
+      array_contains(col("bits"), b1) && array_contains(col("bits"), b2)
+    }.reduce(_ || _)
+    val files = spark.read.parquet(indexPath)
+      .filter(cond).select(col("file")).distinct()
+      .collect().map(_.getString(0)) // bounded by the candidate files
+    val listing = java.nio.file.Files.list(
+      java.nio.file.Paths.get(path.stripPrefix("file:")))
+    val total =
+      try listing.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally listing.close()
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files.toSeq: _*)
+    Skipped(df, files.length, total)
+  }
+
   def buildPointIndex(spark: SparkSession, path: String, keyCol: String,
       indexPath: String): Unit = {
     import org.apache.spark.sql.functions._

@@ -302,6 +302,40 @@ class WarehouseSpec extends AnyFunSuite {
       "partition swap changed the row count")
   }
 
+  test("q72 bloom prunes a non-clustered column where min/max stats cannot") {
+    import graft.sources.Sources
+    val p = graft.TempDirs.scratch("graft-bloomspec")
+    val idx = s"$p-index"
+    val orders = Tables(spark, sf, "orders")
+    // the time-clustered layout q72 lands (custkey NOT clustered)
+    orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .repartitionByRange(32, col("o_orderdate"), col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(p)
+    Sources.buildBloomIndex(spark, p, "o_custkey", idx, mBits = 65536)
+    // the rarest customer: few orders → few files actually hold it
+    val rare = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").asc, col("o_custkey")).limit(1)
+      .head().getLong(0)
+    // min/max on the un-clustered custkey is useless: (almost) every
+    // file's [min,max] contains the probe key
+    val perFile = spark.read.parquet(p)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_custkey")).as("lo"), max(col("o_custkey")).as("hi"))
+      .collect()
+    val rangePositive = perFile.count(r =>
+      r.getAs[Long]("lo") <= rare && rare <= r.getAs[Long]("hi"))
+    val bloom = Sources.lookupByBloom(spark, p, idx, "o_custkey", Seq(rare), 65536)
+    assert(rangePositive > bloom.selected,
+      s"bloom (${bloom.selected} files) should beat custkey ranges ($rangePositive)")
+    assert(bloom.selected < bloom.total, "bloom pruned nothing")
+    // and no false negatives: candidates hold every row of the key
+    val exact = orders.filter(col("o_custkey") === rare).count()
+    assert(bloom.df.filter(col("o_custkey") === rare).count() == exact,
+      "bloom candidates lost rows of a present key")
+  }
+
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
     import spark.implicits._
     import graft.operators.Ivm
