@@ -26,7 +26,8 @@ object PlanAudit {
                   "s10_pq_codebook", "s11_pq_search", "q70_point_index",
                   "t11_bpe_merges", "q71_insert_overwrite",
                   "t12_bpe_encode", "d11_dup_spans",
-                  "p14_temperature_mix", "q72_bloom_skipping")) {
+                  "p14_temperature_mix", "q72_bloom_skipping",
+                  "q73_unpivot", "q74_gap_fill")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

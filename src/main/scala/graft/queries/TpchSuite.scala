@@ -498,8 +498,65 @@ object TpchSuite {
       .orderBy(asc_nulls_first("pr"))
   }
 
+  /** q73: UNPIVOT (wide → long), the inverse of q14's pivot — melts
+    * lineitem's three monetary columns into `(measure, value)` rows
+    * and aggregates per (returnflag, measure). Spark's `unpivot`
+    * plans ONE scan with an Expand node emitting 3 rows per input
+    * row map-side — at 100 TB that's the difference vs the naive
+    * 3× `UNION ALL` re-scan of the fact table (which is exactly how
+    * the oracle states the semantics).
+    */
+  def q73Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
+    li.unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value"), 4).as("total"))
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  /** q74: calendar-spine GAP FILL + LOCF — the time-series
+    * normalization every forecast/report pipeline needs: a generated
+    * date spine × the priority dims LEFT-joins the day-grain
+    * aggregate, so days with no orders surface as explicit rows
+    * (n_orders = 0) and the last-observation-carried-forward window
+    * fills their revenue. The scale shape: the DATA side is one
+    * day-grain aggregate (shuffle ∝ #days×#groups, tiny), the spine
+    * is generated (no I/O), and the LOCF window runs over the SPINE
+    * — bounded by calendar size × groups, never by fact rows.
+    */
+  def q74GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val (lo, hi) = ("1995-03-01", "1995-03-31")
+    val o = t(spark, dir, "orders")
+      .filter(to_date(col("o_orderdate")).between(lo, hi))
+    val daily = o.groupBy(col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("order_date"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+    val spine = o.select(col("o_orderpriority")).distinct()
+      .crossJoin(spark.range(1).select(explode(expr(
+        s"sequence(to_date('$lo'), to_date('$hi'), interval 1 day)"))
+        .as("order_date")))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("order_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("o_orderpriority", "order_date"), "left")
+      .select(col("o_orderpriority"), col("order_date"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        col("rev").as("day_revenue"),
+        last(col("rev"), ignoreNulls = true).over(w).as("locf_revenue"))
+      .orderBy(col("o_orderpriority"), col("order_date"))
+  }
+
   /** Driver-contract registration: query name → runner. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_unpivot" -> (q73Unpivot _),
+    "q74_gap_fill" -> (q74GapFill _),
     "q47_null_semantics" -> (q47NullSemantics _),
     "q49_salted_join" -> (q49SaltedJoin _),
     "q46_range_window" -> (q46RangeWindow _),
@@ -527,6 +584,46 @@ object TpchSuite {
 
   /** DuckDB-dialect oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    // q73: the semantics stated the naive way — 3 UNION ALL scans
+    // (the engine plans ONE scan + Expand; results must agree)
+    "q73_unpivot" ->
+      """WITH long AS (
+        |  SELECT l_returnflag, 'l_extendedprice' AS measure,
+        |    l_extendedprice AS value FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, measure,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM long
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // q74: generated date spine × dims, LEFT JOIN day aggregate,
+    // IGNORE NULLS LOCF window — gaps must surface with n_orders=0
+    "q74_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS order_date,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE)
+        |    BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT DISTINCT d.o_orderpriority, s.order_date
+        |  FROM daily d CROSS JOIN (
+        |    SELECT unnest(generate_series(DATE '1995-03-01',
+        |      DATE '1995-03-31', INTERVAL 1 DAY))::DATE AS order_date) s)
+        |SELECT sp.o_orderpriority, sp.order_date,
+        |  COALESCE(dl.n, 0) AS n_orders,
+        |  dl.rev AS day_revenue,
+        |  last_value(dl.rev IGNORE NULLS) OVER (
+        |    PARTITION BY sp.o_orderpriority ORDER BY sp.order_date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_revenue
+        |FROM spine sp LEFT JOIN daily dl
+        |  ON sp.o_orderpriority = dl.o_orderpriority
+        |  AND sp.order_date = dl.order_date
+        |ORDER BY 1, 2""".stripMargin,
     // q49: the oracle is the UNSALTED join — salting must be
     // result-invariant, so any salt-induced row loss/duplication
     // hash-mismatches here.

@@ -52,6 +52,15 @@ class SqlParitySpec extends AnyFunSuite {
       .replace(
         "array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')",
         "array_join(array_sort(collect_set(o_orderstatus)), ',')")),
+    // DuckDB's series generator + in-call IGNORE NULLS → Spark's
+    // sequence/explode + postfix IGNORE NULLS
+    "q74_gap_fill" -> (sql => sql
+      .replace(
+        "unnest(generate_series(DATE '1995-03-01',\n      DATE '1995-03-31', INTERVAL 1 DAY))::DATE AS order_date",
+        "explode(sequence(DATE '1995-03-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS order_date")
+      .replace(
+        "last_value(dl.rev IGNORE NULLS) OVER (",
+        "last_value(dl.rev) IGNORE NULLS OVER (")),
     // DuckDB's ASOF LEFT JOIN syntax, rewritten as the equivalent
     // ranked left join (greatest v_ts <= ts, tie-broken by v_event_id)
     "q23_asof_exec" -> (_ =>

@@ -115,4 +115,35 @@ class TpchSuiteSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("q73 unpivot plans ONE lineitem scan via Expand, not a 3-scan union") {
+    val plan = TpchSuite.q73Unpivot(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "unpivot should plan an Expand node")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single fact scan, found $scans")
+  }
+
+  test("q74 gap fill surfaces zero-order days and LOCF carries the last value") {
+    val rows = TpchSuite.q74GapFill(spark, sf).collect()
+    // full spine: every (priority, day) cell of March 1995 is present
+    val prios = rows.map(_.getAs[String]("o_orderpriority")).distinct
+    assert(rows.length == prios.length * 31, "spine is not dense")
+    val gaps = rows.filter(_.getAs[Long]("n_orders") == 0)
+    assert(gaps.nonEmpty, "sf0.001 March should have day-priority gaps")
+    gaps.foreach(g => assert(g.isNullAt(g.fieldIndex("day_revenue"))))
+    // LOCF: within each priority, a gap day's locf equals the most
+    // recent non-gap day's revenue (null if no prior observation)
+    rows.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("order_date").toString)
+      var lastSeen: Option[Double] = None
+      sorted.foreach { r =>
+        if (!r.isNullAt(r.fieldIndex("day_revenue")))
+          lastSeen = Some(r.getAs[Double]("day_revenue"))
+        val locf = if (r.isNullAt(r.fieldIndex("locf_revenue"))) None
+          else Some(r.getAs[Double]("locf_revenue"))
+        assert(locf == lastSeen, "LOCF diverged from last observation")
+      }
+    }
+  }
 }
