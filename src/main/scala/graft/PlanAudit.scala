@@ -27,7 +27,8 @@ object PlanAudit {
                   "t11_bpe_merges", "q71_insert_overwrite",
                   "t12_bpe_encode", "d11_dup_spans",
                   "p14_temperature_mix", "q72_bloom_skipping",
-                  "q73_unpivot", "q74_gap_fill")) {
+                  "q73_unpivot", "q74_gap_fill",
+                  "q75_percentile_suite")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

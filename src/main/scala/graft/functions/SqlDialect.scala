@@ -33,6 +33,15 @@ object SqlDialect {
       case other => throw badArgs("epoch_us", 1, other)
     }
 
+    // quantile_cont(col, p) = percentile (both: linear interpolation
+    // at p·(n−1))
+    install("quantile_cont") {
+      case Seq(c, p) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(c, p)
+          .toAggregateExpression()
+      case other => throw badArgs("quantile_cont", 2, other)
+    }
+
     // json_extract_string(json, path) = get_json_object
     install("json_extract_string") {
       case Seq(json, path) => GetJsonObject(json, path)

@@ -553,10 +553,47 @@ object TpchSuite {
       .orderBy(col("o_orderpriority"), col("order_date"))
   }
 
+  /** q75: ordered-set aggregates — EXACT distributed percentiles
+    * (p25/p50/p75 of extended price, linear interpolation at
+    * p·(n−1), the definition both engines share) and the MODE of
+    * quantity stated deterministically (smallest most-frequent value
+    * — a bare `mode()` is tie-arbitrary in Spark, so it's computed
+    * as a count + rank composition both engines agree on). Exact
+    * percentiles are sort-based per group — at 100 TB that's a
+    * per-group sort the plan distributes by the group key; results
+    * rounded to 2 dp so the gate sits on the money grain, not the
+    * last interpolation ulp.
+    */
+  def q75PercentileSuite(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    // cents-grain HALF_UP spelled as floor(x·100 + 0.5)/100: both
+    // engines run the IDENTICAL double ops, so a percentile landing
+    // exactly on a half-cent can't split on rounding-rule trivia
+    // (round() did: Spark HALF_UP vs DuckDB half-even diverge there)
+    def cents(c: Column): Column = floor(c * lit(100) + lit(0.5)) / lit(100.0)
+    val pct = li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        cents(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+        cents(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        cents(expr("percentile(l_extendedprice, 0.75)")).as("p75"))
+    val modal = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("c").desc, col("l_quantity").asc)))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("modal_quantity"),
+        col("c").as("modal_count"))
+    pct.join(modal, Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Driver-contract registration: query name → runner. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_unpivot" -> (q73Unpivot _),
     "q74_gap_fill" -> (q74GapFill _),
+    "q75_percentile_suite" -> (q75PercentileSuite _),
     "q47_null_semantics" -> (q47NullSemantics _),
     "q49_salted_join" -> (q49SaltedJoin _),
     "q46_range_window" -> (q46RangeWindow _),
@@ -624,6 +661,31 @@ object TpchSuite {
         |  ON sp.o_orderpriority = dl.o_orderpriority
         |  AND sp.order_date = dl.order_date
         |ORDER BY 1, 2""".stripMargin,
+    // q75: quantile_cont shares percentile's p·(n−1) linear
+    // interpolation; the mode is the deterministic count+rank form
+    "q75_percentile_suite" ->
+      """WITH pct AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    CAST(floor(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) / 100.0
+        |      AS DOUBLE) AS p25,
+        |    CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100.0
+        |      AS DOUBLE) AS p50,
+        |    CAST(floor(quantile_cont(l_extendedprice, 0.75) * 100 + 0.5) / 100.0
+        |      AS DOUBLE) AS p75
+        |  FROM lineitem GROUP BY 1),
+        |modal AS (
+        |  SELECT l_returnflag, l_quantity AS modal_quantity, c AS modal_count
+        |  FROM (
+        |    SELECT l_returnflag, l_quantity, COUNT(*) AS c,
+        |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |        ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+        |    FROM lineitem GROUP BY 1, 2)
+        |  WHERE rn = 1)
+        |SELECT p.l_returnflag, p.n, p.p25, p.p50, p.p75,
+        |  m.modal_quantity, m.modal_count
+        |FROM pct p JOIN modal m ON p.l_returnflag = m.l_returnflag
+        |ORDER BY p.l_returnflag""".stripMargin,
     // q49: the oracle is the UNSALTED join — salting must be
     // result-invariant, so any salt-induced row loss/duplication
     // hash-mismatches here.

@@ -116,6 +116,27 @@ class TpchSuiteSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("q75 percentiles are ordered and the mode is the deterministic argmax") {
+    val rows = TpchSuite.q75PercentileSuite(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p25") <= r.getAs[Double]("p50") &&
+        r.getAs[Double]("p50") <= r.getAs[Double]("p75"))
+    }
+    // modal_quantity must be the SMALLEST value achieving the max count
+    val li = Tables(spark, sf, "lineitem")
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val counts = li.filter(col("l_returnflag") === flag)
+        .groupBy(col("l_quantity")).count()
+        .collect().map(x => (x.getAs[Double]("l_quantity"), x.getAs[Long]("count")))
+      val maxC = counts.map(_._2).max
+      assert(r.getAs[Long]("modal_count") == maxC)
+      assert(r.getAs[Double]("modal_quantity") ==
+        counts.filter(_._2 == maxC).map(_._1).min)
+    }
+  }
+
   test("q73 unpivot plans ONE lineitem scan via Expand, not a 3-scan union") {
     val plan = TpchSuite.q73Unpivot(spark, sf)
       .queryExecution.executedPlan.toString
