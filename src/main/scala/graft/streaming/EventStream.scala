@@ -747,6 +747,89 @@ object EventStream {
       .orderBy(col("event_type"))
   }
 
+  /** st14: in-stream VALIDATION with a DEAD-LETTER QUEUE — the fault
+    * isolation every production ingest needs: a malformed record must
+    * neither kill the stream nor silently vanish. The landed topic
+    * carries two deterministic corruption classes (truncated JSON →
+    * unparseable; envelope missing the key field → missing_key); each
+    * micro-batch splits on parse+validate and appends the typed rows
+    * to the main table and the rejects (reason + raw payload,
+    * replayable) to the DLQ table — BOTH through `Snapshots.mergeWith`
+    * idempotent batch tags, so replays double-commit neither side and
+    * valid ∪ dlq == topic exactly. Gate: per-type valid counts +
+    * per-reason DLQ counts; the oracle classifies the raw table by
+    * the same rules.
+    */
+  def st14DeadLetter(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
+    val envSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts_us", LongType)))
+    val ev = graft.Tables(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val good = to_json(struct(col("user_id"), col("event_id"), col("event_type"),
+      col("value"), col("ts_us")))
+    val noKey = to_json(struct(col("event_id"), col("event_type"),
+      col("value"), col("ts_us")))
+    val payload =
+      when(col("event_id") % 13 === 0, substring(good, 1, 10)) // truncated JSON
+        .when(col("event_id") % 17 === 0, noKey)               // key field gone
+        .otherwise(good)
+    val topic = graft.TempDirs.scratch("graft-st14-topic")
+    ev.select(payload.as("payload")).repartition(16)
+      .write.mode("overwrite").parquet(topic)
+
+    val mainT = s"${graft.TempDirs.scratch("graft-st14-tbl")}/events_valid"
+    val dlqT = s"${graft.TempDirs.scratch("graft-st14-dlq")}/events_dlq"
+    graft.sources.Snapshots.commit(
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        envSchema), mainT)
+    graft.sources.Snapshots.commit(
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("reason", StringType),
+          StructField("payload", StringType)))), dlqT)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("payload", StringType))))
+      .option("maxFilesPerTrigger", "4")
+      .parquet(topic)
+    val q = stream.writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st14-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val parsed = batch
+          .withColumn("env", from_json(col("payload"), envSchema))
+          // from_json yields an all-NULL struct (not NULL) on garbage:
+          // unparseable = no field survived; missing_key = key absent
+          .withColumn("unparseable",
+            col("env.event_id").isNull && col("env.user_id").isNull &&
+              col("env.event_type").isNull)
+          .withColumn("invalid", col("unparseable") || col("env.user_id").isNull)
+        graft.sources.Snapshots.mergeWith(batch.sparkSession, mainT,
+          parsed.filter(!col("invalid")).select(col("env.*")),
+          tag = Some(s"valid-batch=$id")) { (mat, b) => mat.unionByName(b) }
+        graft.sources.Snapshots.mergeWith(batch.sparkSession, dlqT,
+          parsed.filter(col("invalid")).select(
+            when(col("unparseable"), "unparseable").otherwise("missing_key")
+              .as("reason"),
+            col("payload")),
+          tag = Some(s"dlq-batch=$id")) { (mat, b) => mat.unionByName(b) }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val valid = graft.sources.Snapshots.read(spark, mainT)
+      .groupBy(col("event_type").as("label")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("valid"))
+    val dlq = graft.sources.Snapshots.read(spark, dlqT)
+      .groupBy(col("reason").as("label")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("dlq"))
+    valid.unionByName(dlq)
+      .select(col("kind"), col("label"), col("n"))
+      .orderBy(col("kind"), col("label"))
+  }
+
   /** st11: stream-stream LEFT OUTER interval join — st05's missing
     * half: purchases with NO preceding view must still emit, null-
     * padded. This is the outer-join eviction contract: an unmatched
@@ -867,7 +950,8 @@ object EventStream {
     "st10_streaming_ivm" -> (st10StreamingIvm _),
     "st11_stream_left_join" -> (st11StreamLeftJoin _),
     "st12_append_windows" -> (st12AppendWindows _),
-    "st13_streaming_sketch" -> (st13StreamingSketch _)
+    "st13_streaming_sketch" -> (st13StreamingSketch _),
+    "st14_dead_letter" -> (st14DeadLetter _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
@@ -1011,6 +1095,22 @@ object EventStream {
         |WHERE w_end <= (SELECT max_ts FROM mx) - INTERVAL '1 hour'
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 3""".stripMargin,
+    // st14: the oracle classifies the raw table by the same two
+    // corruption rules; valid ∪ dlq must partition it exactly
+    "st14_dead_letter" ->
+      """WITH cls AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN 'unparseable'
+        |         WHEN event_id % 17 = 0 THEN 'missing_key'
+        |         ELSE NULL END AS reason
+        |  FROM events)
+        |SELECT kind, label, n FROM (
+        |  SELECT 'valid' AS kind, event_type AS label, COUNT(*) AS n
+        |  FROM cls WHERE reason IS NULL GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'dlq', reason, COUNT(*) FROM cls
+        |  WHERE reason IS NOT NULL GROUP BY 2)
+        |ORDER BY kind, label""".stripMargin,
     // st13: the maintained KMV sketch is bit-identical to a single-pass
     // sketch of the whole table (KMV union property), so the estimator
     // itself is exactly oracled; 5 versions = seed + ceil(16/4) merges

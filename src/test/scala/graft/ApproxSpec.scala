@@ -179,6 +179,18 @@ class ApproxSpec extends AnyFunSuite {
     assert(streamed == onePass, "incremental sketch diverged from single-pass sketch")
   }
 
+  test("st14 valid + dead-letter rows partition the topic exactly") {
+    val rows = EventStream.st14DeadLetter(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables(spark, sf, "events").count(),
+      "valid ∪ dlq must cover every landed record exactly once")
+    val reasons = rows.filter(_.getAs[String]("kind") == "dlq")
+      .map(_.getAs[String]("label")).toSet
+    assert(reasons == Set("unparseable", "missing_key"),
+      s"unexpected DLQ reasons: $reasons")
+    assert(rows.exists(_.getAs[String]("kind") == "valid"))
+  }
+
   test("st11 left-outer join emits null-padded unmatched purchases exactly") {
     val rows = EventStream.st11StreamLeftJoin(spark, sf).collect()
     val unmatched = rows.map(_.getAs[Long]("n_unmatched_purchases")).sum
