@@ -155,14 +155,60 @@ object Multimodal {
       .orderBy(col("content_md5"))
   }
 
+  /** m05: WebDataset-style SHARD MANIFEST — the layout step that
+    * turns a sample collection into sequential fixed-budget media
+    * shards (the tar-shard convention GPU data loaders stream):
+    * samples in a canonical total order, each assigned to the shard
+    * holding its cumulative-byte position. The cumulative sum is
+    * [[Rank.globalRunningSum]] — `sum() OVER (ORDER BY …)` would plan
+    * a SINGLE-PARTITION window (every payload byte through one task);
+    * the distributed form is two jobs over one shuffle: per-partition
+    * byte totals (one (Int, Long) each) → driver prefix offsets →
+    * map-side accumulation. Shards come out contiguous in sample
+    * order with bytes ≤ budget + one payload (spec-pinned).
+    */
+  def m05ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 64L * 1024 // 64 KiB shards at test scale
+    val samples = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+    Rank.globalRunningSum(samples, Seq(col("doc_id")), col("n_bytes"), "cum_bytes")
+      .withColumn("shard_id", ((col("cum_bytes") - 1L) / budget).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("utilization",
+        col("shard_bytes").cast("double") / lit(budget.toDouble))
+      .orderBy(col("shard_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_resize_features" -> (m03ResizeFeatures _),
-    "m04_media_dedup" -> (m04MediaDedup _)
+    "m04_media_dedup" -> (m04MediaDedup _),
+    "m05_shard_manifest" -> (m05ShardManifest _)
   )
 
   val oracles: Map[String, String] = Map(
+    // m05: the oracle states the semantics as the naive global window
+    // (fine at oracle scale; the engine runs the distributed form)
+    "m05_shard_manifest" ->
+      """WITH s AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |    SUM(octet_length(encode(text))) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+        |  FROM documents)
+        |SELECT (cum_bytes - 1) // 65536 AS shard_id,
+        |  COUNT(*) AS n_samples,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_doc,
+        |  MAX(doc_id) AS last_doc,
+        |  CAST(SUM(n_bytes) AS DOUBLE) / 65536.0 AS utilization
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "m04_media_dedup" ->
       """WITH all_media AS (
         |  SELECT doc_id, text FROM documents

@@ -61,6 +61,44 @@ object Rank {
       sorted.schema.add(rankCol, LongType, nullable = false))
   }
 
+  /** Global RUNNING SUM over a total order — `sum(v) OVER (ORDER BY
+    * …)` without the single-partition window it would otherwise plan
+    * as: the same two-job shuffle-reuse design as [[globalRowNumber]]
+    * (per-partition value totals → driver prefix offsets, one (Int,
+    * Long) per partition → map-side accumulation). `value` must be
+    * non-null (coalesce upstream); the order must be total.
+    */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+      sumCol: String = "running_sum"): DataFrame = {
+    require(!df.columns.contains(sumCol),
+      s"sum column '$sumCol' collides with an input column - pass a different name")
+    val spark = df.sparkSession
+    val tmp = "__graft_rs_v"
+    val sorted = df.withColumn(tmp, value.cast("long"))
+      .repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val rdd = sorted.queryExecution.toRdd
+    val vIdx = sorted.schema.fieldIndex(tmp)
+    val sums = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator(i -> {
+        var s = 0L; while (it.hasNext) { s += it.next().getLong(vIdx) }; s
+      }))
+      .collect().toMap // one (Int, Long) per partition — tiny
+    val offsets = new Array[Long](rdd.getNumPartitions)
+    var acc = 0L
+    offsets.indices.foreach { i => offsets(i) = acc; acc += sums.getOrElse(i, 0L) }
+    val summed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = offsets(i)
+      val joined = new JoinedRow
+      it.map { row =>
+        s += row.getLong(vIdx)
+        joined(row, new GenericInternalRow(Array[Any](s))): InternalRow
+      }
+    }
+    GraftShims.internalCreateDataFrame(spark, summed,
+        sorted.schema.add(sumCol, LongType, nullable = false))
+      .drop(tmp)
+  }
+
   /** Global RANK() (ties share the smallest position) distributed:
     * row_number over a totalized order, then min-per-value-group — a
     * value-partitioned window, never a single-partition move. `values`

@@ -225,6 +225,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("pair")).distinct.length == 3)
   }
 
+  test("globalRunningSum matches the naive global window; m05 shards are contiguous") {
+    import graft.operators.Rank
+    val d = Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("v"))
+    val dist = Rank.globalRunningSum(d, Seq(col("doc_id")), col("v"), "cs")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cs"))).toMap
+    val naive = d.withColumn("cs", sum(col("v")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+          .rowsBetween(Long.MinValue, 0)))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cs"))).toMap
+    assert(dist == naive, "distributed prefix sum diverged from the window")
+
+    val shards = graft.operators.Multimodal.m05ShardManifest(spark, sf)
+      .orderBy(col("shard_id")).collect()
+    assert(shards.nonEmpty)
+    val maxPayload = d.agg(max(col("v"))).head().getLong(0)
+    shards.foreach(s => assert(s.getAs[Long]("shard_bytes") <= 65536L + maxPayload,
+      s"shard ${s.getAs[Long]("shard_id")} overflows budget + one payload"))
+    // contiguous sample ranges: shard k ends before shard k+1 begins
+    shards.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      case _ => ()
+    }
+  }
+
   test("t12 BPE encode: words <= tokens <= chars per doc, corpus strictly compressed") {
     val rows = graft.operators.TextAnalysis.t12BpeEncode(spark, sf).collect()
     assert(rows.nonEmpty)
