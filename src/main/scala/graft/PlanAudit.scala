@@ -28,7 +28,8 @@ object PlanAudit {
                   "t12_bpe_encode", "d11_dup_spans",
                   "p14_temperature_mix", "q72_bloom_skipping",
                   "q73_unpivot", "q74_gap_fill",
-                  "q75_percentile_suite", "m05_shard_manifest")) {
+                  "q75_percentile_suite", "m05_shard_manifest",
+                  "q76_purge")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

@@ -590,7 +590,44 @@ object Warehouse {
       .orderBy(col("o_custkey"))
   }
 
+  /** q76: history PURGE — the right-to-be-forgotten vs TIME TRAVEL
+    * ([[graft.sources.Snapshots.purge]]): a three-version store keeps
+    * full history (q61/q55's surface), then the busiest customer's
+    * rows are purged from EVERY version in place — ids, tags and
+    * commit times survive, time-travel reads still resolve, but no
+    * version can reproduce the subject (`n_subject` must gate to 0).
+    * This is the operation plain retention cannot express: expire
+    * drops whole snapshots; purge removes one subject from all of
+    * them. Oracle: each version's definition recomputed from the raw
+    * table MINUS the same subject (derived identically in SQL).
+    */
+  def q76Purge(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"${tempDir("graft-purge")}/orders_h"
+    val stg = Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      to_date(col("o_orderdate")).as("order_date"))
+    graft.sources.Snapshots.commit(stg.filter(col("order_date") < "1996-01-01"), t)
+    graft.sources.Snapshots.commit(stg.filter(col("order_date") < "1998-01-01"), t)
+    graft.sources.Snapshots.commit(stg, t)
+    val subject = stg.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_custkey")).limit(1)
+      .head().getLong(0)
+    graft.sources.Snapshots.purge(spark, t, col("o_custkey") === subject)
+    val vs = graft.sources.Snapshots.versions(t).sorted
+    vs.zipWithIndex.map { case (v, i) =>
+      graft.sources.Snapshots.read(spark, t, v)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("o_custkey") === subject, 1)).as("n_subject"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("version_idx", lit((i + 1).toLong))
+    }.reduce(_ unionByName _)
+      .select(col("version_idx"), col("n_rows"), col("n_subject"), col("revenue"))
+      .orderBy(col("version_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_purge" -> (q76Purge _),
     "q72_bloom_skipping" -> (q72BloomSkipping _),
     "q51_partitioned_scan" -> (q51PartitionedScan _),
     "q66_incremental_agg" -> (q66IncrementalAgg _),
@@ -624,6 +661,28 @@ object Warehouse {
         |    TRUE
         |  FROM lineitem WHERE l_partkey BETWEEN 100 AND 199)
         |ORDER BY dim""".stripMargin,
+    // q76: each version's definition minus the purged subject; the
+    // engine must report n_subject = 0 from the REWRITTEN history
+    "q76_purge" ->
+      """WITH subject AS (
+        |  SELECT o_custkey FROM orders GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, o_custkey LIMIT 1),
+        |defs AS (
+        |  SELECT 1 AS version_idx, o_custkey, o_totalprice FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+        |  UNION ALL
+        |  SELECT 2, o_custkey, o_totalprice FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  UNION ALL
+        |  SELECT 3, o_custkey, o_totalprice FROM orders)
+        |SELECT CAST(version_idx AS BIGINT) AS version_idx,
+        |  COUNT(*) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_subject,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM defs
+        |WHERE o_custkey != (SELECT o_custkey FROM subject)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q72: the probed rows must be exact despite file skipping;
     // bloom_pruned=TRUE asserts pruning actually happened
     "q72_bloom_skipping" ->

@@ -398,6 +398,39 @@ object Snapshots {
     * Readers mid-scan on an expired version can fail — same contract
     * as Iceberg's expire; keep `keep` generous on live tables.
     */
+  /** PURGE rows matching `predicate` from EVERY live snapshot version
+    * — the right-to-be-forgotten against time travel: retention can't
+    * wait for `expireSnapshots` when the subject's rows must be gone
+    * NOW, including from history that time-travel reads can still
+    * reach. Each version directory is rewritten without the matching
+    * rows and swapped in under the manifest lock; version ids, tags,
+    * and commit times are untouched — lineage keeps its shape, the
+    * bytes lose the subject. Cost is proportional to the versions
+    * that actually CONTAIN the subject (untouched versions are
+    * detected with one count and left as-is; at 100 TB the rewrite
+    * would further narrow to the files whose min/max or bloom admits
+    * the key — q67/q72's machinery). Returns per-version purged-row
+    * counts.
+    */
+  def purge(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): Map[Long, Long] =
+    withManifestLock(tableDir) {
+      versions(tableDir).map { v =>
+        val dir = s"$tableDir/v=$v"
+        val cur = spark.read.parquet(dir)
+        val hit = cur.filter(predicate).count()
+        if (hit > 0) {
+          val tmp = s"$tableDir/.purge_v=$v"
+          cur.filter(!predicate).write.mode(SaveMode.Overwrite).parquet(tmp)
+          val old = Paths.get(s"$tableDir/.old_v=$v")
+          Files.move(Paths.get(dir), old)
+          Files.move(Paths.get(tmp), Paths.get(dir))
+          deleteRecursively(old)
+        }
+        v -> hit
+      }.toMap
+    }
+
   def expireSnapshots(tableDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must keep at least the latest snapshot")
     val expired = withManifestLock(tableDir) {

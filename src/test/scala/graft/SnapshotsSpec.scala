@@ -24,6 +24,31 @@ class SnapshotsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Snapshots.read(spark, dir, 99L))
   }
 
+  test("purge removes the subject from every version, leaves the rest intact") {
+    val dir = s"${tmp()}/t"
+    val nat = Tables(spark, sf, "nation")
+    val v1 = Snapshots.commit(nat.filter(col("n_nationkey") < 10), dir)
+    val v2 = Snapshots.commit(nat, dir, tag = Some("full-load"))
+    val preOther = Snapshots.read(spark, dir, v2)
+      .filter(col("n_nationkey") =!= 3)
+      .collect().map(_.toString).sorted.toSeq
+    val hits = Snapshots.purge(spark, dir, col("n_nationkey") === 3)
+    assert(hits == Map(v1 -> 1L, v2 -> 1L))
+    // subject gone from EVERY version, including via time travel
+    Seq(v1, v2).foreach { v =>
+      assert(Snapshots.read(spark, dir, v)
+        .filter(col("n_nationkey") === 3).count() == 0)
+    }
+    // everything else byte-identical; versions and tags survive
+    assert(Snapshots.read(spark, dir, v2)
+      .collect().map(_.toString).sorted.toSeq == preOther)
+    assert(Snapshots.versions(dir) == Seq(v1, v2))
+    assert(Snapshots.committedTags(dir).contains("full-load"))
+    // idempotent: a second purge finds nothing
+    assert(Snapshots.purge(spark, dir, col("n_nationkey") === 3)
+      .values.forall(_ == 0L))
+  }
+
   test("schema evolution: later snapshots may add columns") {
     val dir = tmp()
     val base = Tables(spark, sf, "region")
