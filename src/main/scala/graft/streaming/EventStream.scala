@@ -830,6 +830,74 @@ object EventStream {
       .orderBy(col("kind"), col("label"))
   }
 
+  /** st15: RESTART RECOVERY — the exactly-once contract ACROSS query
+    * restarts, the one streaming property none of st01-st14 pin down
+    * explicitly: a first query instance drains wave 1 of the landing
+    * and stops; wave 2 lands; a NEW query instance on the SAME
+    * checkpoint must resume from the recorded offsets — reprocessing
+    * nothing (no double counts) and skipping nothing (batch ids
+    * continue, so the idempotent merge tags can't accidentally
+    * swallow wave 2 — if the checkpoint were lost, restarted ids
+    * would collide with wave 1's tags and wave 2 would vanish; either
+    * failure mode breaks the oracle). Gate: the maintained rollup
+    * after both runs == one batch rollup of the whole table, with
+    * seed + 4 merge commits.
+    */
+  def st15RestartRecovery(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
+    val src = graft.TempDirs.scratch("graft-st15-src")
+    val ckpt = graft.TempDirs.scratch("graft-st15-ckpt")
+    val ev = graft.Tables(s, dir, "events")
+      .select(col("event_type"), col("value"), (col("user_id") % 2).as("half"))
+    ev.filter(col("half") === 0).drop("half")
+      .repartition(8).write.mode("overwrite").parquet(src)
+
+    val matSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("n_events", LongType),
+      StructField("total_value", DecimalType(18, 4))))
+    val table = s"${graft.TempDirs.scratch("graft-st15-tbl")}/events_agg"
+    graft.sources.Snapshots.commit(
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        matSchema), table)
+
+    def runOnce(): Unit = {
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_type", StringType), StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.sources.Snapshots.mergeWith(
+            batch.sparkSession, table, batch, tag = Some(s"agg-batch=$id")) { (mat, b) =>
+            graft.operators.Ivm.maintain(mat,
+                oldRows = b.limit(0), newRows = b,
+                groupCols = Seq("event_type"), countCol = "n_events",
+                sums = Seq("value" -> "total_value"), scale = 4)
+              .select(col("event_type"), col("n_events"),
+                col("total_value").cast("decimal(18,4)").as("total_value"))
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // wave 1: 8 files → 2 merge commits, then the query STOPS
+    ev.filter(col("half") === 1).drop("half")
+      .repartition(8).write.mode("append").parquet(src) // wave 2 lands
+    runOnce() // NEW instance, SAME checkpoint: resumes at batch id 2
+
+    val nVersions = graft.sources.Snapshots.versions(table).size
+    graft.sources.Snapshots.read(spark, table)
+      .select(col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"),
+        lit(nVersions).as("n_versions"))
+      .orderBy(col("event_type"))
+  }
+
   /** st11: stream-stream LEFT OUTER interval join — st05's missing
     * half: purchases with NO preceding view must still emit, null-
     * padded. This is the outer-join eviction contract: an unmatched
@@ -951,7 +1019,8 @@ object EventStream {
     "st11_stream_left_join" -> (st11StreamLeftJoin _),
     "st12_append_windows" -> (st12AppendWindows _),
     "st13_streaming_sketch" -> (st13StreamingSketch _),
-    "st14_dead_letter" -> (st14DeadLetter _)
+    "st14_dead_letter" -> (st14DeadLetter _),
+    "st15_restart_recovery" -> (st15RestartRecovery _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
@@ -1095,6 +1164,16 @@ object EventStream {
         |WHERE w_end <= (SELECT max_ts FROM mx) - INTERVAL '1 hour'
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 3""".stripMargin,
+    // st15: after drain + restart + drain, the maintained rollup must
+    // equal the one-pass batch rollup; 5 = seed + 2 + 2 merge commits
+    "st15_restart_recovery" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |  5 AS n_versions
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     // st14: the oracle classifies the raw table by the same two
     // corruption rules; valid ∪ dlq must partition it exactly
     "st14_dead_letter" ->

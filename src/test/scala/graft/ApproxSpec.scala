@@ -191,6 +191,16 @@ class ApproxSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[String]("kind") == "valid"))
   }
 
+  test("st15 restart resumes batch ids from the checkpoint (no replay, no loss)") {
+    val rows = EventStream.st15RestartRecovery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("n_versions") == 5),
+      "expected seed + 2 + 2 merge commits across the restart")
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables(spark, sf, "events").count(),
+      "restart lost or replayed a wave")
+  }
+
   test("st11 left-outer join emits null-padded unmatched purchases exactly") {
     val rows = EventStream.st11StreamLeftJoin(spark, sf).collect()
     val unmatched = rows.map(_.getAs[Long]("n_unmatched_purchases")).sum
