@@ -196,6 +196,41 @@ object Approx {
       .orderBy(col("flag"))
   }
 
+  /** a07: sketch SIZING — the error-vs-k ladder that answers "how big
+    * must the sketch be" at 100 TB, measured not asserted: ONE k=256
+    * KMV pass, then the k=16 / k=64 / k=256 estimates all read from
+    * its PREFIX (the h_(k') order statistic for k' ≤ k lives inside
+    * the k-sketch — one aggregate prices every candidate size, no
+    * re-scan per k). Relative error lands within 3/√k (the KMV
+    * standard-error envelope, Beyer et al. 2007) at every rung;
+    * estimates are md5-deterministic, so the oracle reproduces the
+    * ladder — errors and booleans included — bit-for-bit.
+    */
+  def a07SketchSizing(spark: SparkSession, dir: String): DataFrame = {
+    val K = 256
+    GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.kMinValues
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        conv(substring(md5(col("l_orderkey").cast("string").cast("binary")), 1, 15),
+          16, 10).cast("long").as("hv"))
+    val agg = li.agg(
+      kMinValues(col("hv"), K).as("sk"),
+      countDistinct(col("l_orderkey")).as("n_exact"))
+    val est =
+      when(size(col("sk")) < col("k"), size(col("sk")).cast("double"))
+        .otherwise((col("k") - 1).cast("double") *
+          lit(1152921504606846976L).cast("double") /
+          element_at(col("sk"), col("k").cast("int")).cast("double"))
+    agg.select(col("sk"), col("n_exact"),
+        explode(array(lit(16), lit(64), lit(256))).as("k"))
+      .select(col("k").cast("long").as("k"), col("n_exact"), est.as("kmv_est"))
+      .withColumn("rel_err", abs(col("kmv_est") / col("n_exact") - 1))
+      .withColumn("within_3_sigma",
+        col("rel_err") <= lit(3.0) / sqrt(col("k").cast("double")))
+      .orderBy(col("k"))
+  }
+
   /** a06: KMV sketch SET ALGEBRA — the theta-sketch surface on top of
     * a05's sketches (Beyer et al. 2007, "On Synopses for Distinct
     * Value Estimation Under Multiset Operations"): from two stored
@@ -261,12 +296,39 @@ object Approx {
     "a01_hll_sketches" -> (a01HllSketches _),
     "a05_kmv_distinct" -> (a05KmvDistinct _),
     "a06_kmv_set_ops" -> (a06KmvSetOps _),
+    "a07_sketch_sizing" -> (a07SketchSizing _),
     "a02_bloom_filtered_join" -> (a02BloomFilteredJoin _),
     "a03_quantile_sketch" -> (a03QuantileSketch _),
     "a04_cms_heavy_hitters" -> (a04CmsHeavyHitters _)
   )
 
   val oracles: Map[String, String] = Map(
+    // a07: the k'-th order statistic of the distinct-hash set IS the
+    // prefix read of the k=256 sketch — ladder reproduced exactly
+    "a07_sketch_sizing" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM hv),
+        |nd AS (SELECT COUNT(*) AS nd FROM hv),
+        |exact AS (SELECT COUNT(DISTINCT l_orderkey) AS n_exact FROM lineitem),
+        |ks AS (SELECT unnest([16, 64, 256]) AS k),
+        |est AS (
+        |  SELECT k.k, e.n_exact,
+        |    CASE WHEN (SELECT nd FROM nd) < k.k
+        |         THEN CAST((SELECT nd FROM nd) AS DOUBLE)
+        |         ELSE CAST(k.k - 1 AS DOUBLE)
+        |              * CAST(1152921504606846976 AS DOUBLE)
+        |              / CAST((SELECT r.hv FROM ranked r WHERE r.rn = k.k) AS DOUBLE)
+        |    END AS kmv_est
+        |  FROM ks k CROSS JOIN exact e)
+        |SELECT CAST(k AS BIGINT) AS k, n_exact, kmv_est,
+        |  abs(kmv_est / n_exact - 1) AS rel_err,
+        |  abs(kmv_est / n_exact - 1) <= 3.0 / sqrt(CAST(k AS DOUBLE))
+        |    AS within_3_sigma
+        |FROM est ORDER BY k""".stripMargin,
     // a05: the sketch AND estimator are cross-engine deterministic —
     // DuckDB recomputes the identical k-min hash sets and estimate.
     // a06: the pair sketches, combined sketch, and BOTH estimators

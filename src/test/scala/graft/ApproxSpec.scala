@@ -105,6 +105,17 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("a07 sketch sizing: every rung of the error ladder is inside 3/sqrt(k)") {
+    val rows = Approx.a07SketchSizing(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(16L, 64L, 256L))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_3_sigma"),
+        s"k=${r.getAs[Long]("k")} rel_err ${r.getAs[Double]("rel_err")} out of envelope")
+    }
+    // the biggest sketch should be usably tight
+    assert(rows.last.getAs[Double]("rel_err") < 0.2)
+  }
+
   test("st04 streaming dedup removes the injected duplicates exactly") {
     val rows = EventStream.st04StreamDedup(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_events")).sum
