@@ -29,7 +29,8 @@ object PlanAudit {
                   "p14_temperature_mix", "q72_bloom_skipping",
                   "q73_unpivot", "q74_gap_fill",
                   "q75_percentile_suite", "m05_shard_manifest",
-                  "q76_purge", "a07_sketch_sizing")) {
+                  "q76_purge", "a07_sketch_sizing",
+                  "d12_cluster_apply")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

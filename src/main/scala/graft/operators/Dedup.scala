@@ -395,7 +395,20 @@ object Dedup {
   def d06DupClusters(spark: SparkSession, dir: String): DataFrame =
     d06DupClusters(spark, dir, maxRounds = 20)
 
-  def d06DupClusters(spark: SparkSession, dir: String, maxRounds: Int): DataFrame = {
+  def d06DupClusters(spark: SparkSession, dir: String, maxRounds: Int): DataFrame =
+    dupLabels(spark, dir, maxRounds)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("doc_id")).as("keep_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("cluster_size").desc, col("cluster_id"))
+
+  /** The full per-doc dup-cluster labeling behind d06/d12: LSH
+    * candidates → signature-verified edges → subgraph-only CC
+    * fixpoint, singletons labeled by their own id. Returns
+    * `(doc_id, label)` covering the whole corpus.
+    */
+  def dupLabels(spark: SparkSession, dir: String, maxRounds: Int): DataFrame = {
     val d = docs(spark, dir)
     val sig = minhashSigs(d).persist()
     val sigMatch = (0 until K)
@@ -499,11 +512,34 @@ object Dedup {
       .join(edges.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))
     // keep singletons too: the result is the full dedup manifest
-    // (cluster id + canonical keep id per doc group)
-    finalLabels.unionAll(singletons).groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"),
-        min(col("doc_id")).as("keep_doc_id"),
-        max(col("doc_id")).as("max_doc_id"))
+    finalLabels.unionAll(singletons)
+  }
+
+  /** d12: cluster APPLY — the corpus-cleansing product d06's manifest
+    * exists for: within each dup cluster keep ONE representative, and
+    * not the arbitrary min-id — the LONGEST document (the
+    * most-complete-version heuristic real pipelines use; any other
+    * scoring plugs into the same argmax), tie-broken by id. One
+    * window per cluster (partition = cluster id, groups small by
+    * construction) over the label manifest joined to a 2-column
+    * quality projection — the 100 TB corpus never re-shuffles, only
+    * (doc_id, label, len) rows do. Output: per-cluster keep decision
+    * + drop accounting.
+    */
+  def d12ClusterApply(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupLabels(spark, dir, maxRounds = 20)
+    val quality = docs(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("q"))
+    val ranked = labels.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("q").desc, col("doc_id").asc)))
+    ranked.groupBy(col("label").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max(when(col("rn") === 1, col("doc_id"))).as("keep_doc_id"),
+        max(when(col("rn") === 1, col("q"))).as("keep_len"),
+        (count(lit(1)) - 1).as("n_dropped"))
       .orderBy(col("cluster_size").desc, col("cluster_id"))
   }
 
@@ -675,6 +711,7 @@ object Dedup {
     "d04_simhash" -> (d04Simhash _),
     "d05_embedding_dup" -> (d05EmbeddingDup _),
     "d06_dup_clusters" -> (d06DupClusters _),
+    "d12_cluster_apply" -> (d12ClusterApply _),
     "d07_boilerplate" -> (d07Boilerplate _),
     "d08_incremental_dedup" -> (d08IncrementalDedup _),
     "d09_lsh_recall" -> (d09LshRecall _),
@@ -713,6 +750,55 @@ object Dedup {
   }.mkString("\n  UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // d12: d06's recursive-CC labels (same CTEs), keep = longest doc
+    "d12_cluster_apply" ->
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(text)-1), i -> substring(text, i, 3))) AS g
+         |  FROM documents WHERE len(text) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, g FROM raw),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT da, db FROM cand
+         |  JOIN sig sa ON cand.da = sa.doc_id
+         |  JOIN sig sb ON cand.db = sb.doc_id
+         |  WHERE ($sigAgree) >= ${(K * 7) / 8}),
+         |edges AS (SELECT da AS src, db AS dst FROM verified
+         |          UNION ALL SELECT db, da FROM verified),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |r(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.label FROM r JOIN edges e ON r.doc_id = e.src),
+         |cc AS (SELECT doc_id, MIN(label) AS label FROM r GROUP BY doc_id),
+         |labels AS (
+         |  SELECT doc_id, label FROM cc
+         |  UNION ALL
+         |  SELECT d.doc_id, d.doc_id AS label FROM documents d
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM nodes)),
+         |lens AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS q FROM documents),
+         |ranked AS (
+         |  SELECT l.label, l.doc_id, lens.q,
+         |    ROW_NUMBER() OVER (PARTITION BY l.label
+         |      ORDER BY lens.q DESC, l.doc_id ASC) AS rn
+         |  FROM labels l JOIN lens ON l.doc_id = lens.doc_id)
+         |SELECT label AS cluster_id,
+         |  COUNT(*) AS cluster_size,
+         |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+         |  MAX(CASE WHEN rn = 1 THEN q END) AS keep_len,
+         |  COUNT(*) - 1 AS n_dropped
+         |FROM ranked GROUP BY 1
+         |ORDER BY cluster_size DESC, cluster_id""".stripMargin,
     // d11: same 64/16 aligned windows, same 60-bit span hashes
     "d11_dup_spans" ->
       """WITH wins AS (

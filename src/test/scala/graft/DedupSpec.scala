@@ -229,6 +229,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d12 cluster apply keeps the longest member of every cluster") {
+    val rows = graft.operators.Dedup.d12ClusterApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") == r.getAs[Long]("cluster_size") - 1)
+      assert(lens(r.getAs[Long]("keep_doc_id")) == r.getAs[Long]("keep_len"))
+    }
+    // representatives cover the corpus exactly once per cluster
+    assert(rows.map(_.getAs[Long]("cluster_size")).sum == lens.size)
+    // multi-doc clusters must exist and keep their longest member
+    val multi = rows.filter(_.getAs[Long]("cluster_size") > 1)
+    assert(multi.nonEmpty, "expected near-dup clusters in testdata")
+    val labels = graft.operators.Dedup.dupLabels(spark, sf, 20)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
+    multi.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = labels.collect { case (d, l) if l == cid => d }
+      val best = members.map(d => (lens(d), -d)).max
+      assert(r.getAs[Long]("keep_len") == best._1 &&
+        r.getAs[Long]("keep_doc_id") == -best._2,
+        s"cluster $cid kept the wrong representative")
+    }
+  }
+
   test("d11 dup spans: exact-duplicate docs are 100% span-duplicated, bounds hold") {
     val rows = graft.operators.Dedup.d11DupSpans(spark, sf).collect()
     assert(rows.nonEmpty)
