@@ -231,6 +231,38 @@ object Approx {
       .orderBy(col("k"))
   }
 
+  /** a08: approximate GROUP BY from a SAMPLE (the BlinkDB/AQP
+    * pattern): a 5% deterministic uniform sample (p10's
+    * exactly-representable 32-bit md5 u < rate — reproducible across
+    * engines AND cluster sizes) scanned instead of the full table;
+    * group counts scale up by 1/rate with a binomial 3σ interval
+    * alongside. At 100 TB this is the difference between an
+    * interactive dashboard and a full-table pass — and the interval
+    * is what makes the speed honest. Sample membership, estimates,
+    * and CI booleans are all md5-deterministic → exactly oracled.
+    */
+  def a08AqpGroupby(spark: SparkSession, dir: String): DataFrame = {
+    val rate = 0.05
+    val li = Tables(spark, dir, "lineitem")
+    val u = conv(substring(md5(concat(lit("aqp:"), col("l_orderkey").cast("string"),
+      lit(":"), col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val sampled = li.withColumn("in_sample", u < lit(rate))
+    sampled.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        count(when(col("in_sample"), 1)).as("n_sampled"))
+      .withColumn("n_est", col("n_sampled").cast("double") / lit(rate))
+      // 3σ of the binomial count, scaled up: 3·√(n·r·(1−r))/r — the
+      // interval a dashboard would print next to the estimate
+      .withColumn("ci_3sigma",
+        lit(3.0) * sqrt(col("n_exact").cast("double") * lit(rate) * lit(1 - rate))
+          / lit(rate))
+      .withColumn("within_ci",
+        abs(col("n_est") - col("n_exact").cast("double")) <= col("ci_3sigma"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** a06: KMV sketch SET ALGEBRA — the theta-sketch surface on top of
     * a05's sketches (Beyer et al. 2007, "On Synopses for Distinct
     * Value Estimation Under Multiset Operations"): from two stored
@@ -297,6 +329,7 @@ object Approx {
     "a05_kmv_distinct" -> (a05KmvDistinct _),
     "a06_kmv_set_ops" -> (a06KmvSetOps _),
     "a07_sketch_sizing" -> (a07SketchSizing _),
+    "a08_aqp_groupby" -> (a08AqpGroupby _),
     "a02_bloom_filtered_join" -> (a02BloomFilteredJoin _),
     "a03_quantile_sketch" -> (a03QuantileSketch _),
     "a04_cms_heavy_hitters" -> (a04CmsHeavyHitters _)
@@ -329,6 +362,25 @@ object Approx {
         |  abs(kmv_est / n_exact - 1) <= 3.0 / sqrt(CAST(k AS DOUBLE))
         |    AS within_3_sigma
         |FROM est ORDER BY k""".stripMargin,
+    // a08: same md5 sample membership → estimates and CI booleans
+    // reproduce exactly
+    "a08_aqp_groupby" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    (('0x' || substr(md5('aqp:' || l_orderkey || ':' || l_linenumber), 1, 8))::BIGINT)::DOUBLE
+        |      / 4294967296.0 < 0.05 AS in_sample
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  COUNT(*) AS n_exact,
+        |  COUNT(CASE WHEN in_sample THEN 1 END) AS n_sampled,
+        |  CAST(COUNT(CASE WHEN in_sample THEN 1 END) AS DOUBLE) / 0.05 AS n_est,
+        |  3.0 * sqrt(CAST(COUNT(*) AS DOUBLE) * 0.05 * 0.95) / 0.05 AS ci_3sigma,
+        |  abs(CAST(COUNT(CASE WHEN in_sample THEN 1 END) AS DOUBLE) / 0.05
+        |      - CAST(COUNT(*) AS DOUBLE))
+        |    <= 3.0 * sqrt(CAST(COUNT(*) AS DOUBLE) * 0.05 * 0.95) / 0.05 AS within_ci
+        |FROM s
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // a05: the sketch AND estimator are cross-engine deterministic —
     // DuckDB recomputes the identical k-min hash sets and estimate.
     // a06: the pair sketches, combined sketch, and BOTH estimators

@@ -116,6 +116,17 @@ class ApproxSpec extends AnyFunSuite {
     assert(rows.last.getAs[Double]("rel_err") < 0.2)
   }
 
+  test("a08 AQP estimates land inside their own 3-sigma interval") {
+    val rows = Approx.a08AqpGroupby(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_ci"),
+        s"${r.getAs[String]("l_returnflag")}: est ${r.getAs[Double]("n_est")} " +
+          s"vs exact ${r.getAs[Long]("n_exact")} outside ci")
+      assert(r.getAs[Long]("n_sampled") < r.getAs[Long]("n_exact"))
+    }
+  }
+
   test("st04 streaming dedup removes the injected duplicates exactly") {
     val rows = EventStream.st04StreamDedup(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_events")).sum
