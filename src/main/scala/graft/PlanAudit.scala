@@ -30,7 +30,8 @@ object PlanAudit {
                   "q73_unpivot", "q74_gap_fill",
                   "q75_percentile_suite", "m05_shard_manifest",
                   "q76_purge", "a07_sketch_sizing",
-                  "d12_cluster_apply", "a08_aqp_groupby")) {
+                  "d12_cluster_apply", "a08_aqp_groupby",
+                  "q77_metadata_only")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

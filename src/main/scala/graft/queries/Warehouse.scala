@@ -626,7 +626,30 @@ object Warehouse {
       .orderBy(col("version_idx"))
   }
 
+  /** q77: METADATA-ONLY query answering — why `SELECT count(*)` on an
+    * Iceberg table returns in milliseconds at 100 TB: the landing
+    * writes a full per-file stats manifest (rows + min/max, ONE
+    * manifest-sized aggregate), and COUNT/MIN/MAX queries are then
+    * answered from the manifest ALONE — no cluster job, no data file
+    * opened (the answer assembly is a manifest read on the driver,
+    * which IS the point). The gate cross-checks against the raw
+    * table; the spec additionally proves the data directory could be
+    * made unreadable without changing the answer.
+    */
+  def q77MetadataOnly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = tempDir("graft-metaonly")
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(p)
+    Sources.writeStatsManifest(spark, p, "o_orderkey")
+    val (n, lo, hi) = Sources.statsOnlyAnswer(p)
+    Seq((n, lo, hi)).toDF("n_rows", "min_orderkey", "max_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_metadata_only" -> (q77MetadataOnly _),
     "q76_purge" -> (q76Purge _),
     "q72_bloom_skipping" -> (q72BloomSkipping _),
     "q51_partitioned_scan" -> (q51PartitionedScan _),
@@ -661,6 +684,12 @@ object Warehouse {
         |    TRUE
         |  FROM lineitem WHERE l_partkey BETWEEN 100 AND 199)
         |ORDER BY dim""".stripMargin,
+    // q77: the manifest-only answer must equal the full-table truth
+    "q77_metadata_only" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(o_orderkey) AS min_orderkey,
+        |  MAX(o_orderkey) AS max_orderkey
+        |FROM orders""".stripMargin,
     // q76: each version's definition minus the purged subject; the
     // engine must report n_subject = 0 from the REWRITTEN history
     "q76_purge" ->

@@ -237,6 +237,41 @@ object Sources {
     * predicate at lookup time. Index size ∝ Σ per-file distinct keys
     * — rows, not data.
     */
+  /** Full per-file stats manifest (file, rows, lo, hi) for a column —
+    * ONE manifest-sized aggregate at write time. Enables
+    * METADATA-ONLY answers: COUNT(*) = Σ rows, MIN/MAX = min lo /
+    * max hi, read from the manifest without touching a data file.
+    */
+  def writeStatsManifest(spark: SparkSession, path: String, statsCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"),
+        min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"))
+      .collect() // #files rows — manifest-sized, not data-sized
+      .map(r => s"${r.getString(0)}\t${r.getLong(1)}\t${r.get(2)}\t${r.get(3)}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path.stripPrefix("file:"), "_full_stats.tsv"),
+      stats.sorted.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Answer (rows, min, max) from `_full_stats.tsv` ALONE — the
+    * Iceberg metadata-only query path: planning cost is the manifest
+    * read; no cluster job, no data file opened. At 100 TB this is
+    * why `SELECT count(*)` on an Iceberg table returns in
+    * milliseconds.
+    */
+  def statsOnlyAnswer(path: String): (Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path.stripPrefix("file:"), "_full_stats.tsv")).asScala
+    val rows = lines.filter(_.nonEmpty).map(_.split('\t'))
+    (rows.map(_(1).toLong).sum,
+      rows.map(_(2).toLong).min,
+      rows.map(_(3).toLong).max)
+  }
+
   /** Per-file BLOOM index: m-bit filter with k=2 hash functions (two
     * 32-bit slices of one md5), stored as each file's sorted
     * occupied-bit array. Index size is O(files × min(2·keys, m))

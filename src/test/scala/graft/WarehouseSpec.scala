@@ -336,6 +336,29 @@ class WarehouseSpec extends AnyFunSuite {
       "bloom candidates lost rows of a present key")
   }
 
+  test("q77 metadata-only answers survive the data files becoming unreadable") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.Sources
+    val p = graft.TempDirs.scratch("graft-metaspec")
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    orders.repartition(8).write.mode("overwrite").parquet(p)
+    Sources.writeStatsManifest(spark, p, "o_orderkey")
+    val truth = orders.agg(count(lit(1)), min(col("o_orderkey")),
+      max(col("o_orderkey"))).head()
+    val fromStats = Sources.statsOnlyAnswer(p)
+    assert(fromStats == ((truth.getLong(0), truth.getLong(1), truth.getLong(2))))
+    // metadata-only means the data files are never opened: remove them
+    // and the answer must not change
+    val d = java.nio.file.Paths.get(p)
+    val s = java.nio.file.Files.list(d)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(java.nio.file.Files.delete(_))
+    finally s.close()
+    assert(Sources.statsOnlyAnswer(p) == fromStats)
+  }
+
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
     import spark.implicits._
     import graft.operators.Ivm
