@@ -728,6 +728,12 @@ object Dedup {
     val cols = (b * 4 until b * 4 + 4).map(i => s"h$i::VARCHAR").mkString(" || '|' || ")
     s"SELECT doc_id, $b AS band_idx, md5($cols) AS band_hash FROM sig"
   }.mkString("\n  UNION ALL ")
+  // oracle-construction accessors: p15 rebuilds the identical
+  // recursive-CC labels in ITS oracle from these pieces
+  private[operators] def oracleSigSelect: String = sigSelect
+  private[operators] def oracleBandSelects: String = bandSelects
+  private[operators] def oracleSigAgree: String = sigAgree
+  private[operators] def oracleAgreeMin: Int = (K * 7) / 8
   private val digestExpr = (0 until K).map(i => s"h$i::VARCHAR").mkString(" || '|' || ")
   private val sigAgree = (0 until K)
     .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")

@@ -75,6 +75,42 @@ object Pipeline {
       .orderBy(col("split"))
   }
 
+  /** p15: LEAK-PROOF train/test split — the dedup-aware split modern
+    * eval hygiene demands and p02's id-keyed split cannot give: a
+    * near-dup PAIR split across train and test is test-set leakage
+    * (the model has effectively seen the answer), and keying the
+    * split on doc_id makes that a coin flip per pair. Keying it on
+    * the doc's DUP-CLUSTER label ([[Dedup.dupLabels]] — d06's
+    * verified-LSH fixpoint) pins every cluster wholly to one side BY
+    * CONSTRUCTION. The gate carries both schemes' straddle counts
+    * over multi-doc clusters: `by_id` > 0 (the leakage p02-style
+    * splitting really causes on this corpus) and `by_cluster` = 0,
+    * exactly oracled through the same recursive-CC labels.
+    */
+  def p15LeakproofSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.Caches.scoped(Dedup.dupLabels(spark, dir, maxRounds = 20))
+    def splitOf(h: Column): Column =
+      when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    val a = labels
+      .withColumn("split_by_id", splitOf(
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)))
+      .withColumn("split_by_cluster", splitOf(
+        substring(md5(concat(lit("split:"), col("label").cast("string"))), 1, 2)))
+    def straddles(c: String) = a.groupBy(col("label"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col(c)).as("ns"))
+      .filter(col("sz") > 1 && col("ns") > 1)
+      .agg(count(lit(1)).as("n")).select(col("n"))
+    a.groupBy(col("split_by_cluster").as("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("label")).as("n_clusters"))
+      .crossJoin(broadcast(straddles("split_by_id")
+        .withColumnRenamed("n", "n_straddling_by_id")))
+      .crossJoin(broadcast(straddles("split_by_cluster")
+        .withColumnRenamed("n", "n_straddling_by_cluster")))
+      .orderBy(col("split"))
+  }
+
   /** p03: stratified deterministic sample — top-5 docs per language by
     * salted md5 order (reproducible pseudo-random pick per stratum).
     */
@@ -348,6 +384,7 @@ object Pipeline {
     "p12_chunk_documents" -> (p12ChunkDocuments _),
     "p10_domain_mix" -> (p10DomainMix _),
     "p14_temperature_mix" -> (p14TemperatureMix _),
+    "p15_leakproof_split" -> (p15LeakproofSplit _),
     "p11_global_shuffle" -> (p11GlobalShuffle _),
     "p09_repetition_filter" -> (p09RepetitionFilter _),
     "p08_corpus_filter" -> (p08CorpusFilter _),
@@ -529,6 +566,66 @@ object Pipeline {
         |FROM packed
         |GROUP BY 1, 2
         |ORDER BY bucket, pack_id""".stripMargin,
+    // p15: d06's recursive-CC labels + both split schemes; cluster-
+    // keyed straddles must be zero, id-keyed shows the real leakage
+    "p15_leakproof_split" ->
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(text)-1), i -> substring(text, i, 3))) AS g
+         |  FROM documents WHERE len(text) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, g FROM raw),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${Dedup.oracleSigSelect}
+         |  FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  ${Dedup.oracleBandSelects}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT da, db FROM cand
+         |  JOIN sig sa ON cand.da = sa.doc_id
+         |  JOIN sig sb ON cand.db = sb.doc_id
+         |  WHERE (${Dedup.oracleSigAgree}) >= ${Dedup.oracleAgreeMin}),
+         |edges AS (SELECT da AS src, db AS dst FROM verified
+         |          UNION ALL SELECT db, da FROM verified),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |r(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.label FROM r JOIN edges e ON r.doc_id = e.src),
+         |cc AS (SELECT doc_id, MIN(label) AS label FROM r GROUP BY doc_id),
+         |labels AS (
+         |  SELECT doc_id, label FROM cc
+         |  UNION ALL
+         |  SELECT d.doc_id, d.doc_id AS label FROM documents d
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM nodes)),
+         |a AS (
+         |  SELECT doc_id, label,
+         |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS sid,
+         |    CASE WHEN substring(md5('split:' || CAST(label AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         |         WHEN substring(md5('split:' || CAST(label AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS scl
+         |  FROM labels),
+         |strid AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT label FROM a GROUP BY label
+         |    HAVING COUNT(*) > 1 AND COUNT(DISTINCT sid) > 1)),
+         |strcl AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT label FROM a GROUP BY label
+         |    HAVING COUNT(*) > 1 AND COUNT(DISTINCT scl) > 1))
+         |SELECT scl AS split,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT label) AS n_clusters,
+         |  (SELECT n FROM strid) AS n_straddling_by_id,
+         |  (SELECT n FROM strcl) AS n_straddling_by_cluster
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "p02_train_test_split" ->
       """WITH tagged AS (
         |  SELECT *,

@@ -87,6 +87,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p15 cluster-keyed split leaks zero near-dup clusters; id-keyed split leaks") {
+    val rows = graft.operators.Pipeline.p15LeakproofSplit(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_straddling_by_cluster") == 0L,
+        "cluster-keyed split must never straddle a dup cluster")
+      assert(r.getAs[Long]("n_straddling_by_id") > 0L,
+        "testdata's near-dup clusters should expose id-keyed leakage")
+    }
+  }
+
   test("p14 temperature mix flattens the domain distribution (alpha = 0.5)") {
     val rows = graft.operators.Pipeline.p14TemperatureMix(spark, sf).collect()
     assert(rows.nonEmpty)
