@@ -225,6 +225,48 @@ object Advanced {
       .orderBy(col("cohort_week"))
   }
 
+  /** q78: rolling 7-day active users + event volume — the DAU/WAU
+    * dashboard staple. Spark has no distributed sliding COUNT
+    * DISTINCT (a RANGE window with DISTINCT isn't supported, and a
+    * global window would single-partition the stream), so the scale
+    * pattern is: pre-aggregate to (day, user) / (day, count) grain —
+    * one shuffle each, output bounded by active-user-days — then
+    * explode each day-grain row to the ≤7 output days it contributes
+    * to (map-side ×7 fanout on POST-aggregation rows, not raw
+    * events), and re-aggregate by output day. Every stage is a keyed
+    * shuffle whose width follows the data; nothing global, nothing
+    * per-user stateful. The observed-day semi join is a broadcast
+    * (calendar-bounded table) that drops contributions past the last
+    * observed day.
+    */
+  def q78RollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val dayStats = e.groupBy(col("day")).agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"))
+    val days = dayStats.select(col("day"))
+    val off = explode(sequence(lit(0), lit(6))).as("off")
+    val users7 = e.distinct()
+      .select(col("day"), col("user_id"), off)
+      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+    val events7 = dayStats
+      .select(col("day"), col("n_events"), off)
+      .select(date_add(col("day"), col("off")).as("day"), col("n_events"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(sum(col("n_events")).as("n_events_7d"))
+    dayStats
+      .join(users7, Seq("day"))
+      .join(events7, Seq("day"))
+      .select(col("day"), col("n_events"), col("n_users"),
+        col("n_events_7d"), col("n_users_7d"))
+      .orderBy(col("day"))
+  }
+
   def q22SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
     val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
@@ -313,10 +355,37 @@ object Advanced {
     "q20_asof_view_purchase" -> (q20AsofViewPurchase _),
     "q22_small_quantity_revenue" -> (q22SmallQuantityRevenue _),
     "q56_funnel" -> (q56Funnel _),
-    "q57_cohort_retention" -> (q57CohortRetention _)
+    "q57_cohort_retention" -> (q57CohortRetention _),
+    "q78_rolling_active" -> (q78RollingActive _)
   )
 
   val oracles: Map[String, String] = Map(
+    // q78: the oracle states the rolling windows the naive way — a
+    // range self-join per day (BETWEEN day-6 AND day); the engine's
+    // explode-contributions plan must agree exactly. Dual-dialect:
+    // date − int, BETWEEN, COUNT DISTINCT parse identically in
+    // DuckDB and Spark SQL (facade parity runs this text verbatim).
+    "q78_rolling_active" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dc AS (
+        |  SELECT day, COUNT(*) AS n_events,
+        |    COUNT(DISTINCT user_id) AS n_users
+        |  FROM e GROUP BY day),
+        |du AS (SELECT DISTINCT day, user_id FROM e),
+        |u7 AS (
+        |  SELECT d.day, COUNT(DISTINCT u.user_id) AS n_users_7d
+        |  FROM dc d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day),
+        |c7 AS (
+        |  SELECT d.day, CAST(SUM(c.n_events) AS BIGINT) AS n_events_7d
+        |  FROM dc d JOIN dc c ON c.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT d.day, d.n_events, d.n_users, c7.n_events_7d, u7.n_users_7d
+        |FROM dc d
+        |JOIN u7 ON d.day = u7.day
+        |JOIN c7 ON d.day = c7.day
+        |ORDER BY d.day""".stripMargin,
     "q57_cohort_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id,
