@@ -14,13 +14,24 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-      // read natively; read nanos as long and convert to a microsecond
-      // TimestampType (`x div 1000` stays in Long — no double round-trip,
-      // which would lose precision above 2^53 ns).
+      // events.ts varies across generator versions: parquet
+      // TIMESTAMP(NANOS) (which Spark 4 only reads as long, via the
+      // legacy conf) or TIMESTAMP(MICROS) with isAdjustedToUTC=false
+      // (read natively as TIMESTAMP_NTZ). Normalize both to a
+      // microsecond TimestampType so every operator sees one shape.
+      // All graft sessions run with session.timeZone=UTC, so the
+      // NTZ→LTZ cast is value-preserving.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nanos long → micros long → timestamp; `div` stays in Long
+          // (a double round-trip would lose precision above 2^53 ns)
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -408,6 +408,15 @@ object Dedup {
     * fixpoint, singletons labeled by their own id. Returns
     * `(doc_id, label)` covering the whole corpus.
     */
+  // dev-only stage timing for the CC fixpoint (-Dgraft.profile=true)
+  private def prof[T](label: String)(f: => T): T =
+    if (java.lang.Boolean.getBoolean("graft.profile")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    } else f
+
   def dupLabels(spark: SparkSession, dir: String, maxRounds: Int): DataFrame = {
     val d = docs(spark, dir)
     val sig = minhashSigs(d).persist()
@@ -459,7 +468,7 @@ object Dedup {
     // SparkSession must never be silently planned at the loop's width.
     // The final labels are re-rooted onto the caller's session below,
     // so the corpus-wide final rollup keeps the session width.
-    val nEdges = edges.count()
+    val nEdges = prof("edges-count (sig+pairs+edges)")(edges.count())
     val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
     val loopParts = math.max(4L, math.min(sessParts.toLong, nEdges / 50000L))
     val loopSpark = org.apache.spark.sql.GraftShims.cloneWithConf(spark,
@@ -467,8 +476,8 @@ object Dedup {
     // same persisted edge table, planned under the loop session (the
     // CacheManager lives in SharedState, so the cache hit carries over)
     val edgesL = org.apache.spark.sql.GraftShims.reRoot(loopSpark, edges)
-    var labels = ccCheckpoint(edgesL.select(col("doc_id")).distinct()
-      .withColumn("label", col("doc_id")))
+    var labels = prof("labels-init")(ccCheckpoint(edgesL.select(col("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))))
     def step(ls: DataFrame): DataFrame = {
       val nbrMin = edgesL
         .join(ls.select(col("doc_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
@@ -490,13 +499,15 @@ object Dedup {
       // saves — and a double-jump variant saves no rounds at all on
       // these shallow components while paying a deeper lineage; a
       // step-folded init likewise measured net-negative)
-      val next = ccCheckpoint(jump(step(labels.select(col("doc_id"), col("label"))))
-        .withColumnRenamed("label", "new_label")
-        .join(labels.select(col("doc_id"), col("label").as("old_label")), Seq("doc_id"))
-        .select(col("doc_id"), col("old_label"), col("new_label").as("label")))
-      converged = next.filter(col("label") =!= col("old_label")).isEmpty
-      labels = next.select(col("doc_id"), col("label"))
-      round += 1
+      prof(s"cc-round $round") {
+        val next = ccCheckpoint(jump(step(labels.select(col("doc_id"), col("label"))))
+          .withColumnRenamed("label", "new_label")
+          .join(labels.select(col("doc_id"), col("label").as("old_label")), Seq("doc_id"))
+          .select(col("doc_id"), col("old_label"), col("new_label").as("label")))
+        converged = next.filter(col("label") =!= col("old_label")).isEmpty
+        labels = next.select(col("doc_id"), col("label"))
+        round += 1
+      }
     }
     // cache hygiene: sig and pairs were consumed when edges was
     // forced — free them now; edges still feeds the singleton

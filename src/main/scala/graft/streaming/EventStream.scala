@@ -63,25 +63,54 @@ object EventStream {
       "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString)
   }
 
+  /** Schema for SELF-LANDED event shards (st08 writes ts as long
+    * micros before streaming it back). The testdata file's own ts
+    * type varies by generator version — use [[eventsStream]] for
+    * streams over the testdata directory itself.
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),       // TIMESTAMP(NANOS) read as long
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The raw on-disk schema of `<dir>/events.parquet`, probed from the
+    * footer: `ts` is TIMESTAMP(NANOS)-as-long under older generator
+    * output, TIMESTAMP(MICROS)/NTZ under newer. A file-source stream
+    * must declare the files' actual schema, so probe before streaming.
+    */
+  def rawEventsSchema(s: SparkSession, dir: String): StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet").schema
+  }
+
+  /** File-source stream over the testdata events table with `ts`
+    * normalized to a microsecond TimestampType regardless of the
+    * file's physical encoding (all graft sessions run UTC, so the
+    * NTZ→LTZ cast is value-preserving). Same normalization as the
+    * batch loader [[graft.Tables]].
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = rawEventsSchema(s, dir)
+    val stream = s.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")  // file source needs a dir
+      .parquet(dir)
+    raw("ts").dataType match {
+      case LongType => stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream
+    }
+  }
+
   /** st01: event-time windowed aggregation (6 h tumbling, 1 h
     * watermark) run through a real StreamingQuery.
     */
   def st01StreamWindow(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = streamSession(spark)
-    val stream = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")  // file source needs a dir
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
     val agg = stream
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
@@ -182,16 +211,15 @@ object EventStream {
   }
 
   def st02StatefulCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = streamSession(spark)
     import s.implicits._
     // the watermark column exists only to drive EventTimeTimeout state
-    // expiry; `as[RawEvent]` drops it at the typed boundary
-    val stream = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    // expiry; `as[RawEvent]` drops it at the typed boundary. RawEvent
+    // carries ts as NANOS-since-epoch long (the state math divides by
+    // 1e6 for ms), derived from the normalized timestamp.
+    val stream = eventsStream(s, dir)
+      .withColumn("ets", col("ts"))
+      .withColumn("ts", unix_micros(col("ets")) * lit(1000L))
       .withWatermark("ets", "1 hour")
       .as[RawEvent]
 
@@ -215,15 +243,10 @@ object EventStream {
     * shape of the reference's CDC consumers.
     */
   def st03StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = streamSession(spark)
     val customers = graft.Tables(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val stream = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(s, dir)
     val agg = stream
       .join(broadcast(customers), col("user_id") === col("c_custkey"))
       .withWatermark("ts", "1 hour")
@@ -256,13 +279,8 @@ object EventStream {
     * counts over the original (un-doubled) events.
     */
   def st04StreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = streamSession(spark)
-    val stream = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(s, dir)
       .withColumn("dup", explode(array(lit(1), lit(2))))  // at-least-once: every event twice
       .drop("dup")
       .withWatermark("ts", "1 hour")
@@ -294,15 +312,10 @@ object EventStream {
     * mode; the per-user rollup happens batch-side on the sink.
     */
   def st05StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = streamSession(spark)
     // ONE source, two filtered branches (a stream self-join): the
     // events scan runs once per micro-batch instead of once per side
-    val src = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(s, dir)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"), col("value").as("p_value"))
@@ -436,13 +449,8 @@ object EventStream {
     * exact semantics).
     */
   def st07SessionWindow(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = streamSession(spark)
-    val stream = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
     val agg = stream
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -915,13 +923,8 @@ object EventStream {
     * advances forever and every row eventually resolves.
     */
   def st11StreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = streamSession(spark, noDataBatches = true)
-    val src = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(s, dir)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"), col("value").as("p_value"))
@@ -973,13 +976,8 @@ object EventStream {
     * watermark.
     */
   def st12AppendWindows(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = streamSession(spark, noDataBatches = true)
-    val stream = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
     val agg = stream
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))

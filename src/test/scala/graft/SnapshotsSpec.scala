@@ -78,11 +78,7 @@ class SnapshotsSpec extends AnyFunSuite {
 
   test("streaming ingestion commits micro-batches as snapshots") {
     val dir = tmp() + "/ingested"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(graft.streaming.EventStream.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf)
+    val stream = graft.streaming.EventStream.eventsStream(spark, sf)
     val q = graft.streaming.SnapshotSink.ingest(stream, dir)
     try q.processAllAvailable() finally q.stop()
     assert(Snapshots.versions(dir).nonEmpty)
@@ -95,7 +91,7 @@ class SnapshotsSpec extends AnyFunSuite {
     val dir = tmp() + "/maintained"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
-      .schema(graft.streaming.EventStream.eventsSchema)
+      .schema(graft.streaming.EventStream.rawEventsSchema(spark, sf))
       .option("pathGlobFilter", "events.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(sf)
