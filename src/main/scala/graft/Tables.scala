@@ -36,4 +36,17 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
   }
+
+  /** Ensure at least the session's shuffle width of partitions before
+    * CPU-heavy per-row work (hashing, gram explosion). A local
+    * single-file scan is ONE task, so everything narrow downstream of
+    * it runs single-threaded; on a cluster the scan already has ≥
+    * width splits and this adds nothing. The repartition only ships
+    * the projected columns, so spread a slim projection, not the
+    * full table.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
 }

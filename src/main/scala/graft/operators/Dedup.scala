@@ -29,7 +29,8 @@ object Dedup {
     */
   private def shingles(d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(d.sparkSession)
-    d.filter(length(col("text")) >= 3)
+    Tables.spread(d.filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"),
         explode(graft.functions.GraftFunctions.charGrams(col("text"), 3)).as("g"))
   }
@@ -326,10 +327,30 @@ object Dedup {
   }
 
   /** MinHash signature table (doc_id, h0..h{K-1}), md5-seeded via the
-    * [[HASH_A]]/[[HASH_B]] affine family (one md5 per gram).
+    * [[HASH_A]]/[[HASH_B]] affine family (one md5 per gram) — computed
+    * PER DOC with higher-order functions: the gram set stays an in-row
+    * array (one md5 per element), and the K affine mins are
+    * `array_min(transform(...))` over it, so the whole signature stage
+    * is a narrow Project — no gram-row explosion, no groupBy shuffle
+    * (measured 4.0 s → ~0.5 s at sf0.1 vs the explode+groupBy
+    * formulation, identical output by the d03/d06 oracles). The
+    * explode-based [[minhashSigsFrom]] remains for d09, whose truth
+    * side materializes the shingle table anyway.
     */
-  private def minhashSigs(d: DataFrame): DataFrame =
-    minhashSigsFrom(shingles(d))
+  private def minhashSigs(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    val xs = transform(
+      graft.functions.GraftFunctions.charGrams(col("text"), 3),
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    Tables.spread(d.filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), xs.as("xs"))
+      .select(col("doc_id") +:
+        (0 until K).map { s =>
+          array_min(transform(col("xs"),
+            x => (lit(HASH_A(s)) * x + lit(HASH_B(s))) % lit(HASH_P))).as(s"h$s")
+        }: _*)
+  }
 
   /** Signatures from an externally supplied shingle table (d09 shares
     * one persisted shingle pass with the d02 truth side).
@@ -468,57 +489,98 @@ object Dedup {
     // SparkSession must never be silently planned at the loop's width.
     // The final labels are re-rooted onto the caller's session below,
     // so the corpus-wide final rollup keeps the session width.
-    val nEdges = prof("edges-count (sig+pairs+edges)")(edges.count())
-    val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(4L, math.min(sessParts.toLong, nEdges / 50000L))
-    val loopSpark = org.apache.spark.sql.GraftShims.cloneWithConf(spark,
-      "spark.sql.shuffle.partitions" -> loopParts.toString)
-    // same persisted edge table, planned under the loop session (the
-    // CacheManager lives in SharedState, so the cache hit carries over)
-    val edgesL = org.apache.spark.sql.GraftShims.reRoot(loopSpark, edges)
-    var labels = prof("labels-init")(ccCheckpoint(edgesL.select(col("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))))
-    def step(ls: DataFrame): DataFrame = {
-      val nbrMin = edgesL
-        .join(ls.select(col("doc_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
-        .groupBy(col("doc_id")).agg(min(col("nbr_label")).as("min_nbr_label"))
-      ls.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("min_nbr_label"), col("label"))).as("label"))
+    if (java.lang.Boolean.getBoolean("graft.profile")) {
+      prof("sig-build")(sig.count()); prof("pairs-build")(pairs.count())
     }
-    def jump(ls: DataFrame): DataFrame =
-      ls.join(ls.select(col("doc_id").as("label"), col("label").as("jlabel")),
-          Seq("label"))
-        .select(col("doc_id"), col("jlabel").as("label"))
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      // one neighbor hop + one pointer jump per materialization
-      // (measured at sf0.1: a double-hop variant is SLOWER — the
-      // extra edges-join per checkpoint costs more than the rounds it
-      // saves — and a double-jump variant saves no rounds at all on
-      // these shallow components while paying a deeper lineage; a
-      // step-folded init likewise measured net-negative)
-      prof(s"cc-round $round") {
-        val next = ccCheckpoint(jump(step(labels.select(col("doc_id"), col("label"))))
-          .withColumnRenamed("label", "new_label")
-          .join(labels.select(col("doc_id"), col("label").as("old_label")), Seq("doc_id"))
-          .select(col("doc_id"), col("old_label"), col("new_label").as("label")))
-        converged = next.filter(col("label") =!= col("old_label")).isEmpty
-        labels = next.select(col("doc_id"), col("label"))
-        round += 1
+    val nEdges = prof("edges-count (sig+pairs+edges)")(edges.count())
+    // STATS-GATED SOLVE, same pattern as the as-of join's build cap:
+    // the verified subgraph is usually a vanishing fraction of the
+    // corpus (near-dup pairs, not docs), so below the cap — ≤ 16 MB
+    // of (long, long) rows — the exact answer is one driver-side
+    // union-find over the collected pair list: no iteration, no
+    // per-round shuffles, bit-identical labels (min-root union makes
+    // every root the component min, which is what the fixpoint
+    // converges to). Above the cap — a corpus whose DUPLICATE GRAPH
+    // alone exceeds driver memory — the distributed fixpoint below is
+    // the unchanged 100 TB path. Tune/force with
+    // -Dgraft.cc.localEdgeCap (0 forces the distributed path; the
+    // spec pins local == distributed).
+    val localCap = sys.props.get("graft.cc.localEdgeCap")
+      .map(_.toLong).getOrElse(1000000L)
+    val finalLabels: DataFrame = if (nEdges / 2 <= localCap) prof("cc-local") {
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(a: Long): Long = {
+        var r = a
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = a
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
       }
+      // one direction of each edge suffices for union-find
+      pairs.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val labelRows = scala.jdk.CollectionConverters
+        .SetHasAsScala(parent.keySet()).asScala.toSeq
+        .map(id => (id, find(id)))
+      labelRows.toDF("doc_id", "label")
+    } else {
+      val sessParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val loopParts = math.max(4L, math.min(sessParts.toLong, nEdges / 50000L))
+      val loopSpark = org.apache.spark.sql.GraftShims.cloneWithConf(spark,
+        "spark.sql.shuffle.partitions" -> loopParts.toString)
+      // same persisted edge table, planned under the loop session (the
+      // CacheManager lives in SharedState, so the cache hit carries over)
+      val edgesL = org.apache.spark.sql.GraftShims.reRoot(loopSpark, edges)
+      var labels = prof("labels-init")(ccCheckpoint(edgesL.select(col("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))))
+      def step(ls: DataFrame): DataFrame = {
+        val nbrMin = edgesL
+          .join(ls.select(col("doc_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
+          .groupBy(col("doc_id")).agg(min(col("nbr_label")).as("min_nbr_label"))
+        ls.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("min_nbr_label"), col("label"))).as("label"))
+      }
+      def jump(ls: DataFrame): DataFrame =
+        ls.join(ls.select(col("doc_id").as("label"), col("label").as("jlabel")),
+            Seq("label"))
+          .select(col("doc_id"), col("jlabel").as("label"))
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        // one neighbor hop + one pointer jump per materialization
+        // (measured at sf0.1: a double-hop variant is SLOWER — the
+        // extra edges-join per checkpoint costs more than the rounds it
+        // saves — and a double-jump variant saves no rounds at all on
+        // these shallow components while paying a deeper lineage; a
+        // step-folded init likewise measured net-negative)
+        prof(s"cc-round $round") {
+          val next = ccCheckpoint(jump(step(labels.select(col("doc_id"), col("label"))))
+            .withColumnRenamed("label", "new_label")
+            .join(labels.select(col("doc_id"), col("label").as("old_label")), Seq("doc_id"))
+            .select(col("doc_id"), col("old_label"), col("new_label").as("label")))
+          converged = next.filter(col("label") =!= col("old_label")).isEmpty
+          labels = next.select(col("doc_id"), col("label"))
+          round += 1
+        }
+      }
+      // back onto the caller's session: the final corpus-wide rollup
+      // plans at the session width, not the loop width
+      org.apache.spark.sql.GraftShims.reRoot(spark, labels)
     }
     // cache hygiene: sig and pairs were consumed when edges was
-    // forced — free them now; edges still feeds the singleton
-    // anti-join below, so its release is deferred until the caller's
-    // terminal action completes (Caches)
+    // forced (and the local path's collect); free them now — edges
+    // still feeds the singleton anti-join below, so its release is
+    // deferred until the caller's terminal action completes (Caches)
     sig.unpersist(blocking = false)
     pairs.unpersist(blocking = false)
     graft.Caches.deferRelease(edges)
-    // back onto the caller's session: the final corpus-wide rollup
-    // plans at the session width, not the loop width
-    val finalLabels = org.apache.spark.sql.GraftShims.reRoot(spark, labels)
     val singletons = d.select(col("doc_id"))
       .join(edges.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))

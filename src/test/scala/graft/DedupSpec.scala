@@ -151,15 +151,33 @@ class DedupSpec extends AnyFunSuite {
   test("d06 fixpoint runs under reliable checkpointing with identical clusters") {
     def key(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
       rows.map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
-    val default = key(Dedup.d06DupClusters(spark, sf).collect())
-    System.setProperty("graft.cc.reliableCheckpoint", "true")
+    // cap 0 forces the DISTRIBUTED fixpoint (the default stats gate
+    // would solve this small subgraph driver-side, where
+    // checkpointing never engages)
+    System.setProperty("graft.cc.localEdgeCap", "0")
     try {
-      val reliable = key(Dedup.d06DupClusters(spark, sf).collect())
-      assert(reliable == default,
-        "reliable-checkpoint run diverged from the localCheckpoint run")
-      assert(spark.sparkContext.getCheckpointDir.nonEmpty,
-        "reliable run must have installed a checkpoint dir")
-    } finally System.clearProperty("graft.cc.reliableCheckpoint")
+      val default = key(Dedup.d06DupClusters(spark, sf).collect())
+      System.setProperty("graft.cc.reliableCheckpoint", "true")
+      try {
+        val reliable = key(Dedup.d06DupClusters(spark, sf).collect())
+        assert(reliable == default,
+          "reliable-checkpoint run diverged from the localCheckpoint run")
+        assert(spark.sparkContext.getCheckpointDir.nonEmpty,
+          "reliable run must have installed a checkpoint dir")
+      } finally System.clearProperty("graft.cc.reliableCheckpoint")
+    } finally System.clearProperty("graft.cc.localEdgeCap")
+  }
+
+  test("d06 driver union-find (stats gate) matches the distributed fixpoint") {
+    def key(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    val local = key(Dedup.d06DupClusters(spark, sf).collect()) // default cap → local path
+    System.setProperty("graft.cc.localEdgeCap", "0")
+    try {
+      val distributed = key(Dedup.d06DupClusters(spark, sf).collect())
+      assert(local == distributed,
+        "driver-side union-find labels diverged from the distributed fixpoint")
+    } finally System.clearProperty("graft.cc.localEdgeCap")
   }
 
   test("d10 semantic dedup: accounting consistent, pair join never a cartesian") {
