@@ -96,18 +96,25 @@ object Pipeline {
         substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)))
       .withColumn("split_by_cluster", splitOf(
         substring(md5(concat(lit("split:"), col("label").cast("string"))), 1, 2)))
-    def straddles(c: String) = a.groupBy(col("label"))
-      .agg(count(lit(1)).as("sz"), countDistinct(col(c)).as("ns"))
-      .filter(col("sz") > 1 && col("ns") > 1)
-      .agg(count(lit(1)).as("n")).select(col("n"))
-    a.groupBy(col("split_by_cluster").as("split"))
+    // ONE per-cluster aggregation feeds everything: the per-split
+    // rollup (split_by_cluster is constant within a label, so max()
+    // recovers it) AND both straddle counters — no second or third
+    // pass over the label manifest
+    val per = graft.Caches.scoped(a.groupBy(col("label"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("split_by_id")).as("ns_id"),
+        countDistinct(col("split_by_cluster")).as("ns_cl"),
+        max(col("split_by_cluster")).as("split")))
+    val straddles = per.agg(
+      sum(when(col("sz") > 1 && col("ns_id") > 1, 1L).otherwise(0L))
+        .as("n_straddling_by_id"),
+      sum(when(col("sz") > 1 && col("ns_cl") > 1, 1L).otherwise(0L))
+        .as("n_straddling_by_cluster"))
+    per.groupBy(col("split"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("label")).as("n_clusters"))
-      .crossJoin(broadcast(straddles("split_by_id")
-        .withColumnRenamed("n", "n_straddling_by_id")))
-      .crossJoin(broadcast(straddles("split_by_cluster")
-        .withColumnRenamed("n", "n_straddling_by_cluster")))
+        sum(col("sz")).as("n_docs"),
+        count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(straddles))
       .orderBy(col("split"))
   }
 
