@@ -367,14 +367,21 @@ object Dedup {
     withX.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
   }
 
-  /** Candidate-duplicate edges from MinHash-LSH band collisions. */
-  private def lshPairs(sig: DataFrame): DataFrame = {
+  /** `(doc_id, band_idx, band_hash)` LSH band table from a signature
+    * table — the shape a LANDED corpus band index stores.
+    */
+  private def bandTable(sig: DataFrame): DataFrame = {
     val withBands = (0 until BANDS).foldLeft(sig) { (df, b) =>
       val cols = (b * 4 until b * 4 + 4).map(i => col(s"h$i"))
       df.withColumn(s"band$b", md5(concat_ws("|", cols: _*)))
     }
-    val banded = withBands.selectExpr("doc_id",
+    withBands.selectExpr("doc_id",
       s"stack($BANDS, ${(0 until BANDS).map(b => s"$b, band$b").mkString(", ")}) as (band_idx, band_hash)")
+  }
+
+  /** Candidate-duplicate edges from MinHash-LSH band collisions. */
+  private def lshPairs(sig: DataFrame): DataFrame = {
+    val banded = bandTable(sig)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -382,6 +389,72 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+  }
+
+  /** The 14-of-16 signature-agreement verify gate between aliased
+    * signature tables `sa`/`sb` (d06's near-dup bar).
+    */
+  private def sigAgreeCol: Column = (0 until K)
+    .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+    .reduce(_ + _)
+
+  /** d13: INCREMENTAL fuzzy dedup — d08's daily-ingest shape for NEAR
+    * duplicates: the arriving batch is probed against the standing
+    * corpus's LSH BAND INDEX plus its own batch-internal banding, both
+    * verified at d06's 14/16 signature-agreement gate. At 100 TB the
+    * corpus side is a LANDED `(band_idx, band_hash, doc_id)` index
+    * table ([[bandTable]]'s shape) maintained per ingest — the corpus
+    * text is never re-shingled and never re-paired against itself;
+    * per-ingest cost is the batch's own hashing plus one index-probe
+    * equi-join sized by band collisions. Split is modulo-deterministic
+    * (corpus = doc_id%5≠0, batch = %5==0, as d08) so the oracle
+    * reproduces it at any sf. Output per batch doc: corpus-dup count +
+    * best (min-id) corpus match, count of earlier in-batch dups, and
+    * the keep decision.
+    */
+  def d13IncrementalLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = graft.Caches.scoped(minhashSigs(docs(spark, dir)))
+    val corpusSig = sig.filter(col("doc_id") % 5 =!= 0)
+    val batchSig = sig.filter(col("doc_id") % 5 === 0)
+    val corpusIdx = bandTable(corpusSig) // the landed-index shape
+    val batchB = bandTable(batchSig)
+    val corpVerified = batchB.as("a")
+      .join(corpusIdx.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("bid"), col("b.doc_id").as("cid"))
+      .distinct()
+      .join(batchSig.as("sa"), col("bid") === col("sa.doc_id"))
+      .join(corpusSig.as("sb"), col("cid") === col("sb.doc_id"))
+      .filter(sigAgreeCol >= (K * 7) / 8)
+      .select(col("bid"), col("cid"))
+    val batchVerified = batchB.as("a")
+      .join(batchB.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+      .join(batchSig.as("sa"), col("da") === col("sa.doc_id"))
+      .join(batchSig.as("sb"), col("db") === col("sb.doc_id"))
+      .filter(sigAgreeCol >= (K * 7) / 8)
+      .select(col("da"), col("db"))
+    val nCorp = corpVerified.groupBy(col("bid").as("doc_id"))
+      .agg(countDistinct(col("cid")).as("n_corpus_dups"),
+        min(col("cid")).as("best_corpus_match"))
+    val nEarlier = batchVerified
+      .groupBy(col("db").as("doc_id"))
+      .agg(countDistinct(col("da")).as("n_batch_dups_earlier"))
+    batchSig.select(col("doc_id"))
+      .join(nCorp, Seq("doc_id"), "left")
+      .join(nEarlier, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        col("best_corpus_match"),
+        coalesce(col("n_batch_dups_earlier"), lit(0L)).as("n_batch_dups_earlier"))
+      .withColumn("keep",
+        col("n_corpus_dups") === 0 && col("n_batch_dups_earlier") === 0)
+      .orderBy(col("doc_id"))
   }
 
   /** d06: near-duplicate CLUSTERS — the full LSH ladder:
@@ -696,16 +769,8 @@ object Dedup {
     // scoped persist: the signature table feeds banding twice and the
     // pair scoring twice — one gram pass, not four
     val sig = graft.Caches.scoped(minhashSigs(docs(spark, dir)))
-    def banded(df: DataFrame): DataFrame = {
-      val withBands = (0 until BANDS).foldLeft(df) { (d, b) =>
-        val cols = (b * 4 until b * 4 + 4).map(i => col(s"h$i"))
-        d.withColumn(s"band$b", md5(concat_ws("|", cols: _*)))
-      }
-      withBands.selectExpr("doc_id",
-        s"stack($BANDS, ${(0 until BANDS).map(b => s"$b, band$b").mkString(", ")}) as (band_idx, band_hash)")
-    }
-    val trainB = banded(sig.filter(col("doc_id") % 13 =!= 0))
-    val benchB = banded(sig.filter(col("doc_id") % 13 === 0))
+    val trainB = bandTable(sig.filter(col("doc_id") % 13 =!= 0))
+    val benchB = bandTable(sig.filter(col("doc_id") % 13 === 0))
     val cand = trainB.as("a").join(benchB.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash"))
@@ -787,6 +852,7 @@ object Dedup {
     "d12_cluster_apply" -> (d12ClusterApply _),
     "d07_boilerplate" -> (d07Boilerplate _),
     "d08_incremental_dedup" -> (d08IncrementalDedup _),
+    "d13_incremental_lsh" -> (d13IncrementalLsh _),
     "d09_lsh_recall" -> (d09LshRecall _),
     "d10_semantic_dedup" -> (d10SemanticDedup _),
     "p13_fuzzy_contamination" -> (p13FuzzyContamination _)
@@ -829,6 +895,58 @@ object Dedup {
   }.mkString("\n  UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // d13: the oracle re-derives the SAME signatures/bands, splits on
+    // the same modulo, and replays both probe joins + the 14/16 gate
+    "d13_incremental_lsh" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(text)-1), i -> substring(text, i, 3))) AS g
+         |  FROM documents WHERE len(text) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, g FROM raw),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  $bandSelects),
+         |cb AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
+         |bb AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+         |corp_cand AS (
+         |  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+         |  FROM bb a JOIN cb b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
+         |corp_ver AS (
+         |  SELECT bid, cid FROM corp_cand
+         |  JOIN sig sa ON corp_cand.bid = sa.doc_id
+         |  JOIN sig sb ON corp_cand.cid = sb.doc_id
+         |  WHERE ($sigAgree) >= ${(K * 7) / 8}),
+         |batch_cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bb a JOIN bb b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |batch_ver AS (
+         |  SELECT da, db FROM batch_cand
+         |  JOIN sig sa ON batch_cand.da = sa.doc_id
+         |  JOIN sig sb ON batch_cand.db = sb.doc_id
+         |  WHERE ($sigAgree) >= ${(K * 7) / 8}),
+         |nc AS (
+         |  SELECT bid AS doc_id, COUNT(DISTINCT cid) AS n_corpus_dups,
+         |    MIN(cid) AS best_corpus_match
+         |  FROM corp_ver GROUP BY 1),
+         |ne AS (
+         |  SELECT db AS doc_id, COUNT(DISTINCT da) AS n_batch_dups_earlier
+         |  FROM batch_ver GROUP BY 1)
+         |SELECT s.doc_id,
+         |  COALESCE(nc.n_corpus_dups, 0) AS n_corpus_dups,
+         |  nc.best_corpus_match,
+         |  COALESCE(ne.n_batch_dups_earlier, 0) AS n_batch_dups_earlier,
+         |  (COALESCE(nc.n_corpus_dups, 0) = 0
+         |    AND COALESCE(ne.n_batch_dups_earlier, 0) = 0) AS keep
+         |FROM (SELECT doc_id FROM sig WHERE doc_id % 5 = 0) s
+         |LEFT JOIN nc ON s.doc_id = nc.doc_id
+         |LEFT JOIN ne ON s.doc_id = ne.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     // d12: d06's recursive-CC labels (same CTEs), keep = longest doc
     "d12_cluster_apply" ->
       s"""WITH RECURSIVE raw AS (

@@ -168,6 +168,35 @@ class DedupSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.cc.localEdgeCap")
   }
 
+  test("d13 incremental probe: accounting sound, flagged docs share a d06 cluster with the corpus") {
+    val rows = Dedup.d13IncrementalLsh(spark, sf).collect()
+    val batchN = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 3).count()
+    assert(rows.length == batchN, "one decision row per batch doc")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Long]("n_corpus_dups") == 0L &&
+          r.getAs[Long]("n_batch_dups_earlier") == 0L))
+      if (!r.isNullAt(r.fieldIndex("best_corpus_match")))
+        assert(r.getAs[Long]("best_corpus_match") % 5 != 0,
+          "corpus match must come from the corpus side of the split")
+    }
+    // a verified batch→corpus pair is an edge of d06's full graph, so
+    // every corpus-flagged batch doc must share its dup-cluster label
+    // with at least one corpus doc
+    val labels = Dedup.dupLabels(spark, sf, 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label"))
+    val labelOf = labels.toMap
+    val corpusLabels = labels.collect { case (d, l) if d % 5 != 0 => l }.toSet
+    val flagged = rows.filter(_.getAs[Long]("n_corpus_dups") > 0)
+    assert(flagged.nonEmpty, "expected cross-split near-dups in testdata")
+    flagged.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(corpusLabels.contains(labelOf(id)),
+        s"batch doc $id flagged against the corpus but its cluster has no corpus member")
+    }
+  }
+
   test("d06 driver union-find (stats gate) matches the distributed fixpoint") {
     def key(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
       rows.map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
