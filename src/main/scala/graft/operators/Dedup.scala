@@ -276,8 +276,11 @@ object Dedup {
     // feeds both sides of the self-join — without it the T·B
     // projection folds run twice per vector (measured 2.4 s → 0.7 s at
     // sf0.1); released after the query's terminal action
+    // spread first: the T·B sign-bit folds are the CPU of this query
+    // and a local single-file scan would run them in one task
     val buckets = graft.Caches.scoped(
-      e.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
+      Tables.spread(e.select(col("vec_id"), col("embedding")))
+        .select(col("vec_id"), explode(array(tb: _*)).as("tb"))
         .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket")))
     val cand = buckets.as("a")
       .join(buckets.as("b"),

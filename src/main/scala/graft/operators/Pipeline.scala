@@ -184,10 +184,11 @@ object Pipeline {
     // distinct, per-doc totals, the semi join) — materialize the
     // narrow (doc_id, gram) table once instead of re-running the
     // tokenize+explode per branch; released after the terminal action
-    val grams = graft.Caches.scoped(docs(spark, dir)
-      .select(col("doc_id"), expr(graft.functions.TextGrams.tokensExpr("text")).as("ts"))
-      .filter(size(col("ts")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(gram5)).as("g")))
+    val grams = graft.Caches.scoped(
+      graft.Tables.spread(docs(spark, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), expr(graft.functions.TextGrams.tokensExpr("text")).as("ts"))
+        .filter(size(col("ts")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(gram5)).as("g")))
     val bench = grams.filter(col("doc_id") % 13 === 0)
       .select(col("g")).distinct()
     val perDoc = grams.filter(col("doc_id") % 13 =!= 0)

@@ -221,8 +221,11 @@ object Similarity {
       .withColumn("cell_id",
         (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
       .select(col("cell_id"), col("embedding").as("centroid"))
+    // spread before the K-way distance fan-out (single local scan
+    // task would otherwise run every cosine single-threaded)
+    val eWide = Tables.spread(e.select(col("vec_id"), col("embedding")))
     def assign(centroids: org.apache.spark.sql.DataFrame) = {
-      val scored = e.crossJoin(broadcast(centroids))
+      val scored = eWide.crossJoin(broadcast(centroids))
         .withColumn("sim", GraftFunctions.cosineSim(col("embedding"), col("centroid")))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -385,7 +388,11 @@ object Similarity {
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
     val e = emb(spark, dir)
-    val subs = e.select(col("vec_id"), pqSlices(col("embedding"), "sub").as("x"))
+    // spread BEFORE the ×S explode + S·K distance folds: a local
+    // single-file scan is one task and the whole assignment CPU would
+    // run single-threaded (cluster scans are already wide → no-op)
+    val subs = Tables.spread(e.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), pqSlices(col("embedding"), "sub").as("x"))
       .select(col("vec_id"), col("x.sp").as("sp"), col("x.sub").as("sub"))
     val seeds = e
       .select(col("vec_id"), col("embedding"),
