@@ -202,6 +202,54 @@ object Pipeline {
       .orderBy(col("n_hit_grams").desc, col("doc_id"))
   }
 
+  /** p16: BLOOM-gated decontamination — p06's sweep at its 100 TB
+    * shape. p06 broadcasts the benchmark's exact distinct-gram set;
+    * at a real bench-suite scale that broadcast is gigabytes. Here
+    * the bench grams compact into a 2^20-bit bloom sketch (128 KB,
+    * embedded in the probe plan's generated code — a02's machinery)
+    * and the TRAINING corpus's gram stream is pruned map-side BEFORE
+    * any shuffle: the corpus-side aggregation only ever sees bloom
+    * candidates (true hits + a bounded false-positive trickle). The
+    * candidates are then exactly CONFIRMED against the bench set, so
+    * the emitted accounting is bit-identical to the exact sweep; the
+    * `bloom_sound` column cross-checks the bloom path against an
+    * independent exact semi-join (no false negatives — the bloom
+    * contract), and the oracle expects it TRUE on every row.
+    */
+  def p16BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val gram5 = expr(graft.functions.TextGrams.gramExpr("ts", 5))
+    val grams = graft.Caches.scoped(
+      graft.Tables.spread(docs(spark, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), expr(graft.functions.TextGrams.tokensExpr("text")).as("ts"))
+        .filter(size(col("ts")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(gram5)).as("g")))
+    val bench = grams.filter(col("doc_id") % 13 === 0).select(col("g")).distinct()
+    val bloom = bench
+      .agg(call_function("bloom_agg", xxhash64(col("g")),
+        lit(100000L), lit(1L << 20)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val train = grams.filter(col("doc_id") % 13 =!= 0)
+    val candidates = train.filter(
+      call_function("bloom_might_contain", lit(bloom), xxhash64(col("g"))))
+    val hits = candidates.join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+    // independent exact sweep (no bloom) — the soundness yardstick
+    val exactHits = train.join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact_hits"))
+    val perDoc = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    perDoc
+      .join(hits, Seq("doc_id"), "left")
+      .join(exactHits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("contamination_ratio"),
+        (coalesce(col("n_hit_grams"), lit(0L)) ===
+          coalesce(col("n_exact_hits"), lit(0L))).as("bloom_sound"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p07: vocabulary coverage / OOV rate — build a top-500 token
     * vocabulary (global counts, deterministic tie-break) and measure
     * per-language out-of-vocabulary token share: the coverage metric
@@ -402,13 +450,41 @@ object Pipeline {
     "p03_stratified_sample" -> (p03StratifiedSample _),
     "p04_length_buckets" -> (p04LengthBuckets _),
     "p05_corpus_stats" -> (p05CorpusStats _),
-    "p06_contamination_check" -> (p06ContaminationCheck _)
+    "p06_contamination_check" -> (p06ContaminationCheck _),
+    "p16_bloom_decontaminate" -> (p16BloomDecontaminate _)
   )
 
   private val stopListSql = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    // p16: the oracle is the EXACT sweep over every train doc (the
+    // bloom is a plan-side prune confirmed exactly — a02's pattern),
+    // and it expects the bloom-vs-exact cross-check TRUE on every row
+    "p16_bloom_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${graft.functions.TextGrams.tokensSql("text")} AS ts
+         |  FROM documents
+         |  WHERE len(${graft.functions.TextGrams.tokensSql("text")}) >= 5),
+         |raw AS (
+         |  SELECT doc_id, unnest(${graft.functions.TextGrams.gramSql("ts", 5)}) AS g
+         |  FROM toks),
+         |grams AS (SELECT DISTINCT doc_id, g FROM raw),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
+         |per_doc AS (
+         |  SELECT doc_id, COUNT(*) AS n_grams FROM grams
+         |  WHERE doc_id % 13 <> 0 GROUP BY 1),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_hit_grams
+         |  FROM grams WHERE doc_id % 13 <> 0 AND g IN (SELECT g FROM bench)
+         |  GROUP BY 1)
+         |SELECT p.doc_id, p.n_grams,
+         |  COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+         |  CAST(COALESCE(h.n_hit_grams, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+         |    AS contamination_ratio,
+         |  TRUE AS bloom_sound
+         |FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
     // DuckDB list slice toks[a:b] is 1-based and end-inclusive with
     // out-of-range clamp — exactly Spark's slice(toks, a, 64)
     "p12_chunk_documents" ->

@@ -87,6 +87,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p16 bloom prune is in-plan, sound, and agrees with p06's exact hits") {
+    val df = Pipeline.p16BloomDecontaminate(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("might_contain"),
+      "bloom probe missing from the physical plan")
+    val rows = df.collect()
+    assert(rows.forall(_.getAs[Boolean]("bloom_sound")),
+      "bloom path lost an exact hit (false negative)")
+    val exact = Pipeline.p06ContaminationCheck(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit_grams")).toMap
+    val mine = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit_grams")).toMap
+    exact.foreach { case (d, n) =>
+      assert(mine(d) == n, s"doc $d: bloom-confirmed hits $n != p06 exact ${mine(d)}")
+    }
+    assert(mine.filter(_._2 > 0).keySet == exact.keySet,
+      "contaminated-doc sets differ between p16 and p06")
+  }
+
   test("p15 cluster-keyed split leaks zero near-dup clusters; id-keyed split leaks") {
     val rows = graft.operators.Pipeline.p15LeakproofSplit(spark, sf).collect()
     assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
