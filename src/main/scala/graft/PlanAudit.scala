@@ -32,7 +32,8 @@ object PlanAudit {
                   "q76_purge", "a07_sketch_sizing",
                   "d12_cluster_apply", "a08_aqp_groupby",
                   "q77_metadata_only", "p15_leakproof_split",
-                  "d13_incremental_lsh")) {
+                  "d13_incremental_lsh", "p16_bloom_decontaminate",
+                  "m06_perceptual_dedup")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

@@ -137,11 +137,13 @@ object Dedup {
     */
   def d09LshRecall(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // ONE shingle explosion feeds both sides (truth index + minhash
-    // signatures) — persisted for the query, released at its action
+    // truth side needs the exploded shingle table (inverted index);
+    // the signature side uses the explode-free HOF path instead —
+    // a second in-row gram pass costs less than the 16-min groupBy
+    // over the 4M-row shingle table it previously shared
     val sh = graft.Caches.scoped(shingles(docs(spark, dir)))
     val truth = d02From(sh)
-    val caught = lshPairs(minhashSigsFrom(sh))
+    val caught = lshPairs(minhashSigs(docs(spark, dir)))
       .select(col("da").as("doc_a"), col("db").as("doc_b"))
       .withColumn("caught", lit(true))
     truth.join(caught, Seq("doc_a", "doc_b"), "left")
@@ -337,8 +339,8 @@ object Dedup {
     * is a narrow Project — no gram-row explosion, no groupBy shuffle
     * (measured 4.0 s → ~0.5 s at sf0.1 vs the explode+groupBy
     * formulation, identical output by the d03/d06 oracles). The
-    * explode-based [[minhashSigsFrom]] remains for d09, whose truth
-    * side materializes the shingle table anyway.
+    * oracles still derive the same values from their exploded-gram
+    * CTEs — the math is identical, only the Spark plan shape changed.
     */
   private def minhashSigs(d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(d.sparkSession)
@@ -353,21 +355,6 @@ object Dedup {
           array_min(transform(col("xs"),
             x => (lit(HASH_A(s)) * x + lit(HASH_B(s))) % lit(HASH_P))).as(s"h$s")
         }: _*)
-  }
-
-  /** Signatures from an externally supplied shingle table (d09 shares
-    * one persisted shingle pass with the d02 truth side).
-    */
-  private def minhashSigsFrom(sh: DataFrame): DataFrame = {
-    // x projected BEFORE the groupBy: aggregate expressions get no
-    // common-subexpression elimination, so inlining x into each of the
-    // K mins would run K md5s per row again
-    val withX = sh.select(col("doc_id"),
-      conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("x"))
-    val hashAggs = (0 until K).map { s =>
-      min((lit(HASH_A(s)) * col("x") + lit(HASH_B(s))) % lit(HASH_P)).as(s"h$s")
-    }
-    withX.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
   }
 
   /** `(doc_id, band_idx, band_hash)` LSH band table from a signature

@@ -185,15 +185,116 @@ object Multimodal {
       .orderBy(col("shard_id"))
   }
 
+  /** m06: PERCEPTUAL media dedup — the average-hash (aHash) pipeline
+    * real image dedup runs (dHash/pHash swap in the same shape): the
+    * decoded image reduces to an 8×8 grid, each cell's intensity
+    * compares against the global mean for one bit, and the 64-bit
+    * hashes meet in a banded hamming join (4×16 bits, candidates
+    * verified at distance ≤ 12) — near-identical media collide, the
+    * corpus is never all-pairs compared. The DECODE is this
+    * container's stub: the payload (text bytes) stands in for pixel
+    * data, cell j = exact integer sum of the character codes in the
+    * j-th slice — locality-preserving like real pixels (near-dup
+    * payloads → near-equal cells → small hamming distance), unlike
+    * m04's exact content hash which only catches bit-identical media.
+    * Bit rule `64·cell > Σcells` stays in integers (no division), so
+    * the DuckDB oracle reproduces hash, bands, and pair set exactly.
+    */
+  def m06PerceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").filter(length(col("text")) >= 64)
+    val base = Tables.spread(d.select(col("doc_id"), col("text")))
+      .withColumn("w", (length(col("text")) / lit(64)).cast("int"))
+    val pix = base.withColumn("px", expr(
+      "transform(sequence(0, 63), j -> aggregate(transform(sequence(1, w), " +
+        "i -> CAST(ascii(substring(text, j*w + i, 1)) AS BIGINT)), 0L, (acc, x) -> acc + x))"))
+      .withColumn("total", expr("aggregate(px, 0L, (acc, x) -> acc + x)"))
+    // disjoint bits: + == bitwise OR, incl. the sign bit (d04's trick)
+    val phash = (0 until 64)
+      .map(j => when(expr(s"64 * element_at(px, ${j + 1}) > total"),
+        lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = pix.select(col("doc_id"), phash.as("phash"))
+    val banded = sigs.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))
+            .as("band_val"))): _*)).as("band"))
+      .select(col("doc_id"), col("phash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.phash").bitwiseXOR(col("b.phash"))) <= 12)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val partners = pairs.select(col("da").as("doc_id"), col("db").as("partner"))
+      .unionAll(pairs.select(col("db").as("doc_id"), col("da").as("partner")))
+      .groupBy(col("doc_id")).agg(countDistinct(col("partner")).as("n_near"))
+    sigs.join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_resize_features" -> (m03ResizeFeatures _),
     "m04_media_dedup" -> (m04MediaDedup _),
-    "m05_shard_manifest" -> (m05ShardManifest _)
+    "m05_shard_manifest" -> (m05ShardManifest _),
+    "m06_perceptual_dedup" -> (m06PerceptualDedup _)
   )
 
+  // m06 oracle pieces: aHash assembly in HUGEINT space (d04's recipe)
+  private val phashAssemble = (0 until 64).map(j =>
+    s"(CASE WHEN 64 * px[${j + 1}] > total THEN ${BigInt(1) << j}::HUGEINT ELSE 0::HUGEINT END)")
+    .mkString(" +\n    ")
+  private val phashBands = (0 until 4).map(b =>
+    s"SELECT doc_id, phash, $b AS band_idx, " +
+      s"((su // ${BigInt(1) << (16 * b)}::HUGEINT) % 65536)::BIGINT AS band_val FROM sigs")
+    .mkString("\n  UNION ALL ")
+
   val oracles: Map[String, String] = Map(
+    // m06: same integer cell sums, same HUGEINT hash assembly, same
+    // banded-hamming pair set — bit-for-bit
+    "m06_perceptual_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, (len(text) // 64) AS w
+         |  FROM documents WHERE len(text) >= 64),
+         |pxt AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 64), j ->
+         |      list_sum(list_transform(range(1, w + 1), i ->
+         |        CAST(ord(substring(text, CAST(j * w + i AS INT), 1)) AS BIGINT)))) AS px
+         |  FROM base),
+         |tot AS (SELECT doc_id, px, list_sum(px) AS total FROM pxt),
+         |sim AS (
+         |  SELECT doc_id,
+         |    $phashAssemble AS su
+         |  FROM tot),
+         |sigs AS (
+         |  SELECT doc_id, su,
+         |    CASE WHEN su >= 9223372036854775808::HUGEINT
+         |         THEN (su - 18446744073709551616::HUGEINT)::BIGINT
+         |         ELSE su::BIGINT END AS phash
+         |  FROM sim),
+         |banded AS (
+         |  $phashBands),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |    AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 12),
+         |partners AS (
+         |  SELECT doc_id, COUNT(DISTINCT partner) AS n_near FROM (
+         |    SELECT da AS doc_id, db AS partner FROM pairs
+         |    UNION ALL SELECT db, da FROM pairs) GROUP BY 1)
+         |SELECT s.doc_id, s.phash, COALESCE(p.n_near, 0) AS n_near
+         |FROM sigs s LEFT JOIN partners p ON s.doc_id = p.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     // m05: the oracle states the semantics as the naive global window
     // (fine at oracle scale; the engine runs the distributed form)
     "m05_shard_manifest" ->

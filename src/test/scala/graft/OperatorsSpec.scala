@@ -225,6 +225,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("pair")).distinct.length == 3)
   }
 
+  test("m06 perceptual dedup: exact copies always collide, join never all-pairs") {
+    val df = graft.operators.Multimodal.m06PerceptualDedup(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "m06 banded join planned a cartesian product")
+    // identical payloads hash identically and identical hashes collide
+    // in every band, so exact copies must be mutual neighbors: land a
+    // corpus copy with 3 known duplicated docs and require the pairs
+    val dir = graft.TempDirs.scratch("m06-spec")
+    val d = Tables(spark, sf, "documents")
+    val copies = d.filter(length(col("text")) >= 64).orderBy(col("doc_id")).limit(3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    d.unionByName(copies).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val near = graft.operators.Multimodal.m06PerceptualDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_near")).toMap
+    copies.collect().map(_.getAs[Long]("doc_id")).foreach { dup =>
+      assert(near(dup) >= 1, s"copied doc $dup found no perceptual neighbor")
+      assert(near(dup - 1000000L) >= 1, s"original of $dup found no perceptual neighbor")
+    }
+  }
+
   test("globalRunningSum matches the naive global window; m05 shards are contiguous") {
     import graft.operators.Rank
     val d = Tables(spark, sf, "documents")
