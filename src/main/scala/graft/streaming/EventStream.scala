@@ -906,6 +906,83 @@ object EventStream {
       .orderBy(col("event_type"))
   }
 
+  /** st16: Trigger.AvailableNow incremental drains — the trigger a
+    * scheduled ingest actually runs: each invocation processes
+    * exactly the data available at start (still sliced into
+    * maxFilesPerTrigger micro-batches, so state/commit sizes stay
+    * bounded) and then STOPS ITSELF — no processAllAvailable/stop
+    * driver babysitting, no always-on cluster. Offsets persist in the
+    * checkpoint across invocations, so a nightly re-run picks up
+    * exactly the new files: run 1 drains wave 1 (2 batches), the
+    * query terminates; wave 2 lands; run 2 — a NEW query on the same
+    * checkpoint — drains only wave 2. The maintained rollup after
+    * both runs must equal one batch rollup of the whole table with
+    * seed + 4 commits (the st15 gate shape, but the STOPPING is the
+    * engine's own data-boundary detection rather than the caller's).
+    */
+  def st16AvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    val src = graft.TempDirs.scratch("graft-st16-src")
+    val ckpt = graft.TempDirs.scratch("graft-st16-ckpt")
+    val ev = graft.Tables(s, dir, "events")
+      .select(col("event_type"), col("value"), (col("user_id") % 2).as("half"))
+    ev.filter(col("half") === 0).drop("half")
+      .repartition(8).write.mode("overwrite").parquet(src)
+
+    val matSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("n_events", LongType),
+      StructField("total_value", DecimalType(18, 4))))
+    val table = s"${graft.TempDirs.scratch("graft-st16-tbl")}/events_agg"
+    graft.sources.Snapshots.commit(
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        matSchema), table)
+
+    drainAvailable(s, src, ckpt, table)   // wave 1: self-terminating
+    ev.filter(col("half") === 1).drop("half")
+      .repartition(8).write.mode("append").parquet(src) // wave 2 lands
+    drainAvailable(s, src, ckpt, table)   // new invocation: wave 2 only
+
+    val nVersions = graft.sources.Snapshots.versions(table).size
+    graft.sources.Snapshots.read(spark, table)
+      .select(col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"),
+        lit(nVersions).as("n_versions"))
+      .orderBy(col("event_type"))
+  }
+
+  /** One Trigger.AvailableNow invocation over the st16 landing:
+    * reads from the recorded offsets to the CURRENT data boundary in
+    * maxFilesPerTrigger slices, IVM-merges each batch, and
+    * terminates on its own. Exposed for the spec's idle-third-run
+    * check.
+    */
+  private[graft] def drainAvailable(s: SparkSession, src: String,
+      ckpt: String, table: String): Unit = {
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_type", StringType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "4")
+      .parquet(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.Snapshots.mergeWith(
+          batch.sparkSession, table, batch, tag = Some(s"an-batch=$id")) { (mat, b) =>
+          graft.operators.Ivm.maintain(mat,
+              oldRows = b.limit(0), newRows = b,
+              groupCols = Seq("event_type"), countCol = "n_events",
+              sums = Seq("value" -> "total_value"), scale = 4)
+            .select(col("event_type"), col("n_events"),
+              col("total_value").cast("decimal(18,4)").as("total_value"))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination() // AvailableNow stops at the data boundary
+  }
+
   /** st11: stream-stream LEFT OUTER interval join — st05's missing
     * half: purchases with NO preceding view must still emit, null-
     * padded. This is the outer-join eviction contract: an unmatched
@@ -1018,7 +1095,8 @@ object EventStream {
     "st12_append_windows" -> (st12AppendWindows _),
     "st13_streaming_sketch" -> (st13StreamingSketch _),
     "st14_dead_letter" -> (st14DeadLetter _),
-    "st15_restart_recovery" -> (st15RestartRecovery _)
+    "st15_restart_recovery" -> (st15RestartRecovery _),
+    "st16_available_now" -> (st16AvailableNow _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
@@ -1162,6 +1240,16 @@ object EventStream {
         |WHERE w_end <= (SELECT max_ts FROM mx) - INTERVAL '1 hour'
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 3""".stripMargin,
+    // st16: two self-terminating AvailableNow invocations must land
+    // every event exactly once; 5 = seed + 2 + 2 commits
+    "st16_available_now" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |  5 AS n_versions
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     // st15: after drain + restart + drain, the maintained rollup must
     // equal the one-pass batch rollup; 5 = seed + 2 + 2 merge commits
     "st15_restart_recovery" ->

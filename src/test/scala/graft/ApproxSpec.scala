@@ -223,6 +223,34 @@ class ApproxSpec extends AnyFunSuite {
       "restart lost or replayed a wave")
   }
 
+  test("st16 AvailableNow drains exactly once per invocation; idle re-run commits nothing") {
+    val rows = EventStream.st16AvailableNow(spark, sf).collect()
+    assert(rows.forall(_.getAs[Int]("n_versions") == 5),
+      "expected seed + 2 + 2 commits across the two invocations")
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables(spark, sf, "events").count(),
+      "an AvailableNow invocation lost or replayed data")
+    // a third invocation with NO new files must terminate on its own
+    // without committing anything
+    import org.apache.spark.sql.types._
+    val src = graft.TempDirs.scratch("st16-spec-src")
+    val ckpt = graft.TempDirs.scratch("st16-spec-ckpt")
+    val table = s"${graft.TempDirs.scratch("st16-spec-tbl")}/agg"
+    graft.sources.Snapshots.commit(
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("event_type", StringType),
+          StructField("n_events", LongType),
+          StructField("total_value", DecimalType(18, 4))))), table)
+    Tables(spark, sf, "events").select(col("event_type"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(src)
+    EventStream.drainAvailable(spark, src, ckpt, table)
+    val v1 = graft.sources.Snapshots.versions(table).size
+    EventStream.drainAvailable(spark, src, ckpt, table) // nothing new
+    assert(graft.sources.Snapshots.versions(table).size == v1,
+      "idle AvailableNow invocation produced a commit")
+  }
+
   test("st11 left-outer join emits null-padded unmatched purchases exactly") {
     val rows = EventStream.st11StreamLeftJoin(spark, sf).collect()
     val unmatched = rows.map(_.getAs[Long]("n_unmatched_purchases")).sum
