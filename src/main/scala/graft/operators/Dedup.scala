@@ -381,6 +381,56 @@ object Dedup {
       .distinct()
   }
 
+  /** d14: EXACT similarity join via PREFIX FILTERING (AllPairs /
+    * PPJoin family — Bayardo et al. 2007 "Scaling Up All Pairs
+    * Similarity Search"; Xiao et al. 2008): every pair with
+    * word-Jaccard ≥ τ, with NO false negatives (the guarantee the
+    * LSH ladder trades away) and no all-pairs compare. Tokens get a
+    * global rarity order (df asc, token); each doc indexes only its
+    * first |d| − ⌈τ·|d|⌉ + 1 tokens in that order — two sets with
+    * J ≥ τ must overlap within those prefixes under ANY consistent
+    * order, so candidates = docs sharing a PREFIX token (rare tokens
+    * ⇒ tiny postings lists), then exact verification. τ = 19/20 —
+    * this template-generated corpus shares so much vocabulary that
+    * word-Jaccard 0.6 matches 57% of ALL pairs; 0.95 keeps the join
+    * selective (1.5% of pairs at sf0.01) and the prefixes at ~|d|/20.
+    * The math stays in integers (⌈19n/20⌉ = (19n+19) div 20; J ≥ τ ⇔
+    * 20·|∩| ≥ 19·(|a|+|b|−|∩|)), so the DuckDB oracle is bit-exact. Scale shape: one df roll-up + one posting-list
+    * equi-join on rare tokens + a candidate-bounded verify join —
+    * the canonical exact-join complement to d03's approximate LSH.
+    */
+  def d14PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Caches.scoped(
+      Tables.spread(docs(spark, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("tok")))
+    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val ranked = graft.Caches.scoped(toks.join(df, Seq("tok"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("doc_id")))))
+    val prefix = ranked
+      .filter(col("rn") <= col("cnt") - ((col("cnt") * 19 + 19) / 20).cast("long") + 1)
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = ranked.groupBy(col("doc_id")).agg(max(col("cnt")).as("n"))
+    val common = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .filter(col("n_common") * 20 >= (col("n_a") + col("n_b") - col("n_common")) * 19)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
   /** The 14-of-16 signature-agreement verify gate between aliased
     * signature tables `sa`/`sb` (d06's near-dup bar).
     */
@@ -843,6 +893,7 @@ object Dedup {
     "d07_boilerplate" -> (d07Boilerplate _),
     "d08_incremental_dedup" -> (d08IncrementalDedup _),
     "d13_incremental_lsh" -> (d13IncrementalLsh _),
+    "d14_prefix_join" -> (d14PrefixJoin _),
     "d09_lsh_recall" -> (d09LshRecall _),
     "d10_semantic_dedup" -> (d10SemanticDedup _),
     "p13_fuzzy_contamination" -> (p13FuzzyContamination _)
@@ -885,6 +936,43 @@ object Dedup {
   }.mkString("\n  UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // d14: same global rarity order, same integer prefix length and
+    // integer Jaccard gate — the oracle replays the whole algorithm
+    "d14_prefix_join" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS tok
+        |  FROM documents),
+        |toks AS (SELECT DISTINCT doc_id, tok FROM raw),
+        |df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+        |ranked AS (
+        |  SELECT t.doc_id, t.tok,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn,
+        |    COUNT(*) OVER (PARTITION BY t.doc_id) AS cnt
+        |  FROM toks t JOIN df d ON t.tok = d.tok),
+        |prefix AS (
+        |  SELECT doc_id, tok FROM ranked
+        |  WHERE rn <= cnt - ((cnt * 19 + 19) // 20) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prefix a JOIN prefix b
+        |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        |common AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |  FROM cand c
+        |  JOIN toks ta ON ta.doc_id = c.doc_a
+        |  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2)
+        |SELECT m.doc_a, m.doc_b, m.n_common,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  CAST(m.n_common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - m.n_common AS DOUBLE) AS jaccard
+        |FROM common m
+        |JOIN sizes sa ON sa.doc_id = m.doc_a
+        |JOIN sizes sb ON sb.doc_id = m.doc_b
+        |WHERE m.n_common * 20 >= (sa.n + sb.n - m.n_common) * 19
+        |ORDER BY jaccard DESC, m.doc_a, m.doc_b""".stripMargin,
     // d13: the oracle re-derives the SAME signatures/bands, splits on
     // the same modulo, and replays both probe joins + the 14/16 gate
     "d13_incremental_lsh" ->

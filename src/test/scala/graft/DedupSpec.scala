@@ -197,6 +197,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d14 prefix join equals the brute-force exact Jaccard join (no false negatives)") {
+    val got = Dedup.d14PrefixJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // ground truth: all-pairs exact word-Jaccard (test-only; the
+    // operator must reproduce it exactly without ever planning it)
+    val t = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        array_distinct(split(lower(trim(col("text"))), "\\s+")).as("ts"))
+    val naive = t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        size(array_intersect(col("a.ts"), col("b.ts"))).cast("long").as("c"),
+        size(col("a.ts")).cast("long").as("na"), size(col("b.ts")).cast("long").as("nb"))
+      .filter(col("c") * 20 >= (col("na") + col("nb") - col("c")) * 19)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(got == naive,
+      s"prefix join missed ${(naive -- got).size} pairs / invented ${(got -- naive).size}")
+    assert(naive.nonEmpty, "expected >= tau pairs in testdata")
+  }
+
   test("d06 driver union-find (stats gate) matches the distributed fixpoint") {
     def key(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
       rows.map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
