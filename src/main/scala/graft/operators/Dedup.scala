@@ -400,30 +400,51 @@ object Dedup {
     * the canonical exact-join complement to d03's approximate LSH.
     */
   def d14PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
-    val toks = graft.Caches.scoped(
-      Tables.spread(docs(spark, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"),
-          explode(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("tok")))
+    // 1. dictionary-encode tokens as their GLOBAL RARITY RANK (df asc,
+    //    token — a total order), via the distributed Rank, never a
+    //    single-partition window. With ids == rarity ranks, a doc's
+    //    ascending-sorted id array IS its rarity-ordered token list,
+    //    so the prefix is a plain array slice — no per-doc window.
+    val raw = Tables.spread(docs(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        array_distinct(split(lower(trim(col("text"))), "\\s+")).as("tsw"))
+    val toks = raw.select(col("doc_id"), explode(col("tsw")).as("tok"))
     val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val ranked = graft.Caches.scoped(toks.join(df, Seq("tok"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("doc_id")))))
-    val prefix = ranked
-      .filter(col("rn") <= col("cnt") - ((col("cnt") * 19 + 19) / 20).cast("long") + 1)
+    val dict = Rank.globalRowNumber(df, Seq(col("df"), col("tok")), "tid")
+      .select(col("tok"), col("tid").cast("int").as("tid"))
+    val docIds = graft.Caches.scoped(
+      toks.join(dict, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("tid"))).as("ids"))
+        .withColumn("cnt", size(col("ids")).cast("long")))
+    // 2. prefix index = the first |d| − ⌈τ·|d|⌉ + 1 rarest ids
+    val prefix = docIds.select(col("doc_id"), col("cnt"),
+      explode(expr(
+        "slice(ids, 1, cast(cnt - ((cnt*19 + 19) div 20) + 1 as int))")).as("tid"))
+    // 3. candidates: shared prefix id + the AllPairs LENGTH filter
+    //    (J ≥ τ forces τ·|b| ≤ |a| ≤ |b|/τ) — all SKINNY rows; the
+    //    token arrays never enter this join. (PPJoin's positional
+    //    filter is deliberately omitted: its bound is only safe per
+    //    accumulated-overlap scan order, and it measured a mere 15%
+    //    extra cut on this corpus.)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tid") === col("b.tid") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.cnt") * 20 >= col("b.cnt") * 19 &&
+          col("b.cnt") * 20 >= col("a.cnt") * 19)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sizes = ranked.groupBy(col("doc_id")).agg(max(col("cnt")).as("n"))
-    val common = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+    // 4. exact verify: attach each side's compact int-id array (the
+    //    whole dimension is n_docs rows of ints — it auto-broadcasts
+    //    at this scale, and degrades to a doc_id equi-join at 100 TB)
+    //    and intersect in-row
+    cand
+      .join(docIds.select(col("doc_id").as("doc_a"), col("ids").as("ids_a"),
+        col("cnt").as("n_a")), Seq("doc_a"))
+      .join(docIds.select(col("doc_id").as("doc_b"), col("ids").as("ids_b"),
+        col("cnt").as("n_b")), Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("ids_a"), col("ids_b"))).cast("long"))
       .filter(col("n_common") * 20 >= (col("n_a") + col("n_b") - col("n_common")) * 19)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
         (col("n_common").cast("double") /
