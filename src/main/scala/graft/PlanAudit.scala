@@ -33,8 +33,7 @@ object PlanAudit {
                   "d12_cluster_apply", "a08_aqp_groupby",
                   "q77_metadata_only", "p15_leakproof_split",
                   "d13_incremental_lsh", "p16_bloom_decontaminate",
-                  "m06_perceptual_dedup", "d14_prefix_join",
-                  "st16_available_now")) {
+                  "m06_perceptual_dedup", "d14_prefix_join")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

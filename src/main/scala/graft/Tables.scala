@@ -43,7 +43,10 @@ object Tables {
     * it runs single-threaded; on a cluster the scan already has ≥
     * width splits and this adds nothing. The repartition only ships
     * the projected columns, so spread a slim projection, not the
-    * full table.
+    * full table. Call ONLY on scan-rooted frames (scan + filter +
+    * project): the width probe plans the frame's RDD, and under AQE
+    * a frame containing a shuffle would materialize its upstream
+    * stages eagerly — once for the probe and again for the action.
     */
   def spread(df: DataFrame): DataFrame = {
     val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

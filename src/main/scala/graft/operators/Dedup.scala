@@ -410,8 +410,13 @@ object Dedup {
         array_distinct(split(lower(trim(col("text"))), "\\s+")).as("tsw"))
     val toks = raw.select(col("doc_id"), explode(col("tsw")).as("tok"))
     val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // tid stays LONG: an int cast would silently wrap past a 2^31
+    // vocabulary — negative ids would invert the rarity order (prefix
+    // = commonest tokens → candidate blow-up) and collisions would
+    // undercount intersections, breaking the no-false-negative
+    // guarantee exactly at the scale this operator exists for
     val dict = Rank.globalRowNumber(df, Seq(col("df"), col("tok")), "tid")
-      .select(col("tok"), col("tid").cast("int").as("tid"))
+      .select(col("tok"), col("tid"))
     val docIds = graft.Caches.scoped(
       toks.join(dict, Seq("tok"))
         .groupBy(col("doc_id"))
@@ -575,13 +580,10 @@ object Dedup {
   def dupLabels(spark: SparkSession, dir: String, maxRounds: Int): DataFrame = {
     val d = docs(spark, dir)
     val sig = minhashSigs(d).persist()
-    val sigMatch = (0 until K)
-      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
-      .reduce(_ + _)
     val pairs = lshPairs(sig).as("p")
       .join(sig.as("sa"), col("p.da") === col("sa.doc_id"))
       .join(sig.as("sb"), col("p.db") === col("sb.doc_id"))
-      .filter(sigMatch >= (K * 7) / 8)
+      .filter(sigAgreeCol >= (K * 7) / 8)
       .select(col("p.da").as("da"), col("p.db").as("db"))
       .persist()
     val edges = pairs.select(col("da").as("doc_id"), col("db").as("nbr"))

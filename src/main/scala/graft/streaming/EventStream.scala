@@ -652,19 +652,7 @@ object EventStream {
       .select(col("event_type"), col("value"))
     val q = stream.writeStream
       .option("checkpointLocation", graft.TempDirs.scratch("graft-st10-ckpt"))
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        graft.sources.Snapshots.mergeWith(
-          batch.sparkSession, table, batch, tag = Some(s"mv-batch=$id")) { (mat, b) =>
-          graft.operators.Ivm.maintain(mat,
-              oldRows = b.limit(0), newRows = b,
-              groupCols = Seq("event_type"), countCol = "n_events",
-              sums = Seq("value" -> "total_value"), scale = 4)
-            // keep the stored schema stable across commits
-            .select(col("event_type"), col("n_events"),
-              col("total_value").cast("decimal(18,4)").as("total_value"))
-        }
-        ()
-      }
+      .foreachBatch(ivmMergeRollup(table, "mv-batch") _)
       .start()
     try q.processAllAvailable() finally q.stop()
 
@@ -878,18 +866,7 @@ object EventStream {
         .parquet(src)
       val q = stream.writeStream
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          graft.sources.Snapshots.mergeWith(
-            batch.sparkSession, table, batch, tag = Some(s"agg-batch=$id")) { (mat, b) =>
-            graft.operators.Ivm.maintain(mat,
-                oldRows = b.limit(0), newRows = b,
-                groupCols = Seq("event_type"), countCol = "n_events",
-                sums = Seq("value" -> "total_value"), scale = 4)
-              .select(col("event_type"), col("n_events"),
-                col("total_value").cast("decimal(18,4)").as("total_value"))
-          }
-          ()
-        }
+        .foreachBatch(ivmMergeRollup(table, "agg-batch") _)
         .start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -904,6 +881,27 @@ object EventStream {
         col("total_value").cast("double").as("total_value"),
         lit(nVersions).as("n_versions"))
       .orderBy(col("event_type"))
+  }
+
+  /** The shared per-micro-batch IVM merge behind the st10/st15/st16
+    * maintained rollup: one idempotent tagged commit per batch into
+    * the (event_type, n_events, total_value DECIMAL(18,4)) table.
+    * One definition so the three entries can never silently diverge
+    * on schema, scale, or tagging.
+    */
+  private def ivmMergeRollup(table: String, tagPrefix: String)(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long): Unit = {
+    graft.sources.Snapshots.mergeWith(
+      batch.sparkSession, table, batch, tag = Some(s"$tagPrefix=$id")) { (mat, b) =>
+      graft.operators.Ivm.maintain(mat,
+          oldRows = b.limit(0), newRows = b,
+          groupCols = Seq("event_type"), countCol = "n_events",
+          sums = Seq("value" -> "total_value"), scale = 4)
+        // keep the stored schema stable across commits
+        .select(col("event_type"), col("n_events"),
+          col("total_value").cast("decimal(18,4)").as("total_value"))
+    }
+    ()
   }
 
   /** st16: Trigger.AvailableNow incremental drains — the trigger a
@@ -967,18 +965,7 @@ object EventStream {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        graft.sources.Snapshots.mergeWith(
-          batch.sparkSession, table, batch, tag = Some(s"an-batch=$id")) { (mat, b) =>
-          graft.operators.Ivm.maintain(mat,
-              oldRows = b.limit(0), newRows = b,
-              groupCols = Seq("event_type"), countCol = "n_events",
-              sums = Seq("value" -> "total_value"), scale = 4)
-            .select(col("event_type"), col("n_events"),
-              col("total_value").cast("decimal(18,4)").as("total_value"))
-        }
-        ()
-      }
+      .foreachBatch(ivmMergeRollup(table, "an-batch") _)
       .start()
     q.awaitTermination() // AvailableNow stops at the data boundary
   }
