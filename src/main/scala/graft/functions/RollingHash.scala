@@ -91,6 +91,17 @@ object GraftFunctions {
         CollectCapped(exprs.head, cap)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottom_k", exprs => {
+        require(exprs.length == 3,
+          s"bottom_k expects 3 arguments, got ${exprs.length}")
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bottom_k k must be an integer literal, got $other")
+        }
+        BottomK(exprs.head, exprs(1), k)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "k_min_values", exprs => {
         require(exprs.length == 2,
           s"k_min_values expects 2 arguments, got ${exprs.length}")
@@ -120,4 +131,8 @@ object GraftFunctions {
   /** KMV distinct sketch of a long hash column ([[KMinValues]]). */
   def kMinValues(c: Column, k: Int): Column =
     call_function("k_min_values", c, org.apache.spark.sql.functions.lit(k))
+
+  /** Bounded bottom-k (key, payload) pairs per group ([[BottomK]]). */
+  def bottomK(key: Column, payload: Column, k: Int): Column =
+    call_function("bottom_k", key, payload, org.apache.spark.sql.functions.lit(k))
 }

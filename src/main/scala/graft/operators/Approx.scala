@@ -324,7 +324,39 @@ object Approx {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** a09: deterministic RESERVOIR SAMPLE — k uniform documents per
+    * source via [[graft.functions.BottomK]], the bounded bottom-k
+    * aggregate: keep the k smallest (md5-hash, doc_id) pairs per
+    * group in an O(k) buffer. The textbook formulation —
+    * `row_number() OVER (PARTITION BY source ORDER BY hash) <= k` —
+    * shuffles and sorts EVERY row for a k-row answer; the aggregate
+    * reduces each map partition to ≤ k pairs per group before the
+    * exchange, so at 100 TB the shuffle carries kilobytes per group
+    * instead of the corpus. The k smallest values of a uniform hash
+    * ARE a uniform k-sample, the sample is mergeable (union two
+    * groups' samples = sample of the union), stable under
+    * re-partitioning, and reproducible run-to-run and engine-to-
+    * engine — the DuckDB oracle IS the window formulation, proving
+    * the two shapes pick identical rows.
+    */
+  def a09ReservoirSample(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.bottomK
+    val docs = Tables(spark, dir, "documents").select(
+      col("source"),
+      col("doc_id").cast("long").as("doc_id"),
+      conv(substring(md5(concat(lit("rsv:"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
+    docs.groupBy(col("source"))
+      .agg(bottomK(col("h"), col("doc_id"), K).as("sample"))
+      .select(col("source"), explode(col("sample")).as("s"))
+      .select(col("source"), col("s.v").as("doc_id"), col("s.k").as("h"))
+      .orderBy(col("source"), col("h"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a09_reservoir_sample" -> (a09ReservoirSample _),
     "a01_hll_sketches" -> (a01HllSketches _),
     "a05_kmv_distinct" -> (a05KmvDistinct _),
     "a06_kmv_set_ops" -> (a06KmvSetOps _),
@@ -336,6 +368,20 @@ object Approx {
   )
 
   val oracles: Map[String, String] = Map(
+    // a09: the window formulation over the same salted hash must pick
+    // the identical k rows per source the bounded aggregate kept
+    "a09_reservoir_sample" ->
+      """WITH hv AS (
+        |  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(('0x' || substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, doc_id, h,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        |  FROM hv)
+        |SELECT source, doc_id, h FROM ranked WHERE rn <= 8
+        |ORDER BY source, h, doc_id""".stripMargin,
     // a07: the k'-th order statistic of the distinct-hash set IS the
     // prefix read of the k=256 sketch — ladder reproduced exactly
     "a07_sketch_sizing" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Exact._
-import graft.sources.Sources
+import graft.sources.{Mor, Sources}
 
 /** Warehouse-layout queries — the on-disk organization side of the
   * reference's lakehouse: CDC lands into tables `partitioned by` the
@@ -648,7 +648,52 @@ object Warehouse {
     Seq((n, lo, hi)).toDF("n_rows", "min_orderkey", "max_orderkey")
   }
 
+  /** q79: MERGE-ON-READ row-level deletes — Iceberg v2's write-cheap
+    * delete path (reference: docs/components/cdc.md lands CDC into
+    * format-v2 tables, whose headline over v1 is row deletes without
+    * data-file rewrites). Lands lineitem once as a [[Mor]] base, then
+    * stacks two equality-delete commits (a retention purge of
+    * pre-1996 shipments, then a CDC-tombstone-style purge of old
+    * returns) and one compaction; each commit's cost is ∝ the keys it
+    * deletes, never the 100 TB base (MorSpec pins the byte ratio and
+    * that base files are untouched). The gate reads the table at all
+    * FOUR versions in one result — proving time travel still sees
+    * deleted rows, deletes stack, and the compacted base is
+    * bit-equal to the merged view it materialized.
+    */
+  def q79MorDelete(spark: SparkSession, dir: String): DataFrame = {
+    val t = morLineitem(spark, dir)
+    def viewAgg(version: Long, label: String): DataFrame =
+      Mor.read(spark, t, version).agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("revenue"))
+        .withColumn("view", lit(label))
+        .select(col("view"), col("n_rows"), col("revenue"))
+    viewAgg(1L, "v1_base")
+      .unionByName(viewAgg(2L, "v2_delete_old"))
+      .unionByName(viewAgg(3L, "v3_delete_returns"))
+      .unionByName(viewAgg(4L, "v4_compacted"))
+      .orderBy(col("view"))
+  }
+
+  /** Land lineitem + the q79 commit sequence; returns the table dir. */
+  def morLineitem(spark: SparkSession, dir: String): String = {
+    val t = tempDir("graft-mor")
+    // the synthetic lineitem's unique row key (TPC-H's (orderkey,
+    // linenumber) pair is NOT unique in this generator)
+    val rowKey = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    Mor.land(Tables(spark, dir, "lineitem"), t)
+    Mor.deleteWhere(spark, t,
+      to_date(col("l_shipdate")) < lit("1996-01-01"), rowKey)
+    Mor.deleteWhere(spark, t,
+      col("l_returnflag") === "R" &&
+        to_date(col("l_shipdate")) < lit("1999-01-01"), rowKey)
+    Mor.compact(spark, t)
+    t
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_mor_delete" -> (q79MorDelete _),
     "q77_metadata_only" -> (q77MetadataOnly _),
     "q76_purge" -> (q76Purge _),
     "q72_bloom_skipping" -> (q72BloomSkipping _),
@@ -668,6 +713,34 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q79: every MoR version's merged view restated as plain
+    // predicates on the raw table — v1 must still see deleted rows
+    // (time travel), v3/v4 must agree (compaction is lossless)
+    "q79_mor_delete" ->
+      """SELECT * FROM (
+        |  SELECT 'v1_base' AS view, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'v2_delete_old', COUNT(*),
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM lineitem
+        |  WHERE NOT (CAST(l_shipdate AS DATE) < DATE '1996-01-01')
+        |  UNION ALL
+        |  SELECT 'v3_delete_returns', COUNT(*),
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM lineitem
+        |  WHERE NOT (CAST(l_shipdate AS DATE) < DATE '1996-01-01')
+        |    AND NOT (l_returnflag = 'R'
+        |             AND CAST(l_shipdate AS DATE) < DATE '1999-01-01')
+        |  UNION ALL
+        |  SELECT 'v4_compacted', COUNT(*),
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM lineitem
+        |  WHERE NOT (CAST(l_shipdate AS DATE) < DATE '1996-01-01')
+        |    AND NOT (l_returnflag = 'R'
+        |             AND CAST(l_shipdate AS DATE) < DATE '1999-01-01'))
+        |ORDER BY view""".stripMargin,
     // q68: two independent single-column predicates over ONE z-ordered
     // copy — each must equal the plain filter on the raw table
     "q68_zorder_skipping" ->

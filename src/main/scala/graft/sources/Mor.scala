@@ -1,0 +1,210 @@
+package graft.sources
+
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+
+/** Merge-on-read table — the OTHER half of the Iceberg v2 surface the
+  * reference warehouse runs on (docs/components/cdc.md lands CDC into
+  * Iceberg v2 tables; format-version 2's headline is row-level deletes
+  * WITHOUT rewriting data files). [[Snapshots]] is copy-on-write:
+  * every commit (and every `merge`) rewrites the full snapshot — the
+  * right trade for read-heavy marts, but a 10-row GDPR delete against
+  * a 100 TB table must not cost a 100 TB rewrite. This module is the
+  * write-cheap side of that trade:
+  *
+  *   tableDir/c=<n>/…parquet   one immutable directory per commit
+  *   tableDir/_commits         one `<n>\t<kind>[\t<keyCols>]` line each
+  *   tableDir/_reserve.<n>     marker: commit id <n> is taken
+  *   tableDir/_commits.lock    committer lock (ledger append)
+  *
+  * Commit kinds:
+  *   - `data`    — a base land or an APPENDED delta (rows add to the
+  *     merged view; [[upsert]] pairs one with a delete commit — the
+  *     kafka-connect-iceberg CDC write shape).
+  *   - `delete`  — an EQUALITY-DELETE file (Iceberg v2 §Delete
+  *     Formats): only the distinct key tuples of deleted rows, plus
+  *     the key column list in the ledger. Cost ∝ rows deleted, data
+  *     files untouched (MorSpec pins both).
+  *   - `compact` — a materialized merge (read-side view made a new
+  *     base). Readers at or past it stop paying the anti-joins; prior
+  *     commits stay readable for time travel.
+  *
+  * `read(version)` replays the ledger up to `version` under Iceberg
+  * v2's sequence-number rule — an equality-delete applies only to
+  * data committed BEFORE it: each data commit since the last compact
+  * contributes its rows minus every LATER delete, unioned. Deletes
+  * are small (they're deltas), so every anti-join auto-broadcasts —
+  * a read at scale is scan + N broadcast probes, no shuffle. Time
+  * travel falls out: a version before a delete still sees the
+  * deleted rows.
+  *
+  * Concurrency follows [[Snapshots]]'s model: commit ids are claimed
+  * with an atomic marker-file create (parallel data writes), only the
+  * tiny ledger append serializes under a file lock; a crashed commit
+  * leaves an invisible orphan directory.
+  */
+object Mor {
+
+  final case class Commit(id: Long, kind: String, keyCols: Seq[String],
+      tag: Option[String] = None)
+
+  private def ledger(tableDir: String) = Paths.get(tableDir, "_commits")
+
+  /** Ledger lines in commit-id order (empty if table doesn't exist). */
+  def commits(tableDir: String): Seq[Commit] = {
+    val f = ledger(tableDir)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val p = line.split('\t')
+        Commit(p(0).toLong, p(1),
+          p.lift(2).filter(_.nonEmpty).map(_.split(',').toSeq).getOrElse(Nil),
+          p.lift(3).filter(_.nonEmpty))
+      }.sortBy(_.id)
+  }
+
+  private def reserveId(tableDir: String): Long = {
+    var id = commits(tableDir).lastOption.map(_.id).getOrElse(0L) + 1L
+    while ({
+      try { Files.createFile(Paths.get(tableDir, s"_reserve.$id")); false }
+      catch { case _: FileAlreadyExistsException => id += 1L; true }
+    }) ()
+    id
+  }
+
+  private def withLedgerLock[A](tableDir: String)(f: => A): A = {
+    val lockPath = Paths.get(tableDir, "_commits.lock")
+    val ch = FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try { val l = ch.lock(); try f finally l.release() }
+    finally ch.close()
+  }
+
+  /** Write `df` under a fresh commit id, then ledger it (append LAST,
+    * so readers never see an in-flight commit). `tag` makes the
+    * commit IDEMPOTENT, [[Snapshots.commit]]-style: if the tag is
+    * already ledgered when the append runs (checked INSIDE the
+    * ledger lock), the existing id is returned and the fresh
+    * directory is left an invisible orphan — a replayed streaming
+    * batch commits nothing twice.
+    */
+  private def commit(df: DataFrame, tableDir: String, kind: String,
+      keyCols: Seq[String] = Nil, tag: Option[String] = None): Long = {
+    require(keyCols.forall(c => !c.contains(',') && !c.contains('\t')),
+      s"key column names must not contain ',' or tab: $keyCols")
+    tag.foreach(t => require(!t.exists(c => c == '\t' || c == '\n'),
+      s"tag must not contain tab/newline: $t"))
+    Files.createDirectories(Paths.get(tableDir))
+    val id = reserveId(tableDir)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/c=$id")
+    withLedgerLock(tableDir) {
+      val existing = tag.flatMap(t => commits(tableDir).find(_.tag.contains(t)))
+      existing.map(_.id).getOrElse {
+        val line = s"$id\t$kind\t${keyCols.mkString(",")}" +
+          tag.fold("")(t => s"\t$t")
+        Files.write(ledger(tableDir),
+          s"$line\n".getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        id
+      }
+    }
+  }
+
+  /** Land `df` as a base snapshot. */
+  def land(df: DataFrame, tableDir: String): Long =
+    commit(df, tableDir, "data")
+
+  /** Append `df` as a new data commit — rows ADD to the merged view
+    * (existing data files untouched; the fact-stream ingest path).
+    */
+  def append(df: DataFrame, tableDir: String, tag: Option[String] = None): Long =
+    commit(df, tableDir, "data", Nil, tag)
+
+  /** Row-level DELETE as metadata: writes only the DISTINCT `keyCols`
+    * tuples of rows in the current merged view matching `cond` — an
+    * Iceberg v2 equality-delete file. No data file is opened for
+    * write; cost ∝ matched rows. Deleting already-deleted rows is a
+    * no-op by construction (they're gone from the merged view).
+    */
+  def deleteWhere(spark: SparkSession, tableDir: String, cond: Column,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "equality delete needs key columns")
+    val keys = read(spark, tableDir).filter(cond)
+      .select(keyCols.head, keyCols.tail: _*).distinct()
+    commit(keys, tableDir, "delete", keyCols)
+  }
+
+  /** MoR UPSERT — the kafka-connect-iceberg write shape (reference:
+    * docker/kafka-connect-iceberg lands Debezium CDC into v2 tables):
+    * one equality-delete commit covering every touched key, then one
+    * data commit with the new row versions (tombstoned keys delete
+    * only). Cost ∝ batch size; the 100 TB base is never opened for
+    * write. `rows` must hold ≤ 1 row per key (pre-reduce the batch);
+    * `tombstoneCol` is a boolean column marking CDC deletes. The
+    * sequence-number rule in [[read]] makes the pairing sound: the
+    * delete commit precedes its data commit, so it purges only OLDER
+    * row versions. Returns (deleteCommit, dataCommit).
+    */
+  def upsert(tableDir: String, rows: DataFrame, keyCols: Seq[String],
+      tombstoneCol: String, tag: Option[String] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val del = commit(rows.select(keyCols.head, keyCols.tail: _*).distinct(),
+      tableDir, "delete", keyCols, tag.map(_ + ":del"))
+    val add = commit(
+      rows.filter(!col(tombstoneCol)).drop(tombstoneCol),
+      tableDir, "data", Nil, tag.map(_ + ":add"))
+    (del, add)
+  }
+
+  /** The merged view at `version` (< 0 → latest). Iceberg v2's
+    * sequence-number rule: an equality-delete applies only to data
+    * committed BEFORE it. So each data commit since the last
+    * compaction contributes its rows minus every LATER delete, and
+    * the view is the union (a compact commit materializes everything
+    * before it, so earlier commits don't contribute). Delete files
+    * are deltas — small, so Spark's stats auto-broadcast the anti
+    * joins; nothing on the data side shuffles.
+    */
+  def read(spark: SparkSession, tableDir: String, version: Long = -1L): DataFrame = {
+    val all = commits(tableDir)
+    require(all.nonEmpty, s"no commits at $tableDir")
+    val upTo = if (version < 0) all else {
+      require(all.exists(_.id == version), s"unknown version $version")
+      all.takeWhile(_.id <= version)
+    }
+    val start = math.max(0, upTo.lastIndexWhere(_.kind == "compact"))
+    val active = upTo.drop(start)
+    require(active.exists(_.kind != "delete"),
+      s"no data commit at or before $version")
+    val parts = active.zipWithIndex.collect {
+      case (c, i) if c.kind != "delete" =>
+        val df = spark.read.parquet(s"$tableDir/c=${c.id}")
+        active.drop(i + 1).filter(_.kind == "delete").foldLeft(df) { (acc, d) =>
+          val keys = spark.read.parquet(s"$tableDir/c=${d.id}")
+          acc.join(keys, d.keyCols, "left_anti")
+        }
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Materialize the current merged view as a new base — the Iceberg
+    * `rewrite_data_files`-with-deletes maintenance action. Readers of
+    * later versions pay zero anti-joins; history stays readable.
+    */
+  def compact(spark: SparkSession, tableDir: String): Long =
+    commit(read(spark, tableDir), tableDir, "compact")
+
+  /** Bytes under one commit's directory (spec + cost accounting). */
+  def commitBytes(tableDir: String, id: Long): Long = {
+    val dir = Paths.get(tableDir, s"c=$id")
+    val s = Files.walk(dir)
+    try s.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(Files.size).sum
+    finally s.close()
+  }
+}

@@ -1067,6 +1067,103 @@ object EventStream {
       .orderBy(col("window_start_ms"), col("event_type"))
   }
 
+  /** st17: streaming CDC into a MERGE-ON-READ table — the actual
+    * kafka-connect-iceberg write path (reference:
+    * docker/kafka-connect-iceberg + docs/components/cdc.md land
+    * Debezium CDC into Iceberg format-v2 tables). st09 applies the
+    * same changelog COPY-ON-WRITE (every micro-batch rewrites the
+    * snapshot via MERGE — read-optimized); here each micro-batch
+    * commits an equality-delete file + a data file via
+    * [[graft.sources.Mor.upsert]] — write cost ∝ batch size, the
+    * accumulated base is NEVER rewritten per batch, and the read side
+    * pays broadcast anti-joins until [[graft.sources.Mor.compact]]
+    * folds them down (run once post-drain, the maintenance cadence).
+    * At 100 TB this is the trade that keeps a high-churn CDC landing
+    * affordable: st09's per-batch cost grows with the TABLE, st17's
+    * with the BATCH.
+    *
+    * The topic is sharded BY KEY (`pmod(user_id, 16)`) — Kafka's
+    * actual contract (a key sticks to one partition, ordered within
+    * it), which is what makes append-only MoR upserts sound: a key's
+    * ops arrive together and the per-batch LWW reduce picks its final
+    * version; batch-id tags make replayed commits no-ops. Gate = the
+    * live merged view post-compact (must equal the raw-table
+    * latest-wins snapshot, tombstones dropped) + the commit count
+    * proving the multi-batch MoR path (4×(delete+data) + 1 compact).
+    */
+  def st17MorCdc(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
+    // 1. the topic: st06's Debezium envelope, sharded BY KEY
+    val ev = graft.Tables(s, dir, "events")
+      .withColumn("op",
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "error", "d")
+          .otherwise("u"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val row = struct(col("user_id"), col("event_id"), col("value"), col("ts_us"))
+    val envelope = to_json(struct(
+      col("op"), col("ts_us"),
+      when(col("op") =!= "d", row).as("after"),
+      when(col("op") === "d", row).as("before")))
+    val topic = graft.TempDirs.scratch("graft-st17-topic")
+    // one directory+file per topic partition (partitionBy, not
+    // repartition: hash collisions over 16 shard values would make
+    // the file — and therefore batch/commit — count nondeterministic)
+    ev.select(envelope.cast("binary").as("value"),
+        pmod(col("user_id"), lit(16)).as("kpart"))
+      .repartition(16, col("kpart"))
+      .write.partitionBy("kpart").mode("overwrite").parquet(topic)
+
+    // 2. stream-decode; each micro-batch = one MoR upsert (two commits)
+    val rowSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("value", DoubleType), StructField("ts_us", LongType)))
+    val envSchema = StructType(Seq(
+      StructField("op", StringType), StructField("ts_us", LongType),
+      StructField("after", rowSchema), StructField("before", rowSchema)))
+    val table = s"${graft.TempDirs.scratch("graft-st17-tbl")}/users_mor"
+    val flat = s.readStream
+      .schema(StructType(Seq(StructField("value", BinaryType))))
+      .option("maxFilesPerTrigger", "4")
+      .option("recursiveFileLookup", "true") // 16 shard dirs, 4 batches
+      .parquet(topic)
+      .select(from_json(col("value").cast("string"), envSchema).as("env"))
+      .select(
+        coalesce(col("env.after.user_id"), col("env.before.user_id")).as("user_id"),
+        col("env.ts_us").as("ts_us"),
+        coalesce(col("env.after.event_id"), col("env.before.event_id")).as("last_event_id"),
+        col("env.op").as("last_op"),
+        col("env.after.value").as("last_value"),
+        (col("env.op") === "d").as("deleted"))
+    val q = flat.writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st17-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // LWW-reduce the batch to one row per key (the key-sharded
+        // topic guarantees a key's full history is inside one batch)
+        val reduced = batch.groupBy(col("user_id"))
+          .agg(max_by(
+            struct(batch.columns.map(col): _*),
+            struct(col("ts_us"), col("last_event_id"))).as("w"))
+          .select(col("w.*"))
+        graft.sources.Mor.upsert(table, reduced, Seq("user_id"),
+          "deleted", tag = Some(s"cdc-batch=$id"))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.sources.Mor.compact(s, table)
+
+    // 3. the live view + the MoR-path proof (8 delta commits + compact)
+    val nCommits = graft.sources.Mor.commits(table).size
+    graft.sources.Mor.read(spark, table)
+      .select(
+        col("user_id"), col("last_op"), col("last_value"),
+        expr("ts_us div 1000").as("last_ts_ms"),
+        lit(nCommits).as("n_commits"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stateful_counts" -> (st02StatefulCounts _),
@@ -1083,7 +1180,8 @@ object EventStream {
     "st13_streaming_sketch" -> (st13StreamingSketch _),
     "st14_dead_letter" -> (st14DeadLetter _),
     "st15_restart_recovery" -> (st15RestartRecovery _),
-    "st16_available_now" -> (st16AvailableNow _)
+    "st16_available_now" -> (st16AvailableNow _),
+    "st17_mor_cdc" -> (st17MorCdc _)
   )
 
   // time_bucket's default origin (2000-01-03) is a whole multiple of
@@ -1108,6 +1206,26 @@ object EventStream {
     // (soft deletes filtered) must equal the raw-table latest-wins
     // snapshot no matter how the wire shuffled the batches; 5 versions
     // = seed + exactly ceil(16 files / 4 per trigger) merge commits.
+    // st17 = the same LWW state as st09, reached MERGE-ON-READ: the
+    // merged view after 4 upsert batches + compact must equal the
+    // raw-table latest-wins snapshot; 9 commits = 4×(delete+data) + 1
+    "st17_mor_cdc" ->
+      """WITH ops AS (
+        |  SELECT *,
+        |    CASE WHEN event_type = 'signup' THEN 'c'
+        |         WHEN event_type = 'error' THEN 'd'
+        |         ELSE 'u' END AS op
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, op,
+        |    CASE WHEN op <> 'd' THEN value END AS value, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM ops)
+        |SELECT user_id, op AS last_op, value AS last_value,
+        |  epoch_ms(ts) AS last_ts_ms, 9 AS n_commits
+        |FROM ranked WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin,
     "st09_cdc_merge" ->
       """WITH ops AS (
         |  SELECT *,

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Mor
+
+/** Merge-on-read invariants q79's oracle can't see: delete commits
+  * cost ∝ deleted keys (not table size), base files stay untouched,
+  * and the read-side merge is broadcast anti-joins.
+  */
+class MorSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val rowKey =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
+  private def parquetFiles(dir: String) =
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => (p.toString, Files.size(p), Files.getLastModifiedTime(p)))
+      .toSeq.sortBy(_._1)
+
+  test("equality delete writes only keys and never touches base data files") {
+    val t = TempDirs.scratch("graft-mor-spec")
+    val li = Tables(spark, sf, "lineitem")
+    Mor.land(li, t)
+    val baseBefore = parquetFiles(s"$t/c=1")
+
+    val cond = to_date(col("l_shipdate")) < lit("1996-01-01")
+    val matched = li.filter(cond).count()
+    assert(matched > 0, "delete predicate matched nothing — dead test")
+    Mor.deleteWhere(spark, t, cond, rowKey)
+
+    // base directory is byte-identical after the delete commit
+    assert(parquetFiles(s"$t/c=1") == baseBefore,
+      "delete rewrote or touched base data files")
+    // the delete file holds exactly the matched keys, and costs a
+    // fraction of the base even at this tiny sf
+    assert(spark.read.parquet(s"$t/c=2").count() == matched)
+    assert(Mor.commitBytes(t, 2L) < Mor.commitBytes(t, 1L) / 2,
+      s"delete commit not small: ${Mor.commitBytes(t, 2L)} vs base ${Mor.commitBytes(t, 1L)}")
+
+    val total = li.count()
+    assert(Mor.read(spark, t).count() == total - matched)
+    // time travel: version 1 still sees the deleted rows
+    assert(Mor.read(spark, t, 1L).count() == total)
+  }
+
+  test("deletes stack, re-deleting is a no-op, compaction is lossless") {
+    val t = TempDirs.scratch("graft-mor-spec")
+    val li = Tables(spark, sf, "lineitem")
+    Mor.land(li, t)
+    val c1 = to_date(col("l_shipdate")) < lit("1996-01-01")
+    val c2 = col("l_returnflag") === "R" &&
+      to_date(col("l_shipdate")) < lit("1999-01-01")
+    Mor.deleteWhere(spark, t, c1, rowKey)
+    Mor.deleteWhere(spark, t, c2, rowKey)
+    val expect = li.filter(!c1 && !c2).count()
+    assert(Mor.read(spark, t).count() == expect)
+
+    // rows matching c1 are gone from the merged view, so a replayed
+    // delete keys NOTHING — idempotent by construction
+    Mor.deleteWhere(spark, t, c1, rowKey)
+    assert(spark.read.parquet(s"$t/c=4").count() == 0)
+    assert(Mor.read(spark, t).count() == expect)
+
+    val before = Mor.read(spark, t).orderBy(rowKey.map(col): _*).collect()
+    val cv = Mor.compact(spark, t)
+    val after = Mor.read(spark, t).orderBy(rowKey.map(col): _*).collect()
+    assert(after.sameElements(before), "compaction changed the merged view")
+    // post-compact reads replay zero deletes: the base IS the view
+    assert(spark.read.parquet(s"$t/c=$cv").count() == expect)
+  }
+
+  test("upsert: sequence rule scopes the delete, replayed tag is a no-op") {
+    import spark.implicits._
+    val t = TempDirs.scratch("graft-mor-spec")
+    Mor.land(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t)
+    // update id=2, tombstone id=3, insert id=4 — one CDC batch
+    val batch = Seq((2L, "B", false), (3L, "c", true), (4L, "d", false))
+      .toDF("id", "v", "dead")
+    Mor.upsert(t, batch, Seq("id"), "dead", tag = Some("b=1"))
+
+    // merged view: update applied, tombstone gone, insert present —
+    // and the paired delete (whose file contains key 2) did NOT kill
+    // the NEW row version committed after it (Iceberg's sequence rule)
+    assert(Mor.read(spark, t).select("id", "v").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "B"), (4L, "d")))
+    // time travel to the base still sees the pre-upsert rows
+    assert(Mor.read(spark, t, 1L).count() == 3)
+
+    // a zombie writer replaying the batch commits NOTHING new
+    val before = Mor.commits(t).map(_.id)
+    Mor.upsert(t, batch, Seq("id"), "dead", tag = Some("b=1"))
+    assert(Mor.commits(t).map(_.id) == before, "replayed tag double-committed")
+  }
+
+  test("read-side merge is broadcast anti-joins (no shuffle on the base)") {
+    val t = TempDirs.scratch("graft-mor-spec")
+    Mor.land(Tables(spark, sf, "lineitem"), t)
+    Mor.deleteWhere(spark, t,
+      to_date(col("l_shipdate")) < lit("1996-01-01"), rowKey)
+    val df = Mor.read(spark, t)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val plan = walk(df.queryExecution.executedPlan)
+    assert(plan.exists {
+      case b: BroadcastHashJoinExec => b.joinType.sql == "LEFT ANTI"
+      case _ => false
+    }, s"anti-join not broadcast:\n${df.queryExecution.executedPlan}")
+    assert(!plan.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "MoR read shuffled the base side")
+  }
+}

@@ -128,4 +128,30 @@ class PropertySpec extends AnyFunSuite {
         s"capped prune diverged from df-prune at $parts partitions")
     }
   }
+
+  test("bottom_k equals the window-sort formulation under any partitioning") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val k = 5
+    // collisions on the sort key exercise the payload tiebreak
+    val rows = List.tabulate(3000)(i =>
+      (rng.nextInt(20), rng.nextLong().abs % 400, i.toLong))
+    // ground truth: sort each group by (key, payload), take k
+    val expected = rows.groupBy(_._1).view.mapValues(
+      _.map(t => (t._2, t._3)).sorted.take(k)).toMap
+    (1 to 8 by 3).foreach { parts =>
+      val got = rows.toDF("g", "h", "id").repartition(parts)
+        .groupBy(col("g"))
+        .agg(GraftFunctions.bottomK(col("h"), col("id"), k).as("s"))
+        .select(col("g"), explode(col("s")).as("s"))
+        .select(col("g"), col("s.k"), col("s.v"))
+        .collect()
+        .groupBy(_.getInt(0)).view
+        .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toList.sorted).toMap
+      assert(got == expected,
+        s"bottom_k diverged from window sort at $parts partitions")
+    }
+  }
 }
