@@ -68,6 +68,62 @@ object Engine {
     }
   }
 
+  /** Ranger-style data-governance policies, applied at the facade the
+    * way Kyuubi's AuthZ plugin applies them to its managed engines
+    * (reference: docs/components/kyuubi.md security notes — the
+    * gateway, not the user, decides what each session may see):
+    * a connection opened with `openGoverned` gets VIEWS with the row
+    * filter and column masks baked into the plan, so every downstream
+    * query — joins, aggregates, CTEs — is governed for free. Masks
+    * mirror Ranger's standard set: hash, show-last-4, null-out,
+    * date-show-year.
+    */
+  sealed trait Mask
+  case object MaskHash extends Mask
+  case object MaskShowLast4 extends Mask
+  case object MaskNull extends Mask
+  case object MaskDateYear extends Mask
+
+  final case class Policy(
+      table: String,
+      rowFilter: Option[String] = None,
+      masks: Map[String, Mask] = Map.empty)
+
+  /** Register the testdata tables with `policies` enforced (tables
+    * without a policy are registered unmasked). Use on a
+    * [[connect]]-ed session so governed and ungoverned connections
+    * coexist over one engine.
+    */
+  def openGoverned(spark: SparkSession, dir: String,
+      policies: Seq[Policy]): SparkSession = {
+    val byTable = policies.map(p => p.table -> p).toMap
+    Tables.names.foreach { n =>
+      val base = Tables(spark, dir, n)
+      byTable.get(n).fold(base)(applyPolicy(base, _))
+        .createOrReplaceTempView(n)
+    }
+    GraftFunctions.register(spark)
+    graft.functions.SqlDialect.register(spark)
+    spark
+  }
+
+  private def applyPolicy(df: DataFrame, p: Policy): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val filtered = p.rowFilter.fold(df)(df.filter)
+    val cols = filtered.columns.map { c =>
+      (p.masks.get(c) match {
+        case Some(MaskHash) => md5(col(c).cast("binary"))
+        case Some(MaskShowLast4) =>
+          concat(expr(s"repeat('X', greatest(length($c) - 4, 0))"),
+            expr(s"right($c, 4)"))
+        case Some(MaskNull) => lit(null).cast(df.schema(c).dataType)
+        case Some(MaskDateYear) => to_date(date_trunc("year", col(c)))
+        case None => col(c)
+      }).as(c)
+    }
+    filtered.select(cols.toSeq: _*)
+  }
+
   // Iceberg/Trino time-travel clauses, rewritten ahead of Spark's
   // parser (temp views have no V2 time-travel path to hook into):
   //   <table> VERSION AS OF <n>

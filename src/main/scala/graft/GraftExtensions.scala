@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalizeExpr].getName, null, "nfc_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"nfc_normalize expects 1 argument, got ${exprs.length}")
+        graft.functions.NfcNormalizeExpr(exprs.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, null, "cosine_sim"),

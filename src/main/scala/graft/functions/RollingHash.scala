@@ -102,6 +102,12 @@ object GraftFunctions {
         BottomK(exprs.head, exprs(1), k)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => {
+        require(exprs.length == 1,
+          s"nfc_normalize expects 1 argument, got ${exprs.length}")
+        NfcNormalizeExpr(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "k_min_values", exprs => {
         require(exprs.length == 2,
           s"k_min_values expects 2 arguments, got ${exprs.length}")
@@ -123,6 +129,9 @@ object GraftFunctions {
   /** Bounded-buffer collect_list of a long column ([[CollectCapped]]). */
   def collectCapped(c: Column, cap: Int): Column =
     call_function("collect_capped", c, org.apache.spark.sql.functions.lit(cap))
+
+  /** Unicode NFC normalization ([[NfcNormalizeExpr]]). */
+  def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
 
   /** Distinct char-n-grams of a string column ([[CharGramsExpr]]). */
   def charGrams(c: Column, n: Int): Column =

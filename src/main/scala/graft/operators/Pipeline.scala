@@ -436,7 +436,35 @@ object Pipeline {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** p17: weighted sampling without replacement — the "ticket race"
+    * (Efraimidis–Spirakis A-ES family): each document holds `w`
+    * lottery tickets (w = its source's mixing weight, 1–4), its race
+    * key is the MINIMUM of the w per-ticket md5 draws, and the sample
+    * is the global bottom-k keys. The min of w iid uniforms is the
+    * first arrival of w independent clocks, so selection pressure is
+    * proportional to weight — yet every draw is a deterministic
+    * `md5(doc_id:i)`: reproducible across engines, runs and cluster
+    * sizes, with no RNG state to coordinate. Scale shape: the ticket
+    * min is a per-row ARRAY projection (no explode, no shuffle) and
+    * the bottom-k a TakeOrdered — map work + one k-row collect at
+    * 100 TB.
+    */
+  def p17WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 200
+    docs(spark, dir)
+      .withColumn("weight",
+        expr("cast(substring(source, 4) as bigint) % 4 + 1"))
+      .withColumn("ticket", expr(
+        """array_min(transform(sequence(1, weight),
+          |  i -> md5(cast(concat(cast(doc_id as string), ':',
+          |                       cast(i as string)) as binary))))""".stripMargin))
+      .select(col("doc_id"), col("source"), col("weight"), col("ticket"))
+      .orderBy(col("ticket"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_weighted_sample" -> (p17WeightedSample _),
     "p12_chunk_documents" -> (p12ChunkDocuments _),
     "p10_domain_mix" -> (p10DomainMix _),
     "p14_temperature_mix" -> (p14TemperatureMix _),
@@ -458,6 +486,20 @@ object Pipeline {
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    // p17: the ticket race restated with DuckDB list lambdas — same
+    // md5 draws, same min, same bottom-k
+    "p17_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS weight
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, source, weight,
+        |    list_min(list_transform(generate_series(1, weight),
+        |      i -> md5(doc_id::VARCHAR || ':' || i::VARCHAR))) AS ticket
+        |  FROM w)
+        |SELECT doc_id, source, weight, ticket
+        |FROM t ORDER BY ticket LIMIT 200""".stripMargin,
     // p16: the oracle is the EXACT sweep over every train doc (the
     // bloom is a plan-side prune confirmed exactly — a02's pattern),
     // and it expects the bloom-vs-exact cross-check TRUE on every row

@@ -371,7 +371,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t13: Unicode/whitespace canonicalization — the cleanup pass that
+    * must precede any hash-keyed dedup: the same visible string can
+    * arrive composed or decomposed (NFC vs NFD) and would fingerprint
+    * differently without normalization. NFC runs through the native
+    * codegen'd [[graft.functions.NfcNormalizeExpr]]; control-char
+    * strip and whitespace collapse are plain column regexes. Entirely
+    * row-local map work — embarrassingly parallel at 100 TB.
+    */
+  def t13Normalize(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("nfc_text", GraftFunctions.nfcNormalize(col("text")))
+      .withColumn("clean_text",
+        trim(regexp_replace(
+          regexp_replace(col("nfc_text"), "[\\x00-\\x1F\\x7F]", ""),
+          "[ \\t\\n\\r]+", " ")))
+      // the corpus is clean ASCII, where NFC is an identity — so also
+      // normalize a decomposed suffix ("e" + U+0301 must COMPOSE to é)
+      // to pin the actual composition behavior against the oracle's
+      // independent normalizer
+      .withColumn("nfc_dirty",
+        GraftFunctions.nfcNormalize(concat(col("text"), lit("e"), lit("\u0301"))))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(col("clean_text")).cast("long").as("len_clean"),
+        (col("clean_text") =!= col("text")).as("changed"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"),
+        length(col("nfc_dirty")).cast("long").as("len_dirty_nfc"),
+        md5(col("nfc_dirty").cast("binary")).as("dirty_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_normalize" -> (t13Normalize _),
     "t10_hof_suite" -> (t10HofSuite _),
     "t11_bpe_merges" -> (t11BpeMerges _),
     "t12_bpe_encode" -> (t12BpeEncode _),
@@ -441,6 +475,23 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // t13: DuckDB's nfc_normalize is the independent NFC
+    // implementation the native expression is checked against
+    "t13_normalize" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(nfc_normalize(text), '[\x00-\x1F\x7F]', '', 'g'),
+        |      '[ \t\n\r]+', ' ', 'g')) AS clean_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS len_raw,
+        |  length(clean_text) AS len_clean,
+        |  clean_text <> text AS changed,
+        |  md5(clean_text) AS clean_md5,
+        |  length(nfc_normalize(text || 'e' || chr(769))) AS len_dirty_nfc,
+        |  md5(nfc_normalize(text || 'e' || chr(769))) AS dirty_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t11_bpe_merges" ->
       s"""WITH base AS (
          |  SELECT regexp_replace(tok, '[^a-z]', '', 'g') AS w

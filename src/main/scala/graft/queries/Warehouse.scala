@@ -692,7 +692,91 @@ object Warehouse {
     t
   }
 
+  /** q80: MATERIALIZED VIEW with automatic query rewrite — the user
+    * aggregates the BASE fact table; [[graft.plans.MvRewriteRule]]
+    * reroutes the rollup to a day-grain materialization (reference:
+    * the dbt marts layer pre-aggregates exactly so that BI queries
+    * never touch the fact table — here the engine does the rerouting
+    * instead of the user). The gate prices MV build + rewritten query
+    * honestly; MvRewriteSpec asserts the optimized plan scans the MV
+    * path (not the base) and that rewrite on/off answers are equal.
+    * At 100 TB the rewritten query reads a summary that is ~|keys|
+    * rows instead of the fact table.
+    */
+  def q80MvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val (out, _, mvName) = mvRollup(spark, dir)
+    val resPath = tempDir("graft-mv-res")
+    try out.write.mode("overwrite").parquet(resPath)
+    finally graft.plans.Mv.drop(mvName)
+    Sources.readParquet(spark, resPath)
+  }
+
+  /** The q80 pieces, exposed for the spec: (rewritable rollup over the
+    * BASE table, MV parquet path, registered MV name). Caller drops
+    * the registration when done.
+    */
+  def mvRollup(spark: SparkSession, dir: String): (DataFrame, String, String) = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 2)
+    val basePath = s"$dir/lineitem.parquet"
+    val base = spark.read.parquet(basePath)
+    val mvPath = tempDir("graft-mv")
+    val mvName = s"lineitem_daily_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.plans.Mv.create(
+      base, mvName, basePath, mvPath,
+      groupCols = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      measures = Seq(
+        graft.plans.Mv.Measure("sum", "l_quantity", Some(dec), "sum_qty"),
+        graft.plans.Mv.Measure("sum", "l_extendedprice", Some(dec), "sum_price"),
+        graft.plans.Mv.Measure("max", "l_quantity", None, "max_qty"),
+        graft.plans.Mv.Measure("count", "l_quantity", None, "cnt_qty")))
+    val out = base
+      .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("cnt"),
+        max(col("l_quantity")).as("max_qty"),
+        davg(col("l_quantity")).as("avg_qty"))
+    (out, mvPath, mvName)
+  }
+
+  /** q81: GOVERNED CONNECTION — row filters + column masks enforced at
+    * the facade (the Kyuubi/Ranger AuthZ surface the reference gateway
+    * provides; reference: docs/components/kyuubi.md). A governed
+    * connection sees only BUILDING-segment customers, `c_name` masked
+    * to last-4, `c_acctbal` nulled, order dates coarsened to year —
+    * and every query it runs (this one joins + aggregates through
+    * plain SQL) is governed with zero query changes. The oracle
+    * recomputes the masked answer from the raw tables, proving the
+    * masks are deterministic transforms, not data loss; the
+    * always-zero `n_acctbal_visible` column IS the null-mask check.
+    */
+  def q81GovernedViews(spark: SparkSession, dir: String): DataFrame = {
+    val sess = graft.Engine.connect(spark)
+    graft.Engine.openGoverned(sess, dir, Seq(
+      graft.Engine.Policy("customer",
+        rowFilter = Some("c_mktsegment = 'BUILDING'"),
+        masks = Map(
+          "c_name" -> graft.Engine.MaskShowLast4,
+          "c_acctbal" -> graft.Engine.MaskNull)),
+      graft.Engine.Policy("orders",
+        masks = Map("o_orderdate" -> graft.Engine.MaskDateYear))))
+    sess.sql("""
+      SELECT o.o_orderdate AS order_year,
+             COUNT(*) AS n_orders,
+             COUNT(DISTINCT c.c_custkey) AS n_cust,
+             MIN(c.c_name) AS sample_masked_name,
+             COUNT(c.c_acctbal) AS n_acctbal_visible
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_orderdate
+      ORDER BY order_year""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_governed_views" -> (q81GovernedViews _),
+    "q80_mv_rewrite" -> (q80MvRewrite _),
     "q79_mor_delete" -> (q79MorDelete _),
     "q77_metadata_only" -> (q77MetadataOnly _),
     "q76_purge" -> (q76Purge _),
@@ -713,6 +797,32 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q81: masked join restated over the raw tables — the governed
+    // answer must be a pure deterministic transform of the truth
+    "q81_governed_views" ->
+      """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS order_year,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT c_custkey) AS n_cust,
+        |  MIN(concat(repeat('X', greatest(length(c_name) - 4, 0)),
+        |             right(c_name, 4))) AS sample_masked_name,
+        |  CAST(0 AS BIGINT) AS n_acctbal_visible
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1
+        |ORDER BY order_year""".stripMargin,
+    // q80: the rewritten rollup must equal the straight fact-table
+    // aggregate — the MV reroute is invisible to results
+    "q80_mv_rewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS cnt,
+        |  MAX(l_quantity) AS max_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |       / COUNT(l_quantity) AS DOUBLE) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     // q79: every MoR version's merged view restated as plain
     // predicates on the raw table — v1 must still see deleted rows
     // (time travel), v3/v4 must agree (compaction is lossless)
