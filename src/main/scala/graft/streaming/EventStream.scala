@@ -1164,7 +1164,124 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** st18: STREAMING-FRESH MATERIALIZED VIEW, served by the automatic
+    * rewrite — the full lakehouse serving loop in one operator. A
+    * day-grain MV ([[graft.plans.Mv]]) is built over a landed `orders`
+    * base; a file stream then ingests the remaining orders, and every
+    * micro-batch (a) appends to the base table and (b) incrementally
+    * maintains the MV ([[graft.operators.Ivm.maintain]] — cost ∝
+    * batch, never ∝ base) into a fresh versioned materialization that
+    * re-registers under the same MV name. The gate query aggregates
+    * the BASE table; [[graft.plans.MvRewriteRule]] reroutes it to the
+    * freshly-maintained MV, so matching the oracle's full-table
+    * answer proves maintenance was EXACT through every batch AND the
+    * rewrite serves current data. At 100 TB: dashboards keep hitting
+    * the fact table; the engine answers from megabytes of maintained
+    * summary that is never more than one micro-batch stale.
+    */
+  def st18StreamingMv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.Mv
+    val s = streamSession(spark)
+    val dec = DecimalType(18, 2)
+    val groupCols = Seq("o_orderstatus", "o_orderdate")
+
+    val orders = graft.Tables(spark, dir, "orders")
+    val basePath = graft.TempDirs.scratch("graft-st18-base")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .repartition(8).write.mode("overwrite").parquet(basePath)
+
+    val mvName = s"orders_mv_${java.util.UUID.randomUUID().toString.take(8)}"
+    Mv.create(
+      spark.read.parquet(basePath), mvName, basePath,
+      graft.TempDirs.scratch("graft-st18-mv"), groupCols,
+      Seq(Mv.Measure("sum", "o_totalprice", Some(dec), "sum_price")))
+
+    val srcPath = graft.TempDirs.scratch("graft-st18-src")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .repartition(16).write.mode("overwrite").parquet(srcPath)
+
+    var refreshes = 1
+    val q = s.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(srcPath)
+      .writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st18-ckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          batch.write.mode("append").parquet(basePath)
+          val cur = Mv.registered.find(_.name == mvName).get
+          val mat = batch.sparkSession.read.parquet(cur.mvPath)
+          val next = graft.operators.Ivm.maintain(
+            mat, batch.limit(0), batch,
+            groupCols, "cnt_star", Seq("o_totalprice" -> "sum_price"))
+            .select(col("o_orderstatus"), col("o_orderdate"),
+              // Mv.create's stored types: sum(DECIMAL(18,2)) = (28,2)
+              col("sum_price").cast(DecimalType(28, 2)).as("sum_price"),
+              col("cnt_star").cast("long").as("cnt_star"))
+          val nextPath = graft.TempDirs.scratch("graft-st18-mv")
+          next.write.mode("overwrite").parquet(nextPath)
+          Mv.register(cur.copy(mvPath = nextPath))
+          refreshes += 1
+          batch.unpersist()
+          ()
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    try {
+      val out = spark.read.parquet(basePath)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("n_refreshes", lit(refreshes).cast("long"))
+        .orderBy(col("o_orderstatus"))
+      val resPath = graft.TempDirs.scratch("graft-st18-res")
+      out.write.mode("overwrite").parquet(resPath)
+      graft.sources.Sources.readParquet(spark, resPath)
+    } finally Mv.drop(mvName)
+  }
+
+  /** The st18 maintenance step, exposed for the rewrite-integration
+    * spec: returns (registered MV name, base path) after seeding +
+    * one manual maintenance round.
+    */
+  def st18Seeded(spark: SparkSession, dir: String): (String, String) = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.Mv
+    val dec = DecimalType(18, 2)
+    val groupCols = Seq("o_orderstatus", "o_orderdate")
+    val orders = graft.Tables(spark, dir, "orders")
+    val basePath = graft.TempDirs.scratch("graft-st18s-base")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .repartition(4).write.mode("overwrite").parquet(basePath)
+    val mvName = s"orders_mv_${java.util.UUID.randomUUID().toString.take(8)}"
+    Mv.create(
+      spark.read.parquet(basePath), mvName, basePath,
+      graft.TempDirs.scratch("graft-st18s-mv"), groupCols,
+      Seq(Mv.Measure("sum", "o_totalprice", Some(dec), "sum_price")))
+    val batch = orders.filter(col("o_orderkey") % 2 === 1)
+    batch.write.mode("append").parquet(basePath)
+    val cur = Mv.registered.find(_.name == mvName).get
+    val next = graft.operators.Ivm.maintain(
+      spark.read.parquet(cur.mvPath), batch.limit(0), batch,
+      groupCols, "cnt_star", Seq("o_totalprice" -> "sum_price"))
+      .select(col("o_orderstatus"), col("o_orderdate"),
+        col("sum_price").cast(DecimalType(28, 2)).as("sum_price"),
+        col("cnt_star").cast("long").as("cnt_star"))
+    val nextPath = graft.TempDirs.scratch("graft-st18s-mv")
+    next.write.mode("overwrite").parquet(nextPath)
+    Mv.register(cur.copy(mvPath = nextPath))
+    (mvName, basePath)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st18_streaming_mv" -> (st18StreamingMv _),
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stateful_counts" -> (st02StatefulCounts _),
     "st03_stream_static_join" -> (st03StreamStaticJoin _),
@@ -1188,6 +1305,18 @@ object EventStream {
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    // st18: the MV-served answer must equal the straight full-table
+    // rollup — exact through every maintenance batch; 5 refreshes =
+    // seed + 16 files / 4 per trigger
+    "st18_streaming_mv" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  CAST(5 AS BIGINT) AS n_refreshes
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // st06 = q16's apply semantic after a wire round-trip; the oracle
     // is the same changelog math over the raw table — encode/decode
     // must be lossless for the hash to match.

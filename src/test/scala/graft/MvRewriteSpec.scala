@@ -74,6 +74,26 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally Mv.drop(mvName)
   }
 
+  test("st18: incrementally-maintained MV serves the base-table rollup exactly") {
+    val (mvName, basePath) = graft.streaming.EventStream.st18Seeded(spark, sf)
+    try {
+      val mvPath = Mv.registered.find(_.name == mvName).get.mvPath
+      val out = spark.read.parquet(basePath)
+        .groupBy("o_orderstatus")
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+      val paths = scanPaths(out)
+      assert(paths.nonEmpty && paths.forall(_.startsWith(mvPath)),
+        s"rollup should serve from the MAINTAINED MV $mvPath, got $paths")
+      Mv.drop(mvName)
+      val truth = spark.read.parquet(basePath)
+        .groupBy("o_orderstatus")
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+      assert(out.collect().map(_.toString).sorted
+        .sameElements(truth.collect().map(_.toString).sorted),
+        "maintained MV diverged from the base table")
+    } finally Mv.drop(mvName)
+  }
+
   test("non-rewritable shapes stay on the base table and stay correct") {
     val (_, _, mvName) = Warehouse.mvRollup(spark, sf)
     try {
