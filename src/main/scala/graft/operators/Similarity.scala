@@ -201,6 +201,34 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s12: kNN-GRAPH build — every vector's top-3 cosine neighbors,
+    * IVF-blocked: vectors compare only within their k-means cell
+    * (the shared deterministic [[kmeansAssignments]] stage), so the
+    * pair space is Σ|cell|² instead of n². With K scaled ∝ n (cells
+    * of ~constant size) the build stays linear in n — the standard
+    * distributed kNN-graph recipe feeding SemDeDup-style pruning and
+    * graph-based ANN indexes. Exactly oracled: assignment, in-cell
+    * ranking (bit-identical cosine, ties to smaller id) and rounding
+    * are all mirrored in the DuckDB twin.
+    */
+  def s12KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val a = graft.Caches.scoped(kmeansAssignments(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("cell_id")))
+    val q = a.select(col("cell_id"), col("vec_id").as("qid"),
+      col("embedding").as("qe"))
+    val pairs = q.join(
+        a.select(col("cell_id"), col("vec_id").as("cid"), col("embedding")),
+        Seq("cell_id"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   private val KMEANS_K = 8
 
   /** The deterministic 2-round Lloyd assignment stage behind s08 —
@@ -571,6 +599,7 @@ object Similarity {
     "s06_ann_multiprobe" -> (s06AnnMultiprobe _),
     "s07_ann_multiprobe_topk" -> (s07AnnMultiprobeTopk _),
     "s08_ann_kmeans" -> (s08AnnKmeans _),
+    "s12_knn_graph" -> (s12KnnGraph _),
     "s04_tfidf_search" -> (s04TfidfSearch _),
     "s05_vector_stats" -> (s05VectorStats _),
     "s09_ann_recall" -> (s09AnnRecall _),
@@ -732,6 +761,22 @@ object Similarity {
          |SELECT cell_id, COUNT(*) AS n_vectors,
          |  CAST(SUM(CAST(round(sim, 6) AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_sim
          |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s12: the same cells, the same in-cell all-pairs ranking — edge
+    // list equality is a full bit-level check of the graph build
+    "s12_knn_graph" ->
+      s"""WITH $kmeansSqlCtes,
+         |knn_pairs AS (
+         |  SELECT q.vec_id AS qid, d.vec_id AS cid,
+         |    ${cosSql("q.embedding", "d.embedding")} AS sim
+         |  FROM a2 q JOIN a2 d
+         |    ON q.cell_id = d.cell_id AND d.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+         |  FROM knn_pairs)
+         |SELECT qid, rnk, cid, round(sim, 6) AS sim_r
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
     // s02: DuckDB recomputes the SAME md5-derived hyperplane buckets
     // (identical sign literals, identical sequential fold) — exact
     // hash check of the ANN bucket path.

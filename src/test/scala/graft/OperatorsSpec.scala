@@ -285,4 +285,20 @@ class OperatorsSpec extends AnyFunSuite {
     val toks = rows.map(_.getAs[Long]("n_bpe_tokens")).sum
     assert(toks < chars, s"no compression: tokens=$toks chars=$chars")
   }
+
+  test("s12 kNN graph: ranked per-query edges, no self-loops, sims non-increasing") {
+    val edges = graft.operators.Similarity.s12KnnGraph(spark, sf).collect()
+    assert(edges.nonEmpty)
+    assert(edges.forall(r => r.getLong(0) != r.getLong(2)), "self-loop in kNN graph")
+    val byQ = edges.groupBy(_.getLong(0))
+    byQ.foreach { case (q, es) =>
+      val ranked = es.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length).toSeq,
+        s"query $q has gapped ranks")
+      val sims = ranked.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"query $q sims not non-increasing")
+      assert(es.length <= 3)
+    }
+  }
 }
