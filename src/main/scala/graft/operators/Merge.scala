@@ -199,14 +199,87 @@ object Merge {
       .orderBy(col("custkey"), col("valid_from"))
   }
 
+  /** SCHEMA-EVOLVING upsert — MERGE with `mergeSchema` semantics
+    * (Iceberg/Delta's auto schema evolution on write: the reference's
+    * CDC tables gain columns as sources evolve, docs/components/
+    * iceberg.md schema-evolution surface): the source batch may CARRY
+    * NEW columns (appended to the output schema; pre-existing target
+    * rows read NULL there) and may LACK target columns (matched rows
+    * KEEP the target value — `UPDATE SET *` only sets source columns;
+    * inserted rows read NULL). Column presence is settled at PLAN
+    * time, so this stays one full-outer shuffle with per-column
+    * `when()` projection — no per-row schema dispatch.
+    */
+  def upsertEvolve(target: DataFrame, source: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(keys.forall(source.columns.contains), "source must carry the merge keys")
+    val tCols = target.columns.toSeq
+    val sCols = source.columns.toSeq
+    val all = tCols ++ sCols.filterNot(tCols.contains)
+    val t = target.as("t")
+    val s = source.as("s")
+    val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val sPresent = col(s"s.${keys.head}").isNotNull
+    def typed(c: String) =
+      sCols.find(_ == c).map(source.schema(_).dataType)
+        .orElse(tCols.find(_ == c).map(target.schema(_).dataType)).get
+    val cols = all.map { c =>
+      val hasS = sCols.contains(c)
+      val hasT = tCols.contains(c)
+      val fromS = if (hasS) col(s"s.$c") else col(s"t.$c")   // UPDATE SET * keeps target-only cols
+      val fromT = if (hasT) col(s"t.$c") else lit(null).cast(typed(c))
+      when(sPresent, fromS).otherwise(fromT).as(c)
+    }
+    t.join(s, cond, "full_outer").select(cols: _*)
+  }
+
+  /** q82: schema evolution through MERGE, end-to-end on `customer`:
+    * the landed dim has (key, name, acctbal); the incoming batch
+    * restates keys ≥ 600 with shifted balances AND a NEW `c_tier`
+    * column. After the evolving merge: keys < 600 keep their row with
+    * NULL tier, 600–799 update in place and gain a tier, ≥ 800
+    * insert fully populated — the oracle rebuilds the same final
+    * table from raw data.
+    */
+  def q82EvolvingMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val target = cust.filter(col("c_custkey") < 800)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val source = cust.filter(col("c_custkey") >= 600)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        when(col("c_acctbal") >= 2000.0, lit("gold")).otherwise(lit("std"))
+          .as("c_tier"))
+    upsertEvolve(target, source, Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_incremental_merge" -> (q21IncrementalMerge _),
-    "q62_scd2_apply" -> (q62Scd2Apply _)
+    "q62_scd2_apply" -> (q62Scd2Apply _),
+    "q82_evolving_merge" -> (q82EvolvingMerge _)
   )
 
   // The merge of stale+recomputed snapshots must equal the full
   // snapshot — same oracle as q10_cdc_latest_snapshot.
   val oracles: Map[String, String] = Map(
+    // q82: the evolved table rebuilt set-wise from raw customer —
+    // update/keep/insert paths plus the NULL-backfilled new column
+    "q82_evolving_merge" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey < 800),
+        |src AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+        |    CASE WHEN c_acctbal >= 2000.0 THEN 'gold' ELSE 'std' END AS c_tier
+        |  FROM customer WHERE c_custkey >= 600)
+        |SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_tier ELSE NULL END AS c_tier
+        |FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q21_incremental_merge" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, event_type, value, ts,

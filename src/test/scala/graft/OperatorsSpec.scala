@@ -286,6 +286,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(toks < chars, s"no compression: tokens=$toks chars=$chars")
   }
 
+  test("Merge.upsertEvolve: new source column backfills NULL, missing source column keeps target") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    // source: lacks "s" (target kept on match), carries new "tier"
+    val source = Seq((2L, 99.0, "gold"), (3L, 30.0, "std")).toDF("k", "v", "tier")
+    val got = Merge.upsertEvolve(target, source, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), Option(r.getString(3)).orNull))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10.0, null),      // untouched target row, NULL new col
+      (2L, "b", 99.0, "gold"),    // updated v, KEPT s, gained tier
+      (3L, null, 30.0, "std")))   // inserted; target-only col NULL
+    // schema order: target columns first, then appended source cols
+    assert(Merge.upsertEvolve(target, source, Seq("k")).columns.toSeq ==
+      Seq("k", "s", "v", "tier"))
+    // identical schemas degenerate to plain upsert
+    val same = Merge.upsertEvolve(target,
+      Seq((2L, "B", 99.0)).toDF("k", "s", "v"), Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(same.toSeq == Seq((1L, "a", 10.0), (2L, "B", 99.0)))
+  }
+
   test("s12 kNN graph: ranked per-query edges, no self-loops, sims non-increasing") {
     val edges = graft.operators.Similarity.s12KnnGraph(spark, sf).collect()
     assert(edges.nonEmpty)
