@@ -244,7 +244,60 @@ object AnalyticsDag {
     runner.readModel("segment_attainment").orderBy(col("segment"))
   }
 
+  /** q83: RESUME AFTER FAILURE — the dbt-retry / Airflow
+    * clear-failed-task semantic (the reference DAG's operational
+    * reality: dag/dbt_analytics_pipeline.py retries:1 + manual task
+    * clearing): the first run materializes both staging models, then
+    * ABORTS at the (simulated-transiently-broken) mart; the rerun
+    * under the SAME resume id SKIPS the committed staging work
+    * (marker tags, written only after checks pass) and resumes at the
+    * mart. The gate pins all three version counts at 1 — upstream
+    * neither redone nor double-committed — plus the skipped modes,
+    * and the mart itself is oracle-exact, so a resumed DAG converges
+    * to the same answer as a clean one. At 100 TB: a failed final
+    * mart never re-lands the multi-hour staging layer.
+    */
+  def q83PipelineResume(spark: SparkSession, dir: String): DataFrame = {
+    val runner = new Runner(spark, freshWarehouse())
+    val sources = Map(
+      "customer" -> Tables(spark, dir, "customer"),
+      "orders" -> Tables(spark, dir, "orders"))
+    @volatile var martFixed = false
+    val dag = Seq(
+      Model("stg_users", Seq("customer"), Materialization.Table,
+        (in, _) => stgUsers(in("customer"))),
+      Model("stg_orders", Seq("orders"), Materialization.Table,
+        (in, _) => stgOrders(in("orders"))),
+      Model("user_order_summary", Seq("stg_users", "stg_orders"),
+        Materialization.Table,
+        (in, _) => {
+          if (!martFixed) throw new IllegalStateException(
+            "simulated transient mart failure")
+          userOrderSummary(in("stg_users"), in("stg_orders"))
+        }))
+    val aborted =
+      try { runner.run(dag, sources, resumeId = Some("q83")); false }
+      catch { case scala.util.control.NonFatal(_) => true }
+    require(aborted, "first q83 attempt must abort at the mart")
+    martFixed = true
+    val runs = runner.run(dag, sources, resumeId = Some("q83"))
+    val modes = runs.map(r => r.name -> r.mode).toMap
+    def nv(t: String) =
+      graft.sources.Snapshots.versions(runner.tableDir(t)).size.toLong
+    runner.readModel("user_order_summary")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        dsum(col("total_revenue")).as("segment_revenue"))
+      .withColumn("stg_users_versions", lit(nv("stg_users")))
+      .withColumn("stg_orders_versions", lit(nv("stg_orders")))
+      .withColumn("mart_versions", lit(nv("user_order_summary")))
+      .withColumn("stg_resumed",
+        lit(modes("stg_users") == "skipped" && modes("stg_orders") == "skipped"))
+      .orderBy(col("segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_pipeline_resume" -> (q83PipelineResume _),
     "q50_pipeline_run" -> (q50PipelineRun _),
     "q52_pipeline_mart" -> (q52PipelineMart _),
     "q59_seeded_mart" -> (q59SeededMart _)
@@ -258,6 +311,30 @@ object AnalyticsDag {
     * lineage would flatten to (DuckDB dialect).
     */
   val oracles: Map[String, String] = Map(
+    // q83: the resumed mart's segment rollup from raw tables (the
+    // per-user → per-segment two-level decimal rounding mirrored),
+    // version counts pinned at 1 = no re-done or double-committed work
+    "q83_pipeline_resume" ->
+      """WITH su AS (
+        |  SELECT c_custkey AS user_id,
+        |    upper(trim(c_mktsegment)) AS segment
+        |  FROM customer),
+        |um AS (
+        |  SELECT su.user_id, su.segment,
+        |    COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |      AS DOUBLE), 0.0) AS total_revenue
+        |  FROM su LEFT JOIN orders o ON su.user_id = o.o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT segment,
+        |  COUNT(*) AS n_users,
+        |  CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS segment_revenue,
+        |  CAST(1 AS BIGINT) AS stg_users_versions,
+        |  CAST(1 AS BIGINT) AS stg_orders_versions,
+        |  CAST(1 AS BIGINT) AS mart_versions,
+        |  TRUE AS stg_resumed
+        |FROM um GROUP BY segment
+        |ORDER BY segment""".stripMargin,
     "q59_seeded_mart" ->
       s"""WITH targets(segment, target_revenue, tier) AS (
          |  VALUES $targetsValues),

@@ -163,9 +163,19 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
     * never a visible version. The scheduler's retry_delay is omitted
     * in-process — a real deployment backs off between attempts.
     */
+  /** `resumeId` adds the dbt-retry / Airflow-clear-failed semantic:
+    * a model whose materialization already committed under this run
+    * id (marker tag `run:<id>:<model>`, written only AFTER the
+    * model's checks pass) is SKIPPED with its stored version, so a
+    * DAG aborted at model X resumes AT X — upstream work is neither
+    * redone nor double-committed. A crash in the window between
+    * commit and marker re-runs that one model (at-least-once into the
+    * versioned store: an extra version, never half-visible data).
+    */
   def run(models: Seq[Model],
       sources: Map[String, DataFrame] = Map.empty,
-      retries: Int = 0): Seq[ModelRun] = {
+      retries: Int = 0,
+      resumeId: Option[String] = None): Seq[ModelRun] = {
     val byName = models.map(m => m.name -> m).toMap
     require(byName.size == models.size, "duplicate model names in DAG")
     models.foreach { m =>
@@ -194,6 +204,13 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
       }
     }
     order.toSeq.map { m =>
+      val marker = resumeId.map(id => s"run:$id:${m.name}")
+      val alreadyDone = marker.exists(t =>
+        Snapshots.versions(tableDir(m.name)).nonEmpty &&
+          Snapshots.committedTags(tableDir(m.name)).contains(t))
+      if (alreadyDone) {
+        ModelRun(m.name, Snapshots.versions(tableDir(m.name)).last, "skipped")
+      } else {
       val inputs = m.deps.map { d =>
         d -> (if (byName.contains(d)) readModel(d)
               else sources.getOrElse(d, readModel(d)))
@@ -222,7 +239,9 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
         require(fatal.isEmpty,
           s"model '${m.name}' failed data checks: ${describe(fatal.toSeq)}")
       }
+      marker.foreach(t => Snapshots.tagVersion(tableDir(m.name), run.version, t))
       run
+      }
     }
   }
 

@@ -106,6 +106,20 @@ object Snapshots {
     manifestLines(tableDir).flatMap(_._2).toSet ++
       ledgerEntries(tableDir).map(_._2)
 
+  /** Tag an EXISTING version after the fact — the Iceberg tags/refs
+    * surface (`ALTER TABLE … CREATE TAG`). Used where the marker must
+    * be written strictly AFTER post-commit validation (e.g.
+    * [[graft.pipeline.Runner]] resume markers land only once a
+    * model's checks pass, so a check-failed model is re-run on
+    * resume, not skipped).
+    */
+  def tagVersion(tableDir: String, version: Long, tag: String): Unit =
+    withManifestLock(tableDir) {
+      require(versions(tableDir).contains(version),
+        s"cannot tag unknown version $version at $tableDir")
+      if (!committedTags(tableDir).contains(tag)) appendTag(tableDir, version, tag)
+    }
+
   // FileChannel locks are held per-JVM: a second thread in the same
   // JVM (parallel test committers, streaming writers sharing a
   // SparkSession) hits OverlappingFileLockException instead of

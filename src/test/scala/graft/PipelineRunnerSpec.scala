@@ -243,4 +243,51 @@ class PipelineRunnerSpec extends AnyFunSuite {
     assert(runner.readModel("down").head.getLong(0) == 3L)
     assert(Snapshots.versions(runner.tableDir("down")).size == 2)
   }
+
+  test("resume: rerun under the same id skips committed models and finishes the aborted DAG") {
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    @volatile var fixed = false
+    val up = Model("up", Seq("src"), Materialization.Table, (in, _) => in("src"))
+    val down = Model("down", Seq("up"), Materialization.Table,
+      (in, _) => {
+        if (!fixed) throw new IllegalStateException("boom")
+        in("up").agg(max(col("x")).as("mx"))
+      })
+    val src = Map("src" -> Seq(1, 2, 3).toDF("x"))
+    intercept[IllegalStateException](
+      runner.run(Seq(up, down), src, resumeId = Some("rA")))
+    assert(Snapshots.versions(runner.tableDir("up")) == Seq(1L))
+    fixed = true
+    val runs = runner.run(Seq(up, down), src, resumeId = Some("rA"))
+    assert(runs.find(_.name == "up").get.mode == "skipped")
+    assert(runs.find(_.name == "down").get.mode == "full")
+    assert(Snapshots.versions(runner.tableDir("up")) == Seq(1L),
+      "resume must not re-commit completed upstream work")
+    assert(runner.readModel("down").head.getInt(0) == 3)
+    // a DIFFERENT run id re-runs everything
+    val fresh = runner.run(Seq(up, down), src, resumeId = Some("rB"))
+    assert(fresh.forall(_.mode == "full"))
+    assert(Snapshots.versions(runner.tableDir("up")).size == 2)
+  }
+
+  test("resume markers land only after checks pass: a check-failed model re-runs") {
+    import graft.pipeline.Checks
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    @volatile var clean = false
+    val m = Model("m", Seq("src"), Materialization.Table,
+      (in, _) => if (clean) in("src").dropDuplicates("k") else in("src"),
+      checks = Seq(Checks.Unique("k")))
+    val src = Map("src" -> Seq((1, "a"), (1, "b")).toDF("k", "v"))
+    intercept[IllegalArgumentException](
+      runner.run(Seq(m), src, resumeId = Some("rC")))
+    // the bad version committed (time-travel debuggable) but is NOT
+    // marked done — the resume must re-materialize, not skip
+    assert(Snapshots.versions(runner.tableDir("m")).size == 1)
+    clean = true
+    val runs = runner.run(Seq(m), src, resumeId = Some("rC"))
+    assert(runs.head.mode == "full", "check-failed model must re-run on resume")
+    assert(runner.readModel("m").count() == 1)
+  }
 }
