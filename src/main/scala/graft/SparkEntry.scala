@@ -20,7 +20,8 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++ Pipeline.queries ++
       Approx.queries ++ EventStream.queries ++
       graft.pipeline.AnalyticsDag.queries ++ Warehouse.queries ++
-      graft.pipeline.Checks.queries ++ RangeJoin.queries
+      graft.pipeline.Checks.queries ++ RangeJoin.queries ++
+      graft.pipeline.CorpusDag.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a rows-only check.
@@ -31,5 +32,6 @@ object SparkEntry {
       Similarity.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
       Approx.oracles ++ EventStream.oracles ++
       graft.pipeline.AnalyticsDag.oracles ++ Warehouse.oracles ++
-      graft.pipeline.Checks.oracles ++ RangeJoin.oracles
+      graft.pipeline.Checks.oracles ++ RangeJoin.oracles ++
+      graft.pipeline.CorpusDag.oracles
 }

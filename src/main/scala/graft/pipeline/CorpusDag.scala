@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextGrams
+
+/** The LLM corpus-cleaning pipeline run THROUGH the dbt-style
+  * [[Runner]] — the reference's DAG pattern (dag/dbt_analytics_pipeline
+  * .py:81-119: staged models materialized in dependency order, checks
+  * gating downstream reads) applied to the data-engineering workload
+  * this engine adds on top of the reference: preparing a training
+  * corpus. Four models:
+  *
+  *   documents ─▶ stg_docs ─▶ dedup_docs ─▶ clean_docs ─┐
+  *        └────────────┴──────────┴───────────▶ corpus_mart
+  *
+  *  - `stg_docs`     quality gate (length + token floor)
+  *  - `dedup_docs`   exact dedup, min doc_id survives per text hash
+  *  - `clean_docs`   benchmark decontamination (no 5-gram shared with
+  *                   the held-out eval slice), eval slice excluded
+  *  - `corpus_mart`  per-source funnel: raw → staged → deduped → clean
+  *                   counts + surviving token mass
+  *
+  * Each stage is a versioned snapshot (time-travel auditable corpus
+  * lineage — WHICH docs fed a training run is reconstructable forever),
+  * and each model re-reads its upstream from the store (`ref()`), so a
+  * 100 TB corpus build is restartable per-stage rather than one giant
+  * plan. Checks: doc_id NOT NULL on staging, UNIQUE after dedup —
+  * a violation aborts before anything downstream consumes bad data.
+  *
+  * Scale: the only wide operations are one text-hash window (dedup),
+  * one gram explode + broadcast semi-join (decontamination — the
+  * benchmark side is small BY DEFINITION), and 4 tiny per-source
+  * aggregates. No global sorts, no driver-side data.
+  */
+object CorpusDag {
+
+  private val MinChars = 100L
+  private val MinTokens = 20L
+
+  /** stg_docs: quality-gate the raw corpus (the cheap filters that
+    * run FIRST at 100 TB — they prune before any expensive stage).
+    */
+  def stgDocs(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_tokens", size(expr(TextGrams.tokensExpr("text"))).cast("long"))
+      .filter(col("n_chars") >= MinChars && col("n_tokens") >= MinTokens)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("n_tokens"))
+
+  /** dedup_docs: exact dedup on the text hash, smallest doc_id kept —
+    * the hash partitions the shuffle, so duplicates co-locate and no
+    * partition ever holds more than one hash-group's candidates.
+    */
+  def dedupDocs(stg: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    stg.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** clean_docs: drop docs sharing any word-5-gram with the held-out
+    * benchmark slice (doc_id % 13 — p06's convention), and the slice
+    * itself. The benchmark gram set is a broadcast; the corpus gram
+    * explosion streams map-side through the semi-join.
+    */
+  def cleanDocs(dedup: DataFrame): DataFrame = {
+    val gram5 = expr(TextGrams.gramExpr("ts", 5))
+    val grams = Tables.spread(dedup.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), expr(TextGrams.tokensExpr("text")).as("ts"))
+      .select(col("doc_id"), explode(array_distinct(gram5)).as("g"))
+    val bench = grams.filter(col("doc_id") % 13 === 0).select(col("g")).distinct()
+    val contaminated = grams.filter(col("doc_id") % 13 =!= 0)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    dedup.filter(col("doc_id") % 13 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** corpus_mart: the per-source funnel — what survived each stage and
+    * how many training tokens remain. Four small aggregates (one per
+    * stage) joined on `source`; every input is already materialized,
+    * so this re-scans marts, not raw text.
+    */
+  def corpusMart(raw: DataFrame, stg: DataFrame, dedup: DataFrame,
+      clean: DataFrame): DataFrame = {
+    def per(df: DataFrame, as: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(as))
+    per(raw, "n_raw")
+      .join(per(stg, "n_staged"), Seq("source"), "left")
+      .join(per(dedup, "n_deduped"), Seq("source"), "left")
+      .join(clean.groupBy(col("source")).agg(
+          count(lit(1)).as("n_clean"),
+          sum(col("n_tokens")).as("tokens_clean"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("avg_chars_clean")),
+        Seq("source"), "left")
+      .select(col("source"),
+        col("n_raw"),
+        coalesce(col("n_staged"), lit(0L)).as("n_staged"),
+        coalesce(col("n_deduped"), lit(0L)).as("n_deduped"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        coalesce(col("tokens_clean"), lit(0L)).as("tokens_clean"),
+        col("avg_chars_clean"))
+  }
+
+  /** The DAG; source = raw `documents`. */
+  def models: Seq[Model] = Seq(
+    Model("stg_docs", Seq("documents"), Materialization.Table,
+      (in, _) => stgDocs(in("documents")),
+      checks = Seq(Checks.NotNull("doc_id"))),
+    Model("dedup_docs", Seq("stg_docs"), Materialization.Table,
+      (in, _) => dedupDocs(in("stg_docs")),
+      checks = Seq(Checks.Unique("doc_id"))),
+    Model("clean_docs", Seq("dedup_docs"), Materialization.Table,
+      (in, _) => cleanDocs(in("dedup_docs")),
+      checks = Seq(Checks.Unique("doc_id"))),
+    Model("corpus_mart", Seq("documents", "stg_docs", "dedup_docs", "clean_docs"),
+      Materialization.Table,
+      (in, _) => corpusMart(in("documents"), in("stg_docs"),
+        in("dedup_docs"), in("clean_docs"))))
+
+  /** p18: the corpus DAG end-to-end through the Runner — quality gate,
+    * exact dedup, decontamination, funnel mart, each a checked,
+    * versioned snapshot. Output = the mart read back from the store;
+    * the oracle recomputes the whole four-stage lineage as one SQL
+    * chain, so the gate proves staged materialization == one flat
+    * recompute.
+    */
+  def p18CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val runner = new Runner(spark, graft.TempDirs.scratch("graft-corpus"))
+    runner.run(models, Map("documents" -> Tables(spark, dir, "documents")))
+    runner.readModel("corpus_mart").orderBy(col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_corpus_pipeline" -> (p18CorpusPipeline _))
+
+  val oracles: Map[String, String] = Map(
+    "p18_corpus_pipeline" ->
+      s"""WITH stg AS (
+         |  SELECT doc_id, text, lang, source, n_chars,
+         |    CAST(len(${TextGrams.tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE n_chars >= $MinChars
+         |    AND CAST(len(${TextGrams.tokensSql("text")}) AS BIGINT) >= $MinTokens),
+         |dd AS (
+         |  SELECT doc_id, text, lang, source, n_chars, n_tokens FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM stg) WHERE rn = 1),
+         |toks AS (
+         |  SELECT doc_id, ${TextGrams.tokensSql("text")} AS ts FROM dd),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, unnest(${TextGrams.gramSql("ts", 5)}) AS g
+         |  FROM toks),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
+         |hits AS (
+         |  SELECT DISTINCT doc_id FROM grams
+         |  WHERE doc_id % 13 <> 0 AND g IN (SELECT g FROM bench)),
+         |clean AS (
+         |  SELECT d.* FROM dd d LEFT JOIN hits h USING (doc_id)
+         |  WHERE d.doc_id % 13 <> 0 AND h.doc_id IS NULL),
+         |raw AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY 1),
+         |s1 AS (SELECT source, COUNT(*) AS n_staged FROM stg GROUP BY 1),
+         |s2 AS (SELECT source, COUNT(*) AS n_deduped FROM dd GROUP BY 1),
+         |s3 AS (
+         |  SELECT source, COUNT(*) AS n_clean, SUM(n_tokens) AS tokens_clean,
+         |    CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars_clean
+         |  FROM clean GROUP BY 1)
+         |SELECT r.source, r.n_raw,
+         |  COALESCE(s1.n_staged, 0) AS n_staged,
+         |  COALESCE(s2.n_deduped, 0) AS n_deduped,
+         |  COALESCE(s3.n_clean, 0) AS n_clean,
+         |  COALESCE(s3.tokens_clean, 0) AS tokens_clean,
+         |  s3.avg_chars_clean
+         |FROM raw r
+         |LEFT JOIN s1 USING (source) LEFT JOIN s2 USING (source)
+         |LEFT JOIN s3 USING (source)
+         |ORDER BY r.source""".stripMargin)
+}

@@ -774,7 +774,39 @@ object Warehouse {
       ORDER BY order_year""")
   }
 
+  /** q84: snapshot ROLLBACK — Iceberg's `rollback_to_snapshot`
+    * procedure: a bad deploy's commit is undone by a NEW forward
+    * commit re-pointing at the good file set ([[graft.sources
+    * .Snapshots.rollback]] — hard-link tree, zero data rewritten), so
+    * readers heal instantly while the bad version stays
+    * time-travelable for post-mortems (contrast q76's purge, which
+    * erases). The gate lands a good rollup (v1), a corrupted one
+    * (v2 — revenue doubled, the classic double-apply bug), rolls back
+    * to v1, and emits the evidence: the latest read equals the good
+    * rollup exactly, v2 is still readable and provably the doubled
+    * one, and history moved FORWARD (3 versions, healed > bad).
+    */
+  def q84Rollback(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val t = s"${tempDir("graft-rollback")}/status_rev"
+    val good = Tables(spark, dir, "orders")
+      .groupBy(upper(trim(col("o_orderstatus"))).as("status"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    val v1 = Snapshots.commit(good, t)
+    val v2 = Snapshots.commit(good.withColumn("revenue", col("revenue") * 2.0), t)
+    val v3 = Snapshots.rollback(t, v1)
+    val healed = Snapshots.read(spark, t)
+    val bad = Snapshots.read(spark, t, v2)
+      .select(col("status"), col("revenue").as("bad_revenue"))
+    healed.join(bad, Seq("status"))
+      .withColumn("n_versions", lit(Snapshots.versions(t).size.toLong))
+      .withColumn("healed_forward", lit(v3 > v2 && v2 > v1))
+      .withColumn("bad_still_travelable", col("bad_revenue") === col("revenue") * 2.0)
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_rollback" -> (q84Rollback _),
     "q81_governed_views" -> (q81GovernedViews _),
     "q80_mv_rewrite" -> (q80MvRewrite _),
     "q79_mor_delete" -> (q79MorDelete _),
@@ -797,6 +829,18 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q84: the healed (latest) read must equal the good rollup; the
+    // rolled-back-FROM version must still read as the doubled one
+    "q84_rollback" ->
+      """SELECT upper(trim(o_orderstatus)) AS status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 2.0
+        |    AS bad_revenue,
+        |  CAST(3 AS BIGINT) AS n_versions,
+        |  TRUE AS healed_forward,
+        |  TRUE AS bad_still_travelable
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     // q81: masked join restated over the raw tables — the governed
     // answer must be a pure deterministic transform of the truth
     "q81_governed_views" ->

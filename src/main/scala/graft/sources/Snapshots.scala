@@ -515,6 +515,46 @@ object Snapshots {
     }
   }
 
+  /** Roll the table BACK to `toVersion` as a NEW commit — Iceberg's
+    * `rollback_to_snapshot` procedure: history keeps moving FORWARD
+    * (the bad versions stay readable for time-travel debugging;
+    * nothing is erased — contrast [[purge]]), and no data is
+    * rewritten. The new version's directory is a hard-link tree over
+    * the target version's files — the posix-warehouse equivalent of
+    * Iceberg's metadata-only snapshot re-point: O(#files) metadata
+    * operations, zero bytes copied, so rolling back a 100 TB table
+    * costs what a manifest rewrite costs. Hard links keep every
+    * maintenance path safe: [[expireSnapshots]] deleting either
+    * version removes only ITS directory entries; shared file content
+    * survives until the last referencing version goes. Filesystems
+    * without hard links fall back to a copy (correct, just not free).
+    */
+  def rollback(tableDir: String, toVersion: Long): Long = {
+    val vs = versions(tableDir)
+    require(vs.contains(toVersion), s"unknown version $toVersion (have $vs)")
+    val next = reserveVersion(tableDir)
+    val src = Paths.get(tableDir, s"v=$toVersion")
+    val dst = Paths.get(tableDir, s"v=$next")
+    Files.createDirectories(dst)
+    val listing = Files.list(src)
+    try listing.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+      try Files.createLink(dst.resolve(f.getFileName), f)
+      catch {
+        case _: UnsupportedOperationException =>
+          Files.copy(f, dst.resolve(f.getFileName))
+      }
+    } finally listing.close()
+    val tag = s"rollback-of-v$toVersion"
+    withManifestLock(tableDir) {
+      appendTime(tableDir, next)
+      Files.write(manifest(tableDir),
+        s"$next\t$tag\n".getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      appendTag(tableDir, next, tag)
+    }
+    next
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
       val walk = Files.walk(p)
