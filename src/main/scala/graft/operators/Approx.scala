@@ -355,7 +355,63 @@ object Approx {
       .orderBy(col("source"), col("h"), col("doc_id"))
   }
 
+  /** a10: SKETCH PERSISTENCE + ROLLUP — the nightly-cube pattern that
+    * makes sketches pay at 100 TB: a "nightly" job commits per-nation
+    * customer KMV sketches (25 rows of ≤K hashes each) to the
+    * versioned store; the "serve" job answers the per-REGION distinct
+    * question from the STORED sketches alone — no raw-table scan at
+    * serve time, because KMV is mergeable: the k-min of the union of
+    * per-nation k-mins IS the sketch of the union (each customer
+    * belongs to one nation, so regional distinct = disjoint union).
+    * The merged estimate is therefore BIT-IDENTICAL to sketching the
+    * raw region directly, which is what the DuckDB oracle computes —
+    * the gate proves two-level merge == direct sketch exactly, plus
+    * the 3/√K error envelope versus the exact count.
+    */
+  def a10SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val K = 256
+    GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.kMinValues
+    val t = s"${graft.TempDirs.scratch("graft-sketchcube")}/nation_sketches"
+    val cust = Tables(spark, dir, "customer").select(
+      col("c_custkey"), col("c_nationkey"),
+      conv(substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("long").as("hv"))
+    // nightly: per-nation sketches, committed (fixed-size artifacts —
+    // this table is KB-sized regardless of customer-table scale)
+    val perNation = cust.groupBy(col("c_nationkey"))
+      .agg(kMinValues(col("hv"), K).as("sk"))
+    graft.sources.Snapshots.commit(perNation, t)
+    // serve: region rollup from the STORED sketches only
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val region = Tables(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name").as("region"))
+    val merged = graft.sources.Snapshots.read(spark, t)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("region"), explode(col("sk")).as("hv"))
+      .groupBy(col("region")).agg(kMinValues(col("hv"), K).as("sk"))
+    def estimate(sk: org.apache.spark.sql.Column) =
+      when(size(sk) < K, size(sk).cast("double"))
+        .otherwise(lit((K - 1).toDouble) * lit(1152921504606846976L).cast("double") /
+          element_at(sk, K).cast("double"))
+    // exact side (gate evidence only — the served answer above never
+    // touched the raw table)
+    val exact = cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("region")).agg(countDistinct(col("c_custkey")).as("n_exact"))
+    merged.join(exact, Seq("region"))
+      .select(col("region"), col("n_exact"), estimate(col("sk")).as("kmv_est"))
+      .withColumn("within_envelope",
+        abs(col("kmv_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double") <= lit(3.0 / math.sqrt(K.toDouble)))
+      .orderBy(col("region"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a10_sketch_rollup" -> (a10SketchRollup _),
     "a09_reservoir_sample" -> (a09ReservoirSample _),
     "a01_hll_sketches" -> (a01HllSketches _),
     "a05_kmv_distinct" -> (a05KmvDistinct _),
@@ -368,6 +424,41 @@ object Approx {
   )
 
   val oracles: Map[String, String] = Map(
+    // a10: the oracle sketches each REGION directly from the raw
+    // table — the stored-per-nation-then-merged estimate must equal
+    // it bit-for-bit (KMV mergeability), and land in the 3/sqrt(K)
+    // envelope of the exact count
+    "a10_sketch_rollup" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT r.r_name AS region,
+        |    CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |ranked AS (
+        |  SELECT region, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY region ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY region) AS nd
+        |  FROM hv),
+        |est AS (
+        |  SELECT region,
+        |    CASE WHEN MAX(nd) < 256 THEN CAST(MAX(nd) AS DOUBLE)
+        |         ELSE 255.0 * 1152921504606846976.0 /
+        |           CAST(MAX(CASE WHEN rn = 256 THEN hv END) AS DOUBLE) END
+        |      AS kmv_est
+        |  FROM ranked GROUP BY 1),
+        |exact AS (
+        |  SELECT r.r_name AS region, COUNT(DISTINCT c.c_custkey) AS n_exact
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1)
+        |SELECT e.region, x.n_exact, e.kmv_est,
+        |  abs(e.kmv_est - CAST(x.n_exact AS DOUBLE)) / CAST(x.n_exact AS DOUBLE)
+        |    <= 3.0 / sqrt(256.0) AS within_envelope
+        |FROM est e JOIN exact x USING (region)
+        |ORDER BY e.region""".stripMargin,
     // a09: the window formulation over the same salted hash must pick
     // the identical k rows per source the bounded aggregate kept
     "a09_reservoir_sample" ->

@@ -240,7 +240,47 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m07: AUDIO↔VIDEO track alignment via the custom as-of operator —
+    * the muxing step every A/V ingest pipeline needs: two per-doc
+    * media timelines tick at different rates (video frames every
+    * 40 ms, audio chunks every 30 ms — real containers are exactly
+    * this, asynchronous clocks), and each audio chunk must bind to
+    * the latest frame AT OR BEFORE it. That is an as-of join, served
+    * by [[graft.plans.Asof]] (broadcast-index `AsofJoinExec` under
+    * its stats cap, window composition past it — either way no
+    * nested-loop): zero shuffles of the chunk side on the indexed
+    * path. Timelines and frame digests derive deterministically from
+    * the payload (stride-256 windows, m02's convention), so the
+    * oracle rebuilds both tracks and the alignment in SQL. Every
+    * chunk matches (frame 0 is at t=0), `lag_ms` = how stale the
+    * bound frame is — the quantity an A/V sync monitor alerts on.
+    */
+  def m07MediaAlign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val frames = docs.select(col("doc_id").as("f_doc_id"),
+        posexplode(expr("transform(sequence(0, (n_chars - 1) div 256), " +
+          "i -> md5(cast(substring(text, cast(i*256+1 AS INT), 16) as binary)))")))
+      .select(col("f_doc_id"), col("pos").cast("long").as("frame_id"),
+        (col("pos") * 40L).cast("long").as("frame_ts_ms"),
+        col("col").as("frame_md5"))
+    val chunks = docs
+      .select(col("doc_id"),
+        explode(expr("sequence(0, (n_chars - 1) div 400)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * 30L).cast("long").as("chunk_ts_ms"))
+    graft.plans.Asof.join(chunks, frames,
+        leftKey = "doc_id", rightKey = "f_doc_id",
+        leftTime = "chunk_ts_ms", rightTime = "frame_ts_ms",
+        rightTieBreak = "frame_id")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_ts_ms"),
+        col("frame_id"), col("frame_ts_ms"),
+        (col("chunk_ts_ms") - col("frame_ts_ms")).as("lag_ms"),
+        col("frame_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_media_align" -> (m07MediaAlign _),
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_resize_features" -> (m03ResizeFeatures _),
@@ -259,6 +299,27 @@ object Multimodal {
     .mkString("\n  UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // m07: both tracks rebuilt from the payload, alignment stated as
+    // the classic as-of window (latest frame at-or-before each chunk)
+    "m07_media_align" ->
+      """WITH f AS (
+        |  SELECT doc_id, i AS frame_id, i * 40 AS frame_ts_ms,
+        |    md5(substring(text, CAST(i * 256 + 1 AS INT), 16)) AS frame_md5
+        |  FROM documents, UNNEST(range(0, (n_chars - 1) // 256 + 1)) AS t(i)),
+        |c AS (
+        |  SELECT doc_id, j AS chunk_id, j * 30 AS chunk_ts_ms
+        |  FROM documents, UNNEST(range(0, (n_chars - 1) // 400 + 1)) AS t(j)),
+        |al AS (
+        |  SELECT c.doc_id, c.chunk_id, c.chunk_ts_ms,
+        |    f.frame_id, f.frame_ts_ms, f.frame_md5,
+        |    ROW_NUMBER() OVER (PARTITION BY c.doc_id, c.chunk_id
+        |      ORDER BY f.frame_ts_ms DESC, f.frame_id DESC) AS rn
+        |  FROM c JOIN f ON f.doc_id = c.doc_id
+        |    AND f.frame_ts_ms <= c.chunk_ts_ms)
+        |SELECT doc_id, chunk_id, chunk_ts_ms, frame_id, frame_ts_ms,
+        |  chunk_ts_ms - frame_ts_ms AS lag_ms, frame_md5
+        |FROM al WHERE rn = 1
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // m06: same integer cell sums, same HUGEINT hash assembly, same
     // banded-hamming pair set — bit-for-bit
     "m06_perceptual_dedup" ->

@@ -324,4 +324,57 @@ class OperatorsSpec extends AnyFunSuite {
       assert(es.length <= 3)
     }
   }
+
+  test("a10 stored-sketch rollup == direct region sketch (KMV mergeability), envelope holds") {
+    import graft.functions.GraftFunctions
+    import graft.functions.GraftFunctions.kMinValues
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val served = graft.operators.Approx.a10SketchRollup(spark, sf).collect()
+    assert(served.length == 5)
+    assert(served.forall(_.getBoolean(3)), "an estimate left the 3/sqrt(K) envelope")
+    // direct one-level sketch of each region from the raw table must
+    // give the SAME estimate the stored-then-merged path served
+    val direct = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        conv(substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 15),
+          16, 10).cast("long").as("hv"))
+      .join(Tables(spark, sf, "nation")
+        .select(col("n_nationkey"), col("n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables(spark, sf, "region")
+        .select(col("r_regionkey"), col("r_name").as("region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("region")).agg(kMinValues(col("hv"), 256).as("sk"))
+      .select(col("region"),
+        when(size(col("sk")) < 256, size(col("sk")).cast("double"))
+          .otherwise(lit(255.0) * lit(1152921504606846976L).cast("double") /
+            element_at(col("sk"), 256).cast("double")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    served.foreach { r =>
+      assert(r.getDouble(2) == direct(r.getString(0)),
+        s"${r.getString(0)}: merged ${r.getDouble(2)} != direct ${direct(r.getString(0))}")
+    }
+  }
+
+  test("m07 media align: every chunk bound to the LATEST frame at-or-before it") {
+    val rows = graft.operators.Multimodal.m07MediaAlign(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (chunkTs, frameId, frameTs, lag) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(frameTs == frameId * 40, "frame timeline broken")
+      assert(lag == chunkTs - frameTs && lag >= 0, s"negative lag $lag")
+      // "latest at-or-before": a lag of a full frame period or more
+      // is only legal when the video track ended at this frame
+      val maxFrame = rows.filter(_.getLong(0) == r.getLong(0)).map(_.getLong(3)).max
+      assert(lag < 40 || frameId == maxFrame,
+        s"doc ${r.getLong(0)} chunk ${r.getLong(1)} skipped a newer frame")
+    }
+    // per-doc chunk counts are dense: chunk ids 0..n with no gaps
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq, s"doc $doc chunk gap")
+    }
+  }
 }
