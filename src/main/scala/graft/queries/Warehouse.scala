@@ -805,7 +805,41 @@ object Warehouse {
       .orderBy(col("status"))
   }
 
+  /** q85: SNAPSHOT HISTORY as a queryable metadata table — Iceberg's
+    * `table$history`/`$snapshots` surface ([[graft.sources.Snapshots
+    * .history]]): one row per live version with tag and file-level
+    * footprint, built from manifest + ledgers + a directory listing
+    * only (no data file opened — at 100 TB the history answer costs
+    * #versions, not bytes). The gate lands three versions of a
+    * growing orders extract (fixed 2-file layout, v2 tagged) and
+    * joins the metadata rows against per-version row counts; the
+    * oracle restates every column from the raw table and the landing
+    * script's constants — history must agree with what was actually
+    * committed, version by version.
+    */
+  def q85SnapshotHistory(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val t = s"${tempDir("graft-hist")}/orders_h"
+    val stg = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Snapshots.commit(
+      stg.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .repartition(2), t)
+    Snapshots.commit(
+      stg.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .repartition(2), t, tag = Some("monthly"))
+    Snapshots.commit(stg.repartition(2), t)
+    val meta = Snapshots.history(spark, t)
+      .select(col("version"), col("tag"), col("n_files"))
+    val rowCounts = Snapshots.versions(t).map { v =>
+      Snapshots.read(spark, t, v).agg(count(lit(1)).as("n_rows"))
+        .withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+    meta.join(rowCounts, Seq("version")).orderBy(col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_snapshot_history" -> (q85SnapshotHistory _),
     "q84_rollback" -> (q84Rollback _),
     "q81_governed_views" -> (q81GovernedViews _),
     "q80_mv_rewrite" -> (q80MvRewrite _),
@@ -829,6 +863,20 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q85: every history column restated from the raw table + the
+    // landing constants (2-file layout, v2 tagged 'monthly')
+    "q85_snapshot_history" ->
+      """SELECT CAST(1 AS BIGINT) AS version, CAST(NULL AS VARCHAR) AS tag,
+        |  CAST(2 AS BIGINT) AS n_files,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderdate < TIMESTAMP '1996-01-01') AS n_rows
+        |UNION ALL
+        |SELECT 2, 'monthly', 2,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderdate < TIMESTAMP '1998-01-01')
+        |UNION ALL
+        |SELECT 3, NULL, 2, (SELECT COUNT(*) FROM orders)
+        |ORDER BY version""".stripMargin,
     // q84: the healed (latest) read must equal the good rollup; the
     // rolled-back-FROM version must still read as the doubled one
     "q84_rollback" ->

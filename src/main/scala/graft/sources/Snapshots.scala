@@ -515,6 +515,34 @@ object Snapshots {
     }
   }
 
+  /** The table's history as a DataFrame — the Iceberg `$history` /
+    * `$snapshots` metadata-table surface: one row per live version
+    * with its tag, commit time, and file-level footprint. METADATA
+    * ONLY — built from the manifest, the times ledger, and a
+    * directory listing; no data file is ever opened, so cost is
+    * ∝ #versions + #files regardless of table size.
+    */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val times = commitTimes(tableDir)
+    val tags = manifestLines(tableDir)
+      .collect { case (v, Some(t)) => (v, t) }.toMap
+    val rows = versions(tableDir).map { v =>
+      val dir = Paths.get(tableDir, s"v=$v")
+      val sizes =
+        if (!Files.exists(dir)) Seq.empty[Long]
+        else {
+          val l = Files.list(dir)
+          try l.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(Files.size(_)).toSeq
+          finally l.close()
+        }
+      (v, tags.get(v), times.get(v), sizes.size.toLong, sizes.sum)
+    }
+    rows.toDF("version", "tag", "committed_at_ms", "n_files", "n_bytes")
+  }
+
   /** Roll the table BACK to `toVersion` as a NEW commit — Iceberg's
     * `rollback_to_snapshot` procedure: history keeps moving FORWARD
     * (the bad versions stay readable for time-travel debugging;

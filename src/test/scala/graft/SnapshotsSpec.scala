@@ -351,4 +351,25 @@ class SnapshotsSpec extends AnyFunSuite {
     // the burned id is never reused by a later commit
     assert(Snapshots.commit(base, dir) > s2)
   }
+
+  test("history metadata table tracks commits, tags, rollbacks and expiry — without opening data") {
+    val dir = s"${tmp()}/t"
+    val nat = Tables(spark, sf, "nation")
+    Snapshots.commit(nat.filter(col("n_nationkey") < 10).repartition(1), dir)
+    Snapshots.commit(nat.repartition(2), dir, tag = Some("full"))
+    val h = Snapshots.history(spark, dir).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(h(0).isNullAt(1) && h(1).getString(1) == "full")
+    assert(h(0).getLong(3) == 1 && h(1).getLong(3) == 2) // n_files
+    assert(h.forall(_.getLong(4) > 0)) // n_bytes from the listing
+    assert(h.forall(!_.isNullAt(2))) // committed_at from the ledger
+    // rollback shows up as a tagged forward version
+    Snapshots.rollback(dir, 1L)
+    val h2 = Snapshots.history(spark, dir).orderBy("version").collect()
+    assert(h2.length == 3 && h2(2).getString(1) == "rollback-of-v1")
+    // expiry shrinks history to the surviving versions
+    Snapshots.expireSnapshots(dir, keep = 1)
+    assert(Snapshots.history(spark, dir).collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }
