@@ -130,6 +130,10 @@ object Engine {
   //   <table> TIMESTAMP AS OF '<yyyy-MM-dd HH:mm:ss[.SSS]>' | <epochMillis>
   private val VersionAsOf =
     """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  /** `table$history` — Iceberg's metadata-table spelling. */
+  private val HistoryTable =
+    """\b([A-Za-z_][A-Za-z0-9_]*)\$history\b""".r
   private val TimestampAsOf =
     """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))""".r
 
@@ -160,9 +164,19 @@ object Engine {
       query: String): DataFrame = {
     openWarehouse(spark, warehouseDir)
     val tables = warehouseTables(warehouseDir).toSet
-    val afterVersion = VersionAsOf.replaceAllIn(query, m => {
-      val (t, v) = (m.group(1), m.group(2).toLong)
+    val afterHistory = HistoryTable.replaceAllIn(query, m => {
+      val t = m.group(1)
       if (!tables(t) || inStringLiteral(query, m.start)) m.matched
+      else {
+        val view = s"${t}__history"
+        graft.sources.Snapshots.history(spark, s"$warehouseDir/$t")
+          .createOrReplaceTempView(view)
+        view
+      }
+    })
+    val afterVersion = VersionAsOf.replaceAllIn(afterHistory, m => {
+      val (t, v) = (m.group(1), m.group(2).toLong)
+      if (!tables(t) || inStringLiteral(afterHistory, m.start)) m.matched
       else {
         val view = s"${t}__v$v"
         graft.sources.Snapshots.read(spark, s"$warehouseDir/$t", v)

@@ -178,5 +178,18 @@ class SqlParitySpec extends AnyFunSuite {
          |  ON a.o_orderkey = b.o_orderkey""".stripMargin)
       .head.getLong(0)
     assert(drift == n(Snapshots.read(spark, t, v2)) - n(Snapshots.read(spark, t, v1)))
+    // $history metadata table through the facade == Snapshots.history
+    val hist = Engine.sqlWarehouse(spark, wh,
+      "SELECT version, tag, n_files FROM orders_tt$history ORDER BY version")
+      .collect()
+    val api = Snapshots.history(spark, t)
+      .select(col("version"), col("tag"), col("n_files"))
+      .orderBy("version").collect()
+    assert(hist.sameElements(api), "facade $history diverges from the API")
+    assert(hist.map(_.getLong(0)).toSeq == Seq(v1, v2))
+    // $history on a non-warehouse name is left for the parser to reject
+    intercept[Exception] {
+      Engine.sqlWarehouse(spark, wh, "SELECT * FROM nosuch$history")
+    }
   }
 }
