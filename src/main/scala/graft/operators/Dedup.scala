@@ -904,7 +904,65 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d15: CONTENT-DEFINED CHUNKING dedup — the backup/storage-tier
+    * algorithm (LBFS/rsync family) applied to corpus text: chunk
+    * boundaries are declared wherever a 16-char sliding window's
+    * hash lands in a 1/32 target band, so boundaries move WITH the
+    * content. That is the property d11's fixed-aligned windows lack:
+    * insert one character at the front of a doc and aligned blocks
+    * all shift (every hash changes), while CDC boundaries re-anchor
+    * and the chunks after the edit hash identically — dedup survives
+    * edits, which is why every dedup store uses it. Per-source
+    * rollup: chunk counts, distinct chunk hashes, duplicated-chunk
+    * share, and bytes saved by storing each distinct chunk once.
+    * Boundary detection is a per-row array expression (no shuffle);
+    * the only exchange is the per-(source, chunk-hash) aggregate,
+    * sized by total chunk count. DedupSpec pins shift-invariance:
+    * a prefix edit preserves most chunk hashes, where the aligned
+    * scheme loses all of them.
+    */
+  /** Content-defined segmentation of (doc_id, source, text) rows into
+    * (doc_id, source, chunk) — boundary wherever the 16-char window's
+    * md5 lands under '08' (p = 1/32, ~32-char mean chunk). Pure
+    * per-row array expressions; no shuffle.
+    */
+  def cdcSegment(d: DataFrame): DataFrame =
+    d.withColumn("bnd", expr(
+        """filter(transform(sequence(16L, length(text)),
+          |  i -> CASE WHEN substring(md5(cast(
+          |         substring(text, cast(i-15 AS INT), 16) as binary)), 1, 2) < '08'
+          |       THEN i END), x -> x IS NOT NULL)""".stripMargin))
+      .withColumn("starts", expr(
+        "concat(array(1L), transform(bnd, b -> b + 1L))"))
+      .withColumn("ends", expr("concat(bnd, array(length(text) * 1L))"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """filter(zip_with(starts, ends,
+          |  (s, e) -> CASE WHEN e >= s
+          |    THEN substring(text, cast(s AS INT), cast(e - s + 1 AS INT)) END),
+          |  c -> c IS NOT NULL)""".stripMargin)).as("chunk"))
+
+  def d15CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcSegment(Tables.spread(docs(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))))
+      .select(col("source"), md5(col("chunk").cast("binary")).as("h"),
+        length(col("chunk")).cast("long").as("len"))
+    val perHash = chunks.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("n"), max(col("len")).as("len"))
+    perHash.groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("n") * col("len")).as("bytes_total"),
+        sum(col("len")).as("bytes_stored"))
+      .withColumn("saved_pct",
+        round((col("bytes_total") - col("bytes_stored")).cast("double") * 100.0 /
+          col("bytes_total").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_cdc_chunks" -> (d15CdcChunks _),
     "d11_dup_spans" -> (d11DupSpans _),
     "d01_dedup_exact" -> (d01DedupExact _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -959,6 +1017,45 @@ object Dedup {
   }.mkString("\n  UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // d15: identical boundary rule, segmentation, and rollup in
+    // DuckDB list lambdas — md5 window hashes are the shared
+    // cross-engine primitive (SURVEY §4)
+    "d15_cdc_chunks" ->
+      """WITH ch AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(list_transform(range(16, length(text) + 1),
+        |      i -> CASE WHEN substr(md5(substring(text, (i-15)::INT, 16)), 1, 2)
+        |                  < '08' THEN i END),
+        |      x -> x IS NOT NULL) AS bnd
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, source, text,
+        |    list_prepend(1::BIGINT, list_transform(bnd, b -> b + 1)) AS starts,
+        |    list_concat(bnd, [length(text)::BIGINT]) AS ends
+        |  FROM ch),
+        |ck AS (
+        |  SELECT source, unnest(
+        |    list_filter(
+        |      list_transform(range(1, len(starts) + 1),
+        |        k -> CASE WHEN ends[k] >= starts[k]
+        |             THEN substring(text, starts[k]::INT,
+        |                            (ends[k] - starts[k] + 1)::INT) END),
+        |      c -> c IS NOT NULL)) AS chunk
+        |  FROM seg),
+        |ph AS (
+        |  SELECT source, md5(chunk) AS h, COUNT(*) AS n,
+        |    MAX(CAST(length(chunk) AS BIGINT)) AS len
+        |  FROM ck GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(SUM(n) AS BIGINT) AS n_chunks,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(SUM(n * len) AS BIGINT) AS bytes_total,
+        |  CAST(SUM(len) AS BIGINT) AS bytes_stored,
+        |  round(CAST(SUM(n * len) - SUM(len) AS DOUBLE) * 100.0 /
+        |        CAST(SUM(n * len) AS DOUBLE), 6) AS saved_pct
+        |FROM ph GROUP BY source ORDER BY source""".stripMargin,
     // d14: same global rarity order, same integer prefix length and
     // integer Jaccard gate — the oracle replays the whole algorithm
     "d14_prefix_join" ->

@@ -355,4 +355,33 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(ida).getAs[Long]("n_dup_windows") > 0)
     assert(byId(idb).getAs[Long]("n_dup_windows") > 0)
   }
+
+  test("d15 CDC chunking is shift-invariant: a prefix edit keeps most chunks; aligned blocks lose all") {
+    import graft.operators.Dedup
+    val base = Tables(spark, sf, "documents")
+      .filter(col("n_chars") >= 500).limit(20)
+      .select(col("doc_id"), col("source"), col("text"))
+    val edited = base.withColumn("text", concat(lit("EDIT! "), col("text")))
+    def hashes(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      Dedup.cdcSegment(d)
+        .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val (ho, he) = (hashes(base), hashes(edited))
+    val survived = ho.intersect(he).size.toDouble / ho.size
+    assert(survived > 0.6,
+      f"only $survived%.2f of CDC chunks survived a 6-char prefix edit")
+    // the aligned-block scheme (d11/m02's stride convention) loses
+    // EVERY block hash under the same edit — the contrast CDC exists for
+    def aligned(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      d.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (length(text) - 1) div 64), " +
+            "i -> md5(cast(substring(text, cast(i*64+1 AS INT), 64) as binary)))"))
+          .as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val (ao, ae) = (aligned(base), aligned(edited))
+    val alignedSurvived = ao.intersect(ae).size.toDouble / ao.size
+    assert(alignedSurvived < 0.1,
+      f"aligned blocks unexpectedly robust: $alignedSurvived%.2f")
+    assert(survived > alignedSurvived + 0.5)
+  }
 }
