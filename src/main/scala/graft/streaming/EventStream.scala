@@ -1280,7 +1280,58 @@ object EventStream {
     (mvName, basePath)
   }
 
+  /** st19: OBSERVED METRICS — in-flight data-quality counters riding
+    * the stream's own pass (`Dataset.observe`, Spark's observation
+    * API): row volume, negative-value anomalies, and null-type rows
+    * are counted INSIDE the running query and surfaced through each
+    * micro-batch's progress events — no second scan, no extra job,
+    * which is the difference between monitoring and re-auditing at
+    * 100 TB (st14's DLQ routes bad rows; this instruments the healthy
+    * path). The gate emits the per-type rollup the stream computed
+    * PLUS the batch-summed observed totals as pinned columns; the
+    * oracle recomputes all of them from the raw table, so the
+    * monitor's numbers are proven exact, not sampled.
+    */
+  def st19ObservedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    val stream = eventsStream(s, dir)
+      .observe("gate",
+        count(lit(1)).as("rows_seen"),
+        count(when(col("value") < 0, 1)).as("n_negative"),
+        count(when(col("event_type").isNull, 1)).as("n_null_type"))
+    val agg = stream
+      .groupBy(coalesce(col("event_type"), lit("(null)")).as("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("total_value"))
+    s.catalog.dropTempView("st19_out")
+    var seen = 0L
+    var neg = 0L
+    var nulls = 0L
+    locally {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName("st19_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // each micro-batch's progress carries that batch's observed row;
+      // the query-level totals are their sum
+      q.recentProgress.foreach { p =>
+        val m = p.observedMetrics
+        if (m.containsKey("gate")) {
+          val r = m.get("gate")
+          seen += r.getLong(0); neg += r.getLong(1); nulls += r.getLong(2)
+        }
+      }
+    }
+    s.table("st19_out")
+      .withColumn("rows_seen", lit(seen))
+      .withColumn("n_negative", lit(neg))
+      .withColumn("n_null_type", lit(nulls))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st19_observed_metrics" -> (st19ObservedMetrics _),
     "st18_streaming_mv" -> (st18StreamingMv _),
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stateful_counts" -> (st02StatefulCounts _),
@@ -1305,6 +1356,18 @@ object EventStream {
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    // st19: rollup AND the observed in-flight counters restated from
+    // the raw table — the monitor's numbers must be exact
+    "st19_observed_metrics" ->
+      """SELECT COALESCE(event_type, '(null)') AS event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |  (SELECT COUNT(*) FROM events) AS rows_seen,
+        |  (SELECT COUNT(*) FROM events WHERE value < 0) AS n_negative,
+        |  (SELECT COUNT(*) FROM events WHERE event_type IS NULL) AS n_null_type
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     // st18: the MV-served answer must equal the straight full-table
     // rollup — exact through every maintenance batch; 5 refreshes =
     // seed + 16 files / 4 per trigger

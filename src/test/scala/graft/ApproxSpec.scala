@@ -276,4 +276,37 @@ class ApproxSpec extends AnyFunSuite {
       (r.getAs[Long]("n_rows"), r.getAs[Long]("n_unmatched_purchases")))).toMap
     assert(streamed == batch)
   }
+
+  test("st19 observed metrics sum exactly across forced multi-batch execution") {
+    val src = graft.TempDirs.scratch("graft-st19-spec")
+    Tables(spark, sf, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(src)
+      .observe("spec_gate",
+        count(lit(1)).as("rows_seen"),
+        count(when(col("event_type").isNull, 1)).as("n_null_type"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    spark.catalog.dropTempView("st19_spec_out")
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("st19_spec_out").start()
+    try q.processAllAvailable() finally q.stop()
+    var (seen, nulls, batches) = (0L, 0L, 0)
+    q.recentProgress.foreach { p =>
+      val m = p.observedMetrics
+      if (m.containsKey("spec_gate") && p.numInputRows > 0) {
+        val r = m.get("spec_gate")
+        seen += r.getLong(0); nulls += r.getLong(1); batches += 1
+      }
+    }
+    assert(batches >= 4, s"expected >= 4 data batches (16 files / 4), got $batches")
+    val ev = Tables(spark, sf, "events")
+    assert(seen == ev.count(), "summed per-batch observed rows != table rows")
+    assert(nulls == ev.filter(col("event_type").isNull).count())
+  }
 }
