@@ -33,7 +33,9 @@ object PlanAudit {
                   "d12_cluster_apply", "a08_aqp_groupby",
                   "q77_metadata_only", "p15_leakproof_split",
                   "d13_incremental_lsh", "p16_bloom_decontaminate",
-                  "m06_perceptual_dedup", "d14_prefix_join")) {
+                  "m06_perceptual_dedup", "d14_prefix_join",
+                  "p18_corpus_pipeline", "q84_rollback", "q85_snapshot_history",
+                  "a10_sketch_rollup", "m07_media_align", "d15_cdc_chunks")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

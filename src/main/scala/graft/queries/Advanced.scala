@@ -344,7 +344,65 @@ object Advanced {
       .limit(20)
   }
 
+  /** The q86 segment rotation — each customer's PREVIOUS segment is
+    * the next segment in this cycle, and the change lands at a
+    * per-customer month (1995-01-01 + custkey % 48 months), so the
+    * point-in-time answer is data-dependent, not a global cutoff.
+    */
+  private val segRotate =
+    """CASE c_mktsegment
+      |  WHEN 'AUTOMOBILE' THEN 'BUILDING'
+      |  WHEN 'BUILDING' THEN 'FURNITURE'
+      |  WHEN 'FURNITURE' THEN 'HOUSEHOLD'
+      |  WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+      |  ELSE 'AUTOMOBILE' END""".stripMargin
+
+  /** q86: POINT-IN-TIME dimension join — the query every SCD2 dim
+    * exists for (dbt snapshots, q11/q62): attribute facts to the dim
+    * version valid AT THE FACT'S TIME, not today's row. Each customer
+    * carries a two-version segment history (old segment until a
+    * per-customer change month, current after); every order binds to
+    * the version whose `valid_from` is the latest at-or-before the
+    * order date — an as-of join, served by [[graft.plans.Asof]]
+    * (SCD2 intervals partition time, so latest-at-or-before IS the
+    * valid interval; no BETWEEN nested loop). Output: the
+    * (segment-at-order-time × segment-today) migration matrix with
+    * revenue — the off-diagonal mass is exactly the revenue a naive
+    * current-dim join misattributes. The oracle restates the history
+    * as its closed form (CASE on the change date), so the operator
+    * path is checked against first principles.
+    */
+  def q86TemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val changeMs = unix_millis(
+      add_months(lit("1995-01-01").cast("date"), (col("c_custkey") % 48).cast("int"))
+        .cast("timestamp"))
+    val dim = cust.select(col("c_custkey").as("d_custkey"),
+        expr(segRotate).as("d_segment"),
+        lit(0L).as("valid_from_ms"), lit(1L).as("d_version"))
+      .unionByName(cust.select(col("c_custkey").as("d_custkey"),
+        col("c_mktsegment").as("d_segment"),
+        changeMs.as("valid_from_ms"), lit(2L).as("d_version")))
+    val facts = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"),
+        // cast first: the testdata's physical type varies between
+        // TIMESTAMP and TIMESTAMP_NTZ generations (session tz = UTC)
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ts_ms"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey"), col("o_totalprice"), col("ts_ms"),
+        col("c_mktsegment").as("segment_current"))
+    graft.plans.Asof.join(facts, dim,
+        leftKey = "o_custkey", rightKey = "d_custkey",
+        leftTime = "ts_ms", rightTime = "valid_from_ms",
+        rightTieBreak = "d_version")
+      .groupBy(col("d_segment").as("segment_at_order"), col("segment_current"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("segment_at_order"), col("segment_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_temporal_join" -> (q86TemporalJoin _),
     "q23_asof_exec" -> (q23AsofExec _),
     "q24_shipping_priority" -> (q24ShippingPriority _),
     "q25_returned_items" -> (q25ReturnedItems _),
@@ -360,6 +418,29 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    // q86: the two-version history collapses to a closed form — the
+    // as-of path must match the CASE-on-change-date restatement
+    "q86_temporal_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment AS seg_now,
+        |    CASE c_mktsegment
+        |      WHEN 'AUTOMOBILE' THEN 'BUILDING'
+        |      WHEN 'BUILDING' THEN 'FURNITURE'
+        |      WHEN 'FURNITURE' THEN 'HOUSEHOLD'
+        |      WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+        |      ELSE 'AUTOMOBILE' END AS seg_old,
+        |    epoch_ms(TIMESTAMP '1995-01-01'
+        |      + INTERVAL ((c_custkey % 48)::INT) MONTH) AS change_ms
+        |  FROM customer)
+        |SELECT
+        |  CASE WHEN epoch_ms(o_orderdate) < change_ms
+        |       THEN seg_old ELSE seg_now END AS segment_at_order,
+        |  seg_now AS segment_current,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN c ON o_custkey = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // q78: the oracle states the rolling windows the naive way — a
     // range self-join per day (BETWEEN day-6 AND day); the engine's
     // explode-contributions plan must agree exactly. Dual-dialect:

@@ -61,6 +61,18 @@ class SqlParitySpec extends AnyFunSuite {
       .replace(
         "last_value(dl.rev IGNORE NULLS) OVER (",
         "last_value(dl.rev) IGNORE NULLS OVER (")),
+    // Spark's VARCHAR needs a length; NULL column typed as STRING
+    "q85_snapshot_history" -> (_.replace(
+      "CAST(NULL AS VARCHAR)", "CAST(NULL AS STRING)")),
+    // DuckDB's expression INTERVAL → Spark's add_months; the facade
+    // reads parquet timestamps as NTZ, which unix_millis rejects
+    "q86_temporal_join" -> (sql => sql
+      .replace(
+        "epoch_ms(TIMESTAMP '1995-01-01'\n      + INTERVAL ((c_custkey % 48)::INT) MONTH) AS change_ms",
+        "epoch_ms(CAST(add_months(DATE '1995-01-01', " +
+          "CAST(c_custkey % 48 AS INT)) AS TIMESTAMP)) AS change_ms")
+      .replace("epoch_ms(o_orderdate)",
+        "epoch_ms(CAST(o_orderdate AS TIMESTAMP))")),
     // DuckDB's ASOF LEFT JOIN syntax, rewritten as the equivalent
     // ranked left join (greatest v_ts <= ts, tie-broken by v_event_id)
     "q23_asof_exec" -> (_ =>
