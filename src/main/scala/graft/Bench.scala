@@ -64,31 +64,36 @@ object Bench {
         (name, math.min(t1, t2), Some(math.abs(t1 - t2)))
       } else (name, t1, None)
     }
-    // Keep the JSON line SHORT (short ids, 3-decimal secs): the driver
-    // captures only a bounded tail of stdout and must json-parse this
-    // single line; r01's full-name full-precision line overflowed it.
+    // The driver captures only a bounded (~2000 char) tail of stdout
+    // and json-parses the single metric line. At 100+ queries the full
+    // per-query map no longer fits (round 5's driver artifact records
+    // `parsed: None` — the line's HEAD was truncated away), so the
+    // full map now goes to a FILE (BENCH-FULL.json, committed with the
+    // repo) and stdout carries a short line that always parses: totals,
+    // the 20 heaviest queries (the plan-audit tier), and the spread.
     // Locale.ROOT: a comma-decimal default locale would emit 0,123 and
     // break the JSON parse.
     def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def short(k: String): String = k.takeWhile(_ != '_')
-    val qs = results
-      .map { case (k, v, _) => "\"" + short(k) + "\":" + s3(v) }
-      .mkString("{", ",", "}")
-    // run1/run2 divergence of the twice-run heavy tail — capped to the
-    // 15 largest so the JSON line stays inside the driver's bounded
-    // (~2000 char) stdout-tail capture as the query count grows
-    val spread = results
-      .collect { case (k, _, Some(d)) => (short(k), d) }
-      .sortBy(-_._2).take(15).sortBy(_._1)
-      .map { case (k, d) => "\"" + k + "\":" + s3(d) }
-      .mkString("{", ",", "}")
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, d) => "\"" + k + "\":" + s3(d) }.mkString("{", ",", "}")
+    val perQuery = results.map { case (k, v, _) => short(k) -> v }
+    val spreadAll = results.collect { case (k, _, Some(d)) => (short(k), d) }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Like-for-like subtotal over the PREVIOUS round's query set, so
-    // round-over-round regressions aren't masked by operator growth.
+    // Like-for-like subtotal over the ROUND-4 query set (the standing
+    // BASELINE-LOCAL.md yardstick), so round-over-round regressions
+    // aren't masked by operator growth.
     val sharedPrev = results
       .filter { case (k, _, _) => PREV_ROUND_IDS(short(k)) }
       .map(_._2).sum
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","total_shared_prev":${s3(sharedPrev)},"spread":$spread,"queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"total_shared_prev":${s3(sharedPrev)},"spread":${jmap(spreadAll.sortBy(_._1))},"queries":${jmap(perQuery)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH-FULL.json"), fullLine + "\n")
+    catch { case _: Throwable => () } // read-only cwd: stdout still carries the summary
+    val top = perQuery.sortBy(-_._2).take(20).sortBy(_._1)
+    val spreadTop = spreadAll.sortBy(-_._2).take(10).sortBy(_._1)
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"total_shared_prev":${s3(sharedPrev)},"full_per_query":"BENCH-FULL.json","top20":${jmap(top)},"spread":${jmap(spreadTop)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -165,12 +165,80 @@ object Checks {
       .orderBy(col("source"))
   }
 
+  /** WRITE-SIDE table constraints — the Delta/Iceberg `ALTER TABLE …
+    * ADD CONSTRAINT` semantic, which is a different contract from the
+    * Runner's dbt-style POST-build tests: the checks run BEFORE the
+    * commit, and a violating write is REJECTED leaving no trace (no
+    * version, no data directory reachable by any reader) instead of
+    * landing and flagging. At 100 TB this is the difference between
+    * a poisoned mart that needs a rollback and a failed job log line.
+    * Cost: one extra aggregate pass over the batch — the constraint
+    * check is a single union plan ([[summary]]), not per-row UDF work.
+    */
+  def commitChecked(df: DataFrame, tableDir: String, checks: Seq[Check],
+      tag: Option[String] = None): Long = {
+    val failed = summary(df, checks)
+      .filter(!col("passed")).collect()
+    if (failed.nonEmpty) {
+      val desc = failed.map(r =>
+        s"${r.getString(0)}(${r.getString(1)})=${r.getLong(2)} violations")
+        .mkString("; ")
+      throw new IllegalStateException(
+        s"constraint violation, write rejected: $desc")
+    }
+    graft.sources.Snapshots.commit(df, tableDir, tag)
+  }
+
+  /** q87: the constraint gate end-to-end — a good rollup commits, a
+    * NULL-key write and a duplicate-key write are both rejected (the
+    * table stays at v1 with nothing orphaned a reader could see), a
+    * second valid commit lands as v2. Output = the surviving table +
+    * pinned evidence columns; the oracle restates the rollup and the
+    * expected control flow from the raw table.
+    */
+  def q87WriteConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val t = s"${graft.TempDirs.scratch("graft-constraints")}/status_rev"
+    val good = Tables(spark, dir, "orders")
+      .groupBy(upper(trim(col("o_orderstatus"))).as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Exact.dsum(col("o_totalprice")).as("revenue"))
+    val constraints = Seq(NotNull("status"), Unique("status"))
+    commitChecked(good, t, constraints)
+    def rejected(bad: DataFrame): Boolean =
+      try { commitChecked(bad, t, constraints); false }
+      catch { case _: IllegalStateException => true }
+    val nullRejected = rejected(
+      good.withColumn("status",
+        when(col("status") === "F", lit(null: String)).otherwise(col("status"))))
+    val dupRejected = rejected(good.unionAll(good))
+    val v2 = commitChecked(
+      good.withColumn("n_orders", col("n_orders") + 0L), t, constraints)
+    Snapshots.read(spark, t)
+      .withColumn("n_versions", lit(Snapshots.versions(t).size.toLong))
+      .withColumn("null_write_rejected", lit(nullRejected))
+      .withColumn("dup_write_rejected", lit(dupRejected))
+      .withColumn("final_version_is_2", lit(v2 == 2L))
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_write_constraints" -> (q87WriteConstraints _),
     "q54_quality_checks" -> (q54QualityChecks _),
     "q64_source_freshness" -> (q64SourceFreshness _)
   )
 
   val oracles: Map[String, String] = Map(
+    // q87: surviving rollup + the expected constraint control flow
+    "q87_write_constraints" ->
+      """SELECT upper(trim(o_orderstatus)) AS status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(2 AS BIGINT) AS n_versions,
+        |  TRUE AS null_write_rejected,
+        |  TRUE AS dup_write_rejected,
+        |  TRUE AS final_version_is_2
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     "q64_source_freshness" -> {
       val day = 86400000L
       val evAsOf = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli

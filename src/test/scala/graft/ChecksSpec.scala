@@ -55,4 +55,28 @@ class ChecksSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).toSeq
     assert(got == Seq(("relationships", 1L, false))) // only fk=9 is an orphan
   }
+
+  test("commitChecked: violating writes are rejected with NO trace on disk") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cchk").toString + "/t"
+    val good = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val v1 = Checks.commitChecked(good, dir, Seq(Checks.NotNull("k"), Checks.Unique("k")))
+    assert(v1 == 1L)
+    intercept[IllegalStateException] {
+      Checks.commitChecked(Seq((Option.empty[Long], "x")).toDF("k", "v"),
+        dir, Seq(Checks.NotNull("k")))
+    }
+    intercept[IllegalStateException] {
+      Checks.commitChecked(good.unionAll(good), dir, Seq(Checks.Unique("k")))
+    }
+    // table unchanged, and the rejected writes created no directories
+    // (the check runs BEFORE any data is written — nothing to vacuum)
+    assert(graft.sources.Snapshots.versions(dir) == Seq(1L))
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator()
+    val vDirs = Iterator.continually(dirs).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).filter(_.startsWith("v=")).toSeq
+    assert(vDirs == Seq("v=1"), s"rejected write left debris: $vDirs")
+    assert(graft.sources.Snapshots.read(spark, dir).count() == 2)
+  }
 }
