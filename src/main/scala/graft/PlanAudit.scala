@@ -35,7 +35,9 @@ object PlanAudit {
                   "d13_incremental_lsh", "p16_bloom_decontaminate",
                   "m06_perceptual_dedup", "d14_prefix_join",
                   "p18_corpus_pipeline", "q84_rollback", "q85_snapshot_history",
-                  "a10_sketch_rollup", "m07_media_align", "d15_cdc_chunks")) {
+                  "a10_sketch_rollup", "m07_media_align", "d15_cdc_chunks",
+                  "q86_temporal_join", "q87_write_constraints",
+                  "p19_dataset_card", "st19_observed_metrics")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

@@ -463,7 +463,45 @@ object Pipeline {
       .limit(k)
   }
 
+  /** p19: DATASET CARD — the per-split datasheet ("Datasheets for
+    * Datasets", Gebru et al.) every released training corpus ships:
+    * for each of p02's deterministic train/val/test splits, the
+    * volume (docs/tokens/chars), diversity (sources, languages,
+    * dominant source + its share), and hygiene (exact-dup rate)
+    * numbers a consumer needs before training on it. One groupBy over
+    * the corpus + a per-(split,source) top-1 — the whole card costs
+    * two small aggregates regardless of corpus size, and every number
+    * is exact (the card is a release artifact; sampled stats would
+    * make it unauditable).
+    */
+  def p19DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+    val d = graft.Caches.scoped(docs(spark, dir)
+      .withColumn("split",
+        when(h < "cd", "train").when(h < "e6", "val").otherwise("test")))
+    val card = d.groupBy(col("split")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(nTokens(col("text"))).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      (lit(1.0) - countDistinct(md5(col("text").cast("binary"))).cast("double") /
+        count(lit(1)).cast("double")).as("dup_rate"))
+    val w = Window.partitionBy(col("split"))
+      .orderBy(col("cnt").desc, col("source"))
+    val top = d.groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("split"), col("source").as("top_source"), col("cnt"))
+    card.join(top, Seq("split"))
+      .withColumn("top_source_share",
+        col("cnt").cast("double") / col("n_docs").cast("double"))
+      .drop("cnt")
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_dataset_card" -> (p19DatasetCard _),
     "p17_weighted_sample" -> (p17WeightedSample _),
     "p12_chunk_documents" -> (p12ChunkDocuments _),
     "p10_domain_mix" -> (p10DomainMix _),
@@ -486,6 +524,38 @@ object Pipeline {
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    // p19: every card number restated in SQL over the same p02 split
+    "p19_dataset_card" ->
+      """WITH d AS (
+        |  SELECT *,
+        |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |           THEN 'train'
+        |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |card AS (
+        |  SELECT split,
+        |    COUNT(*) AS n_docs,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        |  FROM d GROUP BY 1),
+        |top AS (
+        |  SELECT split, source AS top_source, cnt FROM (
+        |    SELECT split, source, COUNT(*) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY split
+        |        ORDER BY COUNT(*) DESC, source) AS rn
+        |    FROM d GROUP BY split, source) WHERE rn = 1)
+        |SELECT c.split, c.n_docs, c.n_tokens, c.n_chars, c.n_sources,
+        |  c.n_langs, c.dup_rate, t.top_source,
+        |  CAST(t.cnt AS DOUBLE) / CAST(c.n_docs AS DOUBLE) AS top_source_share
+        |FROM card c JOIN top t USING (split)
+        |ORDER BY c.split""".stripMargin,
     // p17: the ticket race restated with DuckDB list lambdas — same
     // md5 draws, same min, same bottom-k
     "p17_weighted_sample" ->

@@ -142,4 +142,26 @@ class PipelineSpec extends AnyFunSuite {
         s"no flattening: sampled $sampledRatio vs raw $rawRatio")
     }
   }
+
+  test("p19 dataset card partitions the corpus and agrees with p02's split rule") {
+    import org.apache.spark.sql.functions._
+    val card = graft.operators.Pipeline.p19DatasetCard(spark, sf).collect()
+    assert(card.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    val docs = Tables(spark, sf, "documents")
+    // volumes partition the corpus exactly — nothing dropped, nothing
+    // double-counted
+    assert(card.map(_.getLong(1)).sum == docs.count())
+    assert(card.map(_.getLong(3)).sum ==
+      docs.agg(sum(col("n_chars"))).head.getLong(0))
+    // same split rule as p02 → same per-split doc counts
+    val p02 = graft.operators.Pipeline.p02TrainTestSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    card.foreach(r => assert(r.getLong(1) == p02(r.getString(0)),
+      s"${r.getString(0)} count diverges from p02"))
+    card.foreach { r =>
+      val share = r.getDouble(r.fieldIndex("top_source_share"))
+      assert(share > 0.0 && share <= 1.0)
+      assert(r.getDouble(r.fieldIndex("dup_rate")) >= 0.0)
+    }
+  }
 }
