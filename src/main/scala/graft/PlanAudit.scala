@@ -37,7 +37,7 @@ object PlanAudit {
                   "p18_corpus_pipeline", "q84_rollback", "q85_snapshot_history",
                   "a10_sketch_rollup", "m07_media_align", "d15_cdc_chunks",
                   "q86_temporal_join", "q87_write_constraints",
-                  "p19_dataset_card", "st19_observed_metrics")) {
+                  "p19_dataset_card", "st19_observed_metrics", "q88_graph_rank")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

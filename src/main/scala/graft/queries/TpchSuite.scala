@@ -590,7 +590,59 @@ object TpchSuite {
   }
 
   /** Driver-contract registration: query name → runner. */
+  /** q88: PAGERANK CENTRALITY over the customer↔supplier order graph
+    * — the second iterative-propagation algorithm in the engine
+    * (d06's connected components finds WHO is connected; this ranks
+    * HOW CENTRAL they are — the pattern behind web-corpus seed
+    * quality, supplier criticality, fraud-ring scoring). Edges =
+    * distinct (customer, supplier) pairs that traded, made
+    * undirected; 5 Jacobi iterations of r ← 0.15/n + 0.85·Σ r/deg.
+    *
+    * Cross-engine exactness for an ITERATIVE float computation: each
+    * edge contribution is floored to a 1e-12 fixed-point LONG, so
+    * the per-node combine is an integer sum — accumulation-ORDER-FREE
+    * (any partitioning, any engine, bit-identical), where a double
+    * sum would drift per shuffle layout and compound across
+    * iterations. (At larger |E| the long sum widens to a decimal —
+    * same trick, bigger lattice.) Every iteration is one |E|-sized
+    * join + one |V|-sized aggregate: no driver state, no global
+    * sort; the 100 TB shape is exactly Pregel-on-joins. Edges and
+    * degrees persist once across the 5 iterations.
+    */
+  def q88GraphRank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = graft.Caches.scoped(
+      e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"))))
+    val deg = graft.Caches.scoped(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val nN = deg.count().toDouble
+    var rank = deg.select(col("src").as("node"), col("deg"),
+      (lit(1.0) / lit(nN)).as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .join(rank, col("src") === col("node"))
+        .select(col("dst"),
+          floor(lit(0.85) * col("r") / col("deg") * lit(1e12)).as("t"))
+      val agg = contrib.groupBy(col("dst")).agg(sum(col("t")).as("ts"))
+      rank = deg.select(col("src").as("node"), col("deg"))
+        .join(agg, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"),
+          (lit(0.15) / lit(nN) +
+            coalesce(col("ts"), lit(0L)).cast("double") / lit(1e12)).as("r"))
+    }
+    rank.select(col("node"),
+        (floor(col("r") * lit(1e9)).cast("double") / lit(1e9)).as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_graph_rank" -> (q88GraphRank _),
     "q73_unpivot" -> (q73Unpivot _),
     "q74_gap_fill" -> (q74GapFill _),
     "q75_percentile_suite" -> (q75PercentileSuite _),
@@ -620,7 +672,37 @@ object TpchSuite {
   )
 
   /** DuckDB-dialect oracles (parity rules: SURVEY.md §4). */
+  // q88 oracle: the 5 iterations unrolled as chained CTEs, generated
+  // from one template so Spark and DuckDB can never disagree on the
+  // iteration count or arithmetic shape
+  private val q88Iters = (1 to 5).map { i =>
+    s"""r$i AS (
+       |  SELECT d.node, d.deg,
+       |    CAST(0.15 AS DOUBLE) / (SELECT nn FROM n) +
+       |    CAST(SUM(CAST(floor(CAST(0.85 AS DOUBLE) * p.r / p.deg * 1e12)
+       |                  AS BIGINT)) AS DOUBLE) / 1e12 AS r
+       |  FROM e JOIN r${i - 1} p ON e.src = p.node
+       |  JOIN deg d ON e.dst = d.node
+       |  GROUP BY d.node, d.deg)""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "q88_graph_rank" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+         |r0 AS (
+         |  SELECT node, deg, CAST(1.0 AS DOUBLE) / (SELECT nn FROM n) AS r
+         |  FROM deg),
+         |$q88Iters
+         |SELECT node,
+         |  CAST(CAST(floor(r * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS rank
+         |FROM r5
+         |ORDER BY rank DESC, node
+         |LIMIT 20""".stripMargin,
     // q73: the semantics stated the naive way — 3 UNION ALL scans
     // (the engine plans ONE scan + Expand; results must agree)
     "q73_unpivot" ->

@@ -167,4 +167,24 @@ class TpchSuiteSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q88 PageRank: descending positive ranks; run-to-run bit-stable under repartitioning") {
+    import graft.queries.TpchSuite
+    val rows = TpchSuite.q88GraphRank(spark, sf).collect()
+    assert(rows.length == 20)
+    val ranks = rows.map(_.getDouble(1))
+    assert(ranks.forall(_ > 0.0))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b },
+      "top-20 not rank-descending")
+    assert(rows.map(_.getString(0)).distinct.length == 20)
+    // the fixed-point integer accumulation is the exactness claim:
+    // a second run under a DIFFERENT shuffle width must be
+    // bit-identical (a double-sum formulation would drift here)
+    val altWidth = org.apache.spark.sql.GraftShims.cloneWithConf(spark,
+      "spark.sql.shuffle.partitions" -> "7")
+    val again = TpchSuite.q88GraphRank(altWidth, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      again.map(r => (r.getString(0), r.getDouble(1))).toSeq,
+      "rank drifted under a different partitioning")
+  }
 }
