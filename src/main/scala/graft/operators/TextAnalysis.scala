@@ -404,7 +404,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t14: VOCABULARY / lexical-diversity statistics per language —
+    * the corpus-health panel (type-token ratio, hapax share, top-10
+    * mass concentration) that flags template spam (low TTR, heavy
+    * head), OCR noise (hapax explosion), and boilerplate floods
+    * before a token is spent training. Every number derives from
+    * exact integer token counts — ratios are single divisions of
+    * exact BIGINTs, so there is no float-accumulation hazard at any
+    * scale or partitioning. One token-count aggregate feeds the
+    * whole panel; the per-lang top-10 mass rides a bounded window
+    * over the per-lang count table (vocab-sized, not corpus-sized).
+    */
+  def t14VocabStats(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.Caches.scoped(docs(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n")))
+    val panel = counts.groupBy(col("lang")).agg(
+      sum(col("n")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("n_dis"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+    val top10 = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .groupBy(col("lang")).agg(sum(col("n")).as("top10_mass"))
+    panel.join(top10, Seq("lang"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("n_dis"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_share"),
+        (col("top10_mass").cast("double") / col("n_tokens").cast("double"))
+          .as("top10_coverage"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_vocab_stats" -> (t14VocabStats _),
     "t13_normalize" -> (t13Normalize _),
     "t10_hof_suite" -> (t10HofSuite _),
     "t11_bpe_merges" -> (t11BpeMerges _),
@@ -641,6 +680,33 @@ object TextAnalysis {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |    '[0-9]+', '<NUM>', 'g')) AS redacted_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // t14: same tokenization, every panel number an exact-integer
+    // derivation (ratios are single BIGINT/BIGINT divisions)
+    "t14_vocab_stats" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+        |panel AS (
+        |  SELECT lang,
+        |    CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+        |  FROM counts GROUP BY 1),
+        |top10 AS (
+        |  SELECT lang, CAST(SUM(n) AS BIGINT) AS top10_mass FROM (
+        |    SELECT lang, n,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+        |    FROM counts) WHERE rk <= 10 GROUP BY 1)
+        |SELECT p.lang, p.n_tokens, p.n_types, p.n_hapax, p.n_dis,
+        |  CAST(p.n_types AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS ttr,
+        |  CAST(p.n_hapax AS DOUBLE) / CAST(p.n_types AS DOUBLE) AS hapax_share,
+        |  CAST(t.top10_mass AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+        |    AS top10_coverage
+        |FROM panel p JOIN top10 t USING (lang)
+        |ORDER BY p.lang""".stripMargin,
     "t05_top_tokens" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
