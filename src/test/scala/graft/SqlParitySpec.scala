@@ -61,6 +61,11 @@ class SqlParitySpec extends AnyFunSuite {
       .replace(
         "last_value(dl.rev IGNORE NULLS) OVER (",
         "last_value(dl.rev) IGNORE NULLS OVER (")),
+    // DuckDB's `//` integer division → Spark's `div`
+    "q88_graph_rank" -> (sql => sql
+      .replace("CAST(node // 2 AS BIGINT)", "CAST(node div 2 AS BIGINT)")
+      .replace("CAST((node - 1) // 2 AS BIGINT)",
+        "CAST((node - 1) div 2 AS BIGINT)")),
     // Spark's VARCHAR needs a length; NULL column typed as STRING
     "q85_snapshot_history" -> (_.replace(
       "CAST(NULL AS VARCHAR)", "CAST(NULL AS STRING)")),
