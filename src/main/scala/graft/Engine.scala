@@ -166,7 +166,12 @@ object Engine {
     val tables = warehouseTables(warehouseDir).toSet
     val afterHistory = HistoryTable.replaceAllIn(query, m => {
       val t = m.group(1)
-      if (!tables(t) || inStringLiteral(query, m.start)) m.matched
+      // quoteReplacement: the fallthrough text contains `$history`, which
+      // Matcher.appendReplacement would otherwise parse as a group ref
+      // and throw on — e.g. `$history` inside a string literal of an
+      // otherwise-valid query must pass through verbatim, not crash
+      if (!tables(t) || inStringLiteral(query, m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
       else {
         val view = s"${t}__history"
         graft.sources.Snapshots.history(spark, s"$warehouseDir/$t")

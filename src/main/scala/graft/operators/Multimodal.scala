@@ -366,7 +366,7 @@ object Multimodal {
         |    SUM(octet_length(encode(text))) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
         |  FROM documents)
-        |SELECT (cum_bytes - 1) // 65536 AS shard_id,
+        |SELECT CAST((cum_bytes - 1) // 65536 AS BIGINT) AS shard_id,
         |  COUNT(*) AS n_samples,
         |  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
         |  MIN(doc_id) AS first_doc,

@@ -2,10 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Scalable global ranking. `row_number() OVER (ORDER BY …)` with no
   * PARTITION BY plans as a single-partition WindowExec — every row
@@ -30,6 +30,10 @@ import org.apache.spark.sql.types.LongType
   */
 object Rank {
 
+  /** Per-partition UnsafeProjection over `schema` (executor-side). */
+  private def projector(schema: StructType): UnsafeProjection =
+    UnsafeProjection.create(schema)
+
   /** Global row_number over `order` (must be a total order), as column
     * `rankCol`, with no single-partition data move.
     */
@@ -49,16 +53,19 @@ object Rank {
     val offsets = new Array[Long](rdd.getNumPartitions)
     var acc = 0L
     offsets.indices.foreach { i => offsets(i) = acc; acc += counts.getOrElse(i, 0L) }
+    val outSchema = sorted.schema.add(rankCol, LongType, nullable = false)
     val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
       var n = offsets(i)
       val joined = new JoinedRow
+      val proj = projector(outSchema)
       it.map { row =>
         n += 1
-        joined(row, new GenericInternalRow(Array[Any](n))): InternalRow
+        // the shuffle reader reuses `row`'s buffer; project+copy so a
+        // consumer that defers its own copy can never observe a torn row
+        proj(joined(row, new GenericInternalRow(Array[Any](n)))).copy(): InternalRow
       }
     }
-    GraftShims.internalCreateDataFrame(spark, ranked,
-      sorted.schema.add(rankCol, LongType, nullable = false))
+    GraftShims.internalCreateDataFrame(spark, ranked, outSchema)
   }
 
   /** Global RUNNING SUM over a total order — `sum(v) OVER (ORDER BY
@@ -86,16 +93,18 @@ object Rank {
     val offsets = new Array[Long](rdd.getNumPartitions)
     var acc = 0L
     offsets.indices.foreach { i => offsets(i) = acc; acc += sums.getOrElse(i, 0L) }
+    val outSchema = sorted.schema.add(sumCol, LongType, nullable = false)
     val summed = rdd.mapPartitionsWithIndex { (i, it) =>
       var s = offsets(i)
       val joined = new JoinedRow
+      val proj = projector(outSchema)
       it.map { row =>
         s += row.getLong(vIdx)
-        joined(row, new GenericInternalRow(Array[Any](s))): InternalRow
+        // see globalRowNumber: copy out of the reused shuffle-row buffer
+        proj(joined(row, new GenericInternalRow(Array[Any](s)))).copy(): InternalRow
       }
     }
-    GraftShims.internalCreateDataFrame(spark, summed,
-        sorted.schema.add(sumCol, LongType, nullable = false))
+    GraftShims.internalCreateDataFrame(spark, summed, outSchema)
       .drop(tmp)
   }
 

@@ -172,21 +172,36 @@ object Checks {
     * version, no data directory reachable by any reader) instead of
     * landing and flagging. At 100 TB this is the difference between
     * a poisoned mart that needs a rollback and a failed job log line.
-    * Cost: one extra aggregate pass over the batch — the constraint
-    * check is a single union plan ([[summary]]), not per-row UDF work.
+    * Cost: the batch is materialized once (localCheckpoint) so the
+    * rows that passed the checks are EXACTLY the rows committed — a
+    * non-deterministic or source-changing plan cannot slip different
+    * data past the audit (no check-then-write TOCTOU) — plus one
+    * aggregate pass for the constraint summary ([[summary]], a single
+    * union plan, not per-row UDF work).
     */
   def commitChecked(df: DataFrame, tableDir: String, checks: Seq[Check],
       tag: Option[String] = None): Long = {
-    val failed = summary(df, checks)
-      .filter(!col("passed")).collect()
-    if (failed.nonEmpty) {
-      val desc = failed.map(r =>
-        s"${r.getString(0)}(${r.getString(1)})=${r.getLong(2)} violations")
-        .mkString("; ")
-      throw new IllegalStateException(
-        s"constraint violation, write rejected: $desc")
+    // materialize ONCE, then check and commit the same rows — checking
+    // `df` and re-evaluating it inside commit would let a
+    // non-deterministic or source-changing plan slip unchecked data
+    // into the table (check-then-write TOCTOU)
+    val pinned = df.localCheckpoint(true)
+    try {
+      val failed = summary(pinned, checks)
+        .filter(!col("passed")).collect()
+      if (failed.nonEmpty) {
+        val desc = failed.map(r =>
+          s"${r.getString(0)}(${r.getString(1)})=${r.getLong(2)} violations")
+          .mkString("; ")
+        throw new IllegalStateException(
+          s"constraint violation, write rejected: $desc")
+      }
+      graft.sources.Snapshots.commit(pinned, tableDir, tag)
+    } finally {
+      // checkpoint blocks are context-cleaned when the RDD is GC'd;
+      // the unpersist just drops any cache-manager entry eagerly
+      try pinned.unpersist(blocking = false) catch { case _: Throwable => () }
     }
-    graft.sources.Snapshots.commit(df, tableDir, tag)
   }
 
   /** q87: the constraint gate end-to-end — a good rollup commits, a

@@ -174,7 +174,7 @@ object CorpusDag {
          |  COALESCE(s1.n_staged, 0) AS n_staged,
          |  COALESCE(s2.n_deduped, 0) AS n_deduped,
          |  COALESCE(s3.n_clean, 0) AS n_clean,
-         |  COALESCE(s3.tokens_clean, 0) AS tokens_clean,
+         |  CAST(COALESCE(s3.tokens_clean, 0) AS BIGINT) AS tokens_clean,
          |  s3.avg_chars_clean
          |FROM raw r
          |LEFT JOIN s1 USING (source) LEFT JOIN s2 USING (source)

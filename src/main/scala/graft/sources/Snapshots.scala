@@ -572,13 +572,17 @@ object Snapshots {
           Files.copy(f, dst.resolve(f.getFileName))
       }
     } finally listing.close()
-    val tag = s"rollback-of-v$toVersion"
+    // the tag embeds the NEW version id, so it is unique per rollback:
+    // rolling back to the same version twice cannot write duplicate
+    // ledger entries, and a later idempotent commit(tag = …) cannot
+    // collide with it and silently no-op to this rollback's version
+    val tag = s"rollback-of-v$toVersion-as-v$next"
     withManifestLock(tableDir) {
       appendTime(tableDir, next)
       Files.write(manifest(tableDir),
         s"$next\t$tag\n".getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-      appendTag(tableDir, next, tag)
+      if (!committedTags(tableDir).contains(tag)) appendTag(tableDir, next, tag)
     }
     next
   }

@@ -1303,30 +1303,47 @@ object EventStream {
       .groupBy(coalesce(col("event_type"), lit("(null)")).as("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("total_value"))
     s.catalog.dropTempView("st19_out")
-    var seen = 0L
-    var neg = 0L
-    var nulls = 0L
-    locally {
+    // accumulate per-batch observed rows through a listener, NOT
+    // q.recentProgress: that is a ring buffer bounded by
+    // spark.sql.streaming.numRecentProgressUpdates (default 100) — a
+    // source spanning >100 micro-batches would silently drop the
+    // oldest batches' counts and undercount the totals
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    val neg = new java.util.concurrent.atomic.AtomicLong
+    val nulls = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      // match by queryName: known BEFORE start(), so no window where an
+      // early first batch's progress could slip past an unset query id
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == "st19_out") {
+          val m = e.progress.observedMetrics
+          if (m.containsKey("gate")) {
+            val r = m.get("gate")
+            seen.addAndGet(r.getLong(0))
+            neg.addAndGet(r.getLong(1))
+            nulls.addAndGet(r.getLong(2))
+          }
+        }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    try {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
         .queryName("st19_out")
         .start()
       try q.processAllAvailable() finally q.stop()
-      // each micro-batch's progress carries that batch's observed row;
-      // the query-level totals are their sum
-      q.recentProgress.foreach { p =>
-        val m = p.observedMetrics
-        if (m.containsKey("gate")) {
-          val r = m.get("gate")
-          seen += r.getLong(0); neg += r.getLong(1); nulls += r.getLong(2)
-        }
-      }
-    }
+      // progress events ride the async listener bus — q.stop() does
+      // not flush it; drain before reading the accumulators
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(s)
+    } finally s.streams.removeListener(listener)
     s.table("st19_out")
-      .withColumn("rows_seen", lit(seen))
-      .withColumn("n_negative", lit(neg))
-      .withColumn("n_null_type", lit(nulls))
+      .withColumn("rows_seen", lit(seen.get))
+      .withColumn("n_negative", lit(neg.get))
+      .withColumn("n_null_type", lit(nulls.get))
       .orderBy(col("event_type"))
   }
 

@@ -36,6 +36,16 @@ object GraftShims {
     c
   }
 
+  /** Block until the shared listener bus has delivered every queued
+    * event (bounded wait). Streaming progress/termination events ride
+    * the async bus; a reader that aggregates them through a
+    * StreamingQueryListener must drain the bus after `q.stop()` or it
+    * races the last batches' deliveries.
+    */
+  def waitListenerBusEmpty(spark: SparkSession, timeoutMs: Long = 30000L): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: Throwable => () } // timeout: proceed with what arrived
+
   /** Re-root an already-analyzed DataFrame onto another session (same
     * SparkContext): the plan is re-planned under `spark`'s conf, and
     * cached tables still resolve (the CacheManager is in SharedState

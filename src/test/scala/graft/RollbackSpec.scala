@@ -35,7 +35,21 @@ class RollbackSpec extends AnyFunSuite {
     val bad = Snapshots.read(spark, t, 2L)
       .filter(col("n_regionkey") >= 100).count()
     assert(bad > 0, "bad version no longer readable after rollback")
-    assert(Snapshots.committedTags(t).contains("rollback-of-v1"))
+    assert(Snapshots.committedTags(t).contains("rollback-of-v1-as-v3"))
+  }
+
+  test("double rollback to one version: distinct tags, no ledger dupes, no idempotent-commit collision") {
+    val t = freshTable()
+    val v3 = Snapshots.rollback(t, 1L)
+    val v4 = Snapshots.rollback(t, 1L)
+    assert(v3 == 3L && v4 == 4L)
+    val tags = Snapshots.committedTags(t)
+    assert(tags.contains("rollback-of-v1-as-v3") && tags.contains("rollback-of-v1-as-v4"))
+    // a user commit tagged with the OLD ambiguous spelling is a fresh
+    // commit, not a silent no-op onto a rollback's version
+    val good = Snapshots.read(spark, t, 1L)
+    val v5 = Snapshots.commit(good, t, tag = Some("rollback-of-v1"))
+    assert(v5 == 5L, s"idempotent-commit collided with a rollback tag (got v$v5)")
   }
 
   test("rollback is metadata-only: every data file is a hard link, zero bytes copied") {

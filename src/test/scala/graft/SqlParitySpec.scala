@@ -204,9 +204,21 @@ class SqlParitySpec extends AnyFunSuite {
       .orderBy("version").collect()
     assert(hist.sameElements(api), "facade $history diverges from the API")
     assert(hist.map(_.getLong(0)).toSeq == Seq(v1, v2))
-    // $history on a non-warehouse name is left for the parser to reject
-    intercept[Exception] {
+    // $history on a non-warehouse name passes through the rewriter
+    // verbatim (quoteReplacement — `$h` must not be read as a group
+    // ref) and is rejected by the PARSER, not the rewriter
+    val ex = intercept[Exception] {
       Engine.sqlWarehouse(spark, wh, "SELECT * FROM nosuch$history")
     }
+    assert(
+      ex.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException] ||
+        ex.isInstanceOf[org.apache.spark.sql.AnalysisException],
+      s"expected parser/analyzer rejection, got ${ex.getClass.getName}: ${ex.getMessage}")
+    // `$history` inside a string LITERAL of a valid query survives the
+    // rewrite untouched (the inStringLiteral guard's exact case)
+    val litRow = Engine.sqlWarehouse(spark, wh,
+      "SELECT 'orders_tt$history' AS s, COUNT(*) AS n FROM orders_tt")
+      .head
+    assert(litRow.getString(0) == "orders_tt$history")
   }
 }
