@@ -131,9 +131,14 @@ object Engine {
   private val VersionAsOf =
     """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
 
-  /** `table$history` — Iceberg's metadata-table spelling. */
+  /** `table$history` / `$snapshots` / `$files` / `$partitions` —
+    * Iceberg's metadata-table spelling (docs/architecture/lakehouse
+    * .md:59-61 — the snapshot-id-driven read path an operator debugs
+    * with). All answer from manifests/ledgers/stat sidecars; none
+    * scans data.
+    */
   private val HistoryTable =
-    """\b([A-Za-z_][A-Za-z0-9_]*)\$history\b""".r
+    """\b([A-Za-z_][A-Za-z0-9_]*)\$(history|snapshots|files|partitions)\b""".r
   private val TimestampAsOf =
     """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))""".r
 
@@ -165,17 +170,24 @@ object Engine {
     openWarehouse(spark, warehouseDir)
     val tables = warehouseTables(warehouseDir).toSet
     val afterHistory = HistoryTable.replaceAllIn(query, m => {
-      val t = m.group(1)
-      // quoteReplacement: the fallthrough text contains `$history`, which
+      val (t, meta) = (m.group(1), m.group(2))
+      // quoteReplacement: the fallthrough text contains `$<meta>`, which
       // Matcher.appendReplacement would otherwise parse as a group ref
       // and throw on — e.g. `$history` inside a string literal of an
       // otherwise-valid query must pass through verbatim, not crash
       if (!tables(t) || inStringLiteral(query, m.start))
         scala.util.matching.Regex.quoteReplacement(m.matched)
       else {
-        val view = s"${t}__history"
-        graft.sources.Snapshots.history(spark, s"$warehouseDir/$t")
-          .createOrReplaceTempView(view)
+        import graft.sources.Snapshots
+        val dir = s"$warehouseDir/$t"
+        val df = meta match {
+          case "history" => Snapshots.history(spark, dir)
+          case "snapshots" => Snapshots.snapshotsTable(spark, dir)
+          case "files" => Snapshots.filesTable(spark, dir)
+          case "partitions" => Snapshots.partitionsTable(spark, dir)
+        }
+        val view = s"${t}__$meta"
+        df.createOrReplaceTempView(view)
         view
       }
     })

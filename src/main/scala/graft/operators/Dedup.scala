@@ -422,6 +422,12 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("tid"))).as("ids"))
         .withColumn("cnt", size(col("ids")).cast("long")))
+    // populate the cache EAGERLY: the prefix self-join's two AQE query
+    // stages start concurrently — both would miss a cold cache and
+    // compute the full dictionary-encode plan twice (the d06 lesson:
+    // materialize before fan-out). One tiny count job, RDD-level so
+    // the Caches release listener is not consumed by it.
+    docIds.queryExecution.toRdd.count()
     // 2. prefix index = the first |d| − ⌈τ·|d|⌉ + 1 rarest ids
     val prefix = docIds.select(col("doc_id"), col("cnt"),
       explode(expr(

@@ -135,10 +135,83 @@ object CorpusDag {
     runner.readModel("corpus_mart").orderBy(col("source"))
   }
 
+  /** p20: the OTHER two dbt core materializations through the Runner —
+    * `view` (stored definition, re-resolved per read; dbt's default)
+    * and `ephemeral` (no warehouse object; inlined into consumers).
+    * DAG: stg_docs (table) → eph_enrich (EPHEMERAL char/token shaping,
+    * Catalyst optimizes straight through it) → v_stats (VIEW rollup)
+    * → mart_stats (table copy of the view at run time). After the run,
+    * a later ingest commits straight to stg_docs; the VIEW reflects it
+    * on the next read with NO re-run (always-fresh, zero storage),
+    * while the mart still holds run-time state — the gate emits both
+    * side by side, and `n_new_docs` is the per-source delta only the
+    * view can see. Oracle restates both states from raw SQL.
+    */
+  def p20ViewModels(spark: SparkSession, dir: String): DataFrame = {
+    val runner = new Runner(spark, graft.TempDirs.scratch("graft-views"))
+    val dag = Seq(
+      Model("stg_docs", Seq("documents"), Materialization.Table,
+        (in, _) => in("documents")
+          .filter(col("n_chars") >= MinChars)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))),
+      Model("eph_enrich", Seq("stg_docs"), Materialization.Ephemeral,
+        (in, _) => in("stg_docs")
+          .withColumn("len_bucket", (col("n_chars") / 500L).cast("long"))),
+      Model("v_stats", Seq("eph_enrich"), Materialization.View,
+        (in, _) => in("eph_enrich")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("len_bucket")).as("n_buckets"))),
+      Model("mart_stats", Seq("v_stats"), Materialization.Table,
+        (in, _) => in("v_stats")))
+    runner.run(dag, Map("documents" -> Tables(spark, dir, "documents")))
+    // a LATER ingest lands directly in the staging table (no DAG run):
+    // deterministic re-keyed copy of every doc_id % 3 == 0 document
+    val ingest = Tables(spark, dir, "documents")
+      .filter(col("n_chars") >= MinChars && col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        col("lang"), col("n_chars"))
+    graft.sources.Snapshots.commit(
+      runner.readModel("stg_docs").unionAll(ingest),
+      runner.tableDir("stg_docs"))
+    val mart = runner.readModel("mart_stats").select(col("source"),
+      col("n_docs").as("mart_n_docs"), col("total_chars").as("mart_chars"))
+    val view = runner.readModel("v_stats").select(col("source"),
+      col("n_docs").as("view_n_docs"), col("total_chars").as("view_chars"),
+      col("n_buckets").as("view_n_buckets"))
+    mart.join(view, Seq("source"))
+      .withColumn("n_new_docs", col("view_n_docs") - col("mart_n_docs"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p18_corpus_pipeline" -> (p18CorpusPipeline _))
+    "p18_corpus_pipeline" -> (p18CorpusPipeline _),
+    "p20_view_models" -> (p20ViewModels _))
 
   val oracles: Map[String, String] = Map(
+    "p20_view_models" ->
+      s"""WITH stg1 AS (
+         |  SELECT doc_id, source, lang, n_chars FROM documents
+         |  WHERE n_chars >= $MinChars),
+         |ingest AS (
+         |  SELECT doc_id + 1000000 AS doc_id, source, lang, n_chars
+         |  FROM documents WHERE n_chars >= $MinChars AND doc_id % 3 = 0),
+         |stg2 AS (SELECT * FROM stg1 UNION ALL SELECT * FROM ingest),
+         |mart AS (
+         |  SELECT source, COUNT(*) AS mart_n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS mart_chars
+         |  FROM stg1 GROUP BY 1),
+         |v AS (
+         |  SELECT source, COUNT(*) AS view_n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS view_chars,
+         |    COUNT(DISTINCT n_chars // 500) AS view_n_buckets
+         |  FROM stg2 GROUP BY 1)
+         |SELECT m.source, m.mart_n_docs, m.mart_chars,
+         |  v.view_n_docs, v.view_chars, v.view_n_buckets,
+         |  v.view_n_docs - m.mart_n_docs AS n_new_docs
+         |FROM mart m JOIN v USING (source)
+         |ORDER BY m.source""".stripMargin,
     "p18_corpus_pipeline" ->
       s"""WITH stg AS (
          |  SELECT doc_id, text, lang, source, n_chars,

@@ -19,6 +19,32 @@ object Materialization {
     */
   case object Table extends Materialization
 
+  /** dbt `materialized='view'` — dbt's DEFAULT materialization
+    * (dbt_project.yml sets `materialized` per folder; unset models are
+    * views): nothing is materialized, the model is a stored DEFINITION
+    * re-resolved against its upstreams' CURRENT state on every read.
+    * A view over a 100 TB staging table costs zero storage and is
+    * never stale; the trade is that every consumer pays the view's
+    * compute. Reads go through [[Runner.readModel]], which composes
+    * the definition over the upstreams' latest snapshots (exactly
+    * `CREATE VIEW` + read in a catalog warehouse). Checks run against
+    * the resolved plan at build time.
+    */
+  case object View extends Materialization
+
+  /** dbt `materialized='ephemeral'` — no warehouse object AT ALL: the
+    * model is inlined into each consumer's plan as a CTE
+    * (dbt/analytics models pick table/incremental; ephemeral is the
+    * third core strategy for cheap intermediate shaping that should
+    * never hit storage). Consumers see the composed logical plan —
+    * Catalyst optimizes straight through it (filter/column pushdown
+    * cross the model boundary, which a materialized table blocks).
+    * Not directly readable ([[Runner.readModel]] refuses) and not
+    * directly selectable — `--select` reaches it only via `+`
+    * ancestry, like dbt.
+    */
+  case object Ephemeral extends Materialization
+
   /** dbt's `on_schema_change` contract for incremental models. */
   sealed trait SchemaChange
   object SchemaChange {
@@ -143,9 +169,58 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
 
   def tableDir(name: String): String = s"$warehouseDir/$name"
 
-  /** Read a materialized model (latest version by default). */
+  // view/ephemeral DEFINITIONS registered by run() — the in-process
+  // analog of the catalog's CREATE VIEW: they persist across runs on
+  // this Runner and re-resolve against upstream CURRENT state on each
+  // read. (`sources` snapshots the raw-source DataFrames a definition
+  // may close over.)
+  private var registered: Map[String, Model] = Map.empty
+  private var registeredSources: Map[String, DataFrame] = Map.empty
+
+  private def isLogical(m: Model): Boolean = m.materialization match {
+    case Materialization.View | Materialization.Ephemeral => true
+    case _ => false
+  }
+
+  /** Compose a view/ephemeral definition over its deps' CURRENT state
+    * (stored snapshot for materialized deps, recursive composition for
+    * logical ones, registered raw source otherwise).
+    */
+  private def resolveLogical(m: Model): DataFrame = {
+    val inputs = m.deps.map { d =>
+      d -> (registered.get(d) match {
+        case Some(dm) if isLogical(dm) => resolveLogical(dm)
+        case _ =>
+          if (Snapshots.versions(tableDir(d)).nonEmpty)
+            Snapshots.read(spark, tableDir(d))
+          else registeredSources.getOrElse(d,
+            throw new IllegalStateException(
+              s"view/ephemeral '${m.name}': dependency '$d' is neither " +
+                "materialized nor a registered source"))
+      })
+    }.toMap
+    m.build(inputs, None)
+  }
+
+  /** Read a model: materialized models come back from the snapshot
+    * store; a `View` re-resolves its definition against upstream
+    * CURRENT state (always fresh, zero storage — so `version` is
+    * meaningless and must be the default); an `Ephemeral` has no
+    * readable surface at all (dbt parity: it exists only inlined in
+    * its consumers).
+    */
   def readModel(name: String, version: Long = -1L): DataFrame =
-    Snapshots.read(spark, tableDir(name), version)
+    registered.get(name) match {
+      case Some(m) if m.materialization == Materialization.Ephemeral =>
+        throw new IllegalStateException(
+          s"model '$name' is ephemeral: not materialized, not readable — " +
+            "it is inlined into its consumers")
+      case Some(m) if m.materialization == Materialization.View =>
+        require(version == -1L,
+          s"view '$name' has no versions — it re-resolves current state")
+        resolveLogical(m)
+      case _ => Snapshots.read(spark, tableDir(name), version)
+    }
 
   /** Materialize `models` in dependency order. A dep resolves to (in
     * precedence order) another model in this run, a key of `sources`,
@@ -172,6 +247,39 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
     * commit and marker re-runs that one model (at-least-once into the
     * versioned store: an extra version, never half-visible data).
     */
+  /** Path of the lineage manifest the most recent [[run]] wrote (the
+    * OpenLineage-style artifact — reference roadmap names OpenLineage
+    * integration: docs/architecture/lakehouse.md:116). One JSON
+    * document per run under `_lineage/`: for every model its
+    * materialization, mode, committed version, declared inputs with
+    * the exact upstream VERSION each read, and its checks — enough to
+    * reconstruct the DAG and audit which snapshot fed which build.
+    */
+  @volatile var lastLineagePath: Option[String] = None
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def writeLineage(runId: String, entries: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(warehouseDir, "_lineage")
+    java.nio.file.Files.createDirectories(dir)
+    val body =
+      s"""{"run_id": ${jstr(runId)}, "producer": "graft-runner",
+         |"models": [${entries.mkString(",\n")}]}""".stripMargin
+    val p = dir.resolve(s"$runId.json")
+    java.nio.file.Files.writeString(p, body)
+    lastLineagePath = Some(p.toString)
+  }
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong
+
   def run(models: Seq[Model],
       sources: Map[String, DataFrame] = Map.empty,
       retries: Int = 0,
@@ -183,9 +291,15 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
         s"model '${m.name}' shadows a source of the same name")
       m.deps.foreach(d => require(
         byName.contains(d) || sources.contains(d) ||
+          registered.contains(d) ||
           Snapshots.versions(tableDir(d)).nonEmpty,
         s"model '${m.name}': unresolved dependency '$d'"))
     }
+    // register view/ephemeral definitions (and the raw sources they may
+    // resolve against) BEFORE execution: a downstream model's inputs
+    // and any later readModel compose through the registry
+    registered ++= models.filter(isLogical).map(m => m.name -> m)
+    registeredSources ++= sources
     // Kahn's topological sort; ready set drained in name order so the
     // execution plan is deterministic across runs.
     val order = scala.collection.mutable.ArrayBuffer.empty[Model]
@@ -203,16 +317,56 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
         remaining -= m.name
       }
     }
-    order.toSeq.map { m =>
-      val marker = resumeId.map(id => s"run:$id:${m.name}")
+    val lineage = scala.collection.mutable.ArrayBuffer.empty[String]
+    def matLabel(m: Model): String = m.materialization match {
+      case Materialization.Table => "table"
+      case Materialization.View => "view"
+      case Materialization.Ephemeral => "ephemeral"
+      case _: Materialization.Incremental => "incremental"
+      case _: Materialization.Seed => "seed"
+    }
+    def depRecord(d: String): String = {
+      val kind =
+        if (byName.get(d).exists(isLogical) ||
+          registered.get(d).exists(isLogical))
+          matLabel(byName.getOrElse(d, registered(d)))
+        else if (Snapshots.versions(tableDir(d)).nonEmpty) "model"
+        else "source"
+      val v = if (kind == "model")
+        s""", "version": ${Snapshots.versions(tableDir(d)).last}""" else ""
+      s"""{"name": ${jstr(d)}, "type": ${jstr(kind)}$v}"""
+    }
+    def record(m: Model, run: ModelRun, inputRecs: Seq[String]): ModelRun = {
+      val checks = m.checks.map(c =>
+        s"""{"check": ${jstr(c.name)}, "column": ${jstr(c.column)}}""")
+      lineage += s"""{"name": ${jstr(m.name)},
+        | "materialization": ${jstr(matLabel(m))},
+        | "mode": ${jstr(run.mode)}, "version": ${run.version},
+        | "inputs": [${inputRecs.mkString(", ")}],
+        | "checks": [${checks.mkString(", ")}]}""".stripMargin
+      run
+    }
+    val report = order.toSeq.map { m =>
+      // view/ephemeral never write, so resume markers don't apply —
+      // re-registering a definition is free and always safe
+      val marker =
+        if (isLogical(m)) None else resumeId.map(id => s"run:$id:${m.name}")
       val alreadyDone = marker.exists(t =>
         Snapshots.versions(tableDir(m.name)).nonEmpty &&
           Snapshots.committedTags(tableDir(m.name)).contains(t))
       if (alreadyDone) {
-        ModelRun(m.name, Snapshots.versions(tableDir(m.name)).last, "skipped")
+        record(m,
+          ModelRun(m.name, Snapshots.versions(tableDir(m.name)).last, "skipped"),
+          m.deps.map(depRecord))
       } else {
+      // dep versions recorded BEFORE the build reads them — the exact
+      // upstream snapshot each model consumed
+      val inputRecs = m.deps.map(depRecord)
       val inputs = m.deps.map { d =>
-        d -> (if (byName.contains(d)) readModel(d)
+        d -> (if (byName.contains(d)) {
+                val dm = byName(d)
+                if (isLogical(dm)) resolveLogical(dm) else readModel(d)
+              }
               else sources.getOrElse(d, readModel(d)))
       }.toMap
       val run = retrying(m.name, retries)(materialize(m, inputs))
@@ -221,8 +375,11 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
       // severity=warn failures are reported and the run proceeds.
       // The committed version stays in history (time-travel debuggable)
       // but is never read by a later run that repairs and re-commits.
+      // For view/ephemeral the checks run against the COMPOSED plan —
+      // there is no stored table to audit.
       if (m.checks.nonEmpty) {
-        val failed = Checks.summary(readModel(m.name), m.checks)
+        val checked = if (isLogical(m)) resolveLogical(m) else readModel(m.name)
+        val failed = Checks.summary(checked, m.checks)
           .filter(!org.apache.spark.sql.functions.col("passed"))
           .collect()
         def describe(rows: Seq[org.apache.spark.sql.Row]) = rows
@@ -240,9 +397,12 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
           s"model '${m.name}' failed data checks: ${describe(fatal.toSeq)}")
       }
       marker.foreach(t => Snapshots.tagVersion(tableDir(m.name), run.version, t))
-      run
+      record(m, run, inputRecs)
       }
     }
+    writeLineage(
+      resumeId.getOrElse(s"run-${runCounter.incrementAndGet()}"), lineage.toSeq)
+    report
   }
 
   /** 1+retries attempts; non-fatal failures between attempts are
@@ -268,6 +428,14 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
     val existing =
       if (Snapshots.versions(dir).nonEmpty) Some(readModel(m.name)) else None
     m.materialization match {
+      case Materialization.View =>
+        // validate the definition resolves/analyzes NOW (dbt compiles
+        // views at run time even though no data moves); -1 = no version
+        resolveLogical(m).schema
+        ModelRun(m.name, -1L, "view")
+      case Materialization.Ephemeral =>
+        resolveLogical(m).schema
+        ModelRun(m.name, -1L, "ephemeral")
       case Materialization.Seed(path, schema) =>
         val reader = spark.read.option("header", "true")
         val df = schema.fold(reader.option("inferSchema", "true"))(reader.schema).csv(path)

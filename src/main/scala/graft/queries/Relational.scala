@@ -107,23 +107,29 @@ object Relational {
       .withColumn("avg_order_value", ratio(col("total_revenue"), col("total_orders")))
     // Global rankings via the distributed Rank operator (identical
     // output to bare ROW_NUMBER/PERCENT_RANK windows, which would
-    // funnel the whole mart through one task at scale):
-    // percent_rank == (rank_with_ties - 1) / (N - 1).
+    // funnel the whole mart through one task at scale). The mart
+    // aggregate is scope-persisted: it feeds the rank chain AND the
+    // broadcast row count — unpersisted it would compute twice.
+    // PERCENT_RANK rides the revenue_rank pass instead of a third
+    // rank shuffle: rank_asc(v) = N − max(rn_desc within the tie
+    // group) + 1, so percentile = (rank_asc − 1)/(N − 1)
+    //                           = (N − max_desc)/(N − 1).
+    val um2 = graft.Caches.scoped(um)
     val wSeg = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("total_revenue").desc, col("c_custkey"))
-    val n = um.agg(count(lit(1)).cast("double").as("__n"))
+    val n = um2.agg(count(lit(1)).cast("double").as("__n"))
     val ranked = graft.operators.Rank.globalRowNumber(
-      graft.operators.Rank.globalRowNumber(um,
+      graft.operators.Rank.globalRowNumber(um2,
         Seq(col("total_revenue").desc, col("c_custkey")), "revenue_rank"),
       Seq(col("total_orders").desc, col("c_custkey")), "order_count_rank")
-    graft.operators.Rank.globalRank(ranked,
-        Seq(col("total_revenue")), Seq(col("total_revenue")),
-        Seq(col("c_custkey")), "__pr")
+    ranked
+      .withColumn("__maxd",
+        max(col("revenue_rank")).over(Window.partitionBy(col("total_revenue"))))
       .join(broadcast(n))
       .withColumn("revenue_percentile",
         when(col("__n") === 1.0, lit(0.0))
-          .otherwise((col("__pr") - 1).cast("double") / (col("__n") - 1.0)))
-      .drop("__pr", "__n")
+          .otherwise((col("__n") - col("__maxd")) / (col("__n") - 1.0)))
+      .drop("__maxd", "__n")
       .withColumn("segment_revenue_rank", row_number().over(wSeg))
       .withColumn("customer_tier",
         when(col("total_orders") === 0, "No Orders")

@@ -838,7 +838,124 @@ object Warehouse {
     meta.join(rowCounts, Seq("version")).orderBy(col("version"))
   }
 
+  /** q89: Iceberg METADATA TABLES beyond `$history` — `$snapshots`
+    * (version lineage: parent id, tag, file footprint) and `$files`
+    * (per-file row/byte stats from the write-time sidecar), queried
+    * through the SQL facade's `table$meta` spelling (reference read
+    * path: docs/architecture/lakehouse.md:59-61 — operators debug a
+    * table by its snapshot/file metadata, never by scanning it). The
+    * landing commits three versions with PINNED file layouts
+    * (repartition 2/3/4) so every metadata cell is oracle-derivable;
+    * record counts come from `$files` stats, proving the sidecar
+    * agrees with the data that was actually committed. Cost model:
+    * all three metadata tables answer from manifest + sidecar —
+    * FilesTableSpec deletes the data files and re-answers.
+    */
+  def q89MetadataTables(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-meta")
+    val t = s"$wh/orders_m"
+    val stg = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Snapshots.commit(
+      stg.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .repartition(2), t)
+    Snapshots.commit(
+      stg.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .repartition(3), t, tag = Some("monthly"))
+    Snapshots.commit(stg.repartition(4), t)
+    graft.Engine.sqlWarehouse(spark, wh,
+      """SELECT s.version, s.parent_version, s.tag, s.n_files,
+        |  f.record_count, f.file_count
+        |FROM orders_m$snapshots s
+        |JOIN (SELECT version, SUM(n_rows) AS record_count,
+        |        COUNT(*) AS file_count
+        |      FROM orders_m$files GROUP BY version) f
+        |  ON s.version = f.version
+        |ORDER BY s.version""".stripMargin)
+  }
+
+  /** q90: Iceberg BRANCHES — the multi-writer WAP generalization
+    * (write to a branch, validate, fast-forward main; the reference's
+    * Iceberg 1.4.2 runtime ships refs — docs/components/kyuubi.md:27).
+    * A two-commit backfill lands on branch `audit` while main serves
+    * v1 untouched (the gate reads main MID-BRANCH and pins its count
+    * as evidence); validation happens against [[Snapshots.readBranch]];
+    * `fastForward` then publishes both commits in one atomic manifest
+    * append. Output = the final main rollup + pinned lineage evidence
+    * (main count mid-branch == v1 count, versions before/after).
+    * Every cell restates from the raw table in the oracle.
+    */
+  def q90BranchWap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val t = s"${tempDir("graft-branch")}/orders_b"
+    val stg = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val early = stg.filter(col("o_orderkey") % 3 === 0)
+    Snapshots.commit(early, t) // main v1
+    // backfill lands on the branch in two batches; main keeps serving v1
+    Snapshots.commitToBranch(early.unionAll(
+      stg.filter(col("o_orderkey") % 3 === 1)), t, "audit")
+    val mainMidBranch = Snapshots.read(spark, t).count() // still v1
+    Snapshots.commitToBranch(stg, t, "audit") // full backfill
+    // audit-side validation reads the BRANCH head, then publishes
+    val branchOk = Snapshots.readBranch(spark, t, "audit").count() == stg.count()
+    require(branchOk, "branch validation failed")
+    val vsBefore = Snapshots.versions(t).size.toLong
+    Snapshots.fastForward(t, "audit")
+    val vsAfter = Snapshots.versions(t).size.toLong
+    Snapshots.read(spark, t)
+      .groupBy(upper(trim(col("o_orderstatus"))).as("status"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("main_rows_mid_branch", lit(mainMidBranch))
+      .withColumn("n_versions_before_ff", lit(vsBefore))
+      .withColumn("n_versions_after_ff", lit(vsAfter))
+      .orderBy(col("status"))
+  }
+
+  /** q91: MoR POSITION DELETES — Iceberg format-v2's second delete
+    * kind (`(file, pos)` tuples; docs/components/cdc.md lands CDC into
+    * v2 tables): rows are removed by PHYSICAL ADDRESS, no key needed,
+    * no data file rewritten — the compaction-free delete of known
+    * rows. The gate lands lineitem once, stacks two position-delete
+    * commits (a 2% retention sweep, then a row-targeted purge), and reads
+    * all three versions in one result — time travel still sees
+    * deleted rows, deletes stack under the sequence-number rule, and
+    * the pinned `delete_write_small` cell proves the delete commits
+    * cost ∝ rows deleted, never the base (MorSpec pins the exact
+    * byte/such invariants; the oracle restates every rollup).
+    */
+  def q91PosDelete(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"${tempDir("graft-posdel")}/lineitem_pd"
+    val base = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_returnflag"))
+      .repartition(2)
+    Mor.land(base, t)
+    // a 2% retention sweep, then a row-targeted GDPR-style purge —
+    // rare slices, so the pinned bytes-ratio cell is meaningful at
+    // every sf (a position delete costs ∝ rows deleted)
+    Mor.deleteAt(spark, t, col("l_orderkey") % 50 === 0)
+    Mor.deleteAt(spark, t, col("l_orderkey") % 1000 === 1)
+    val baseBytes = Mor.commitBytes(t, 1L)
+    val delBytes = Mor.commitBytes(t, 2L) + Mor.commitBytes(t, 3L)
+    def viewAgg(version: Long, label: String): DataFrame =
+      Mor.read(spark, t, version).agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("revenue"))
+        .withColumn("view", lit(label))
+        .select(col("view"), col("n_rows"), col("revenue"))
+    viewAgg(1L, "v1_base")
+      .unionByName(viewAgg(2L, "v2_retention"))
+      .unionByName(viewAgg(3L, "v3_targeted"))
+      .withColumn("delete_write_small", lit(delBytes * 10L < baseBytes))
+      .orderBy(col("view"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_pos_delete" -> (q91PosDelete _),
+    "q90_branch_wap" -> (q90BranchWap _),
+    "q89_metadata_tables" -> (q89MetadataTables _),
     "q85_snapshot_history" -> (q85SnapshotHistory _),
     "q84_rollback" -> (q84Rollback _),
     "q81_governed_views" -> (q81GovernedViews _),
@@ -863,6 +980,52 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q91: the three versions restate as predicate slices of lineitem
+    // (a position delete of rows matching P == the view minus P)
+    "q91_pos_delete" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_extendedprice FROM lineitem)
+        |SELECT 'v1_base' AS view, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  TRUE AS delete_write_small
+        |FROM b
+        |UNION ALL
+        |SELECT 'v2_retention', COUNT(*),
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM b WHERE l_orderkey % 50 <> 0
+        |UNION ALL
+        |SELECT 'v3_targeted', COUNT(*),
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM b WHERE l_orderkey % 50 <> 0 AND l_orderkey % 1000 <> 1
+        |ORDER BY view""".stripMargin,
+    // q90: final main == the full extract; mid-branch main == the v1
+    // slice; version count 1 -> 3 across the fast-forward
+    "q90_branch_wap" ->
+      """SELECT upper(trim(o_orderstatus)) AS status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+        |    AS main_rows_mid_branch,
+        |  CAST(1 AS BIGINT) AS n_versions_before_ff,
+        |  CAST(3 AS BIGINT) AS n_versions_after_ff
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    // q89: every metadata cell restated from the raw table + the
+    // landing constants (2/3/4-file layouts, v2 tagged, parent = v-1)
+    "q89_metadata_tables" ->
+      """SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(NULL AS BIGINT) AS parent_version,
+        |  CAST(NULL AS VARCHAR) AS tag, CAST(2 AS BIGINT) AS n_files,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderdate < TIMESTAMP '1996-01-01') AS record_count,
+        |  CAST(2 AS BIGINT) AS file_count
+        |UNION ALL
+        |SELECT 2, 1, 'monthly', 3,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderdate < TIMESTAMP '1998-01-01'), 3
+        |UNION ALL
+        |SELECT 3, 2, NULL, 4, (SELECT COUNT(*) FROM orders), 4
+        |ORDER BY version""".stripMargin,
     // q85: every history column restated from the raw table + the
     // landing constants (2-file layout, v2 tagged 'monthly')
     "q85_snapshot_history" ->

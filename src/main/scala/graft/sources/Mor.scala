@@ -30,6 +30,10 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   *     Formats): only the distinct key tuples of deleted rows, plus
   *     the key column list in the ledger. Cost ∝ rows deleted, data
   *     files untouched (MorSpec pins both).
+  *   - `posdelete` — a POSITION-DELETE file (v2's other delete kind):
+  *     `(file, pos)` tuples naming physical rows — the
+  *     compaction-free delete of KNOWN rows, no key required
+  *     ([[deleteAt]]; same sequence-number rule as equality deletes).
   *   - `compact` — a materialized merge (read-side view made a new
   *     base). Readers at or past it stop paying the anti-joins; prior
   *     commits stay readable for time travel.
@@ -139,6 +143,37 @@ object Mor {
     commit(keys, tableDir, "delete", keyCols)
   }
 
+  /** Row-level DELETE by POSITION — Iceberg v2's OTHER delete kind
+    * (§Delete Formats: position deletes name `(file, pos)` tuples;
+    * reference lands CDC into format-v2 tables, docs/components/cdc
+    * .md). Where an equality delete says "key K is gone", a position
+    * delete surgically removes one physical row — the
+    * compaction-free way to drop known rows without touching ANY
+    * data file and without requiring a key at all. `cond` is
+    * resolved against the current merged view ONCE; the commit
+    * stores only the matched rows' `(file, pos)` pairs (parquet's
+    * `_metadata.file_name` / `row_index` — exactly Iceberg's file +
+    * ordinal). Cost ∝ rows deleted; the base is never opened for
+    * write.
+    */
+  def deleteAt(spark: SparkSession, tableDir: String, cond: Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val positions = readWithPos(spark, tableDir)
+      .filter(cond)
+      .select(col(PosFile).as("file"), col(PosIdx).as("pos"))
+      .distinct()
+    commit(positions, tableDir, "posdelete")
+  }
+
+  private val PosFile = "__graft_file"
+  private val PosIdx = "__graft_pos"
+
+  /** The merged view carrying each row's physical address columns
+    * ([[PosFile]], [[PosIdx]]) — [[deleteAt]]'s resolve pass.
+    */
+  private def readWithPos(spark: SparkSession, tableDir: String): DataFrame =
+    merged(spark, tableDir, -1L, withPos = true)
+
   /** MoR UPSERT — the kafka-connect-iceberg write shape (reference:
     * docker/kafka-connect-iceberg lands Debezium CDC into v2 tables):
     * one equality-delete commit covering every touched key, then one
@@ -170,7 +205,15 @@ object Mor {
     * are deltas — small, so Spark's stats auto-broadcast the anti
     * joins; nothing on the data side shuffles.
     */
-  def read(spark: SparkSession, tableDir: String, version: Long = -1L): DataFrame = {
+  def read(spark: SparkSession, tableDir: String, version: Long = -1L): DataFrame =
+    merged(spark, tableDir, version, withPos = false)
+
+  private def isDelete(kind: String): Boolean =
+    kind == "delete" || kind == "posdelete"
+
+  private def merged(spark: SparkSession, tableDir: String, version: Long,
+      withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val all = commits(tableDir)
     require(all.nonEmpty, s"no commits at $tableDir")
     val upTo = if (version < 0) all else {
@@ -179,15 +222,31 @@ object Mor {
     }
     val start = math.max(0, upTo.lastIndexWhere(_.kind == "compact"))
     val active = upTo.drop(start)
-    require(active.exists(_.kind != "delete"),
+    require(active.exists(c => !isDelete(c.kind)),
       s"no data commit at or before $version")
     val parts = active.zipWithIndex.collect {
-      case (c, i) if c.kind != "delete" =>
-        val df = spark.read.parquet(s"$tableDir/c=${c.id}")
-        active.drop(i + 1).filter(_.kind == "delete").foldLeft(df) { (acc, d) =>
-          val keys = spark.read.parquet(s"$tableDir/c=${d.id}")
-          acc.join(keys, d.keyCols, "left_anti")
-        }
+      case (c, i) if !isDelete(c.kind) =>
+        val later = active.drop(i + 1)
+        // each row carries its physical address when a later position
+        // delete (or the caller) needs it — parquet's hidden _metadata
+        // (file_name + row_index), Iceberg's (file, ordinal) exactly
+        val needsPos = withPos || later.exists(_.kind == "posdelete")
+        val base = spark.read.parquet(s"$tableDir/c=${c.id}")
+        val df0 =
+          if (!needsPos) base
+          else base.select(col("*"),
+            col("_metadata.file_name").as(PosFile),
+            col("_metadata.row_index").as(PosIdx))
+        val afterDeletes = later.filter(c2 => isDelete(c2.kind))
+          .foldLeft(df0) { (acc, d) =>
+            val dd = spark.read.parquet(s"$tableDir/c=${d.id}")
+            if (d.kind == "delete") acc.join(dd, d.keyCols, "left_anti")
+            else acc.join(dd,
+              acc(PosFile) === dd("file") && acc(PosIdx) === dd("pos"),
+              "left_anti")
+          }
+        if (needsPos && !withPos) afterDeletes.drop(PosFile, PosIdx)
+        else afterDeletes
     }
     parts.reduce(_ unionByName _)
   }

@@ -543,6 +543,199 @@ object Snapshots {
     rows.toDF("version", "tag", "committed_at_ms", "n_files", "n_bytes")
   }
 
+  // ---- Iceberg BRANCHES (refs): write to a named branch, validate,
+  // fast-forward main — the multi-writer generalization of WAP
+  // (reference ships Iceberg 1.4.2, whose refs carry exactly this:
+  // docs/components/kyuubi.md:27). A branch is its own append-only
+  // manifest `_branch_<name>` holding `version \t forkBase` lines;
+  // branch data lands in normal `v=<n>` dirs from the SHARED id space
+  // (ids never collide with main), but no main-manifest line is
+  // written, so main readers cannot see branch work. ----
+
+  private def branchFile(tableDir: String, branch: String) = {
+    require(branch.matches("[A-Za-z0-9_-]+"), s"bad branch name '$branch'")
+    Paths.get(tableDir, s"_branch_$branch")
+  }
+
+  private def branchEntries(tableDir: String, branch: String): Seq[(Long, Long)] = {
+    val f = branchFile(tableDir, branch)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(v, base) = line.split('\t'); (v.toLong, base.toLong)
+      }
+  }
+
+  /** Versions committed to `branch` (empty if the branch has none). */
+  def branchVersions(tableDir: String, branch: String): Seq[Long] =
+    branchEntries(tableDir, branch).map(_._1)
+
+  /** Commit `df` to `branch`. The first branch commit records the fork
+    * base = main's CURRENT latest (the fast-forward precondition).
+    * Main's manifest is untouched — [[read]]/[[versions]]/time travel
+    * cannot see this version until [[fastForward]] publishes it.
+    */
+  def commitToBranch(df: DataFrame, tableDir: String, branch: String): Long = {
+    require(versions(tableDir).nonEmpty,
+      s"branching needs an existing table at $tableDir")
+    Files.createDirectories(Paths.get(tableDir))
+    val next = reserveVersion(tableDir)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
+    withManifestLock(tableDir) {
+      val base = branchEntries(tableDir, branch).headOption.map(_._2)
+        .getOrElse(versions(tableDir).last)
+      Files.write(branchFile(tableDir, branch),
+        s"$next\t$base\n".getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      next
+    }
+  }
+
+  /** Read the branch head (falls back to main's latest when the branch
+    * has no commits — a fresh branch sees its fork point, like a git
+    * branch before its first commit).
+    */
+  def readBranch(spark: SparkSession, tableDir: String, branch: String): DataFrame =
+    branchVersions(tableDir, branch).lastOption
+      .map(v => spark.read.parquet(s"$tableDir/v=$v"))
+      .getOrElse(read(spark, tableDir))
+
+  /** FAST-FORWARD main to the branch head — Iceberg's
+    * `fast_forward('main', branch)`: every branch commit becomes a
+    * main-manifest line in ONE locked append (readers flip atomically,
+    * all-or-nothing), then the branch record is dropped. REFUSES if
+    * main advanced past the branch's fork base (not a fast-forward —
+    * the caller must rebase: re-branch from the new head and re-apply).
+    * Returns the new main head version.
+    */
+  def fastForward(tableDir: String, branch: String): Long =
+    withManifestLock(tableDir) {
+      val entries = branchEntries(tableDir, branch)
+      require(entries.nonEmpty, s"branch '$branch' has no commits at $tableDir")
+      val forkBase = entries.head._2
+      val mainHead = versions(tableDir).last
+      require(mainHead == forkBase,
+        s"cannot fast-forward '$branch': main advanced v$forkBase -> " +
+          s"v$mainHead since the fork — rebase the branch")
+      val lines = entries.map { case (v, _) =>
+        appendTime(tableDir, v)
+        s"$v\n"
+      }.mkString
+      Files.write(manifest(tableDir), lines.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      Files.deleteIfExists(branchFile(tableDir, branch))
+      entries.last._1
+    }
+
+  /** Drop a branch: forget its record; its data directories become
+    * vacuumable orphans (ids stay burned, as everywhere).
+    */
+  def dropBranch(tableDir: String, branch: String): Unit =
+    withManifestLock(tableDir) {
+      Files.deleteIfExists(branchFile(tableDir, branch)); ()
+    }
+
+  // ---- Iceberg metadata tables beyond $history: $snapshots, $files,
+  // $partitions — the tables an operator actually debugs with. All
+  // answer from driver-side metadata (manifest, ledgers, listing, and
+  // a per-version _filestats sidecar); once the sidecar exists no data
+  // file is ever opened, Iceberg's manifest-stats cost model. ----
+
+  private def fileStatsPath(tableDir: String, v: Long) =
+    Paths.get(tableDir, s"v=$v", "_filestats.tsv")
+
+  /** Land the per-file stats sidecar for version `v` (idempotent): one
+    * `file \t n_rows \t n_bytes` line per data file, from ONE
+    * distributed count-by-input-file aggregate — the write-time stats
+    * pass Iceberg folds into its manifests. #files output rows only.
+    */
+  def writeFileStats(spark: SparkSession, tableDir: String, v: Long): Unit = {
+    val p = fileStatsPath(tableDir, v)
+    if (Files.exists(p)) return
+    val dir = Paths.get(tableDir, s"v=$v")
+    val rows = spark.read.parquet(dir.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // #files rows — manifest-sized, never data-sized
+      .map { r =>
+        val name = r.getString(0).split('/').last
+        val bytes = Files.size(dir.resolve(name))
+        s"$name\t${r.getLong(1)}\t$bytes"
+      }
+    Files.write(p, rows.sorted.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** `$snapshots` — one row per live version: (version, parent_version,
+    * committed_at_ms, tag, n_files, n_bytes). Manifest + ledgers +
+    * listing only; parent = the previous live version (our store's
+    * linear history, like Iceberg's parent-snapshot-id on main).
+    */
+  def snapshotsTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val times = commitTimes(tableDir)
+    val tags = manifestLines(tableDir)
+      .collect { case (v, Some(t)) => (v, t) }.toMap
+    val vs = versions(tableDir)
+    val parent = vs.zip(None +: vs.init.map(Some(_))).toMap
+    val rows = vs.map { v =>
+      val dir = Paths.get(tableDir, s"v=$v")
+      val sizes =
+        if (!Files.exists(dir)) Seq.empty[Long]
+        else {
+          val l = Files.list(dir)
+          try l.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(Files.size(_)).toSeq
+          finally l.close()
+        }
+      (v, parent(v), times.get(v), tags.get(v), sizes.size.toLong, sizes.sum)
+    }
+    rows.toDF("version", "parent_version", "committed_at_ms", "tag",
+      "n_files", "n_bytes")
+  }
+
+  /** `$files` — one row per data file per live version: (version,
+    * file, n_rows, n_bytes). Answers from the `_filestats` sidecar
+    * ([[writeFileStats]] — backfilled lazily, one aggregate per
+    * version that predates its sidecar), so once stats exist the
+    * answer needs NO data file: q77's deleted-files proof applies
+    * (FilesTableSpec pins it).
+    */
+  def filesTable(spark: SparkSession, tableDir: String,
+      version: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val vs =
+      if (version < 0) versions(tableDir)
+      else { require(versions(tableDir).contains(version),
+        s"unknown version $version at $tableDir"); Seq(version) }
+    val rows = vs.flatMap { v =>
+      writeFileStats(spark, tableDir, v)
+      Files.readAllLines(fileStatsPath(tableDir, v), StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty).map { line =>
+          val Array(f, n, b) = line.split('\t')
+          (v, f, n.toLong, b.toLong)
+        }
+    }
+    rows.toDF("version", "file", "n_rows", "n_bytes")
+  }
+
+  /** `$partitions` — per-partition record/file/byte counts of one
+    * snapshot (latest by default). This store writes snapshots
+    * UNPARTITIONED (one `v=N` directory per commit), so the faithful
+    * Iceberg answer for an unpartitioned spec is a single row —
+    * derived wholly from the `$files` stats, no data read.
+    */
+  def partitionsTable(spark: SparkSession, tableDir: String,
+      version: Long = -1L): DataFrame = {
+    val v = if (version < 0) versions(tableDir).last else version
+    filesTable(spark, tableDir, v)
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("file_count"),
+        sum(col("n_rows")).as("record_count"),
+        sum(col("n_bytes")).as("total_bytes"))
+  }
+
   /** Roll the table BACK to `toVersion` as a NEW commit — Iceberg's
     * `rollback_to_snapshot` procedure: history keeps moving FORWARD
     * (the bad versions stay readable for time-travel debugging;

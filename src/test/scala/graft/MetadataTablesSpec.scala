@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Snapshots
+
+/** Iceberg metadata tables beyond $history: $snapshots (lineage),
+  * $files (per-file stats sidecar), $partitions (per-partition
+  * rollup) — all metadata-only once the sidecar exists (the q77
+  * proof: data files deleted, answers unchanged).
+  */
+class MetadataTablesSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def land(): String = {
+    val t = java.nio.file.Files.createTempDirectory("graft-meta-spec")
+      .toString + "/nat"
+    val base = Tables(spark, sf, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    Snapshots.commit(base.repartition(2), t)
+    Snapshots.commit(base.unionAll(base).repartition(3), t, tag = Some("t2"))
+    t
+  }
+
+  test("$snapshots: versions, parent lineage, tags, file counts") {
+    val t = land()
+    val rows = Snapshots.snapshotsTable(spark, t).orderBy("version").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(0).isNullAt(1) && rows(1).getLong(1) == 1L, "parent lineage wrong")
+    assert(rows(0).isNullAt(3) && rows(1).getString(3) == "t2")
+    assert(rows.map(_.getLong(4)).toSeq == Seq(2L, 3L))
+    assert(rows.forall(_.getLong(5) > 0L), "n_bytes must be positive")
+  }
+
+  test("$files row counts sum to the committed data; $partitions rolls them up") {
+    val t = land()
+    val n1 = Snapshots.read(spark, t, 1L).count()
+    val n2 = Snapshots.read(spark, t, 2L).count()
+    val files = Snapshots.filesTable(spark, t).collect()
+    assert(files.count(_.getLong(0) == 1L) == 2)
+    assert(files.count(_.getLong(0) == 2L) == 3)
+    assert(files.filter(_.getLong(0) == 1L).map(_.getLong(2)).sum == n1)
+    assert(files.filter(_.getLong(0) == 2L).map(_.getLong(2)).sum == n2)
+    val p = Snapshots.partitionsTable(spark, t).head // latest = v2
+    assert(p.getAs[Long]("file_count") == 3L)
+    assert(p.getAs[Long]("record_count") == n2)
+    assert(p.getAs[Long]("total_bytes") > 0L)
+  }
+
+  test("metadata-only: answers survive deleting every data file (sidecar + manifest)") {
+    val t = land()
+    // populate the sidecars, then destroy the data
+    Snapshots.filesTable(spark, t).count()
+    Seq(1L, 2L).foreach { v =>
+      val dir = Paths.get(t, s"v=$v")
+      val l = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(Files.delete(_))
+      } finally l.close()
+    }
+    val files = Snapshots.filesTable(spark, t).collect()
+    assert(files.length == 5, "files stats must answer from the sidecar alone")
+    assert(files.forall(_.getLong(2) > 0L))
+    val snaps = Snapshots.snapshotsTable(spark, t).orderBy("version").collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(Snapshots.partitionsTable(spark, t).head.getAs[Long]("file_count") == 3L)
+  }
+
+  test("facade: table$snapshots/$files/$partitions rewrite; non-warehouse names reach the parser") {
+    val t = land()
+    val wh = Paths.get(t).getParent.toString
+    val viaSql = Engine.sqlWarehouse(spark, wh,
+      """SELECT s.version, s.n_files, p.record_count
+        |FROM nat$snapshots s JOIN nat$partitions p ON s.version = p.version
+        |ORDER BY s.version""".stripMargin).collect()
+    assert(viaSql.length == 1) // $partitions = latest snapshot only
+    assert(viaSql(0).getLong(1) == 3L)
+    val nFiles = Engine.sqlWarehouse(spark, wh,
+      "SELECT COUNT(*) AS n FROM nat$files WHERE version = 1").head.getLong(0)
+    assert(nFiles == 2L)
+    val ex = intercept[Exception] {
+      Engine.sqlWarehouse(spark, wh, "SELECT * FROM nosuch$files")
+    }
+    assert(ex.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException] ||
+      ex.isInstanceOf[org.apache.spark.sql.AnalysisException])
+  }
+}

@@ -124,4 +124,50 @@ class MorSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
       "MoR read shuffled the base side")
   }
+
+  test("position delete of ONE known row writes O(1) delete data and leaves the base untouched") {
+    val t = TempDirs.scratch("graft-mor-pos")
+    val li = Tables(spark, sf, "lineitem")
+    Mor.land(li, t)
+    val baseBefore = parquetFiles(s"$t/c=1")
+    val n0 = Mor.read(spark, t).count()
+    // delete one specific physical row (no key needed)
+    val v = li.select(col("l_orderkey"), col("l_linenumber")).head
+    val isVictim =
+      col("l_orderkey") === v.getLong(0) && col("l_linenumber") === v.getInt(1)
+    val nVictims = li.filter(isVictim).count() // tiny; not nec. 1 in testdata
+    assert(nVictims >= 1L && nVictims <= 4L)
+    Mor.deleteAt(spark, t, isVictim)
+    assert(Mor.read(spark, t).count() == n0 - nVictims)
+    assert(Mor.read(spark, t).filter(isVictim).count() == 0)
+    // base files byte-identical; the delete commit is tiny
+    assert(parquetFiles(s"$t/c=1") == baseBefore,
+      "position delete must not touch base data files")
+    // a 1-row delete costs parquet's per-file floor (~1 KB footer),
+    // constant — never ∝ the base
+    assert(Mor.commitBytes(t, 2L) * 10 < Mor.commitBytes(t, 1L),
+      s"pos-delete bytes not O(deleted): ${Mor.commitBytes(t, 2L)}")
+    // time travel still sees the deleted row(s)
+    assert(Mor.read(spark, t, 1L).filter(isVictim).count() == nVictims)
+  }
+
+  test("position + equality deletes stack; compaction bakes them in; posdelete after compact works") {
+    val t = TempDirs.scratch("graft-mor-pos2")
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_extendedprice"))
+    Mor.land(li, t)
+    Mor.deleteWhere(spark, t, col("l_returnflag") === "R", rowKey) // equality
+    Mor.deleteAt(spark, t, col("l_extendedprice") > 50000.0)       // position
+    val expect = li.filter(col("l_returnflag") =!= "R" &&
+      col("l_extendedprice") <= 50000.0).count()
+    assert(Mor.read(spark, t).count() == expect, "stacked delete kinds diverge")
+    val c = Mor.compact(spark, t)
+    assert(Mor.read(spark, t, c).count() == expect, "compaction changed the view")
+    // a position delete AFTER compaction binds to the compacted files
+    Mor.deleteAt(spark, t, col("l_orderkey") % 7 === 0)
+    val expect2 = li.filter(col("l_returnflag") =!= "R" &&
+      col("l_extendedprice") <= 50000.0 && col("l_orderkey") % 7 =!= 0).count()
+    assert(Mor.read(spark, t).count() == expect2)
+  }
 }

@@ -290,4 +290,104 @@ class PipelineRunnerSpec extends AnyFunSuite {
     assert(runs.head.mode == "full", "check-failed model must re-run on resume")
     assert(runner.readModel("m").count() == 1)
   }
+
+  test("lineage manifest reconstructs the DAG, per-model versions, and input snapshot versions") {
+    val runner = new Runner(spark, tmp())
+    runner.run(AnalyticsDag.models, sources(None))
+    val r2 = runner.run(AnalyticsDag.models, sources(None)) // incremental second run
+    val path = runner.lastLineagePath.get
+    val manifest = spark.read.option("multiLine", true).json(path)
+    assert(manifest.head.getAs[String]("run_id").nonEmpty)
+    import org.apache.spark.sql.Row
+    val models = manifest.select(explode(col("models")).as("m")).select("m.*")
+      .collect().map(r => r.getAs[String]("name") -> r).toMap
+    // DAG edges reconstruct: every declared dep appears as an input
+    AnalyticsDag.models.foreach { m =>
+      val ins = models(m.name).getAs[Seq[Row]]("inputs")
+        .map(_.getAs[String]("name")).toSet
+      assert(m.deps.toSet == ins, s"${m.name}: lineage inputs != declared deps")
+    }
+    // committed versions in the manifest match the report and the store
+    r2.foreach { mr =>
+      assert(models(mr.name).getAs[Long]("version") == mr.version,
+        s"${mr.name}: lineage version != run report")
+    }
+    // model-type inputs carry the exact upstream version read (run 2
+    // reads the upstreams' run-2 versions)
+    val martIns = models("user_order_summary").getAs[Seq[Row]]("inputs")
+      .map(r => r.getAs[String]("name") -> r).toMap
+    assert(martIns("stg_users").getAs[String]("type") == "model")
+    assert(martIns("stg_users").getAs[Long]("version")
+      == r2.find(_.name == "stg_users").get.version)
+  }
+
+  test("view materialization: zero storage, re-resolves upstream CURRENT state per read") {
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    val stg = Model("stg", Seq("src"), Materialization.Table,
+      (in, _) => in("src"))
+    val v = Model("v", Seq("stg"), Materialization.View,
+      (in, _) => in("stg").groupBy(col("k")).agg(sum(col("x")).as("sx")))
+    val src = Map("src" -> Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "x"))
+    val report = runner.run(Seq(stg, v), src)
+    assert(report.find(_.name == "v").get.mode == "view")
+    assert(report.find(_.name == "v").get.version == -1L)
+    // no warehouse object behind the view
+    assert(Snapshots.versions(runner.tableDir("v")).isEmpty)
+    assert(runner.readModel("v").orderBy("k").collect().map(_.getLong(1)).toSeq
+      == Seq(3L, 5L))
+    // a later ingest to stg is visible through the view with NO re-run
+    Snapshots.commit(
+      runner.readModel("stg").unionAll(Seq(("b", 10L)).toDF("k", "x")),
+      runner.tableDir("stg"))
+    assert(runner.readModel("v").orderBy("k").collect().map(_.getLong(1)).toSeq
+      == Seq(3L, 15L), "view must reflect upstream current state")
+    // views have no versions to time-travel
+    intercept[IllegalArgumentException](runner.readModel("v", 1L))
+  }
+
+  test("ephemeral materialization: inlined into consumers, not readable, not directly runnable surface") {
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    val stg = Model("stg", Seq("src"), Materialization.Table,
+      (in, _) => in("src"))
+    val eph = Model("eph", Seq("stg"), Materialization.Ephemeral,
+      (in, _) => in("stg").withColumn("x2", col("x") * 2))
+    val mart = Model("mart", Seq("eph"), Materialization.Table,
+      (in, _) => in("eph").groupBy(col("k")).agg(sum(col("x2")).as("sx2")))
+    val src = Map("src" -> Seq(("a", 1L), ("b", 3L)).toDF("k", "x"))
+    val report = runner.run(Seq(stg, eph, mart), src)
+    assert(report.find(_.name == "eph").get.mode == "ephemeral")
+    assert(Snapshots.versions(runner.tableDir("eph")).isEmpty,
+      "ephemeral must write nothing")
+    assert(runner.readModel("mart").orderBy("k").collect().map(_.getLong(1)).toSeq
+      == Seq(2L, 6L))
+    intercept[IllegalStateException](runner.readModel("eph"))
+  }
+
+  test("--select reaches ephemeral ancestors via +; checks run on the composed plan") {
+    import graft.pipeline.Checks
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    val stg = Model("stg", Seq("src"), Materialization.Table,
+      (in, _) => in("src"))
+    val eph = Model("eph", Seq("stg"), Materialization.Ephemeral,
+      (in, _) => in("stg").filter(col("x") > 0),
+      checks = Seq(Checks.NotNull("k")))
+    val mart = Model("mart", Seq("eph"), Materialization.Table,
+      (in, _) => in("eph"))
+    val src = Map("src" -> Seq(("a", 1L), ("b", -1L)).toDF("k", "x"))
+    // select the mart with ancestors: the ephemeral definition comes
+    // along (dbt parity — a consumer cannot compile without it)
+    val picked = Runner.select(Seq(stg, eph, mart), Seq("+mart"))
+    assert(picked.map(_.name).toSet == Set("stg", "eph", "mart"))
+    val report = runner.run(picked, src)
+    assert(report.map(_.name) == Seq("stg", "eph", "mart"))
+    assert(runner.readModel("mart").count() == 1)
+    // composed-plan checks abort on violation
+    val badEph = Model("eph2", Seq("stg"), Materialization.Ephemeral,
+      (in, _) => in("stg").withColumn("k", lit(null: String)),
+      checks = Seq(Checks.NotNull("k")))
+    intercept[IllegalArgumentException](runner.run(Seq(badEph), src))
+  }
 }

@@ -69,6 +69,8 @@ class SqlParitySpec extends AnyFunSuite {
     // Spark's VARCHAR needs a length; NULL column typed as STRING
     "q85_snapshot_history" -> (_.replace(
       "CAST(NULL AS VARCHAR)", "CAST(NULL AS STRING)")),
+    "q89_metadata_tables" -> (_.replace(
+      "CAST(NULL AS VARCHAR)", "CAST(NULL AS STRING)")),
     // DuckDB's expression INTERVAL → Spark's add_months; the facade
     // reads parquet timestamps as NTZ, which unix_millis rejects
     "q86_temporal_join" -> (sql => sql
