@@ -37,7 +37,9 @@ object PlanAudit {
                   "p18_corpus_pipeline", "q84_rollback", "q85_snapshot_history",
                   "a10_sketch_rollup", "m07_media_align", "d15_cdc_chunks",
                   "q86_temporal_join", "q87_write_constraints",
-                  "p19_dataset_card", "st19_observed_metrics", "q88_graph_rank")) {
+                  "p19_dataset_card", "st19_observed_metrics", "q88_graph_rank",
+                  "p20_view_models", "q89_metadata_tables", "q90_branch_wap",
+                  "q91_pos_delete", "st20_avro_cdc")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

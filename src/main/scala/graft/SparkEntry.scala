@@ -18,7 +18,7 @@ object SparkEntry {
     Relational.queries ++ Advanced.queries ++ TpchSuite.queries ++
       Merge.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Pipeline.queries ++
-      Approx.queries ++ EventStream.queries ++
+      Approx.queries ++ EventStream.queries ++ graft.streaming.AvroCdc.queries ++
       graft.pipeline.AnalyticsDag.queries ++ Warehouse.queries ++
       graft.pipeline.Checks.queries ++ RangeJoin.queries ++
       graft.pipeline.CorpusDag.queries
@@ -30,7 +30,7 @@ object SparkEntry {
     Relational.oracles ++ Advanced.oracles ++ TpchSuite.oracles ++
       Merge.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
-      Approx.oracles ++ EventStream.oracles ++
+      Approx.oracles ++ EventStream.oracles ++ graft.streaming.AvroCdc.oracles ++
       graft.pipeline.AnalyticsDag.oracles ++ Warehouse.oracles ++
       graft.pipeline.Checks.oracles ++ RangeJoin.oracles ++
       graft.pipeline.CorpusDag.oracles

@@ -168,6 +168,35 @@ object Mor {
   private val PosFile = "__graft_file"
   private val PosIdx = "__graft_pos"
 
+  /** Row-level UPDATE without rewriting any data file — what position
+    * deletes exist FOR (Iceberg v2 MoR update path): one pass resolves
+    * `cond` to the matched rows WITH their physical addresses, then
+    * (1) a position-delete commit retires the old versions and (2) a
+    * data commit appends the updated ones (`set` maps column →
+    * replacement expression over the old row). The matched set is
+    * materialized once (localCheckpoint) so both commits derive from
+    * the same rows. Sequence rule keeps it sound: the delete precedes
+    * the append, so it can never retire the new versions. Cost ∝ rows
+    * updated. Returns (posDeleteCommit, dataCommit).
+    */
+  def updateWhere(spark: SparkSession, tableDir: String, cond: Column,
+      set: Map[String, Column]): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val matched = readWithPos(spark, tableDir).filter(cond).localCheckpoint(true)
+    try {
+      val del = commit(
+        matched.select(col(PosFile).as("file"), col(PosIdx).as("pos")).distinct(),
+        tableDir, "posdelete")
+      val updated = set.foldLeft(matched.drop(PosFile, PosIdx)) {
+        case (acc, (c, e)) => acc.withColumn(c, e)
+      }
+      val add = commit(updated, tableDir, "data")
+      (del, add)
+    } finally {
+      try matched.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+  }
+
   /** The merged view carrying each row's physical address columns
     * ([[PosFile]], [[PosIdx]]) — [[deleteAt]]'s resolve pass.
     */

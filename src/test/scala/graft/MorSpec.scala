@@ -170,4 +170,37 @@ class MorSpec extends AnyFunSuite {
       col("l_extendedprice") <= 50000.0 && col("l_orderkey") % 7 =!= 0).count()
     assert(Mor.read(spark, t).count() == expect2)
   }
+
+  test("updateWhere: compaction-free row update — delete+append pair, base untouched, history intact") {
+    val t = TempDirs.scratch("graft-mor-upd")
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+    Mor.land(li, t)
+    val baseBefore = parquetFiles(s"$t/c=1")
+    val n0 = Mor.read(spark, t).count()
+    val nMatched = li.filter(col("l_returnflag") === "A").count()
+    // reprice every 'A' row by +10%
+    val (del, add) = Mor.updateWhere(spark, t,
+      col("l_returnflag") === "A",
+      Map("l_extendedprice" -> (col("l_extendedprice") * 1.1)))
+    assert(del == 2L && add == 3L)
+    val now = Mor.read(spark, t)
+    assert(now.count() == n0, "update must not change row count")
+    // every A row repriced: exact double compare (x*1.1 both sides)
+    val expectSum = li.filter(col("l_returnflag") === "A")
+      .select(sum(col("l_extendedprice") * 1.1)).head.getDouble(0)
+    val gotSum = now.filter(col("l_returnflag") === "A")
+      .select(sum(col("l_extendedprice"))).head.getDouble(0)
+    assert(math.abs(expectSum - gotSum) < 1e-6 * math.abs(expectSum))
+    // base untouched; both commits cost ∝ matched rows, not the table
+    assert(parquetFiles(s"$t/c=1") == baseBefore)
+    assert(nMatched < n0, "test needs a proper subset")
+    // v1 still reads the original prices
+    val oldSum = Mor.read(spark, t, 1L).filter(col("l_returnflag") === "A")
+      .select(sum(col("l_extendedprice"))).head.getDouble(0)
+    val rawSum = li.filter(col("l_returnflag") === "A")
+      .select(sum(col("l_extendedprice"))).head.getDouble(0)
+    assert(oldSum == rawSum, "time travel must see pre-update values")
+  }
 }

@@ -366,7 +366,7 @@ class SnapshotsSpec extends AnyFunSuite {
     // rollback shows up as a tagged forward version
     Snapshots.rollback(dir, 1L)
     val h2 = Snapshots.history(spark, dir).orderBy("version").collect()
-    assert(h2.length == 3 && h2(2).getString(1) == "rollback-of-v1")
+    assert(h2.length == 3 && h2(2).getString(1) == "rollback-of-v1-as-v3")
     // expiry shrinks history to the surviving versions
     Snapshots.expireSnapshots(dir, keep = 1)
     assert(Snapshots.history(spark, dir).collect()
