@@ -364,6 +364,89 @@ object Similarity {
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY sim DESC, cell_id) AS rn FROM s2) WHERE rn = 1)""".stripMargin
 
+  /** Build the STORED IVF index at `idxDir`: postings = the final
+    * k-means assignments written PARTITIONED BY cell (one directory
+    * per cell — the physical layout that makes serving a
+    * partition-pruned read), centroids = decimal-exact per-cell means
+    * of the stored postings, committed as a versioned snapshot (the
+    * index is itself time-travelable metadata). Build cost = the
+    * k-means passes + one clustered write; it runs ONCE per corpus
+    * version, amortized over every query batch after.
+    */
+  private[graft] def buildAnnIndex(spark: SparkSession, dir: String,
+      idxDir: String): Unit = {
+    val a = kmeansAssignments(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    a.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$idxDir/postings")
+    val stored = spark.read.parquet(s"$idxDir/postings")
+    val cents = stored.select(col("cell_id"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+      .groupBy(col("cell_id"), col("i"))
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(27, 10)))
+        .cast("double") / count(lit(1))).as("cx"))
+      .groupBy(col("cell_id"))
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
+      .select(col("cell_id"),
+        expr("transform(pairs, p -> CAST(p.cx AS FLOAT))").as("centroid"))
+    graft.sources.Snapshots.commit(cents, s"$idxDir/centroids")
+  }
+
+  /** Serve a query batch from the STORED index only: broadcast the
+    * committed centroids, probe `nprobe` cells per query, and read
+    * JUST the probed posting partitions (the `isin` on the partition
+    * column plans as partition pruning — SimilaritySpec pins
+    * PartitionCount == probed cells). The raw embeddings table is
+    * never touched for corpus vectors.
+    */
+  private[graft] def annServe(spark: SparkSession, idxDir: String,
+      queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    val cents = graft.sources.Snapshots.read(spark, s"$idxDir/centroids")
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("psim", GraftFunctions.cosineSim(col("qe"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cell_id"))))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("qid"), col("qe"), col("cell_id"))
+    // bounded driver list: |queries| × nprobe cell ids — the probe set
+    val cells = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val postings = spark.read.parquet(s"$idxDir/postings")
+      .filter(col("cell_id").isin(cells.map(c => c: Any): _*))
+    val hits = postings.join(broadcast(probes),
+        postings("cell_id") === probes("cell_id") && col("vec_id") =!= col("qid"))
+      .withColumn("sim", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .select(col("qid"), col("vec_id").as("cid"),
+        postings("cell_id").as("cell_id"), col("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    hits.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("cid"), col("cell_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** s13: STORED ANN INDEX — build once, serve many (a10's
+    * stored-sketch pattern for vectors): [[buildAnnIndex]] lands the
+    * k-means postings clustered by cell + versioned centroids;
+    * [[annServe]] answers a query batch from the store alone —
+    * broadcast centroid probe (nprobe=2), PARTITION-PRUNED posting
+    * read, exact in-cell cosine top-5. At 100 TB the serve cost is
+    * centroid-broadcast + the probed cells' bytes, independent of
+    * corpus size — the separation (expensive clustered build,
+    * metadata-pruned serves) is what production vector stores sell.
+    * Every stage deterministic; the oracle rebuilds index + probe +
+    * serve in SQL.
+    */
+  def s13AnnServe(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val idxDir = graft.TempDirs.scratch("graft-ann-index")
+    buildAnnIndex(spark, dir, idxDir)
+    val q = emb(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    annServe(spark, idxDir, q, nprobe = 2, topK = 5)
+  }
+
   /** s08: TRUE k-means coarse quantization — the real IVF index build
     * that s03's per-label cells stand in for. Deterministic
     * end-to-end: init = the K vectors with smallest md5(vec_id) (a
@@ -600,6 +683,7 @@ object Similarity {
     "s07_ann_multiprobe_topk" -> (s07AnnMultiprobeTopk _),
     "s08_ann_kmeans" -> (s08AnnKmeans _),
     "s12_knn_graph" -> (s12KnnGraph _),
+    "s13_ann_serve" -> (s13AnnServe _),
     "s04_tfidf_search" -> (s04TfidfSearch _),
     "s05_vector_stats" -> (s05VectorStats _),
     "s09_ann_recall" -> (s09AnnRecall _),
@@ -761,6 +845,43 @@ object Similarity {
          |SELECT cell_id, COUNT(*) AS n_vectors,
          |  CAST(SUM(CAST(round(sim, 6) AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_sim
          |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s13: the whole index lifecycle rebuilt in SQL — final-assignment
+    // centroids (decimal-exact means cast FLOAT), nprobe=2 probe,
+    // in-probed-cell exact top-5; bit-level check of build AND serve
+    "s13_ann_serve" ->
+      s"""WITH $kmeansSqlCtes,
+         |flat2 AS (
+         |  SELECT cell_id, i, a2.embedding[i]::DOUBLE AS x
+         |  FROM a2 CROSS JOIN range(1, 65) t(i)),
+         |cm2 AS (
+         |  SELECT cell_id, i,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
+         |  FROM flat2 GROUP BY 1, 2),
+         |cent2 AS (
+         |  SELECT cell_id,
+         |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid
+         |  FROM cm2 GROUP BY cell_id),
+         |probes AS (
+         |  SELECT qid, cell_id FROM (
+         |    SELECT q.vec_id AS qid, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${cosSql("q.embedding", "c.centroid")} DESC, c.cell_id)
+         |        AS probe_rank
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |    CROSS JOIN cent2 c) WHERE probe_rank <= 2),
+         |hits AS (
+         |  SELECT p.qid, d.vec_id AS cid, d.cell_id,
+         |    ${cosSql("q.embedding", "d.embedding")} AS sim
+         |  FROM probes p
+         |  JOIN embeddings q ON q.vec_id = p.qid
+         |  JOIN a2 d ON d.cell_id = p.cell_id AND d.vec_id <> p.qid),
+         |served AS (
+         |  SELECT qid, cid, cell_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+         |  FROM hits)
+         |SELECT qid, rnk, cid, cell_id, round(sim, 6) AS sim_r
+         |FROM served WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
     // s12: the same cells, the same in-cell all-pairs ranking — edge
     // list equality is a full bit-level check of the graph build
     "s12_knn_graph" ->

@@ -100,7 +100,8 @@ final case class Model(
     deps: Seq[String],
     materialization: Materialization,
     build: (Map[String, DataFrame], Option[DataFrame]) => DataFrame,
-    checks: Seq[Checks.Check] = Nil)
+    checks: Seq[Checks.Check] = Nil,
+    tags: Set[String] = Set.empty)
 
 object Model {
   /** A seed node: no deps, no build — materializes straight from its
@@ -131,13 +132,17 @@ object Runner {
   /** dbt node selection (`--select`, which the reference's operator
     * forwards verbatim — dag/operators/dbt_spark_operator.py:153):
     * `name` picks one model, `+name` adds its ancestors, `name+` its
-    * descendants, `+name+` both; several selectors union. Returns the
-    * selected sub-DAG in the input order. Running a selection whose
-    * upstream is NOT included still works when that upstream is
-    * already materialized — [[Runner.run]]'s partial-run semantic
-    * reads the stored `ref()`.
+    * descendants, `+name+` both; `tag:x` picks every model tagged
+    * `x` (graph prefixes/suffixes compose: `+tag:x`); several
+    * selectors union, and `exclude` selectors (dbt `--exclude`, same
+    * grammar) subtract from the result. Returns the selected sub-DAG
+    * in the input order. Running a selection whose upstream is NOT
+    * included still works when that upstream is already materialized
+    * — [[Runner.run]]'s partial-run semantic reads the stored
+    * `ref()`.
     */
-  def select(models: Seq[Model], selectors: Seq[String]): Seq[Model] = {
+  def select(models: Seq[Model], selectors: Seq[String],
+      exclude: Seq[String] = Nil): Seq[Model] = {
     val byName = models.map(m => m.name -> m).toMap
     val children: Map[String, Seq[String]] = models
       .flatMap(m => m.deps.filter(byName.contains).map(_ -> m.name))
@@ -151,16 +156,27 @@ object Runner {
       }
       seen.toSet
     }
-    val picked = selectors.flatMap { sel =>
+    def resolve(sel: String): Set[String] = {
       val up = sel.startsWith("+")
       val down = sel.endsWith("+")
-      val name = sel.stripPrefix("+").stripSuffix("+")
-      require(byName.contains(name), s"--select: unknown model '$name'")
-      var s = Set(name)
-      if (up) s ++= walk(name, n => byName(n).deps.filter(byName.contains))
-      if (down) s ++= walk(name, n => children.getOrElse(n, Nil))
-      s
-    }.toSet
+      val body = sel.stripPrefix("+").stripSuffix("+")
+      val roots: Set[String] =
+        if (body.startsWith("tag:")) {
+          val t = body.stripPrefix("tag:")
+          models.filter(_.tags(t)).map(_.name).toSet
+        } else {
+          require(byName.contains(body), s"--select: unknown model '$body'")
+          Set(body)
+        }
+      roots.flatMap { name =>
+        var s = Set(name)
+        if (up) s ++= walk(name, n => byName(n).deps.filter(byName.contains))
+        if (down) s ++= walk(name, n => children.getOrElse(n, Nil))
+        s
+      }
+    }
+    val picked = selectors.flatMap(resolve).toSet --
+      exclude.flatMap(resolve).toSet
     models.filter(m => picked(m.name))
   }
 }

@@ -952,7 +952,50 @@ object Warehouse {
       .orderBy(col("view"))
   }
 
+  /** q92: MANIFEST-PRUNED snapshot scan — Iceberg's scan planning
+    * against per-file column bounds, on the VERSIONED store
+    * ([[graft.sources.Snapshots.writeColStats]]/`readPruned`): the
+    * landing records each data file's (min, max) on the key, and a
+    * range query then opens ONLY the overlapping files (planning cost
+    * = the sidecar read; at 100 TB a selective predicate reads the
+    * hit files, not the table). The landing here is a single-task
+    * sorted 8-chunk write (`maxRecordsPerFile = ceil(n/8)`) purely so
+    * every file's key range — and therefore the PINNED
+    * `n_files_read` cell — is oracle-derivable; the scale layout is
+    * the same stats over `repartitionByRange(k)` output. Bounds are
+    * lo = n/8+10, hi = n/3, sf-relative so the gate prunes at every
+    * scale. Oracle restates the rollup AND the exact file count from
+    * the sorted-chunk arithmetic.
+    */
+  def q92ManifestPruning(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val t = s"${tempDir("graft-prune")}/orders_s"
+    val src = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val n = src.count()
+    val chunk = (n + 7) / 8
+    // deterministic sorted chunk layout: one task emits the sorted
+    // stream, the writer rolls a new file every `chunk` rows
+    val s2 = org.apache.spark.sql.GraftShims.cloneWithConf(spark,
+      "spark.sql.files.maxRecordsPerFile" -> chunk.toString)
+    val sorted = org.apache.spark.sql.GraftShims.reRoot(s2,
+      src.repartitionByRange(1, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")))
+    Snapshots.commit(sorted, t)
+    val (lo, hi) = (n / 8 + 10, n / 3)
+    val (pruned, kept, total) = Snapshots.readPruned(spark, t, "o_orderkey", lo, hi)
+    pruned.agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("revenue"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .withColumn("n_files_read", lit(kept.toLong))
+      .withColumn("n_files_total", lit(total.toLong))
+      .withColumn("pruned", lit(kept < total))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
     "q90_branch_wap" -> (q90BranchWap _),
     "q89_metadata_tables" -> (q89MetadataTables _),
@@ -980,6 +1023,29 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q92: the rollup AND the file count restated — file k of the
+    // sorted chunk layout holds sorted rows [k*chunk, (k+1)*chunk),
+    // so files read = distinct (rank-1)//chunk over matching rows
+    "q92_manifest_pruning" ->
+      """WITH p AS (
+        |  SELECT COUNT(*) // 8 + 10 AS lo, COUNT(*) // 3 AS hi,
+        |    CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS chunk
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rnk
+        |  FROM orders),
+        |m AS (
+        |  SELECT r.o_orderkey, r.o_totalprice, r.rnk, p.chunk
+        |  FROM ranked r, p WHERE r.o_orderkey BETWEEN p.lo AND p.hi)
+        |SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  MIN(o_orderkey) AS min_key,
+        |  MAX(o_orderkey) AS max_key,
+        |  COUNT(DISTINCT rnk // chunk) AS n_files_read,
+        |  CAST(8 AS BIGINT) AS n_files_total,
+        |  TRUE AS pruned
+        |FROM m""".stripMargin,
     // q91: the three versions restate as predicate slices of lineitem
     // (a position delete of rows matching P == the view minus P)
     "q91_pos_delete" ->

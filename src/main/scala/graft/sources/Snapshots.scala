@@ -666,6 +666,66 @@ object Snapshots {
       .getBytes(StandardCharsets.UTF_8))
   }
 
+  private def colStatsPath(tableDir: String, v: Long) =
+    Paths.get(tableDir, s"v=$v", "_colstats.tsv")
+
+  /** Land per-file COLUMN BOUNDS for version `v` (idempotent): one
+    * `file \t col \t min \t max` line per (data file, column) — the
+    * column-stats half of Iceberg's manifest entries, next to
+    * [[writeFileStats]]'s row counts. One distributed aggregate,
+    * #files×#cols output rows. Integral columns only (bounds stored
+    * as longs) — the pruning predicate shape [[readPruned]] serves.
+    */
+  def writeColStats(spark: SparkSession, tableDir: String, v: Long,
+      cols: Seq[String]): Unit = {
+    val p = colStatsPath(tableDir, v)
+    if (Files.exists(p)) return
+    val dir = Paths.get(tableDir, s"v=$v")
+    val df = spark.read.parquet(dir.toString)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")).as(s"__min_$c"),
+        max(col(c).cast("long")).as(s"__max_$c")))
+    val rows = df.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // #files rows — manifest-sized
+      .flatMap { r =>
+        val name = r.getString(0).split('/').last
+        cols.map(c =>
+          s"$name\t$c\t${r.getAs[Long](s"__min_$c")}\t${r.getAs[Long](s"__max_$c")}")
+      }
+    Files.write(p, rows.sorted.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Version-pinned MANIFEST-PRUNED scan: keep only the data files of
+    * `version` whose [lo, hi] stats window on `colName` intersects
+    * [lo, hi] (Iceberg's scan planning against manifest column
+    * bounds), read just those, and apply the exact residual
+    * predicate. Planning cost = the sidecar read — #files lines, no
+    * data file opened to DECIDE; a 100 TB table with a selective
+    * range predicate reads the overlapping files only. Returns
+    * (pruned DataFrame, files kept, files total).
+    */
+  def readPruned(spark: SparkSession, tableDir: String, colName: String,
+      lo: Long, hi: Long, version: Long = -1L): (DataFrame, Int, Int) = {
+    val v = if (version < 0) versions(tableDir).last else version
+    writeColStats(spark, tableDir, v, Seq(colName))
+    val entries = Files.readAllLines(colStatsPath(tableDir, v),
+        StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).map(_.split('\t'))
+      .filter(_(1) == colName)
+    val total = entries.size
+    val kept = entries
+      .filter(e => e(3).toLong >= lo && e(2).toLong <= hi)
+      .map(e => s"$tableDir/v=$v/${e(0)}")
+    val df =
+      if (kept.isEmpty) // nothing overlaps: empty result, schema only
+        read(spark, tableDir, v).filter(lit(false))
+      else spark.read.parquet(kept.toSeq: _*)
+        .filter(col(colName) >= lo && col(colName) <= hi)
+    (df, kept.size, total)
+  }
+
   /** `$snapshots` — one row per live version: (version, parent_version,
     * committed_at_ms, tag, n_files, n_bytes). Manifest + ledgers +
     * listing only; parent = the previous live version (our store's

@@ -72,6 +72,29 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(Snapshots.partitionsTable(spark, t).head.getAs[Long]("file_count") == 3L)
   }
 
+  test("readPruned opens only stat-overlapping files; pruned == full-scan filter; empty overlap is empty") {
+    val t = java.nio.file.Files.createTempDirectory("graft-prune-spec")
+      .toString + "/cust"
+    val base = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    // 4 range-disjoint files
+    Snapshots.commit(
+      base.repartitionByRange(4, col("c_custkey"))
+        .sortWithinPartitions(col("c_custkey")), t)
+    val full = base.filter(col("c_custkey") >= 10 && col("c_custkey") <= 60)
+      .orderBy("c_custkey").collect()
+    val (pruned, kept, total) =
+      Snapshots.readPruned(spark, t, "c_custkey", 10L, 60L)
+    assert(total == 4)
+    assert(kept < total, s"no pruning happened ($kept of $total)")
+    assert(pruned.orderBy("c_custkey").collect().sameElements(full),
+      "pruned scan diverges from the full-scan filter")
+    // a window past the key space keeps nothing and returns empty
+    val (none, kept0, _) =
+      Snapshots.readPruned(spark, t, "c_custkey", 10000000L, 20000000L)
+    assert(kept0 == 0 && none.count() == 0)
+  }
+
   test("facade: table$snapshots/$files/$partitions rewrite; non-warehouse names reach the parser") {
     val t = land()
     val wh = Paths.get(t).getParent.toString

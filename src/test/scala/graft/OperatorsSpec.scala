@@ -325,6 +325,53 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("s13 served ANN reads ONLY the probed posting partitions; answers == in-cell exact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val idxDir = TempDirs.scratch("graft-ann-idx-spec")
+    graft.operators.Similarity.buildAnnIndex(spark, sf, idxDir)
+    val nCells = spark.read.parquet(s"$idxDir/postings")
+      .select("cell_id").distinct().count()
+    assert(nCells > 2, "index too coarse to prove pruning")
+    // a single query probing ONE cell must scan exactly one partition
+    val q1 = Tables(spark, sf, "embeddings").filter(col("vec_id") === 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val served = graft.operators.Similarity.annServe(spark, idxDir, q1,
+      nprobe = 1, topK = 5)
+    val rows = served.collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Int]("cell_id")).distinct.length == 1,
+      "nprobe=1 must serve from one cell")
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val postingScans = scans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postingScans.nonEmpty, "no posting scan found in the serve plan")
+    postingScans.foreach { s =>
+      assert(s.metadata.get("PartitionFilters").exists(_.contains("cell_id")),
+        "posting scan not partition-filtered")
+      val selected = s.selectedPartitions.partitionCount
+      assert(selected == 1,
+        s"nprobe=1 serve read $selected posting partitions (of $nCells)")
+    }
+    // served top-5 == exact top-5 computed inside that cell
+    val cell = rows.head.getAs[Int]("cell_id")
+    val postings = spark.read.parquet(s"$idxDir/postings")
+      .filter(col("cell_id") === cell && col("vec_id") =!= 3)
+    graft.functions.GraftFunctions.register(spark)
+    val exact = postings.crossJoin(broadcast(q1))
+      .withColumn("sim", graft.functions.GraftFunctions
+        .cosineSim(col("qe"), col("embedding")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5).select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq == exact,
+      "served ranking != exact in-cell ranking")
+  }
+
   test("a10 stored-sketch rollup == direct region sketch (KMV mergeability), envelope holds") {
     import graft.functions.GraftFunctions
     import graft.functions.GraftFunctions.kMinValues

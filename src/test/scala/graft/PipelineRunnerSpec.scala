@@ -321,6 +321,33 @@ class PipelineRunnerSpec extends AnyFunSuite {
       == r2.find(_.name == "stg_users").get.version)
   }
 
+  test("tag: selectors and --exclude compose with graph operators") {
+    import spark.implicits._
+    def m(name: String, deps: Seq[String], tag: String*) =
+      Model(name, deps, Materialization.Table,
+        (in, _) => in.values.headOption.getOrElse(Seq(1).toDF("x")),
+        tags = tag.toSet)
+    val dag = Seq(
+      m("stg_a", Seq("src"), "staging"),
+      m("stg_b", Seq("src"), "staging", "nightly"),
+      m("mart_a", Seq("stg_a"), "mart"),
+      m("mart_b", Seq("stg_b"), "mart", "nightly"))
+    // tag picks by tag, not name
+    assert(Runner.select(dag, Seq("tag:nightly")).map(_.name)
+      == Seq("stg_b", "mart_b"))
+    // graph prefix composes with tag roots: +tag:mart pulls ancestors
+    assert(Runner.select(dag, Seq("+tag:mart")).map(_.name)
+      == Seq("stg_a", "stg_b", "mart_a", "mart_b"))
+    // --exclude subtracts its own selection (incl. graph operators)
+    assert(Runner.select(dag, Seq("+tag:mart"), exclude = Seq("tag:nightly"))
+      .map(_.name) == Seq("stg_a", "mart_a"))
+    assert(Runner.select(dag, Seq("tag:staging"), exclude = Seq("stg_b+"))
+      .map(_.name) == Seq("stg_a"))
+    // unknown tag selects nothing; unknown NAME still fails fast
+    assert(Runner.select(dag, Seq("tag:nosuch")).isEmpty)
+    intercept[IllegalArgumentException](Runner.select(dag, Seq("nosuch")))
+  }
+
   test("view materialization: zero storage, re-resolves upstream CURRENT state per read") {
     import spark.implicits._
     val runner = new Runner(spark, tmp())

@@ -71,6 +71,8 @@ class SqlParitySpec extends AnyFunSuite {
       "CAST(NULL AS VARCHAR)", "CAST(NULL AS STRING)")),
     "q89_metadata_tables" -> (_.replace(
       "CAST(NULL AS VARCHAR)", "CAST(NULL AS STRING)")),
+    // DuckDB's `//` integer division → Spark's `div`
+    "q92_manifest_pruning" -> (_.replace(" // ", " div ")),
     // DuckDB's expression INTERVAL → Spark's add_months; the facade
     // reads parquet timestamps as NTZ, which unix_millis rejects
     "q86_temporal_join" -> (sql => sql
