@@ -40,7 +40,7 @@ object PlanAudit {
                   "p19_dataset_card", "st19_observed_metrics", "q88_graph_rank",
                   "p20_view_models", "q89_metadata_tables", "q90_branch_wap",
                   "q91_pos_delete", "st20_avro_cdc", "s13_ann_serve",
-                  "q92_manifest_pruning")) {
+                  "q92_manifest_pruning", "p21_curriculum")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

@@ -463,6 +463,41 @@ object Pipeline {
       .limit(k)
   }
 
+  /** p21: CURRICULUM SCHEDULE — order the corpus easy→hard and cut it
+    * into equal-count training phases (curriculum learning, Bengio et
+    * al. 2009 — the standard pretraining trick of warming up on
+    * simpler text). Difficulty here is the cheap, deterministic
+    * mean-word-length proxy in scaled integers (`n_chars·1000 div
+    * n_tokens` — longer words ≈ harder text; any scorer with a total
+    * order slots in), the global order comes from
+    * [[graft.operators.Rank.globalRowNumber]] (never a
+    * single-partition window), and phase = `(rn−1)·3 div n` — exact
+    * equal-count thirds, no NTILE edge-rule ambiguity. Output: per
+    * phase, the doc/token volume and the difficulty bounds — proving
+    * the schedule partitions the corpus into contiguous,
+    * monotonically harder slices. At 100 TB: one scan for the score,
+    * one range shuffle for the order, one keyed aggregate.
+    */
+  def p21Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .withColumn("n_tokens",
+        size(expr(graft.functions.TextGrams.tokensExpr("text"))).cast("long"))
+      .withColumn("difficulty", expr("n_chars * 1000 div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("difficulty"))
+    val n = scored.count()
+    val ranked = graft.operators.Rank.globalRowNumber(
+      scored, Seq(col("difficulty"), col("doc_id")), "rn")
+    ranked
+      .withColumn("phase", expr(s"(rn - 1) * 3 div $n"))
+      .groupBy(col("phase"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("phase_tokens"),
+        min(col("difficulty")).as("min_difficulty"),
+        max(col("difficulty")).as("max_difficulty"))
+      .orderBy(col("phase"))
+  }
+
   /** p19: DATASET CARD — the per-split datasheet ("Datasheets for
     * Datasets", Gebru et al.) every released training corpus ships:
     * for each of p02's deterministic train/val/test splits, the
@@ -501,6 +536,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_curriculum" -> (p21Curriculum _),
     "p19_dataset_card" -> (p19DatasetCard _),
     "p17_weighted_sample" -> (p17WeightedSample _),
     "p12_chunk_documents" -> (p12ChunkDocuments _),
@@ -524,6 +560,28 @@ object Pipeline {
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    // p21: the same integer difficulty, the same total order, the
+    // same equal-count thirds — phase boundaries restated exactly
+    "p21_curriculum" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(${graft.functions.TextGrams.tokensSql("text")}) AS BIGINT)
+         |      AS n_tokens,
+         |    n_chars FROM documents),
+         |d AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(n_chars * 1000 // n_tokens AS BIGINT) AS difficulty
+         |  FROM scored),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) AS rn,
+         |    (SELECT COUNT(*) FROM d) AS n
+         |  FROM d)
+         |SELECT CAST((rn - 1) * 3 // n AS BIGINT) AS phase,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+         |  MIN(difficulty) AS min_difficulty,
+         |  MAX(difficulty) AS max_difficulty
+         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     // p19: every card number restated in SQL over the same p02 split
     "p19_dataset_card" ->
       """WITH d AS (

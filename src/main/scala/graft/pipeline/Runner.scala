@@ -200,12 +200,21 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
 
   /** Compose a view/ephemeral definition over its deps' CURRENT state
     * (stored snapshot for materialized deps, recursive composition for
-    * logical ones, registered raw source otherwise).
+    * logical ones, registered raw source otherwise). `resolving`
+    * guards against definition cycles ACROSS runs — run()'s topo sort
+    * only sees the models of one run, but the registry persists, so a
+    * later run can close a loop through an older view definition;
+    * that must fail loudly, not stack-overflow.
     */
-  private def resolveLogical(m: Model): DataFrame = {
+  private def resolveLogical(m: Model,
+      resolving: Set[String] = Set.empty): DataFrame = {
+    require(!resolving(m.name),
+      s"view/ephemeral definition cycle through '${m.name}' " +
+        s"(resolving: ${resolving.toSeq.sorted.mkString(" -> ")})")
     val inputs = m.deps.map { d =>
       d -> (registered.get(d) match {
-        case Some(dm) if isLogical(dm) => resolveLogical(dm)
+        case Some(dm) if isLogical(dm) =>
+          resolveLogical(dm, resolving + m.name)
         case _ =>
           if (Snapshots.versions(tableDir(d)).nonEmpty)
             Snapshots.read(spark, tableDir(d))

@@ -245,6 +245,16 @@ object Mor {
     import org.apache.spark.sql.functions.col
     val all = commits(tableDir)
     require(all.nonEmpty, s"no commits at $tableDir")
+    // the hidden address columns ride the merge when position deletes
+    // are in play — a user column of the same name would be silently
+    // shadowed, so refuse it at the door
+    if (all.exists(_.kind == "posdelete") || withPos) {
+      val cols = spark.read.parquet(
+        s"$tableDir/c=${all.find(c => !isDelete(c.kind)).get.id}").columns.toSet
+      require(!cols.contains(PosFile) && !cols.contains(PosIdx),
+        s"table columns collide with MoR's reserved position columns " +
+          s"($PosFile, $PosIdx)")
+    }
     val upTo = if (version < 0) all else {
       require(all.exists(_.id == version), s"unknown version $version")
       all.takeWhile(_.id <= version)

@@ -321,6 +321,23 @@ class PipelineRunnerSpec extends AnyFunSuite {
       == r2.find(_.name == "stg_users").get.version)
   }
 
+  test("cross-run view-definition cycles fail loudly, not by stack overflow") {
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    val stg = Model("base", Seq("src"), Materialization.Table,
+      (in, _) => in("src"))
+    // run 1: view A over (not-yet-existing) view B is invalid alone,
+    // so set it up stepwise: A over base, then B over A, then
+    // re-register A over B — closing the loop through the registry
+    val a1 = Model("a", Seq("base"), Materialization.View, (in, _) => in("base"))
+    runner.run(Seq(stg, a1), Map("src" -> Seq(1).toDF("x")))
+    val b = Model("b", Seq("a"), Materialization.View, (in, _) => in("a"))
+    runner.run(Seq(b), Map.empty)
+    val a2 = Model("a", Seq("b"), Materialization.View, (in, _) => in("b"))
+    val ex = intercept[IllegalArgumentException](runner.run(Seq(a2), Map.empty))
+    assert(ex.getMessage.contains("cycle"), s"wrong failure: ${ex.getMessage}")
+  }
+
   test("tag: selectors and --exclude compose with graph operators") {
     import spark.implicits._
     def m(name: String, deps: Seq[String], tag: String*) =

@@ -164,4 +164,21 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getDouble(r.fieldIndex("dup_rate")) >= 0.0)
     }
   }
+
+  test("p21 curriculum phases partition the corpus into contiguous, monotonically harder slices") {
+    val phases = graft.operators.Pipeline.p21Curriculum(spark, sf).collect()
+    assert(phases.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val docs = Tables(spark, sf, "documents")
+    assert(phases.map(_.getLong(1)).sum == docs.count(),
+      "phases must partition the corpus")
+    // equal-count thirds (±1 doc)
+    val counts = phases.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1, s"unbalanced phases: ${counts.toSeq}")
+    // difficulty strictly non-overlapping and non-decreasing across phases
+    phases.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) <= b.getLong(3),
+        s"phase ${a.getLong(0)} max_difficulty ${a.getLong(4)} overlaps " +
+          s"phase ${b.getLong(0)} min ${b.getLong(3)}")
+    }
+  }
 }
