@@ -298,7 +298,11 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
     val body =
       s"""{"run_id": ${jstr(runId)}, "producer": "graft-runner",
          |"models": [${entries.mkString(",\n")}]}""".stripMargin
-    val p = dir.resolve(s"$runId.json")
+    // run ids are caller-supplied (resumeId): sanitize for the file
+    // name, keep the raw id inside the document
+    val safe = runId.map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c else '_')
+    val p = dir.resolve(s"$safe.json")
     java.nio.file.Files.writeString(p, body)
     lastLineagePath = Some(p.toString)
   }
@@ -322,7 +326,11 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
     }
     // register view/ephemeral definitions (and the raw sources they may
     // resolve against) BEFORE execution: a downstream model's inputs
-    // and any later readModel compose through the registry
+    // and any later readModel compose through the registry. A model
+    // re-declared as a MATERIALIZED kind drops its old logical
+    // registration (view→table migration must not leave a stale view
+    // shadowing the stored table).
+    registered --= models.filterNot(isLogical).map(_.name)
     registered ++= models.filter(isLogical).map(m => m.name -> m)
     registeredSources ++= sources
     // Kahn's topological sort; ready set drained in name order so the

@@ -180,20 +180,64 @@ object Mor {
     * updated. Returns (posDeleteCommit, dataCommit).
     */
   def updateWhere(spark: SparkSession, tableDir: String, cond: Column,
-      set: Map[String, Column]): (Long, Long) = {
+      set: Map[String, Column], tag: Option[String] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.col
+    // replay guard FIRST: an update is NOT idempotent by value (a
+    // second application transforms the already-updated rows), so a
+    // tagged replay must short-circuit before resolving anything
+    val already = replayedPair(tableDir, tag.map(_ + ":upd"))
+    if (already.isDefined) return already.get
     val matched = readWithPos(spark, tableDir).filter(cond).localCheckpoint(true)
     try {
-      val del = commit(
-        matched.select(col(PosFile).as("file"), col(PosIdx).as("pos")).distinct(),
-        tableDir, "posdelete")
+      val positions = matched
+        .select(col(PosFile).as("file"), col(PosIdx).as("pos")).distinct()
       val updated = set.foldLeft(matched.drop(PosFile, PosIdx)) {
         case (acc, (c, e)) => acc.withColumn(c, e)
       }
-      val add = commit(updated, tableDir, "data")
-      (del, add)
+      commitPair(positions, updated, tableDir, tag.map(_ + ":upd"))
     } finally {
       try matched.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+  }
+
+  /** ATOMIC delete+data pair: both directories land first, then BOTH
+    * ledger lines go in ONE locked append — a crash can leave orphan
+    * directories but never a half-applied update (the window
+    * [[upsert]]'s two independent commits accept as at-least-once,
+    * [[updateWhere]] cannot: its delete without its data loses rows,
+    * its data without its delete double-counts them). The pair is
+    * (posdelete, data) with consecutive ids claimed together, so the
+    * sequence-number rule reads them exactly like two commits. `tag`
+    * (on the delete line) makes the PAIR idempotent.
+    */
+  /** Both halves of an already-ledgered tagged pair (delete line tag
+    * `t`, data line tag `t#add`), or None.
+    */
+  private def replayedPair(tableDir: String,
+      tag: Option[String]): Option[(Long, Long)] =
+    for {
+      t <- tag
+      cs = commits(tableDir)
+      d <- cs.find(_.tag.contains(t))
+      a <- cs.find(_.tag.contains(t + "#add"))
+    } yield (d.id, a.id)
+
+  private def commitPair(deletes: DataFrame, data: DataFrame,
+      tableDir: String, tag: Option[String]): (Long, Long) = {
+    tag.foreach(t => require(!t.exists(c => c == '\t' || c == '\n'),
+      s"tag must not contain tab/newline: $t"))
+    val delId = reserveId(tableDir)
+    val addId = reserveId(tableDir) // strictly delId < addId
+    deletes.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/c=$delId")
+    data.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/c=$addId")
+    withLedgerLock(tableDir) {
+      replayedPair(tableDir, tag).getOrElse {
+        val lines = s"$delId\tposdelete\t${tag.fold("")(t => s"\t$t")}\n" +
+          s"$addId\tdata\t${tag.fold("")(t => s"\t$t#add")}\n"
+        Files.write(ledger(tableDir), lines.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        (delId, addId)
+      }
     }
   }
 

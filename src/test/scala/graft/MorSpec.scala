@@ -203,4 +203,31 @@ class MorSpec extends AnyFunSuite {
       .select(sum(col("l_extendedprice"))).head.getDouble(0)
     assert(oldSum == rawSum, "time travel must see pre-update values")
   }
+
+  test("tagged updateWhere is replay-safe: a second application is a no-op pair, values applied once") {
+    val t = TempDirs.scratch("graft-mor-upd2")
+    val li = Tables(spark, sf, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    Mor.land(li, t)
+    // cond on the KEY, transform on another column: the condition
+    // still matches after the update, so an unguarded replay WOULD
+    // transform the rows a second time
+    val cond = col("n_nationkey") < 5
+    val nCond = li.filter(cond).count()
+    val before = Mor.read(spark, t).filter(cond)
+      .agg(sum(col("n_regionkey"))).head.getLong(0)
+    val pair1 = Mor.updateWhere(spark, t, cond,
+      Map("n_regionkey" -> (col("n_regionkey") + 100)), tag = Some("batch-7"))
+    val after1 = Mor.read(spark, t).filter(cond)
+      .agg(sum(col("n_regionkey"))).head.getLong(0)
+    assert(after1 == before + 100 * nCond)
+    // replay with the same tag: same commit pair back, NO value change
+    val pair2 = Mor.updateWhere(spark, t, cond,
+      Map("n_regionkey" -> (col("n_regionkey") + 100)), tag = Some("batch-7"))
+    assert(pair2 == pair1, s"replay forked: $pair1 vs $pair2")
+    assert(Mor.read(spark, t).filter(cond)
+      .agg(sum(col("n_regionkey"))).head.getLong(0) == after1,
+      "replayed update transformed rows twice")
+    assert(Mor.commits(t).size == 3, "replay must not append ledger lines")
+  }
 }

@@ -321,6 +321,25 @@ class PipelineRunnerSpec extends AnyFunSuite {
       == r2.find(_.name == "stg_users").get.version)
   }
 
+  test("view->table migration drops the stale view registration") {
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    val stg = Model("base", Seq("src"), Materialization.Table,
+      (in, _) => in("src"))
+    val asView = Model("m", Seq("base"), Materialization.View,
+      (in, _) => in("base").withColumn("via", lit("view")))
+    runner.run(Seq(stg, asView), Map("src" -> Seq(1).toDF("x")))
+    assert(runner.readModel("m").head.getString(1) == "view")
+    // re-declare m as a TABLE: readModel must serve the STORED table,
+    // not re-resolve the old view definition
+    val asTable = Model("m", Seq("base"), Materialization.Table,
+      (in, _) => in("base").withColumn("via", lit("table")))
+    runner.run(Seq(asTable), Map.empty)
+    assert(Snapshots.versions(runner.tableDir("m")) == Seq(1L))
+    assert(runner.readModel("m").head.getString(1) == "table",
+      "stale view registration shadowed the materialized table")
+  }
+
   test("cross-run view-definition cycles fail loudly, not by stack overflow") {
     import spark.implicits._
     val runner = new Runner(spark, tmp())
