@@ -51,6 +51,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(o => keep(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // forensics sidecar (ignored by the gate): enough environment to
+    // diagnose a driver-vs-elsewhere divergence from the artifact dir
+    Files.writeString(Paths.get(s"$outDir/verify_env.json"),
+      s"""{"spark": ${q(spark.version)}, "java": ${q(System.getProperty("java.version"))},
+         |"cpus": ${q(cpus)}, "sf_dir": ${q(sfDir)},
+         |"queries": ${SparkEntry.queries.count(q2 => keep(q2._1))}}""".stripMargin)
     spark.stop()
   }
 }

@@ -37,6 +37,9 @@ def norm(v):
 
 
 def main(sf_dir, out_dir):
+    # dtype drift between DuckDB versions was the root cause of the
+    # r5/r6 driver-vs-judge divergence — always record the version
+    print(f"duckdb {duckdb.__version__}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
