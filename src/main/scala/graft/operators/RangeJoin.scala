@@ -12,8 +12,8 @@ import graft.functions.Exact.dsum
   * BroadcastNestedLoopJoin (or a cartesian product when neither side
   * fits in a broadcast) — O(|F|·|R|) compared row pairs, the classic
   * 100 TB cliff for point-in-interval matching (the reference reaches
-  * the same semantics through Trino's IEJoin on Iceberg tables —
-  * docs/components/trino.md federated SQL surface).
+  * the same semantics through its federated SQL surface over Iceberg
+  * tables — docs/architecture/lakehouse.md:28-61).
   *
   * The scale-correct composition, using only built-in operators:
   * pick a bin width W, assign each point to bin `floor(v/W)`, EXPLODE

@@ -252,12 +252,20 @@ object Similarity {
     // spread before the K-way distance fan-out (single local scan
     // task would otherwise run every cosine single-threaded)
     val eWide = Tables.spread(e.select(col("vec_id"), col("embedding")))
+    // argmax as a hash aggregate, not a window sort: max_by gets
+    // map-side partial combine, so the n×K scored rows reduce to n
+    // BEFORE the exchange (the window form shuffle-sorts all n×K).
+    // Ordering struct (sim, -cell_id) reproduces the row_number
+    // order (sim DESC, cell_id ASC) exactly, ties included.
     def assign(centroids: org.apache.spark.sql.DataFrame) = {
       val scored = eWide.crossJoin(broadcast(centroids))
         .withColumn("sim", GraftFunctions.cosineSim(col("embedding"), col("centroid")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell_id"), col("sim"))
+      scored.groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("embedding"), col("cell_id"), col("sim")),
+          struct(col("sim"), (-col("cell_id")).as("nc"))).as("b"))
+        .select(col("vec_id"), col("b.embedding").as("embedding"),
+          col("b.cell_id").as("cell_id"), col("b.sim").as("sim"))
     }
     def recompute(assigned: org.apache.spark.sql.DataFrame) =
       assigned.select(col("cell_id"), posexplode(col("embedding")))
@@ -514,13 +522,18 @@ object Similarity {
         (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
       .select(col("code"), pqSlices(col("embedding"), "cent").as("x"))
       .select(col("x.sp").as("sp"), col("code"), col("x.cent").as("cent"))
+    // argmin as a hash aggregate (see kmeansAssignments.assign): the
+    // n×S×K scored rows partial-combine to n×S before the exchange.
+    // min_by over struct(d2, code) == row_number(d2 ASC, code ASC).
     def assign(centroids: DataFrame): DataFrame = {
       val scored = subs.join(broadcast(centroids), Seq("sp"))
         .withColumn("d2", pqDist2)
-      val w = Window.partitionBy(col("vec_id"), col("sp"))
-        .orderBy(col("d2"), col("code"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("sp"), col("sub"), col("code"), col("d2"))
+      scored.groupBy(col("vec_id"), col("sp"))
+        .agg(min_by(
+          struct(col("sub"), col("code"), col("d2")),
+          struct(col("d2"), col("code"))).as("b"))
+        .select(col("vec_id"), col("sp"), col("b.sub").as("sub"),
+          col("b.code").as("code"), col("b.d2").as("d2"))
     }
     def recompute(assigned: DataFrame): DataFrame = assigned
       .select(col("sp"), col("code"), posexplode(col("sub")))

@@ -202,13 +202,14 @@ object Mor {
 
   /** ATOMIC delete+data pair: both directories land first, then BOTH
     * ledger lines go in ONE locked append — a crash can leave orphan
-    * directories but never a half-applied update (the window
-    * [[upsert]]'s two independent commits accept as at-least-once,
-    * [[updateWhere]] cannot: its delete without its data loses rows,
-    * its data without its delete double-counts them). The pair is
-    * (posdelete, data) with consecutive ids claimed together, so the
-    * sequence-number rule reads them exactly like two commits. `tag`
-    * (on the delete line) makes the PAIR idempotent.
+    * directories but never a half-applied update (a delete without
+    * its data loses rows; data without its delete double-counts
+    * them). Both [[updateWhere]] (posdelete+data) and [[upsert]]
+    * (equality delete+data) ride this: there is NO reader-visible
+    * window in which only one half exists, by construction. The pair
+    * claims consecutive ids (delId < addId), so the sequence-number
+    * rule reads them exactly like two commits. `tag` (on the delete
+    * line) makes the PAIR idempotent.
     */
   /** Both halves of an already-ledgered tagged pair (delete line tag
     * `t`, data line tag `t#add`), or None.
@@ -223,16 +224,21 @@ object Mor {
     } yield (d.id, a.id)
 
   private def commitPair(deletes: DataFrame, data: DataFrame,
-      tableDir: String, tag: Option[String]): (Long, Long) = {
+      tableDir: String, tag: Option[String],
+      delKind: String = "posdelete", delKeyCols: Seq[String] = Nil): (Long, Long) = {
+    require(delKeyCols.forall(c => !c.contains(',') && !c.contains('\t')),
+      s"key column names must not contain ',' or tab: $delKeyCols")
     tag.foreach(t => require(!t.exists(c => c == '\t' || c == '\n'),
       s"tag must not contain tab/newline: $t"))
+    Files.createDirectories(Paths.get(tableDir))
     val delId = reserveId(tableDir)
     val addId = reserveId(tableDir) // strictly delId < addId
     deletes.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/c=$delId")
     data.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/c=$addId")
     withLedgerLock(tableDir) {
       replayedPair(tableDir, tag).getOrElse {
-        val lines = s"$delId\tposdelete\t${tag.fold("")(t => s"\t$t")}\n" +
+        val lines =
+          s"$delId\t$delKind\t${delKeyCols.mkString(",")}${tag.fold("")(t => s"\t$t")}\n" +
           s"$addId\tdata\t${tag.fold("")(t => s"\t$t#add")}\n"
         Files.write(ledger(tableDir), lines.getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -256,17 +262,19 @@ object Mor {
     * `tombstoneCol` is a boolean column marking CDC deletes. The
     * sequence-number rule in [[read]] makes the pairing sound: the
     * delete commit precedes its data commit, so it purges only OLDER
-    * row versions. Returns (deleteCommit, dataCommit).
+    * row versions. Both halves ledger in ONE locked append
+    * ([[commitPair]]): a crash mid-upsert can never leave the
+    * equality-delete applied without its data commit — there is no
+    * reader-visible window in which touched keys have vanished.
+    * Returns (deleteCommit, dataCommit).
     */
   def upsert(tableDir: String, rows: DataFrame, keyCols: Seq[String],
       tombstoneCol: String, tag: Option[String] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.col
-    val del = commit(rows.select(keyCols.head, keyCols.tail: _*).distinct(),
-      tableDir, "delete", keyCols, tag.map(_ + ":del"))
-    val add = commit(
+    commitPair(
+      rows.select(keyCols.head, keyCols.tail: _*).distinct(),
       rows.filter(!col(tombstoneCol)).drop(tombstoneCol),
-      tableDir, "data", Nil, tag.map(_ + ":add"))
-    (del, add)
+      tableDir, tag.map(_ + ":up"), delKind = "delete", delKeyCols = keyCols)
   }
 
   /** The merged view at `version` (< 0 → latest). Iceberg v2's

@@ -103,6 +103,33 @@ class MorSpec extends AnyFunSuite {
     assert(Mor.commits(t).map(_.id) == before, "replayed tag double-committed")
   }
 
+  test("upsert is atomic: both ledger lines land in one append; crashed-writer dirs are invisible") {
+    import spark.implicits._
+    val t = TempDirs.scratch("graft-mor-atomic")
+    Mor.land(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    Mor.upsert(t, Seq((2L, "B", false), (3L, "c", false)).toDF("id", "v", "dead"),
+      Seq("id"), "dead", tag = Some("b=9"))
+    // ledger invariant: the upsert's equality-delete line is
+    // IMMEDIATELY followed by its paired data line — both written in
+    // ONE locked append, so no crash between commits can leave the
+    // delete applied with no data commit (the r7 durability window)
+    val lines = Files.readAllLines(Paths.get(t, "_commits")).asScala
+      .filter(_.nonEmpty).toSeq
+    val delIdx = lines.indexWhere(_.endsWith("b=9:up"))
+    assert(delIdx >= 0, s"tagged delete line missing: $lines")
+    assert(lines(delIdx).split('\t')(1) == "delete")
+    assert(lines(delIdx).split('\t')(2) == "id", "keyCols must ride the pair line")
+    assert(lines(delIdx + 1).split('\t')(1) == "data")
+    assert(lines(delIdx + 1).split('\t')(3) == "b=9:up#add",
+      "data half not adjacent to its delete half")
+    // a writer that crashed after writing directories but before the
+    // ledger append leaves only an invisible orphan — readers see
+    // either the whole pair or nothing
+    Seq((9L, "z")).toDF("id", "v").write.parquet(s"$t/c=99")
+    assert(Mor.read(spark, t).select("id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+  }
+
   test("read-side merge is broadcast anti-joins (no shuffle on the base)") {
     val t = TempDirs.scratch("graft-mor-spec")
     Mor.land(Tables(spark, sf, "lineitem"), t)
