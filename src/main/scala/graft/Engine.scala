@@ -39,33 +39,77 @@ object Engine {
   def connect(spark: SparkSession): SparkSession = spark.newSession()
 
   /** Register every [[graft.sources.Snapshots]] table under
-    * `warehouseDir` (any subdirectory with a `_manifest`) as a temp
-    * view over its LATEST snapshot — the warehouse side of the Kyuubi
-    * surface, where a SQL user sees the versioned marts the pipeline
-    * [[graft.pipeline.Runner]] materialized.
+    * `warehouseDir` as a temp view over its LATEST snapshot — the
+    * warehouse side of the Kyuubi surface, where a SQL user sees the
+    * versioned marts the pipeline [[graft.pipeline.Runner]]
+    * materialized. Two layouts coexist, exactly the reference's
+    * catalog convention (docs/components/iceberg.md:6-7 "Namespace =
+    * database, e.g. `sales.orders`"; docs/architecture/lakehouse
+    * .md:11-13 `warehouse/<db>.db/<table>/`):
+    *
+    *   <wh>/<table>/_manifest          → view `table` (flat legacy)
+    *   <wh>/<db>.db/<table>/_manifest  → qualified name `db.table`
+    *
+    * Temp views live in a single dot-free namespace, so a qualified
+    * table registers under the mangled view name `db__table`;
+    * [[sqlWarehouse]] rewrites `db.table` references (including
+    * `db.table$meta` and travel clauses) to that view before the
+    * statement reaches Spark's parser — the user writes the catalog
+    * spelling, same-name tables in two databases never collide.
     */
   def openWarehouse(spark: SparkSession, warehouseDir: String): SparkSession = {
-    warehouseTables(warehouseDir).foreach { name =>
-      graft.sources.Snapshots.read(spark, s"$warehouseDir/$name")
-        .createOrReplaceTempView(name)
+    warehouseEntries(warehouseDir).foreach { case (name, tdir) =>
+      graft.sources.Snapshots.read(spark, tdir)
+        .createOrReplaceTempView(viewName(name))
     }
     GraftFunctions.register(spark)
     graft.functions.SqlDialect.register(spark)
     spark
   }
 
-  private def warehouseTables(warehouseDir: String): Seq[String] = {
-    val root = java.nio.file.Paths.get(warehouseDir)
-    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
-    else {
-      val listing = java.nio.file.Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        listing.iterator().asScala
-          .filter(p => java.nio.file.Files.exists(p.resolve("_manifest")))
-          .map(_.getFileName.toString).toSeq.sorted
-      } finally listing.close()
+  /** The on-disk directory of table `name` ("table" or "db.table"). */
+  def tableDir(warehouseDir: String, name: String): String =
+    name.split('.') match {
+      case Array(db, t) => s"$warehouseDir/$db.db/$t"
+      case _ => s"$warehouseDir/$name"
     }
+
+  private def viewName(qualified: String): String =
+    qualified.replace(".", "__")
+
+  /** (qualified name, table dir) for every table under the warehouse:
+    * flat `<wh>/<t>` and namespaced `<wh>/<db>.db/<t>` entries.
+    */
+  private def warehouseEntries(warehouseDir: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    def manifestDirs(root: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else {
+        val listing = java.nio.file.Files.list(root)
+        try listing.iterator().asScala
+          .filter(p => java.nio.file.Files.exists(p.resolve("_manifest")))
+          .toSeq
+        finally listing.close()
+      }
+    val root = java.nio.file.Paths.get(warehouseDir)
+    val flat = manifestDirs(root)
+      .map(p => p.getFileName.toString -> p.toString)
+    val namespaced =
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else {
+        val listing = java.nio.file.Files.list(root)
+        val dbs =
+          try listing.iterator().asScala
+            .filter(p => java.nio.file.Files.isDirectory(p) &&
+              p.getFileName.toString.endsWith(".db"))
+            .toSeq
+          finally listing.close()
+        dbs.flatMap { dbDir =>
+          val db = dbDir.getFileName.toString.stripSuffix(".db")
+          manifestDirs(dbDir).map(p => s"$db.${p.getFileName}" -> p.toString)
+        }
+      }
+    (flat ++ namespaced).sortBy(_._1)
   }
 
   /** Ranger-style data-governance policies, applied at the facade the
@@ -165,21 +209,42 @@ object Engine {
     * the latest-version views. Matches inside single-quoted string
     * literals are left untouched.
     */
+  /** Catalog spelling `db.table` — rewritten to the mangled view name
+    * ahead of every other clause. Membership-guarded: only a KNOWN
+    * (db, table) pair rewrites, so `alias.column` references pass
+    * through untouched (an alias that shadows a database name AND a
+    * column that shadows its table name would collide — the same
+    * ambiguity any dotted-name SQL surface has).
+    */
+  private val QualifiedTable =
+    """\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)""".r
+
   def sqlWarehouse(spark: SparkSession, warehouseDir: String,
       query: String): DataFrame = {
     openWarehouse(spark, warehouseDir)
-    val tables = warehouseTables(warehouseDir).toSet
-    val afterHistory = HistoryTable.replaceAllIn(query, m => {
+    val entries = warehouseEntries(warehouseDir)
+    val dirs: Map[String, String] =
+      entries.map { case (n, d) => viewName(n) -> d }.toMap
+    val qualified: Set[String] =
+      entries.collect { case (n, _) if n.contains('.') => n }.toSet
+    val tables = dirs.keySet
+    val afterNs = QualifiedTable.replaceAllIn(query, m => {
+      val q0 = s"${m.group(1)}.${m.group(2)}"
+      if (!qualified(q0) || inStringLiteral(query, m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else viewName(q0)
+    })
+    val afterHistory = HistoryTable.replaceAllIn(afterNs, m => {
       val (t, meta) = (m.group(1), m.group(2))
       // quoteReplacement: the fallthrough text contains `$<meta>`, which
       // Matcher.appendReplacement would otherwise parse as a group ref
       // and throw on — e.g. `$history` inside a string literal of an
       // otherwise-valid query must pass through verbatim, not crash
-      if (!tables(t) || inStringLiteral(query, m.start))
+      if (!tables(t) || inStringLiteral(afterNs, m.start))
         scala.util.matching.Regex.quoteReplacement(m.matched)
       else {
         import graft.sources.Snapshots
-        val dir = s"$warehouseDir/$t"
+        val dir = dirs(t)
         val df = meta match {
           case "history" => Snapshots.history(spark, dir)
           case "snapshots" => Snapshots.snapshotsTable(spark, dir)
@@ -196,7 +261,7 @@ object Engine {
       if (!tables(t) || inStringLiteral(afterHistory, m.start)) m.matched
       else {
         val view = s"${t}__v$v"
-        graft.sources.Snapshots.read(spark, s"$warehouseDir/$t", v)
+        graft.sources.Snapshots.read(spark, dirs(t), v)
           .createOrReplaceTempView(view)
         view
       }
@@ -211,7 +276,7 @@ object Engine {
           java.time.LocalDateTime.parse(m.group(2).replace(' ', 'T'))
             .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
         val view = s"${t}__ts$millis"
-        graft.sources.Snapshots.readAsOf(spark, s"$warehouseDir/$t", millis)
+        graft.sources.Snapshots.readAsOf(spark, dirs(t), millis)
           .createOrReplaceTempView(view)
         view
       }

@@ -994,7 +994,48 @@ object Warehouse {
       .withColumn("pruned", lit(kept < total))
   }
 
+  /** q93: NAMESPACE-QUALIFIED tables — the reference's headline
+    * catalog convention (docs/components/iceberg.md:6-7 "Namespace =
+    * database, e.g. `sales.orders`"; layout
+    * `warehouse/<db>.db/<table>/`, docs/architecture/lakehouse
+    * .md:11-13). Two DATABASES hold a table with the SAME NAME
+    * (`sales.orders` even keys, `ops.orders` keys ≡0 mod 3 — distinct
+    * slices, so any resolution collision shows in every cell), plus a
+    * dim in one of them; a single facade statement joins across
+    * namespaces in catalog spelling and reads a qualified METADATA
+    * table (`sales.orders$snapshots`). Resolution is a facade rewrite
+    * to per-database views — no physical co-location is implied, so
+    * at 100 TB a cross-namespace join plans exactly like any two-table
+    * join (broadcast dim here).
+    */
+  def q93Namespaces(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-ns")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Snapshots.commit(orders.filter(col("o_orderkey") % 2 === 0),
+      graft.Engine.tableDir(wh, "sales.orders"))
+    Snapshots.commit(orders.filter(col("o_orderkey") % 3 === 0),
+      graft.Engine.tableDir(wh, "ops.orders"))
+    Snapshots.commit(cust, graft.Engine.tableDir(wh, "sales.customers"))
+    graft.Engine.sqlWarehouse(spark, wh,
+      """SELECT c.c_mktsegment AS segment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  (SELECT COUNT(*) FROM ops.orders) AS ops_orders,
+        |  (SELECT COUNT(*) FROM sales.orders) AS sales_orders,
+        |  (SELECT COUNT(*) FROM sales.orders$snapshots) AS sales_versions
+        |FROM sales.orders o
+        |JOIN sales.customers c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY segment""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
     "q90_branch_wap" -> (q90BranchWap _),
@@ -1023,6 +1064,23 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q93: each namespace restates as its key-slice of the raw table;
+    // the qualified metadata count is the landing constant (1 commit)
+    "q93_namespaces" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+        |    AS ops_orders,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |    AS sales_orders,
+        |  CAST(1 AS BIGINT) AS sales_versions
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 2 = 0
+        |GROUP BY c.c_mktsegment
+        |ORDER BY segment""".stripMargin,
     // q92: the rollup AND the file count restated — file k of the
     // sorted chunk layout holds sorted rows [k*chunk, (k+1)*chunk),
     // so files read = distinct (rank-1)//chunk over matching rows

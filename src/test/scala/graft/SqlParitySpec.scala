@@ -225,4 +225,38 @@ class SqlParitySpec extends AnyFunSuite {
       .head
     assert(litRow.getString(0) == "orders_tt$history")
   }
+
+  test("namespaced warehouse: db.table resolution, same-name coexistence, qualified travel + metadata") {
+    import graft.sources.Snapshots
+    val wh = java.nio.file.Files.createTempDirectory("graft-ns-wh").toString
+    val stg = Tables(spark, sf, "orders").select(col("o_orderkey"))
+    val even = stg.filter(col("o_orderkey") % 2 === 0)
+    val third = stg.filter(col("o_orderkey") % 3 === 0)
+    val v1 = Snapshots.commit(even.limit(5), Engine.tableDir(wh, "sales.orders"))
+    val v2 = Snapshots.commit(even, Engine.tableDir(wh, "sales.orders"))
+    Snapshots.commit(third, Engine.tableDir(wh, "ops.orders"))
+    Snapshots.commit(stg, s"$wh/orders_flat") // flat legacy coexists
+    def one(sql: String): Long =
+      Engine.sqlWarehouse(spark, wh, sql).head.getLong(0)
+    // same table NAME, two databases, plus a flat table — all resolve
+    assert(one("SELECT COUNT(*) AS n FROM sales.orders") == even.count())
+    assert(one("SELECT COUNT(*) AS n FROM ops.orders") == third.count())
+    assert(one("SELECT COUNT(*) AS n FROM orders_flat") == stg.count())
+    // both same-name tables in ONE statement (alias.column references
+    // must pass the qualified rewriter untouched)
+    assert(one(
+      """SELECT COUNT(*) AS n FROM sales.orders s
+        |JOIN ops.orders o ON s.o_orderkey = o.o_orderkey""".stripMargin)
+      == stg.filter(col("o_orderkey") % 6 === 0).count())
+    // time travel and metadata tables compose with qualification
+    assert(one(s"SELECT COUNT(*) AS n FROM sales.orders VERSION AS OF $v1") == 5)
+    assert(v2 > v1)
+    assert(one("SELECT COUNT(*) AS n FROM sales.orders$snapshots") == 2)
+    // a dotted name inside a string literal is never rewritten
+    assert(Engine.sqlWarehouse(spark, wh, "SELECT 'sales.orders' AS s")
+      .head.getString(0) == "sales.orders")
+    // openWarehouse registers the mangled view for DataFrame users
+    Engine.openWarehouse(spark, wh)
+    assert(spark.table("sales__orders").count() == even.count())
+  }
 }
