@@ -1034,7 +1034,57 @@ object Warehouse {
         |ORDER BY segment""".stripMargin)
   }
 
+  /** q94: HIDDEN PARTITIONING via recorded transforms —
+    * [[graft.sources.Transforms]]: the table's metadata records
+    * `days(ts)` / `bucket(n, key)`, queries name only the RAW column,
+    * and planning turns the raw predicate into the exact file set by
+    * transform arithmetic against the `_pvals` manifest (reference:
+    * the CDC landing partitions by the source timestamp the reader
+    * never names — docs/components/cdc.md; Iceberg partition
+    * transforms). Two legs: a quarter of orders lands days-partitioned
+    * and a one-week `o_orderdate` range opens only the hit days; the
+    * full orders land bucket(8)-partitioned by key and a two-key
+    * lookup opens only the keys' buckets. Both `n_files_read` cells
+    * are PINNED and oracle-restated from the same arithmetic (one
+    * file per partition value by construction — the q92 proof
+    * pattern). At 100 TB planning stays a sidecar read; the week
+    * reads 7 files, the lookup reads ≤2.
+    */
+  def q94HiddenPartition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Transforms
+    val wh = tempDir("graft-hidden")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    // CDC-landing slice: one quarter, partitioned by days(o_orderdate)
+    val q1 = orders.filter(
+      col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+    val tDays = s"$wh/orders_by_day"
+    Transforms.land(spark, tDays, q1, Transforms.Days("o_orderdate"))
+    val (dr, dKept, dTotal) =
+      Transforms.scanDays(spark, tDays, "1995-03-01", "1995-03-08")
+    // bucket(8, o_orderkey) point lookups on the full table
+    val tBuck = s"$wh/orders_by_bucket"
+    Transforms.land(spark, tBuck,
+      orders.select(col("o_orderkey"), col("o_totalprice")),
+      Transforms.Bucket(8, "o_orderkey"))
+    val bounds = orders.agg(
+      min(col("o_orderkey")).cast("long"),
+      max(col("o_orderkey")).cast("long")).head
+    val keys = Seq(bounds.getLong(0), bounds.getLong(1))
+    val (br, bKept, bTotal) = Transforms.scanKeys(spark, tBuck, keys)
+    def leg(rows: DataFrame, name: String, kept: Long, total: Long) =
+      rows.agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .select(lit(name).as("leg"), col("n_rows"), col("revenue"),
+          lit(kept).as("n_files_read"), lit(total).as("n_files_total"))
+    leg(br, "bucket_point", bKept, bTotal)
+      .unionByName(leg(dr, "days_range", dKept, dTotal))
+      .orderBy(col("leg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_hidden_partition" -> (q94HiddenPartition _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
@@ -1064,6 +1114,37 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q94: both pinned file counts restate from the transform
+    // arithmetic — days leg: distinct event days (one file per day);
+    // bucket leg: distinct key mod 8 over the queried keys / table
+    "q94_hidden_partition" ->
+      """WITH q1 AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01'),
+        |mar AS (
+        |  SELECT * FROM q1
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1995-03-08'),
+        |keys AS (
+        |  SELECT MIN(o_orderkey) AS k FROM orders
+        |  UNION SELECT MAX(o_orderkey) FROM orders),
+        |bk AS (SELECT o.* FROM orders o JOIN keys ON o.o_orderkey = keys.k)
+        |SELECT 'bucket_point' AS leg,
+        |  (SELECT COUNT(*) FROM bk) AS n_rows,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM bk) AS revenue,
+        |  (SELECT COUNT(DISTINCT k % 8) FROM keys) AS n_files_read,
+        |  (SELECT COUNT(DISTINCT o_orderkey % 8) FROM orders)
+        |    AS n_files_total
+        |UNION ALL
+        |SELECT 'days_range',
+        |  (SELECT COUNT(*) FROM mar),
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM mar),
+        |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM mar),
+        |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM q1)
+        |ORDER BY leg""".stripMargin,
     // q93: each namespace restates as its key-slice of the raw table;
     // the qualified metadata count is the landing constant (1 commit)
     "q93_namespaces" ->

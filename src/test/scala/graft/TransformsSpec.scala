@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Transforms
+
+/** Hidden-partitioning invariants q94's oracle can't see: planning
+  * answers from the `_pvals` manifest alone (files outside the pruned
+  * set can be DELETED and the scan still answers), one file per
+  * partition value, and the raw-column predicate never names `__pv`.
+  */
+class TransformsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def dataFiles(tableDir: String): Seq[java.nio.file.Path] = {
+    val s = Files.walk(Paths.get(tableDir, "data"))
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq
+    finally s.close()
+  }
+
+  test("days transform: raw-ts range opens only the hit days — others can be deleted") {
+    val t = TempDirs.scratch("graft-tf-days")
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+    Transforms.land(spark, t, orders, Transforms.Days("o_orderdate"))
+    // one file per partition value, by construction
+    val pvals = Transforms.partitionValues(t)
+    assert(dataFiles(t).size == pvals.size,
+      "landing must write exactly one file per partition value")
+    val (df, kept, total) = Transforms.scanDays(spark, t, "1995-01-10", "1995-01-15")
+    val expect = orders.filter(
+      col("o_orderdate").cast("date") >= lit("1995-01-10").cast("date") &&
+        col("o_orderdate").cast("date") < lit("1995-01-15").cast("date"))
+    assert(df.count() == expect.count())
+    assert(kept < total, "range scan must prune")
+    // the manifest-only planning claim, by destruction: delete every
+    // file OUTSIDE the kept range; the same scan still answers
+    val lo = java.time.LocalDate.parse("1995-01-10").toEpochDay
+    val hi = java.time.LocalDate.parse("1995-01-15").toEpochDay
+    pvals.filter(v => v < lo || v >= hi).foreach { v =>
+      dataFiles(t).filter(_.toString.contains(s"__pv=$v/"))
+        .foreach(Files.delete)
+    }
+    val (df2, kept2, _) = Transforms.scanDays(spark, t, "1995-01-10", "1995-01-15")
+    assert(df2.count() == expect.count(), "scan touched files outside the prune set")
+    assert(kept2 == kept)
+    // empty overlap → empty result, zero files
+    val (empty, k0, _) = Transforms.scanDays(spark, t, "2020-01-01", "2020-01-02")
+    assert(k0 == 0L && empty.count() == 0L)
+  }
+
+  test("bucket transform: key lookup opens only the keys' buckets") {
+    val t = TempDirs.scratch("graft-tf-bucket")
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Transforms.land(spark, t, orders, Transforms.Bucket(8, "o_orderkey"))
+    assert(Transforms.partitionValues(t).size.toLong ==
+      orders.select(pmod(col("o_orderkey").cast("long"), lit(8L)))
+        .distinct().count())
+    val keys = orders.agg(min(col("o_orderkey")).cast("long"),
+      max(col("o_orderkey")).cast("long")).head
+    val ks = Seq(keys.getLong(0), keys.getLong(1))
+    val (df, kept, total) = Transforms.scanKeys(spark, t, ks)
+    assert(df.count() == orders.filter(col("o_orderkey").isin(ks: _*)).count())
+    assert(kept == ks.map(k => Math.floorMod(k, 8L)).distinct.size.toLong)
+    assert(kept <= 2L && total == 8L)
+    // wrong-scan-kind guard
+    intercept[IllegalArgumentException] {
+      Transforms.scanDays(spark, t, "1995-01-01", "1995-01-02")
+    }
+  }
+}
