@@ -1083,7 +1083,38 @@ object Warehouse {
       .orderBy(col("leg"))
   }
 
+  /** q95: real `$partitions` over a HIVE-PARTITIONED snapshot — the
+    * per-partition record/file/byte debugging table operators
+    * actually use (Iceberg's `$partitions`; reference read path
+    * docs/architecture/lakehouse.md:59-61, landing partitioned by the
+    * source month as the CDC layout partitions by source ts,
+    * docs/components/cdc.md). The landing goes through
+    * `Snapshots.commitPartitioned` (v=N/<col>=<val>/… layout,
+    * repartitioned by the partition value first → exactly one file
+    * per partition, so `file_count` is pinned at 1); `$partitions`
+    * answers from the `$files` sidecar's v-relative paths with NO
+    * data read (MetadataTablesSpec deletes the data and re-answers).
+    * Every per-partition row restates in the oracle from the raw
+    * table's month arithmetic.
+    */
+  def q95PartitionsMeta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-parts")
+    val t = s"$wh/orders_pm"
+    val src = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    Snapshots.commitPartitioned(
+      src.repartition(col("o_month")), t, Seq("o_month"))
+    graft.Engine.sqlWarehouse(spark, wh,
+      """SELECT `partition` AS part, file_count, record_count
+        |FROM orders_pm$partitions
+        |ORDER BY part""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_partitions_meta" -> (q95PartitionsMeta _),
     "q94_hidden_partition" -> (q94HiddenPartition _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
@@ -1114,6 +1145,16 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q95: per-partition rows restate from month arithmetic over the
+    // raw table; file_count pinned at 1 by the repartitioned landing
+    "q95_partitions_meta" ->
+      """SELECT 'o_month=' || strftime(o_orderdate, '%Y-%m') AS part,
+        |  CAST(1 AS BIGINT) AS file_count,
+        |  COUNT(*) AS record_count
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1995-07-01'
+        |GROUP BY 1
+        |ORDER BY part""".stripMargin,
     // q94: both pinned file counts restate from the transform
     // arithmetic — days leg: distinct event days (one file per day);
     // bucket leg: distinct key mod 8 over the queried keys / table

@@ -173,12 +173,33 @@ object Snapshots {
     * is returned and the freshly written directory is left as an
     * orphan for [[vacuumOrphans]].
     */
-  def commit(df: DataFrame, tableDir: String, tag: Option[String] = None): Long = {
+  def commit(df: DataFrame, tableDir: String, tag: Option[String] = None): Long =
+    commitWith(df, tableDir, tag, Nil)
+
+  /** [[commit]] with a HIVE-PARTITIONED snapshot layout
+    * (`v=<n>/<col>=<val>/…parquet`) — the CDC-landing shape the
+    * reference partitions by source timestamp (docs/components/cdc
+    * .md). Reads, time travel, metadata tables, retention and
+    * rollback all compose (partition columns are re-derived by scan
+    * discovery; file sidecars store v-relative paths); [[
+    * partitionsTable]] then answers per-PARTITION stats from the
+    * `$files` sidecar with no data read.
+    */
+  def commitPartitioned(df: DataFrame, tableDir: String,
+      partCols: Seq[String], tag: Option[String] = None): Long = {
+    require(partCols.nonEmpty, "commitPartitioned needs partition columns")
+    commitWith(df, tableDir, tag, partCols)
+  }
+
+  private def commitWith(df: DataFrame, tableDir: String,
+      tag: Option[String], partCols: Seq[String]): Long = {
     tag.foreach(t => require(!t.exists(c => c == '\t' || c == '\n'),
       s"tag must not contain tab/newline: $t"))
     Files.createDirectories(Paths.get(tableDir))
     val next = reserveVersion(tableDir)
-    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(s"$tableDir/v=$next")
     withManifestLock(tableDir) {
       // consult the ledger too: an EXPIRED tagged version must still
       // block a replay (its data already flowed downstream once)
@@ -522,22 +543,27 @@ object Snapshots {
     * directory listing; no data file is ever opened, so cost is
     * ∝ #versions + #files regardless of table size.
     */
+  /** Sizes of a snapshot directory's parquet files — a WALK, so a
+    * [[commitPartitioned]] snapshot's nested layout counts too.
+    */
+  private def parquetSizes(dir: java.nio.file.Path): Seq[Long] =
+    if (!Files.exists(dir)) Seq.empty[Long]
+    else {
+      val l = Files.walk(dir)
+      try l.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          Files.isRegularFile(p))
+        .map(Files.size(_)).toSeq
+      finally l.close()
+    }
+
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val times = commitTimes(tableDir)
     val tags = manifestLines(tableDir)
       .collect { case (v, Some(t)) => (v, t) }.toMap
     val rows = versions(tableDir).map { v =>
-      val dir = Paths.get(tableDir, s"v=$v")
-      val sizes =
-        if (!Files.exists(dir)) Seq.empty[Long]
-        else {
-          val l = Files.list(dir)
-          try l.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(Files.size(_)).toSeq
-          finally l.close()
-        }
+      val sizes = parquetSizes(Paths.get(tableDir, s"v=$v"))
       (v, tags.get(v), times.get(v), sizes.size.toLong, sizes.sum)
     }
     rows.toDF("version", "tag", "committed_at_ms", "n_files", "n_bytes")
@@ -653,14 +679,22 @@ object Snapshots {
     val p = fileStatsPath(tableDir, v)
     if (Files.exists(p)) return
     val dir = Paths.get(tableDir, s"v=$v")
+    // paths recorded RELATIVE to the version directory, so a
+    // partitioned snapshot's `<col>=<val>/part-….parquet` entries
+    // carry their partition right in the sidecar line
+    val marker = s"/v=$v/"
     val rows = spark.read.parquet(dir.toString)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"))
       .collect() // #files rows — manifest-sized, never data-sized
       .map { r =>
-        val name = r.getString(0).split('/').last
-        val bytes = Files.size(dir.resolve(name))
-        s"$name\t${r.getLong(1)}\t$bytes"
+        val full = r.getString(0)
+        val idx = full.lastIndexOf(marker)
+        val rel =
+          if (idx >= 0) full.substring(idx + marker.length)
+          else full.split('/').last
+        val bytes = Files.size(dir.resolve(rel))
+        s"$rel\t${r.getLong(1)}\t$bytes"
       }
     Files.write(p, rows.sorted.mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
@@ -685,11 +719,16 @@ object Snapshots {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"__min_$c"),
         max(col(c).cast("long")).as(s"__max_$c")))
+    val marker = s"/v=$v/"
     val rows = df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // #files rows — manifest-sized
       .flatMap { r =>
-        val name = r.getString(0).split('/').last
+        val full = r.getString(0)
+        val idx = full.lastIndexOf(marker)
+        val name =
+          if (idx >= 0) full.substring(idx + marker.length)
+          else full.split('/').last
         cols.map(c =>
           s"$name\t$c\t${r.getAs[Long](s"__min_$c")}\t${r.getAs[Long](s"__max_$c")}")
       }
@@ -739,16 +778,7 @@ object Snapshots {
     val vs = versions(tableDir)
     val parent = vs.zip(None +: vs.init.map(Some(_))).toMap
     val rows = vs.map { v =>
-      val dir = Paths.get(tableDir, s"v=$v")
-      val sizes =
-        if (!Files.exists(dir)) Seq.empty[Long]
-        else {
-          val l = Files.list(dir)
-          try l.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(Files.size(_)).toSeq
-          finally l.close()
-        }
+      val sizes = parquetSizes(Paths.get(tableDir, s"v=$v"))
       (v, parent(v), times.get(v), tags.get(v), sizes.size.toLong, sizes.sum)
     }
     rows.toDF("version", "parent_version", "committed_at_ms", "tag",
@@ -781,16 +811,24 @@ object Snapshots {
   }
 
   /** `$partitions` — per-partition record/file/byte counts of one
-    * snapshot (latest by default). This store writes snapshots
-    * UNPARTITIONED (one `v=N` directory per commit), so the faithful
-    * Iceberg answer for an unpartitioned spec is a single row —
-    * derived wholly from the `$files` stats, no data read.
+    * snapshot (latest by default), derived wholly from the `$files`
+    * stats sidecar (no data read; MetadataTablesSpec deletes the data
+    * and re-answers). A [[commitPartitioned]] snapshot's sidecar
+    * lines carry v-relative paths, so each file's partition is its
+    * directory prefix (`o_month=1995-03`, Hive spelling; multi-level
+    * specs keep the full `a=1/b=2` prefix); an unpartitioned snapshot
+    * faithfully reports the Iceberg answer for an empty spec — a
+    * single row with a NULL partition.
     */
   def partitionsTable(spark: SparkSession, tableDir: String,
       version: Long = -1L): DataFrame = {
     val v = if (version < 0) versions(tableDir).last else version
     filesTable(spark, tableDir, v)
-      .groupBy(col("version"))
+      .withColumn("partition",
+        when(col("file").contains("/"),
+          expr("regexp_replace(file, '/[^/]*$', '')"))
+          .otherwise(lit(null).cast("string")))
+      .groupBy(col("version"), col("partition"))
       .agg(count(lit(1)).as("file_count"),
         sum(col("n_rows")).as("record_count"),
         sum(col("n_bytes")).as("total_bytes"))
@@ -817,12 +855,15 @@ object Snapshots {
     val src = Paths.get(tableDir, s"v=$toVersion")
     val dst = Paths.get(tableDir, s"v=$next")
     Files.createDirectories(dst)
-    val listing = Files.list(src)
+    // walk (not list): a partitioned snapshot nests its files under
+    // <col>=<val>/ directories — recreate the tree, link the files
+    val listing = Files.walk(src)
     try listing.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
-      try Files.createLink(dst.resolve(f.getFileName), f)
+      val target = dst.resolve(src.relativize(f))
+      Files.createDirectories(target.getParent)
+      try Files.createLink(target, f)
       catch {
-        case _: UnsupportedOperationException =>
-          Files.copy(f, dst.resolve(f.getFileName))
+        case _: UnsupportedOperationException => Files.copy(f, target)
       }
     } finally listing.close()
     // the tag embeds the NEW version id, so it is unique per rollback:

@@ -72,6 +72,45 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(Snapshots.partitionsTable(spark, t).head.getAs[Long]("file_count") == 3L)
   }
 
+  test("$partitions over a partitioned snapshot: per-partition stats, no data read, rollback links the tree") {
+    val t = java.nio.file.Files.createTempDirectory("graft-part-spec")
+      .toString + "/ord"
+    val src = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .filter(col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    Snapshots.commitPartitioned(src.repartition(col("o_month")), t, Seq("o_month"))
+    // read restores the partition column via scan discovery
+    val back = Snapshots.read(spark, t)
+    assert(back.columns.toSet == Set("o_orderkey", "o_orderdate", "o_month"))
+    assert(back.count() == src.count())
+    val expect = src.groupBy("o_month").count().collect()
+      .map(r => (s"o_month=${r.getString(0)}", r.getLong(1))).toMap
+    val parts = Snapshots.partitionsTable(spark, t).collect()
+    assert(parts.map(_.getAs[String]("partition")).toSet == expect.keySet)
+    parts.foreach { r =>
+      assert(r.getAs[Long]("record_count") == expect(r.getAs[String]("partition")))
+      assert(r.getAs[Long]("file_count") == 1L, "one file per partition by construction")
+    }
+    // metadata-only: delete every data file, $partitions still answers
+    val walk = Files.walk(Paths.get(t, "v=1"))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toSeq.foreach(Files.delete(_))
+    } finally walk.close()
+    assert(Snapshots.partitionsTable(spark, t).count() == expect.size.toLong)
+    // rollback of a partitioned snapshot recreates the nested tree
+    val t2 = java.nio.file.Files.createTempDirectory("graft-part-rb")
+      .toString + "/ord2"
+    Snapshots.commitPartitioned(src.repartition(col("o_month")), t2, Seq("o_month"))
+    Snapshots.commit(src.limit(3).drop("o_month"), t2)
+    val v3 = Snapshots.rollback(t2, 1L)
+    assert(Snapshots.read(spark, t2, v3).count() == src.count(),
+      "rollback must restore the partitioned snapshot")
+  }
+
   test("readPruned opens only stat-overlapping files; pruned == full-scan filter; empty overlap is empty") {
     val t = java.nio.file.Files.createTempDirectory("graft-prune-spec")
       .toString + "/cust"
