@@ -1113,7 +1113,47 @@ object Warehouse {
         |ORDER BY part""".stripMargin)
   }
 
+  /** q96: COLUMN-MAPPING schema evolution — Iceberg tracks columns by
+    * ID, so a RENAME is metadata-only (one ledger entry, zero data
+    * files touched) and old snapshots stay time-travelable across it
+    * (reference ACID claim: docs/architecture/lakehouse.md:3). The
+    * gate commits two versions, renames `o_totalprice`→`price`
+    * (`Snapshots.renameColumn`), reads the CURRENT view BEFORE any
+    * new commit (v2's physical files, resolved to the new logical
+    * name by column id — the rename-without-rewrite moment), commits
+    * v3 under the new name, and reads all three views in one result:
+    * explicit v2 keeps its own write-time schema (old name), the
+    * mapped current view and v3 both serve `price`. Every rollup
+    * restates from key-slices in the oracle; SnapshotsSpec pins the
+    * byte-identical data directory and merge-after-rename id
+    * resolution. At 100 TB the rename costs one sidecar line.
+    */
+  def q96ColumnMapping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val t = s"${tempDir("graft-colmap")}/orders_cm"
+    val stg = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.commit(stg.filter(col("o_orderkey") % 4 === 0), t) // v1
+    Snapshots.commit(stg.filter(col("o_orderkey") % 2 === 0), t) // v2
+    Snapshots.renameColumn(t, "o_totalprice", "price")
+    // current view BEFORE any post-rename commit: v2's physical
+    // files, served under the NEW logical name purely by id mapping
+    val premapped = Snapshots.read(spark, t)
+    def rollup(df: DataFrame, label: String, valueCol: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+          dsum(col(valueCol)).as("revenue"))
+        .select(lit(label).as("view"), col("n_rows"), col("revenue"))
+    val pre = rollup(premapped, "v2_renamed_view", "price")
+    Snapshots.commit( // v3: writer uses the current (new) name
+      stg.withColumnRenamed("o_totalprice", "price"), t)
+    rollup(Snapshots.read(spark, t, 2L), "v2_time_travel", "o_totalprice")
+      .unionByName(pre)
+      .unionByName(rollup(Snapshots.read(spark, t), "v3_current", "price"))
+      .orderBy(col("view"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_column_mapping" -> (q96ColumnMapping _),
     "q95_partitions_meta" -> (q95PartitionsMeta _),
     "q94_hidden_partition" -> (q94HiddenPartition _),
     "q93_namespaces" -> (q93Namespaces _),
@@ -1145,6 +1185,25 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q96: the three views restate as key-slices — v2 (and its
+    // renamed current mapping) = even keys, v3 = all rows
+    "q96_column_mapping" ->
+      """WITH e AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0)
+        |SELECT 'v2_renamed_view' AS view, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM e
+        |UNION ALL
+        |SELECT 'v2_time_travel', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM e
+        |UNION ALL
+        |SELECT 'v3_current', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders
+        |ORDER BY view""".stripMargin,
     // q95: per-partition rows restate from month arithmetic over the
     // raw table; file_count pinned at 1 by the repartitioned landing
     "q95_partitions_meta" ->

@@ -215,12 +215,171 @@ object Snapshots {
         // _times entry for a not-yet-manifested version is harmless
         // (readAsOf intersects with live versions).
         appendTime(tableDir, next)
+        recordCommitSchema(tableDir, next, df.schema)
         Files.write(manifest(tableDir), s"$line\n".getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         tag.foreach(t => appendTag(tableDir, next, t))
         next
       }
     }
+  }
+
+  // ---- Column-mapping schema evolution (Iceberg tracks columns by
+  // ID, so a rename or drop is METADATA-ONLY — no file rewritten, old
+  // snapshots stay time-travelable across the change; reference ACID
+  // claim: docs/architecture/lakehouse.md:3) ----
+  //
+  //   tableDir/_schema   one line per column per schema entry:
+  //                      `<seq>\t<asOfVersion>\t<colId>\t<name>\t<typeJson>`
+  //
+  // Entry `seq` applies to versions >= its asOfVersion; a version's
+  // WRITE schema (its files' physical names) is the highest-seq entry
+  // with asOf <= version. Reading the LATEST view applies the CURRENT
+  // (highest-seq) entry over any snapshot by column id — a physical
+  // name written before a rename resolves to today's logical name
+  // with zero data movement; an explicit-version read keeps the
+  // snapshot's own schema (Iceberg's time-travel semantics).
+
+  private def schemaFile(tableDir: String) = Paths.get(tableDir, "_schema")
+
+  final case class ColumnDef(id: Int, name: String, typeJson: String)
+  final case class SchemaEntry(seq: Int, asOf: Long, cols: Seq[ColumnDef])
+
+  def schemaEntries(tableDir: String): Seq[SchemaEntry] = {
+    val f = schemaFile(tableDir)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val p = line.split('\t')
+        (p(0).toInt, p(1).toLong, ColumnDef(p(2).toInt, p(3), p(4)))
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (seq, ls) => SchemaEntry(seq, ls.head._2, ls.map(_._3)) }
+  }
+
+  private def appendSchemaEntry(tableDir: String, asOf: Long,
+      cols: Seq[ColumnDef]): Int = {
+    cols.foreach(c => require(!c.name.exists(ch => ch == '\t' || ch == '\n'),
+      s"column name must not contain tab/newline: ${c.name}"))
+    val seq = schemaEntries(tableDir).lastOption.map(_.seq + 1).getOrElse(0)
+    val body = cols.map(c => s"$seq\t$asOf\t${c.id}\t${c.name}\t${c.typeJson}")
+      .mkString("", "\n", "\n")
+    Files.write(schemaFile(tableDir), body.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    seq
+  }
+
+  // `_schema_writes`: `<version>\t<entrySeq>` — which schema entry a
+  // version's files were PHYSICALLY written under (rollback links old
+  // files into a new version, so asOf order alone can't tell)
+  private def schemaWritesFile(tableDir: String) =
+    Paths.get(tableDir, "_schema_writes")
+
+  private def schemaWrites(tableDir: String): Map[Long, Int] = {
+    val f = schemaWritesFile(tableDir)
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).map { l =>
+        val p = l.split('\t'); p(0).toLong -> p(1).toInt
+      }.toMap
+  }
+
+  private def appendSchemaWrite(tableDir: String, version: Long,
+      seq: Int): Unit =
+    Files.write(schemaWritesFile(tableDir),
+      s"$version\t$seq\n".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  /** Resolve `schema`'s columns against the current entry by NAME
+    * (existing name keeps its id — the merge/incremental contract;
+    * unknown names get fresh ids) and ledger a new entry iff the
+    * mapping changed. Called inside the manifest lock at commit.
+    */
+  private def recordCommitSchema(tableDir: String, version: Long,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val entries = schemaEntries(tableDir)
+    val current = entries.lastOption.map(_.cols).getOrElse(Seq.empty)
+    val byName = current.map(c => c.name -> c).toMap
+    // fresh ids come from the max over EVERY entry, not just the
+    // current one — a dropped column's id must never be reused (a
+    // reuse would resurrect its old physical values under a new name)
+    var nextId = entries.flatMap(_.cols.map(_.id))
+      .maxOption.map(_ + 1).getOrElse(0)
+    val cols = schema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some(c) => ColumnDef(c.id, f.name, f.dataType.json)
+        case None =>
+          val id = nextId; nextId += 1; ColumnDef(id, f.name, f.dataType.json)
+      }
+    }
+    val seq =
+      if (entries.isEmpty || current.map(c => (c.id, c.name)) !=
+          cols.map(c => (c.id, c.name)))
+        appendSchemaEntry(tableDir, version, cols)
+      else entries.last.seq
+    appendSchemaWrite(tableDir, version, seq)
+  }
+
+  /** RENAME a column, metadata-only: appends a schema entry (same
+    * ids, new logical name) applying to the latest view and every
+    * future version. No data file is touched; explicit-version time
+    * travel before the rename still reads the old name.
+    */
+  def renameColumn(tableDir: String, oldName: String, newName: String): Unit =
+    withManifestLock(tableDir) {
+      val entries = schemaEntries(tableDir)
+      require(entries.nonEmpty, s"no schema ledger at $tableDir (commit first)")
+      val cur = entries.last.cols
+      require(cur.exists(_.name == oldName), s"no column '$oldName' " +
+        s"(have ${cur.map(_.name).mkString(", ")})")
+      require(!cur.exists(_.name == newName), s"column '$newName' exists")
+      appendSchemaEntry(tableDir, versions(tableDir).last + 1L,
+        cur.map(c => if (c.name == oldName) c.copy(name = newName) else c))
+    }
+
+  /** DROP a column, metadata-only: the current view and future
+    * versions omit it; old snapshots (explicit version) still carry
+    * it. The id is never reused, so a later re-add is a NEW column.
+    */
+  def dropColumn(tableDir: String, name: String): Unit =
+    withManifestLock(tableDir) {
+      val entries = schemaEntries(tableDir)
+      require(entries.nonEmpty, s"no schema ledger at $tableDir (commit first)")
+      val cur = entries.last.cols
+      require(cur.exists(_.name == name), s"no column '$name'")
+      require(cur.size > 1, "cannot drop the last column")
+      appendSchemaEntry(tableDir, versions(tableDir).last + 1L,
+        cur.filterNot(_.name == name))
+    }
+
+  /** Map a snapshot's physical columns to the schema the reader
+    * should see: `current = true` (latest view) applies the CURRENT
+    * entry by column id — renames resolve, drops vanish, columns
+    * added after `v` null-fill at their recorded type; otherwise the
+    * snapshot's own (write-time) schema applies, i.e. the raw frame.
+    */
+  private def applyColumnMapping(df: DataFrame, tableDir: String, v: Long,
+      current: Boolean): DataFrame = {
+    val entries = schemaEntries(tableDir)
+    if (entries.isEmpty || !current) return df
+    val writeEntry = schemaWrites(tableDir).get(v)
+      .flatMap(seq => entries.find(_.seq == seq))
+      .orElse(entries.filter(_.asOf <= v).lastOption)
+      .getOrElse { return df }
+    val s = entries.last
+    if (s.cols.map(c => (c.id, c.name)) ==
+      writeEntry.cols.map(c => (c.id, c.name))) return df // identity
+    val physById = writeEntry.cols.map(c => c.id -> c.name).toMap
+    val have = df.columns.toSet
+    val out = s.cols.map { c =>
+      physById.get(c.id).filter(have) match {
+        case Some(p) => col(p).as(c.name)
+        case None => lit(null)
+          .cast(org.apache.spark.sql.types.DataType.fromJson(c.typeJson))
+          .as(c.name)
+      }
+    }
+    df.select(out: _*)
   }
 
   // ---- Write-Audit-Publish (Iceberg's WAP pattern: stage a snapshot
@@ -363,7 +522,11 @@ object Snapshots {
       require(vs.contains(version), s"unknown version $version (have $vs)")
       version
     }
-    spark.read.parquet(s"$tableDir/v=$v")
+    // latest view resolves columns by ID against the current schema
+    // entry (rename/drop are metadata-only); an explicit version
+    // keeps its own write-time schema — Iceberg's travel semantics
+    applyColumnMapping(spark.read.parquet(s"$tableDir/v=$v"),
+      tableDir, v, current = version < 0L)
   }
 
   /** MERGE into the versioned store: upsert `updates` into the latest
@@ -406,7 +569,13 @@ object Snapshots {
     var attempts = 0
     while (attempts < 5) {
       val base = versions(tableDir).last
-      val merged = fn(read(spark, tableDir, base), updates)
+      // base under the CURRENT schema (not its write-time names):
+      // updates arrive spelled in today's names, and column ids must
+      // resolve across a rename — the merge-by-id contract
+      val baseDf = applyColumnMapping(
+        spark.read.parquet(s"$tableDir/v=$base"), tableDir, base,
+        current = true)
+      val merged = fn(baseDf, updates)
       commitIfLatest(merged, tableDir, base, tag) match {
         case Some(v) => return v
         case None =>
@@ -873,6 +1042,15 @@ object Snapshots {
     val tag = s"rollback-of-v$toVersion-as-v$next"
     withManifestLock(tableDir) {
       appendTime(tableDir, next)
+      // the linked files carry the TARGET's physical names — record
+      // the target's WRITE schema for the new version (the current
+      // schema stays current: a rollback across a rename serves the
+      // old files under today's names by id, Iceberg's semantics)
+      val writes = schemaWrites(tableDir)
+      writes.get(toVersion)
+        .orElse(schemaEntries(tableDir).filter(_.asOf <= toVersion)
+          .lastOption.map(_.seq))
+        .foreach(seq => appendSchemaWrite(tableDir, next, seq))
       Files.write(manifest(tableDir),
         s"$next\t$tag\n".getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)

@@ -76,6 +76,50 @@ class SnapshotsSpec extends AnyFunSuite {
       .head().getString(1) != "PATCHED")
   }
 
+  test("column mapping: rename is metadata-only, travel keeps old names, merge resolves by id, drop + rollback compose") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dir = tmp() + "/cm"
+    Snapshots.commit(Seq((1L, 10.0, "a"), (2L, 20.0, "b"))
+      .toDF("k", "amount", "note"), dir) // v1
+    def dataState(v: Long) = {
+      val w = Files.walk(Paths.get(dir, s"v=$v"))
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => (p.toString, Files.size(p), Files.getLastModifiedTime(p)))
+        .toSeq.sortBy(_._1)
+      finally w.close()
+    }
+    val before = dataState(1L)
+    Snapshots.renameColumn(dir, "amount", "price")
+    assert(dataState(1L) == before, "rename must not touch data files")
+    // current view serves the new name over the OLD physical files
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("k", "price", "note"))
+    assert(Snapshots.read(spark, dir).agg(sum("price")).head.getDouble(0) == 30.0)
+    // explicit-version travel keeps the snapshot's own schema
+    assert(Snapshots.read(spark, dir, 1L).columns.contains("amount"))
+    // merge AFTER the rename uses the new name; the key keeps its id
+    Snapshots.merge(spark, dir,
+      Seq((2L, 25.0, "b2"), (3L, 30.0, "c")).toDF("k", "price", "note"),
+      Seq("k")) // v2
+    val m = Snapshots.read(spark, dir).orderBy("k")
+      .select("k", "price").as[(Long, Double)].collect().toSeq
+    assert(m == Seq((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+    // drop is metadata-only too: current view omits, v2 travel keeps
+    Snapshots.dropColumn(dir, "note")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("k", "price"))
+    assert(Snapshots.read(spark, dir, 2L).columns.contains("note"))
+    // a column added after v1 null-fills when v1's files serve the
+    // current view via rollback (id never reused)
+    Snapshots.commit(Snapshots.read(spark, dir)
+      .withColumn("flag", lit(true)), dir) // v3: adds 'flag'
+    val rb = Snapshots.rollback(dir, 1L) // links v1's files
+    val cur = Snapshots.read(spark, dir)
+    assert(cur.columns.toSeq == Seq("k", "price", "flag"))
+    assert(cur.filter(col("flag").isNull).count() == 2L,
+      s"rollback view must null-fill the later column (v$rb)")
+  }
+
   test("streaming ingestion commits micro-batches as snapshots") {
     val dir = tmp() + "/ingested"
     val stream = graft.streaming.EventStream.eventsStream(spark, sf)
