@@ -199,6 +199,84 @@ object Merge {
       .orderBy(col("custkey"), col("valid_from"))
   }
 
+  // ---- dbt `snapshot` materialization primitives (check strategy):
+  // the snapshot TABLE carries the source columns plus dbt's four
+  // metadata columns (dbt_scd_id, dbt_updated_at, dbt_valid_from,
+  // dbt_valid_to); each run diffs the CURRENT source state against
+  // the open rows — no source timestamp column required, which is
+  // the whole point of check_cols vs the timestamp strategy ----
+
+  private def scdId(keys: Seq[String],
+      from: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(concat_ws("|", keys.map(col) :+ from.cast("string"): _*))
+
+  /** First `dbt snapshot` run: every source row opens at `ts`
+    * (dbt_valid_to NULL). `dbt_scd_id` = md5(keys | valid_from) —
+    * dbt's surrogate for the (key, version) grain.
+    */
+  def snapshotFirst(source: DataFrame, keys: Seq[String],
+      ts: java.sql.Timestamp): DataFrame = {
+    require(keys.nonEmpty, "snapshot needs unique keys")
+    require(keys.forall(source.columns.contains), "source must carry the keys")
+    val from = lit(ts).cast("timestamp")
+    source
+      .withColumn("dbt_scd_id", scdId(keys, from))
+      .withColumn("dbt_updated_at", from)
+      .withColumn("dbt_valid_from", from)
+      .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+  }
+
+  /** Subsequent `dbt snapshot` run, as a MERGE delta: diff `source`
+    * (the model's CURRENT output) against `snapshot`'s open rows on
+    * `checkCols` (null-safe; empty = all non-key source columns —
+    * dbt `check_cols='all'`) and return ONLY the rows the merge must
+    * touch, in the snapshot table's schema:
+    *
+    *  - a changed key CLOSES its open row (`dbt_valid_to = ts`; same
+    *    (keys, dbt_valid_from) grain, so the merge replaces in place)
+    *    and OPENS a new version at `ts`;
+    *  - a brand-new key opens its first version;
+    *  - a key absent from `source` closes iff `invalidateHardDeletes`
+    *    (dbt's flag of the same name) — otherwise its open row stays.
+    *
+    * Upsert the result with `keys :+ "dbt_valid_from"` — cost ∝ rows
+    * changed, not table size (the dbt-MERGE cost profile): one
+    * key-shuffled full-outer join of the OPEN slice against the
+    * source, closed history never scanned past the validity filter.
+    */
+  def snapshotDelta(snapshot: DataFrame, source: DataFrame,
+      keys: Seq[String], checkCols: Seq[String], ts: java.sql.Timestamp,
+      invalidateHardDeletes: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "snapshot needs unique keys")
+    val tracked =
+      if (checkCols.nonEmpty) checkCols
+      else source.columns.toSeq.filterNot(keys.contains)
+    require(tracked.nonEmpty, "snapshot: no columns to check")
+    val from = lit(ts).cast("timestamp")
+    val d = snapshot.filter(col("dbt_valid_to").isNull).as("d")
+    val s = source.as("s")
+    val cond = keys.map(k => col(s"d.$k") === col(s"s.$k")).reduce(_ && _)
+    val sPresent = col(s"s.${keys.head}").isNotNull
+    val dPresent = col(s"d.${keys.head}").isNotNull
+    val changed = tracked.map(c => !(col(s"d.$c") <=> col(s"s.$c"))).reduce(_ || _)
+    val joined = d.join(s, cond, "full_outer")
+    val closes = joined
+      .filter(dPresent && ((sPresent && changed) ||
+        (!sPresent && lit(invalidateHardDeletes))))
+      .select(snapshot.columns.toSeq.map {
+        case "dbt_valid_to" => from.as("dbt_valid_to")
+        case c => col(s"d.$c").as(c)
+      }: _*)
+    val opens = joined
+      .filter(sPresent && (!dPresent || changed))
+      .select(source.columns.toSeq.map(c => col(s"s.$c").as(c)) ++ Seq(
+        scdId(keys.map(k => s"s.$k"), from).as("dbt_scd_id"),
+        from.as("dbt_updated_at"),
+        from.as("dbt_valid_from"),
+        lit(null).cast("timestamp").as("dbt_valid_to")): _*)
+    closes.unionByName(opens)
+  }
+
   /** SCHEMA-EVOLVING upsert — MERGE with `mergeSchema` semantics
     * (Iceberg/Delta's auto schema evolution on write: the reference's
     * CDC tables gain columns as sources evolve, docs/components/

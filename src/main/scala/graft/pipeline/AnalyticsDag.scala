@@ -296,7 +296,47 @@ object AnalyticsDag {
       .orderBy(col("segment"))
   }
 
+  /** p22: dbt `snapshot` (CHECK strategy) through the Runner — the
+    * SCD2 write path for sources with NO reliable updated-at column
+    * (dbt-inside-Kyuubi workflow, docs/components/dbt.md; contrast
+    * q62, which needs an effective date handed to it): run 1 opens
+    * every customer at the first run timestamp; run 2's source state
+    * re-segments every `% 7 = 0` key to 'UPGRADED' (→ close + open)
+    * and hard-deletes every `% 11 = 3` key (`invalidate_hard_deletes`
+    * → close), everything else untouched — the run diffs states
+    * itself, no timestamps in the data. Output = the snapshot table
+    * (validity cast to date for the gate; the store keeps dbt's
+    * timestamp columns + dbt_scd_id/dbt_updated_at, which
+    * PipelineRunnerSpec pins). Cost per run ∝ changed rows (delta
+    * MERGE), not table size — the 100 TB dimension-tracking shape.
+    */
+  def p22DbtSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val runner = new Runner(spark, freshWarehouse())
+    val cust = Tables(spark, dir, "customer").select(
+      col("c_custkey").as("custkey"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").as("balance"))
+    val runTs = Iterator("1996-01-01 00:00:00", "1996-06-01 00:00:00")
+      .map(java.sql.Timestamp.valueOf)
+    val snap = Model("dim_customer_snap", Seq("customer_state"),
+      Materialization.Snapshot(Seq("custkey"), Seq("segment", "balance"),
+        invalidateHardDeletes = true, at = () => runTs.next()),
+      (in, _) => in("customer_state"))
+    runner.run(Seq(snap), Map("customer_state" -> cust))
+    runner.run(Seq(snap), Map("customer_state" -> cust
+      .filter(col("custkey") % 11 =!= 3)
+      .withColumn("segment",
+        when(col("custkey") % 7 === 0, lit("UPGRADED"))
+          .otherwise(col("segment")))))
+    runner.readModel("dim_customer_snap")
+      .select(col("custkey"), col("segment"), col("balance"),
+        col("dbt_valid_from").cast("date").as("valid_from"),
+        col("dbt_valid_to").cast("date").as("valid_to"))
+      .orderBy(col("custkey"), col("valid_from"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_dbt_snapshot" -> (p22DbtSnapshot _),
     "q83_pipeline_resume" -> (q83PipelineResume _),
     "q50_pipeline_run" -> (q50PipelineRun _),
     "q52_pipeline_mart" -> (q52PipelineMart _),
@@ -311,6 +351,24 @@ object AnalyticsDag {
     * lineage would flatten to (DuckDB dialect).
     */
   val oracles: Map[String, String] = Map(
+    // p22: the check-strategy diff restated declaratively — v1 rows
+    // close iff re-segmented (%7) or hard-deleted (%11); the second
+    // branch is the re-opened UPGRADED versions
+    "p22_dbt_snapshot" ->
+      """WITH s AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+        |    c_acctbal AS balance
+        |  FROM customer)
+        |SELECT custkey, segment, balance,
+        |  DATE '1996-01-01' AS valid_from,
+        |  CASE WHEN custkey % 7 = 0 OR custkey % 11 = 3
+        |       THEN DATE '1996-06-01' END AS valid_to
+        |FROM s
+        |UNION ALL
+        |SELECT custkey, 'UPGRADED', balance,
+        |  DATE '1996-06-01', NULL
+        |FROM s WHERE custkey % 7 = 0 AND custkey % 11 <> 3
+        |ORDER BY custkey, valid_from""".stripMargin,
     // q83: the resumed mart's segment rollup from raw tables (the
     // per-user → per-segment two-level decimal rounding mirrored),
     // version counts pinned at 1 = no re-done or double-committed work

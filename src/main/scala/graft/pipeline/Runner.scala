@@ -66,6 +66,28 @@ object Materialization {
       uniqueKeys: Seq[String],
       onSchemaChange: SchemaChange = SchemaChange.Fail) extends Materialization
 
+  /** dbt `snapshot` materialization, CHECK strategy — the third dbt
+    * write path next to table/incremental (reference runs dbt inside
+    * Kyuubi, docs/components/dbt.md; snapshots are how dbt tracks
+    * slowly-changing dimensions when the source has NO reliable
+    * updated-at column): each run diffs the model's CURRENT output
+    * against the stored snapshot's open rows on `checkCols`
+    * (empty = all non-key columns, dbt `check_cols='all'`) and
+    * merges only the delta — changed keys close + re-open, new keys
+    * open, keys absent from the source close iff
+    * `invalidateHardDeletes`. The table carries dbt's exact metadata
+    * columns (dbt_scd_id, dbt_updated_at, dbt_valid_from,
+    * dbt_valid_to). `at` supplies the run's effective timestamp
+    * (dbt's run started_at); injectable for deterministic tests.
+    */
+  final case class Snapshot(
+      uniqueKeys: Seq[String],
+      checkCols: Seq[String] = Nil,
+      invalidateHardDeletes: Boolean = false,
+      at: () => java.sql.Timestamp =
+        () => new java.sql.Timestamp(System.currentTimeMillis()))
+    extends Materialization
+
   /** dbt `seed` (reference: dag/dbt_analytics_pipeline.py:76-81
     * `DbtSparkSeedOperator` runs first in the DAG; dbt_project.yml:12
     * `seed-paths`): a small version-controlled CSV loaded into the
@@ -356,6 +378,7 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
       case Materialization.View => "view"
       case Materialization.Ephemeral => "ephemeral"
       case _: Materialization.Incremental => "incremental"
+      case _: Materialization.Snapshot => "snapshot"
       case _: Materialization.Seed => "seed"
     }
     def depRecord(d: String): String = {
@@ -476,6 +499,30 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
       case Materialization.Table =>
         val df = m.build(inputs, None)
         ModelRun(m.name, Snapshots.commit(df, dir), "full")
+      case Materialization.Snapshot(keys, checkCols, hardDeletes, at) =>
+        // the model sees only its inputs (a dbt snapshot block is a
+        // plain select over the source; `{{ this }}` doesn't apply)
+        val df = m.build(inputs, None)
+        require(keys.forall(df.columns.contains),
+          s"snapshot '${m.name}': output lacks key columns " +
+            keys.filterNot(df.columns.contains).mkString(","))
+        val ts = at()
+        existing match {
+          case None =>
+            ModelRun(m.name,
+              Snapshots.commit(
+                graft.operators.Merge.snapshotFirst(df, keys, ts), dir),
+              "snapshot-first")
+          case Some(cur) =>
+            val delta = graft.operators.Merge.snapshotDelta(
+              cur, df, keys, checkCols, ts, hardDeletes)
+            // one snapshot-table version per run, delta-priced: the
+            // merge touches (keys, dbt_valid_from) grains the delta
+            // names and passes everything else through
+            ModelRun(m.name,
+              Snapshots.merge(spark, dir, delta, keys :+ "dbt_valid_from"),
+              "snapshot")
+        }
       case Materialization.Incremental(keys, policy) =>
         val df = m.build(inputs, existing)
         existing match {

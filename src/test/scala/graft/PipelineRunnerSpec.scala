@@ -453,4 +453,52 @@ class PipelineRunnerSpec extends AnyFunSuite {
       checks = Seq(Checks.NotNull("k")))
     intercept[IllegalArgumentException](runner.run(Seq(badEph), src))
   }
+
+  test("snapshot materialization: check-strategy SCD2 — diff without timestamps, dbt metadata columns, delta-priced runs") {
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    val ts = Iterator("2024-01-01 00:00:00", "2024-02-01 00:00:00",
+      "2024-03-01 00:00:00").map(java.sql.Timestamp.valueOf)
+    val snap = Model("dim", Seq("src"),
+      Materialization.Snapshot(Seq("k"), Seq("seg"), at = () => ts.next()),
+      (in, _) => in("src"))
+    def state(rows: (Long, String, Double)*) =
+      Map("src" -> rows.toSeq.toDF("k", "seg", "bal"))
+    val r1 = runner.run(Seq(snap), state((1L, "A", 10.0), (2L, "B", 20.0)))
+    assert(r1.head.mode == "snapshot-first")
+    // dbt's exact metadata columns, scd_id = md5 of (keys|valid_from)
+    val cols = runner.readModel("dim").columns.toSeq
+    assert(cols == Seq("k", "seg", "bal", "dbt_scd_id", "dbt_updated_at",
+      "dbt_valid_from", "dbt_valid_to"))
+    assert(runner.readModel("dim").select("dbt_scd_id").as[String]
+      .collect().forall(_.matches("[0-9a-f]{32}")))
+    // run 2: key 1 re-segmented (close+open); key 3 new; key 2 ABSENT
+    // but invalidate_hard_deletes is OFF → its open row stays; `bal`
+    // is NOT a check column, so a bal-only change would be invisible
+    val r2 = runner.run(Seq(snap),
+      state((1L, "A2", 10.0), (3L, "C", 30.0)))
+    assert(r2.head.mode == "snapshot")
+    val dim = runner.readModel("dim")
+      .select("k", "seg", "dbt_valid_from", "dbt_valid_to")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSeq.sortBy(r => (r._1, r._3.getTime))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    assert(dim == Seq(
+      (1L, "A", t("2024-01-01 00:00:00"), Some(t("2024-02-01 00:00:00"))),
+      (1L, "A2", t("2024-02-01 00:00:00"), None),
+      (2L, "B", t("2024-01-01 00:00:00"), None),
+      (3L, "C", t("2024-02-01 00:00:00"), None)))
+    // closed rows keep their original dbt_updated_at; reopened get the
+    // run's — the (key,version) grain each carries its own audit stamp
+    val upd = runner.readModel("dim").filter(col("k") === 1L)
+      .select("dbt_updated_at", "dbt_valid_to")
+      .as[(java.sql.Timestamp, Option[java.sql.Timestamp])].collect().toMap
+    assert(upd(t("2024-01-01 00:00:00")).contains(t("2024-02-01 00:00:00")))
+    assert(upd(t("2024-02-01 00:00:00")).isEmpty)
+    // run 3: identical state → the delta is EMPTY; the committed
+    // version equals the previous byte-for-byte (no spurious churn)
+    val before = runner.readModel("dim").collect().toSet
+    runner.run(Seq(snap), state((1L, "A2", 10.0), (3L, "C", 30.0)))
+    assert(runner.readModel("dim").collect().toSet == before)
+  }
 }
