@@ -1152,7 +1152,47 @@ object Warehouse {
       .orderBy(col("view"))
   }
 
+  /** q97: TYPE PROMOTION — the other half of Iceberg's metadata-only
+    * schema evolution (q96 covers rename/drop): `Snapshots
+    * .widenColumn` records int→bigint in the schema ledger without
+    * touching a file; the current view serves the OLD int files CAST
+    * to bigint by column id, while explicit-version travel keeps the
+    * snapshot's write-time int. Only widening promotions are legal
+    * (int family, float→double, decimal precision) — and commits
+    * arriving with a narrower type than the table's are rejected
+    * loudly, Iceberg's writer contract. The gate commits v1 as INT,
+    * widens, reads the mapped view BEFORE any new commit, then
+    * commits v2 with bigint values beyond the int range (the point
+    * of promotion) and unites the three rollups; max proves v2
+    * exceeds int. SnapshotsSpec pins byte-identical v1 files, the
+    * narrowing-commit rejection, and the illegal-promotion guard.
+    */
+  def q97TypePromotion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val t = s"${tempDir("graft-promo")}/orders_ty"
+    val base = Tables(spark, dir, "orders").select(col("o_orderkey"),
+      (col("o_orderkey") % 100000).cast("int").as("units"))
+    Snapshots.commit(base.filter(col("o_orderkey") % 2 === 0), t) // v1: INT
+    Snapshots.widenColumn(t, "units", org.apache.spark.sql.types.LongType)
+    // current view BEFORE any post-widen commit: v1's int files,
+    // served as bigint purely by the ledger cast
+    val pre = Snapshots.read(spark, t)
+    Snapshots.commit(base.select(col("o_orderkey"),
+      (col("o_orderkey") + lit(3000000000L)).as("units")), t) // v2: BIGINT
+    def rollup(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("units")).cast("long").as("units_sum"),
+          max(col("units")).cast("long").as("units_max"))
+        .select(lit(label).as("view"), col("n_rows"),
+          col("units_sum"), col("units_max"))
+    rollup(Snapshots.read(spark, t, 1L), "v1_time_travel")
+      .unionByName(rollup(pre, "v1_widened_view"))
+      .unionByName(rollup(Snapshots.read(spark, t), "v2_current"))
+      .orderBy(col("view"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_type_promotion" -> (q97TypePromotion _),
     "q96_column_mapping" -> (q96ColumnMapping _),
     "q95_partitions_meta" -> (q95PartitionsMeta _),
     "q94_hidden_partition" -> (q94HiddenPartition _),
@@ -1185,6 +1225,28 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q97: all three views restate from key arithmetic (v1 = even
+    // keys at % 100000; v2 = all keys shifted past the int range);
+    // SUM/MAX cast to BIGINT (DuckDB SUM(INT) is HUGEINT)
+    "q97_type_promotion" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_orderkey % 100000 AS INT) AS units
+        |  FROM orders)
+        |SELECT 'v1_time_travel' AS view, COUNT(*) AS n_rows,
+        |  CAST(SUM(units) AS BIGINT) AS units_sum,
+        |  CAST(MAX(units) AS BIGINT) AS units_max
+        |FROM b WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'v1_widened_view', COUNT(*),
+        |  CAST(SUM(units) AS BIGINT), CAST(MAX(units) AS BIGINT)
+        |FROM b WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'v2_current', COUNT(*),
+        |  CAST(SUM(o_orderkey + 3000000000) AS BIGINT),
+        |  CAST(MAX(o_orderkey + 3000000000) AS BIGINT)
+        |FROM b
+        |ORDER BY view""".stripMargin,
     // q96: the three views restate as key-slices — v2 (and its
     // renamed current mapping) = even keys, v3 = all rows
     "q96_column_mapping" ->

@@ -307,18 +307,75 @@ object Snapshots {
       .maxOption.map(_ + 1).getOrElse(0)
     val cols = schema.fields.toSeq.map { f =>
       byName.get(f.name) match {
-        case Some(c) => ColumnDef(c.id, f.name, f.dataType.json)
+        case Some(c) =>
+          // an existing column must arrive at its current type or a
+          // legal WIDENING of it (which evolves the schema in place —
+          // Iceberg's writer contract); a narrower or incompatible
+          // type would let the write ledger contradict the physical
+          // files, so it must be cast by the writer, loudly
+          val curT = org.apache.spark.sql.types.DataType.fromJson(c.typeJson)
+          require(promotable(curT, f.dataType),
+            s"commit: column '${f.name}' arrives as " +
+              s"${f.dataType.simpleString} but the table holds " +
+              s"${curT.simpleString} — cast it (only widening " +
+              "promotions evolve implicitly)")
+          ColumnDef(c.id, f.name, f.dataType.json)
         case None =>
           val id = nextId; nextId += 1; ColumnDef(id, f.name, f.dataType.json)
       }
     }
     val seq =
-      if (entries.isEmpty || current.map(c => (c.id, c.name)) !=
-          cols.map(c => (c.id, c.name)))
+      if (entries.isEmpty || current.map(c => (c.id, c.name, c.typeJson)) !=
+          cols.map(c => (c.id, c.name, c.typeJson)))
         appendSchemaEntry(tableDir, version, cols)
       else entries.last.seq
     appendSchemaWrite(tableDir, version, seq)
   }
+
+  /** Iceberg's type-promotion lattice — the ONLY implicit type
+    * changes allowed (all value-preserving, so old files reinterpret
+    * under the new type with a cast and zero rewrites): integer
+    * widening, float→double, decimal precision growth at fixed scale.
+    */
+  private def promotable(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision >= f.precision
+      case _ => false
+    }
+  }
+
+  /** WIDEN a column's type, metadata-only (Iceberg type promotion):
+    * one schema-ledger entry; no data file is touched — the current
+    * view serves old physical values CAST to the widened type, and
+    * explicit-version travel keeps each snapshot's write-time type.
+    * Only [[promotable]] widenings are legal (narrowing would corrupt
+    * values silently).
+    */
+  def widenColumn(tableDir: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Unit =
+    withManifestLock(tableDir) {
+      val entries = schemaEntries(tableDir)
+      require(entries.nonEmpty, s"no schema ledger at $tableDir (commit first)")
+      val cur = entries.last.cols
+      val c = cur.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' " +
+          s"(have ${cur.map(_.name).mkString(", ")})"))
+      val from = org.apache.spark.sql.types.DataType.fromJson(c.typeJson)
+      require(promotable(from, newType),
+        s"cannot promote '$name' ${from.simpleString} -> " +
+          s"${newType.simpleString}: only widening promotions " +
+          "(int->bigint, float->double, decimal precision) are legal")
+      appendSchemaEntry(tableDir, versions(tableDir).last + 1L,
+        cur.map(x => if (x.name == name) x.copy(typeJson = newType.json) else x))
+    }
 
   /** RENAME a column, metadata-only: appends a schema entry (same
     * ids, new logical name) applying to the latest view and every
@@ -367,13 +424,19 @@ object Snapshots {
       .orElse(entries.filter(_.asOf <= v).lastOption)
       .getOrElse { return df }
     val s = entries.last
-    if (s.cols.map(c => (c.id, c.name)) ==
-      writeEntry.cols.map(c => (c.id, c.name))) return df // identity
-    val physById = writeEntry.cols.map(c => c.id -> c.name).toMap
+    if (s.cols.map(c => (c.id, c.name, c.typeJson)) ==
+      writeEntry.cols.map(c => (c.id, c.name, c.typeJson))) return df // identity
+    val physById = writeEntry.cols.map(c => c.id -> c).toMap
     val have = df.columns.toSet
     val out = s.cols.map { c =>
-      physById.get(c.id).filter(have) match {
-        case Some(p) => col(p).as(c.name)
+      physById.get(c.id).filter(p => have(p.name)) match {
+        // value-preserving cast bridges a type PROMOTION recorded
+        // after this snapshot was written (old int files serve the
+        // widened bigint view); same-type resolves without one
+        case Some(p) if p.typeJson == c.typeJson => col(p.name).as(c.name)
+        case Some(p) => col(p.name)
+          .cast(org.apache.spark.sql.types.DataType.fromJson(c.typeJson))
+          .as(c.name)
         case None => lit(null)
           .cast(org.apache.spark.sql.types.DataType.fromJson(c.typeJson))
           .as(c.name)

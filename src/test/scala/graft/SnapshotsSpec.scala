@@ -120,6 +120,45 @@ class SnapshotsSpec extends AnyFunSuite {
       s"rollback view must null-fill the later column (v$rb)")
   }
 
+  test("type promotion: widen is metadata-only, travel keeps the narrow type, narrowing commits and illegal promotions rejected") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = tmp() + "/ty"
+    Snapshots.commit(Seq((1L, 10), (2L, 20)).toDF("k", "units"), dir) // v1 INT
+    def dataState() = {
+      val w = Files.walk(Paths.get(dir, "v=1"))
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => (p.toString, Files.size(p), Files.getLastModifiedTime(p)))
+        .toSeq.sortBy(_._1)
+      finally w.close()
+    }
+    val before = dataState()
+    Snapshots.widenColumn(dir, "units", LongType)
+    assert(dataState() == before, "widen must not touch data files")
+    // current view: v1's int files served as bigint, values intact
+    val cur = Snapshots.read(spark, dir)
+    assert(cur.schema("units").dataType == LongType)
+    assert(cur.orderBy("k").select("units").as[Long].collect().toSeq ==
+      Seq(10L, 20L))
+    // explicit-version travel keeps the write-time int
+    assert(Snapshots.read(spark, dir, 1L).schema("units").dataType == IntegerType)
+    // a commit arriving NARROWER than the table type is rejected
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((3L, 30)).toDF("k", "units"), dir))
+    assert(e.getMessage.contains("cast it"))
+    // ...and a properly-cast bigint commit lands and reads back
+    Snapshots.commit(Seq((3L, 5000000000L)).toDF("k", "units"), dir)
+    assert(Snapshots.read(spark, dir).agg(max("units")).head.getLong(0) ==
+      5000000000L)
+    // narrowing/incompatible promotions are illegal
+    intercept[IllegalArgumentException](
+      Snapshots.widenColumn(dir, "units", IntegerType))
+    intercept[IllegalArgumentException](
+      Snapshots.widenColumn(dir, "units", StringType))
+  }
+
   test("streaming ingestion commits micro-batches as snapshots") {
     val dir = tmp() + "/ingested"
     val stream = graft.streaming.EventStream.eventsStream(spark, sf)
