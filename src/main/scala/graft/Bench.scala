@@ -57,11 +57,21 @@ object Bench {
     // divergence is kept and reported as `spread`, so ambient-variance
     // claims about any heavy query are verifiable from the artifact
     // alone (min-of-2 discards exactly that information otherwise).
+    // An EXCURSION (t1/t2 divergence beyond both an absolute and a
+    // relative bar) gets a THIRD timed run: two-of-three healthy
+    // samples distinguish one-off ambient load (driver host runs
+    // other work) from a real intermittent — min-of-2 alone can't,
+    // which let r7's d14/s10/p15 spreads (8.5/8.4/4.3 s on healthy
+    // mins) read as unexplained. All samples land in BENCH-FULL's
+    // `runs`, so the claim is auditable from the artifact.
     val results = names.map { name =>
       val t1 = timed(name)
       if (t1 > 1.0) {
-        val t2 = timed(name)
-        (name, math.min(t1, t2), Some(math.abs(t1 - t2)))
+        val two = Seq(t1, timed(name))
+        val excursion =
+          two.max - two.min > math.max(1.5, 0.75 * two.min)
+        val runs = if (excursion) two :+ timed(name) else two
+        (name, runs.min, Some(runs))
       } else (name, t1, None)
     }
     // The driver captures only a bounded (~2000 char) tail of stdout
@@ -78,7 +88,17 @@ object Bench {
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, d) => "\"" + k + "\":" + s3(d) }.mkString("{", ",", "}")
     val perQuery = results.map { case (k, v, _) => short(k) -> v }
-    val spreadAll = results.collect { case (k, _, Some(d)) => (short(k), d) }
+    // spread = max−min over the 2nd-closest pair: with 3 samples the
+    // single outlier is excluded (median−min), so an ambient one-off
+    // no longer inflates the reported spread while the raw `runs`
+    // keep the full evidence
+    val spreadAll = results.collect { case (k, _, Some(rs)) =>
+      val sorted = rs.sorted
+      (short(k), sorted(math.min(1, sorted.size - 1)) - sorted.head)
+    }
+    val runsAll = results.collect { case (k, _, Some(rs)) if rs.size > 2 =>
+      short(k) -> rs
+    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Like-for-like subtotal over the ROUND-4 query set (the standing
     // BASELINE-LOCAL.md yardstick), so round-over-round regressions
@@ -86,8 +106,12 @@ object Bench {
     val sharedPrev = results
       .filter { case (k, _, _) => PREV_ROUND_IDS(short(k)) }
       .map(_._2).sum
+    def jruns(kv: Seq[(String, Seq[Double])]): String =
+      kv.map { case (k, rs) =>
+        "\"" + k + "\":[" + rs.map(s3).mkString(",") + "]"
+      }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"total_shared_prev":${s3(sharedPrev)},"spread":${jmap(spreadAll.sortBy(_._1))},"queries":${jmap(perQuery)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"total_shared_prev":${s3(sharedPrev)},"spread":${jmap(spreadAll.sortBy(_._1))},"runs":${jruns(runsAll.sortBy(_._1))},"queries":${jmap(perQuery)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH-FULL.json"), fullLine + "\n")
     catch { case _: Throwable => () } // read-only cwd: stdout still carries the summary
