@@ -47,6 +47,55 @@ object Merge {
       .select(cols: _*)
   }
 
+  /** The FULL three-branch MERGE grammar — [[upsert]] plus `WHEN NOT
+    * MATCHED BY SOURCE` (Delta's extension, now in the Databricks /
+    * Spark 4 MERGE surface), the branch that makes one statement a
+    * full-state SYNCHRONIZATION: target rows whose key is ABSENT
+    * from the source either get deleted
+    * (`notMatchedBySourceDelete`, evaluated on TARGET columns — e.g.
+    * "drop stale rows in the synced region only") or get column
+    * overrides applied (`notMatchedBySourceSet`, e.g. flip an
+    * `is_active` flag) — the deactivate-disappeared-records pattern
+    * every dimension sync needs. Without a condition, delete-all
+    * unmatched + upsert would degenerate to `SELECT source` — the
+    * conditional scoping is the point: rows OUTSIDE the sync scope
+    * pass through untouched. Still ONE key-shuffled full-outer join,
+    * no second pass — the same cost as plain upsert at 100 TB.
+    */
+  def upsertFull(target: DataFrame, source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySourceSet: Map[String, org.apache.spark.sql.Column] = Map.empty)
+      : DataFrame = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(notMatchedBySourceSet.keySet.forall(target.columns.contains),
+      "notMatchedBySourceSet names a column absent from the target")
+    // resolve caller conditions against BARE columns before aliasing
+    val srcFlagged = deleteWhen.fold(source.withColumn("__graft_del", lit(false)))(
+      c => source.withColumn("__graft_del", coalesce(c, lit(false))))
+    val tgtFlagged = notMatchedBySourceDelete.fold(
+      target.withColumn("__graft_tdel", lit(false)))(
+      c => target.withColumn("__graft_tdel", coalesce(c, lit(false))))
+    val t = tgtFlagged.withColumns(notMatchedBySourceSet.map { case (k, v) =>
+      s"__graft_set_$k" -> v
+    }).as("t")
+    val s = srcFlagged.as("s")
+    val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val sPresent = col(s"s.${keys.head}").isNotNull
+    val tPresent = col(s"t.${keys.head}").isNotNull
+    val targetOnly = tPresent && !sPresent
+    val cols = target.columns.toSeq.map { c =>
+      val base = when(sPresent, col(s"s.$c")).otherwise(col(s"t.$c"))
+      (if (notMatchedBySourceSet.contains(c))
+        when(targetOnly, col(s"t.__graft_set_$c")).otherwise(base)
+      else base).as(c)
+    }
+    t.join(s, cond, "full_outer")
+      .filter(!(sPresent && col("s.__graft_del")) &&
+        !(targetOnly && col("t.__graft_tdel")))
+      .select(cols: _*)
+  }
+
   /** Last-writer-wins CDC apply — the Iceberg
     * `WHEN MATCHED AND s.ts > t.ts THEN UPDATE` idiom
     * (reference docs/components/cdc.md: Debezium changelog upserts)
@@ -210,15 +259,18 @@ object Merge {
       from: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     md5(concat_ws("|", keys.map(col) :+ from.cast("string"): _*))
 
-  /** First `dbt snapshot` run: every source row opens at `ts`
-    * (dbt_valid_to NULL). `dbt_scd_id` = md5(keys | valid_from) —
-    * dbt's surrogate for the (key, version) grain.
+  /** First `dbt snapshot` run: every source row opens at `ts` — or,
+    * under the TIMESTAMP strategy (`updatedAt` set), at its own
+    * updated-at value, dbt's exact first-run behavior (dbt_valid_from
+    * = the source row's updated_at). `dbt_scd_id` = md5(keys |
+    * valid_from) — dbt's surrogate for the (key, version) grain.
     */
   def snapshotFirst(source: DataFrame, keys: Seq[String],
-      ts: java.sql.Timestamp): DataFrame = {
+      ts: java.sql.Timestamp, updatedAt: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "snapshot needs unique keys")
     require(keys.forall(source.columns.contains), "source must carry the keys")
-    val from = lit(ts).cast("timestamp")
+    val from = updatedAt.fold(lit(ts).cast("timestamp"))(c =>
+      col(c).cast("timestamp"))
     source
       .withColumn("dbt_scd_id", scdId(keys, from))
       .withColumn("dbt_updated_at", from)
@@ -246,25 +298,40 @@ object Merge {
     */
   def snapshotDelta(snapshot: DataFrame, source: DataFrame,
       keys: Seq[String], checkCols: Seq[String], ts: java.sql.Timestamp,
-      invalidateHardDeletes: Boolean = false): DataFrame = {
+      invalidateHardDeletes: Boolean = false,
+      updatedAt: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "snapshot needs unique keys")
     val tracked =
-      if (checkCols.nonEmpty) checkCols
+      if (updatedAt.isDefined) Nil
+      else if (checkCols.nonEmpty) checkCols
       else source.columns.toSeq.filterNot(keys.contains)
-    require(tracked.nonEmpty, "snapshot: no columns to check")
-    val from = lit(ts).cast("timestamp")
+    require(updatedAt.isDefined || tracked.nonEmpty,
+      "snapshot: no columns to check")
+    val runTs = lit(ts).cast("timestamp")
+    // TIMESTAMP strategy: validity boundaries come from the source
+    // row's own updated_at; CHECK strategy: from the run timestamp
+    val from = updatedAt.fold(runTs)(c => col(s"s.$c").cast("timestamp"))
     val d = snapshot.filter(col("dbt_valid_to").isNull).as("d")
     val s = source.as("s")
     val cond = keys.map(k => col(s"d.$k") === col(s"s.$k")).reduce(_ && _)
     val sPresent = col(s"s.${keys.head}").isNotNull
     val dPresent = col(s"d.${keys.head}").isNotNull
-    val changed = tracked.map(c => !(col(s"d.$c") <=> col(s"s.$c"))).reduce(_ || _)
+    // timestamp strategy: "changed" = the source row is NEWER than
+    // the open version (dbt compares updated_at > dbt_updated_at);
+    // check strategy: any tracked column differs, null-safe
+    val changed = updatedAt.fold(
+      tracked.map(c => !(col(s"d.$c") <=> col(s"s.$c"))).reduce(_ || _))(c =>
+      col(s"s.$c").cast("timestamp") > col("d.dbt_updated_at"))
     val joined = d.join(s, cond, "full_outer")
     val closes = joined
       .filter(dPresent && ((sPresent && changed) ||
         (!sPresent && lit(invalidateHardDeletes))))
       .select(snapshot.columns.toSeq.map {
-        case "dbt_valid_to" => from.as("dbt_valid_to")
+        // a changed key closes at the NEW version's valid_from (per
+        // row under the timestamp strategy); a hard delete closes at
+        // the run timestamp (dbt's invalidate_hard_deletes behavior)
+        case "dbt_valid_to" =>
+          when(sPresent, from).otherwise(runTs).as("dbt_valid_to")
         case c => col(s"d.$c").as(c)
       }: _*)
     val opens = joined
@@ -333,15 +400,65 @@ object Merge {
       .orderBy(col("c_custkey"))
   }
 
+  /** q98: full-grammar MERGE as a scoped dimension SYNC — the
+    * deactivate-disappeared-records pattern: the synced scope is the
+    * BUILDING segment; the source restates keys 300–1200 of that
+    * scope with shifted balances. Matched rows update, new keys
+    * insert, and IN-SCOPE target rows that disappeared from the
+    * source (BUILDING, key < 300) are PURGED if their balance is
+    * negative (`WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE`)
+    * and flagged inactive otherwise (`... THEN UPDATE SET`, the
+    * condition folded into the SET expression) — while every
+    * out-of-scope row passes through untouched, which is exactly
+    * what separates this from a blind overwrite. Oracle rebuilds
+    * the final state set-wise by key range and segment.
+    */
+  def q98MergeSync(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").select(
+      col("c_custkey").as("k"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").as("balance"))
+    val target = cust.filter(col("k") <= 900).withColumn("is_active", lit(true))
+    val source = cust
+      .filter(col("k").between(300, 1200) && col("segment") === "BUILDING")
+      .withColumn("balance", col("balance") + 50.0)
+      .withColumn("is_active", lit(true))
+    upsertFull(target, source, Seq("k"),
+      notMatchedBySourceDelete =
+        Some(col("segment") === "BUILDING" && col("balance") < 0),
+      notMatchedBySourceSet = Map("is_active" ->
+        when(col("segment") === "BUILDING", lit(false))
+          .otherwise(col("is_active"))))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_incremental_merge" -> (q21IncrementalMerge _),
     "q62_scd2_apply" -> (q62Scd2Apply _),
-    "q82_evolving_merge" -> (q82EvolvingMerge _)
+    "q82_evolving_merge" -> (q82EvolvingMerge _),
+    "q98_merge_sync" -> (q98MergeSync _)
   )
 
   // The merge of stale+recomputed snapshots must equal the full
   // snapshot — same oracle as q10_cdc_latest_snapshot.
   val oracles: Map[String, String] = Map(
+    // q98: final sync state by key range — in-scope (BUILDING) rows
+    // >= 300 take the restated balance, < 300 deactivate or purge;
+    // out-of-scope rows pass through
+    "q98_merge_sync" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS segment,
+        |    c_acctbal AS balance
+        |  FROM customer)
+        |SELECT k, segment,
+        |  CASE WHEN k >= 300 AND segment = 'BUILDING'
+        |       THEN balance + 50.0 ELSE balance END AS balance,
+        |  NOT (segment = 'BUILDING' AND k < 300) AS is_active
+        |FROM c
+        |WHERE (k <= 900
+        |       AND NOT (k < 300 AND segment = 'BUILDING' AND balance < 0))
+        |   OR (k BETWEEN 901 AND 1200 AND segment = 'BUILDING')
+        |ORDER BY k""".stripMargin,
     // q82: the evolved table rebuilt set-wise from raw customer —
     // update/keep/insert paths plus the NULL-backfilled new column
     "q82_evolving_merge" ->

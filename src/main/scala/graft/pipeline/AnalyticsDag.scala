@@ -335,7 +335,49 @@ object AnalyticsDag {
       .orderBy(col("custkey"), col("valid_from"))
   }
 
+  /** p23: dbt `snapshot`, TIMESTAMP strategy — the strategy for
+    * sources that DO carry a reliable change column (p22 is the
+    * check-strategy twin): a key re-versions iff its source row's
+    * `updated_ts` is NEWER than the open version's dbt_updated_at,
+    * and validity boundaries are that column's PER-ROW values, not
+    * the run clock — so the snapshot's history reads in business
+    * time. Run 1 opens every order at its own o_orderdate; run 2
+    * bumps `% 3 = 0` keys 100 days later with a revised status
+    * (close at the new valid_from + open) while every other row —
+    * same updated_ts — is a no-op by the newer-than rule, making
+    * replays idempotent. Oracle restates both generations from date
+    * arithmetic.
+    */
+  def p23SnapshotTimestamp(spark: SparkSession, dir: String): DataFrame = {
+    val runner = new Runner(spark, freshWarehouse())
+    val ord = Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("okey"),
+      upper(trim(col("o_orderstatus"))).as("status"),
+      col("o_totalprice").as("total"),
+      col("o_orderdate").cast("timestamp").as("updated_ts"))
+    val runTs = Iterator("1999-01-01 00:00:00", "1999-06-01 00:00:00")
+      .map(java.sql.Timestamp.valueOf)
+    val snap = Model("ord_snap", Seq("orders_state"),
+      Materialization.Snapshot(Seq("okey"), at = () => runTs.next(),
+        updatedAt = Some("updated_ts")),
+      (in, _) => in("orders_state"))
+    runner.run(Seq(snap), Map("orders_state" -> ord))
+    runner.run(Seq(snap), Map("orders_state" -> ord
+      .withColumn("status",
+        when(col("okey") % 3 === 0, lit("REVISED")).otherwise(col("status")))
+      .withColumn("updated_ts",
+        when(col("okey") % 3 === 0,
+          col("updated_ts") + expr("INTERVAL 100 DAYS"))
+          .otherwise(col("updated_ts")))))
+    runner.readModel("ord_snap")
+      .select(col("okey"), col("status"), col("total"),
+        col("dbt_valid_from").cast("date").as("valid_from"),
+        col("dbt_valid_to").cast("date").as("valid_to"))
+      .orderBy(col("okey"), col("valid_from"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_snapshot_timestamp" -> (p23SnapshotTimestamp _),
     "p22_dbt_snapshot" -> (p22DbtSnapshot _),
     "q83_pipeline_resume" -> (q83PipelineResume _),
     "q50_pipeline_run" -> (q50PipelineRun _),
@@ -351,6 +393,25 @@ object AnalyticsDag {
     * lineage would flatten to (DuckDB dialect).
     */
   val oracles: Map[String, String] = Map(
+    // p23: business-time validity restated from date arithmetic —
+    // generation 1 at each row's own order date (closing iff
+    // revised), generation 2 at +100 days for the revised keys
+    "p23_snapshot_timestamp" ->
+      """WITH s AS (
+        |  SELECT o_orderkey AS okey,
+        |    upper(trim(o_orderstatus)) AS status,
+        |    o_totalprice AS total, o_orderdate AS u
+        |  FROM orders)
+        |SELECT okey, status, total,
+        |  CAST(u AS DATE) AS valid_from,
+        |  CASE WHEN okey % 3 = 0
+        |       THEN CAST(u + INTERVAL 100 DAY AS DATE) END AS valid_to
+        |FROM s
+        |UNION ALL
+        |SELECT okey, 'REVISED', total,
+        |  CAST(u + INTERVAL 100 DAY AS DATE), NULL
+        |FROM s WHERE okey % 3 = 0
+        |ORDER BY okey, valid_from""".stripMargin,
     // p22: the check-strategy diff restated declaratively — v1 rows
     // close iff re-segmented (%7) or hard-deleted (%11); the second
     // branch is the re-opened UPGRADED versions

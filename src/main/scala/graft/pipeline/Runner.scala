@@ -79,13 +79,22 @@ object Materialization {
     * columns (dbt_scd_id, dbt_updated_at, dbt_valid_from,
     * dbt_valid_to). `at` supplies the run's effective timestamp
     * (dbt's run started_at); injectable for deterministic tests.
+    *
+    * `updatedAt` switches to dbt's TIMESTAMP strategy: a key
+    * re-versions iff its source row's `updatedAt` column is newer
+    * than the open version's dbt_updated_at, and validity boundaries
+    * come from that column per row (not the run clock) — the
+    * strategy for sources that DO carry a reliable change timestamp;
+    * `checkCols` is ignored then. Hard deletes still close at the
+    * run timestamp.
     */
   final case class Snapshot(
       uniqueKeys: Seq[String],
       checkCols: Seq[String] = Nil,
       invalidateHardDeletes: Boolean = false,
       at: () => java.sql.Timestamp =
-        () => new java.sql.Timestamp(System.currentTimeMillis()))
+        () => new java.sql.Timestamp(System.currentTimeMillis()),
+      updatedAt: Option[String] = None)
     extends Materialization
 
   /** dbt `seed` (reference: dag/dbt_analytics_pipeline.py:76-81
@@ -499,23 +508,25 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
       case Materialization.Table =>
         val df = m.build(inputs, None)
         ModelRun(m.name, Snapshots.commit(df, dir), "full")
-      case Materialization.Snapshot(keys, checkCols, hardDeletes, at) =>
+      case Materialization.Snapshot(keys, checkCols, hardDeletes, at, updCol) =>
         // the model sees only its inputs (a dbt snapshot block is a
         // plain select over the source; `{{ this }}` doesn't apply)
         val df = m.build(inputs, None)
         require(keys.forall(df.columns.contains),
           s"snapshot '${m.name}': output lacks key columns " +
             keys.filterNot(df.columns.contains).mkString(","))
+        updCol.foreach(c => require(df.columns.contains(c),
+          s"snapshot '${m.name}': output lacks updated-at column '$c'"))
         val ts = at()
         existing match {
           case None =>
             ModelRun(m.name,
               Snapshots.commit(
-                graft.operators.Merge.snapshotFirst(df, keys, ts), dir),
+                graft.operators.Merge.snapshotFirst(df, keys, ts, updCol), dir),
               "snapshot-first")
           case Some(cur) =>
             val delta = graft.operators.Merge.snapshotDelta(
-              cur, df, keys, checkCols, ts, hardDeletes)
+              cur, df, keys, checkCols, ts, hardDeletes, updCol)
             // one snapshot-table version per run, delta-priced: the
             // merge touches (keys, dbt_valid_from) grains the delta
             // names and passes everything else through

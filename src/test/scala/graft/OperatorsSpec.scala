@@ -41,6 +41,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "keep", 10.0), (3L, "UPD", 99.0), (4L, "ins", 40.0)))
   }
 
+  test("Merge.upsertFull: NOT MATCHED BY SOURCE delete/set are scoped, out-of-scope rows untouched") {
+    import spark.implicits._
+    val target = Seq(
+      (1L, "A", true),   // target-only, in delete scope (s=A, k<0 bal? below)
+      (2L, "A", true),   // target-only, in SET scope → deactivate
+      (3L, "B", true),   // target-only, OUT of scope → untouched
+      (4L, "A", true))   // matched → source wins
+      .toDF("k", "s", "active")
+      .withColumn("bal", when(col("k") === 1L, -5.0).otherwise(lit(10.0)))
+      .select("k", "s", "bal", "active")
+    val source = Seq((4L, "A", 99.0, true), (5L, "A", 50.0, true))
+      .toDF("k", "s", "bal", "active")
+    val got = Merge.upsertFull(target, source, Seq("k"),
+        notMatchedBySourceDelete = Some(col("s") === "A" && col("bal") < 0),
+        notMatchedBySourceSet = Map("active" ->
+          when(col("s") === "A", lit(false)).otherwise(col("active"))))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (2L, "A", 10.0, false),  // disappeared in scope → deactivated
+      (3L, "B", 10.0, true),   // out of scope → byte-identical
+      (4L, "A", 99.0, true),   // matched → updated
+      (5L, "A", 50.0, true)))  // new key → inserted; key 1 purged
+  }
+
   test("Merge.cdcApply: newer wins, older loses, tombstone retained, no resurrection") {
     import spark.implicits._
     val target = Seq(

@@ -501,4 +501,38 @@ class PipelineRunnerSpec extends AnyFunSuite {
     runner.run(Seq(snap), state((1L, "A2", 10.0), (3L, "C", 30.0)))
     assert(runner.readModel("dim").collect().toSet == before)
   }
+
+  test("snapshot timestamp strategy: business-time validity, stale rows ignored, replay idempotent") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val runner = new Runner(spark, tmp())
+    val snap = Model("dim", Seq("src"),
+      Materialization.Snapshot(Seq("k"), updatedAt = Some("u"),
+        at = () => t("2024-06-01 00:00:00")),
+      (in, _) => in("src"))
+    def state(rows: (Long, String, java.sql.Timestamp)*) =
+      Map("src" -> rows.toSeq.toDF("k", "v", "u"))
+    runner.run(Seq(snap),
+      state((1L, "a", t("2024-01-05 00:00:00")),
+        (2L, "b", t("2024-01-09 00:00:00"))))
+    // first run opens each key at its OWN updated-at, not the run ts
+    assert(runner.readModel("dim").select("k", "dbt_valid_from")
+      .as[(Long, java.sql.Timestamp)].collect().toMap ==
+      Map(1L -> t("2024-01-05 00:00:00"), 2L -> t("2024-01-09 00:00:00")))
+    // run 2: key 1 NEWER (re-versions at its new u); key 2 arrives
+    // with a DIFFERENT value but the SAME u — stale by the
+    // newer-than rule, must be ignored (the whole point: replays and
+    // out-of-order restatements can't corrupt history)
+    runner.run(Seq(snap),
+      state((1L, "a2", t("2024-02-01 00:00:00")),
+        (2L, "b-stale", t("2024-01-09 00:00:00"))))
+    val rows = runner.readModel("dim")
+      .select("k", "v", "dbt_valid_from", "dbt_valid_to")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSeq.sortBy(r => (r._1, r._3.getTime))
+    assert(rows == Seq(
+      (1L, "a", t("2024-01-05 00:00:00"), Some(t("2024-02-01 00:00:00"))),
+      (1L, "a2", t("2024-02-01 00:00:00"), None),
+      (2L, "b", t("2024-01-09 00:00:00"), None)))
+  }
 }
