@@ -99,7 +99,13 @@ object Transforms {
       .repartition(col(PvCol))
       .write.mode(SaveMode.Overwrite).partitionBy(PvCol)
       .parquet(s"$tableDir/data")
-    // manifest from what was actually written
+    writeManifest(tableDir, t)
+  }
+
+  /** Manifest (+spec) rebuilt from the directory listing — what was
+    * actually written, never what a writer intended.
+    */
+  private def writeManifest(tableDir: String, t: Transform): Unit = {
     val listing = Files.list(Paths.get(tableDir, "data"))
     val pvals =
       try listing.iterator().asScala
@@ -114,6 +120,45 @@ object Transforms {
     Files.write(Paths.get(tableDir, "_pvals"),
       pvals.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** INCREMENTAL landing — the streaming/multi-batch variant of
+    * [[land]] (the reference's CDC landing grows a day-partition at
+    * a time as Debezium batches arrive, docs/components/cdc.md):
+    * appends `df`'s rows into the value directories the transform
+    * derives (a touched value gains one file per append — compaction
+    * is [[land]]'s full rewrite or a per-directory pass), then
+    * rebuilds the `_pvals` manifest so planning sees new partitions
+    * immediately. The spec must match the table's recorded transform
+    * — a writer cannot silently change the partitioning. `batchId`
+    * makes replays idempotent: an id already in the `_batches`
+    * ledger short-circuits (the foreachBatch at-least-once
+    * contract); the ledger line is written AFTER the data lands, so
+    * a crash mid-append re-runs the batch rather than losing it.
+    * Micro-batches from one query arrive serially; this writer is
+    * not safe under CONCURRENT multi-writer appends (the versioned
+    * [[Snapshots]] store is the tool for that).
+    */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+      t: Transform, batchId: Option[Long] = None): Unit = {
+    val specF = Paths.get(tableDir, "_spec")
+    if (Files.exists(specF))
+      require(readSpec(tableDir).specLine == t.specLine,
+        s"append with ${t.specLine} onto a ${readSpec(tableDir).specLine} table")
+    val ledger = Paths.get(tableDir, "_batches")
+    val seen = batchId.isDefined && Files.exists(ledger) &&
+      Files.readAllLines(ledger, StandardCharsets.UTF_8).asScala
+        .contains(batchId.get.toString)
+    if (seen) return
+    Files.createDirectories(Paths.get(tableDir))
+    df.withColumn(PvCol, t.derive)
+      .repartition(col(PvCol))
+      .write.mode(SaveMode.Append).partitionBy(PvCol)
+      .parquet(s"$tableDir/data")
+    writeManifest(tableDir, t)
+    batchId.foreach(id => Files.write(ledger,
+      s"$id\n".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND))
   }
 
   /** Open exactly the directories for `kept` values. */

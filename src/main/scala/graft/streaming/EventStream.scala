@@ -1347,7 +1347,58 @@ object EventStream {
       .orderBy(col("event_type"))
   }
 
+  /** st21: streaming CDC into a HIDDEN-PARTITIONED landing — the
+    * reference's actual CDC layout, incrementally: its landing is
+    * "partitioned by" the source timestamp the reader never names
+    * (docs/components/cdc.md), so each micro-batch must extend the
+    * transform-partitioned table, not overwrite it. Events shard 16
+    * ways, stream back 4 files per trigger, and every batch
+    * `Transforms.append`s under the recorded `days(ts)` transform
+    * with batch-id idempotency (a replayed batch is a no-op). After
+    * the drain, a RAW-predicate week scan plans via transform
+    * arithmetic against the `_pvals` manifest — partitions_read /
+    * partitions_total pinned in-result and restated by the oracle
+    * from day arithmetic, proving multi-batch appends compose with
+    * hidden-partition pruning. At 100 TB: the landing grows a
+    * day-directory at a time; a day-range read opens hit days only,
+    * planning cost = one sidecar line per batch.
+    */
+  def st21StreamHiddenPartition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Transforms
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
+    val src = graft.TempDirs.scratch("graft-st21-src")
+    graft.Tables(spark, dir, "events")
+      .withColumn("ts", unix_micros(col("ts")))
+      .repartition(16)
+      .write.mode("overwrite").parquet(src)
+    val table = s"${graft.TempDirs.scratch("graft-st21-tbl")}/events_by_day"
+    val stream = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st21-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Transforms.append(batch.sparkSession, table,
+          batch.withColumn("ts", timestamp_micros(col("ts"))),
+          Transforms.Days("ts"), batchId = Some(id))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val (week, partsRead, partsTotal) =
+      Transforms.scanDays(spark, table, "2024-01-10", "2024-01-17")
+    week.groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("partitions_read", lit(partsRead))
+      .withColumn("partitions_total", lit(partsTotal))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_stream_hidden_partition" -> (st21StreamHiddenPartition _),
     "st19_observed_metrics" -> (st19ObservedMetrics _),
     "st18_streaming_mv" -> (st18StreamingMv _),
     "st01_stream_window" -> (st01StreamWindow _),
@@ -1373,6 +1424,21 @@ object EventStream {
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    // st21: per-day week rollup from the raw table; partition counts
+    // restated from day arithmetic (hit days / all landed days)
+    "st21_stream_hidden_partition" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events
+        |   WHERE ts >= TIMESTAMP '2024-01-10'
+        |     AND ts < TIMESTAMP '2024-01-17') AS partitions_read,
+        |  (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events)
+        |    AS partitions_total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
     // st19: rollup AND the observed in-flight counters restated from
     // the raw table — the monitor's numbers must be exact
     "st19_observed_metrics" ->

@@ -78,4 +78,34 @@ class TransformsSpec extends AnyFunSuite {
       Transforms.scanDays(spark, t, "1995-01-01", "1995-01-02")
     }
   }
+
+  test("append: incremental landing extends the manifest, replayed batch is a no-op, spec mismatch rejected") {
+    import spark.implicits._
+    val t = TempDirs.scratch("graft-tf-append")
+    def day(d: String, rows: Long*) = rows.toSeq
+      .map(k => (k, java.sql.Timestamp.valueOf(s"$d 12:00:00")))
+      .toDF("k", "ts")
+    Transforms.append(spark, t, day("2024-03-01", 1L, 2L),
+      Transforms.Days("ts"), batchId = Some(0L))
+    Transforms.append(spark, t,
+      day("2024-03-01", 3L).unionAll(day("2024-03-02", 4L)),
+      Transforms.Days("ts"), batchId = Some(1L))
+    // new day visible to planning; touched day has one file per batch
+    assert(Transforms.partitionValues(t).size == 2)
+    val d1 = java.time.LocalDate.parse("2024-03-01").toEpochDay
+    assert(dataFiles(t).count(_.toString.contains(s"__pv=$d1/")) == 2,
+      "each append adds one file to a touched partition")
+    val (df, kept, total) = Transforms.scanDays(spark, t, "2024-03-01", "2024-03-02")
+    assert(df.count() == 3L && kept == 1L && total == 2L)
+    // at-least-once replay: same batch id short-circuits
+    Transforms.append(spark, t, day("2024-03-01", 9L),
+      Transforms.Days("ts"), batchId = Some(1L))
+    assert(Transforms.scanDays(spark, t, "2024-03-01", "2024-03-02")
+      ._1.count() == 3L, "replayed batch must not double-land")
+    // a writer cannot silently change the recorded partitioning
+    intercept[IllegalArgumentException] {
+      Transforms.append(spark, t, day("2024-03-03", 5L),
+        Transforms.Days("other"))
+    }
+  }
 }
