@@ -284,52 +284,55 @@ object Similarity {
   /** DuckDB CTE chain mirroring [[pqModel]] bit-for-bit — terminal
     * CTEs: `subs` (vec_id, sp, sub), `cent1` (sp, code, cent — the
     * trained codebook), `a2` (vec_id, sp, code, d2 — final codes).
+    * `p` prefixes every CTE name so the chain can compose with
+    * [[kmeansSqlCtes]] (which also defines `cent1`/`a2`) in one
+    * statement — s14's IVF-PQ oracle.
     */
-  private[operators] def pqSqlCtes: String =
-    s"""sps AS (SELECT unnest([${(0 until PQ_S).mkString(", ")}]) AS sp),
-       |subs AS (
-       |  SELECT e.vec_id, sps.sp,
-       |    e.embedding[sps.sp*$PQ_SUBDIM+1 : sps.sp*$PQ_SUBDIM+$PQ_SUBDIM] AS sub
-       |  FROM embeddings e CROSS JOIN sps),
-       |pqseeds AS (
+  private[operators] def pqSqlCtes(p: String = ""): String =
+    s"""${p}sps AS (SELECT unnest([${(0 until PQ_S).mkString(", ")}]) AS sp),
+       |${p}subs AS (
+       |  SELECT e.vec_id, s.sp,
+       |    e.embedding[s.sp*$PQ_SUBDIM+1 : s.sp*$PQ_SUBDIM+$PQ_SUBDIM] AS sub
+       |  FROM embeddings e CROSS JOIN ${p}sps s),
+       |${p}pqseeds AS (
        |  SELECT vec_id, embedding, md5(vec_id::VARCHAR) AS h
        |  FROM embeddings ORDER BY h, vec_id LIMIT $PQ_K),
-       |pqinit AS (
-       |  SELECT sps.sp,
-       |    (ROW_NUMBER() OVER (PARTITION BY sps.sp ORDER BY h, vec_id) - 1)::INT AS code,
-       |    s.embedding[sps.sp*$PQ_SUBDIM+1 : sps.sp*$PQ_SUBDIM+$PQ_SUBDIM] AS cent
-       |  FROM pqseeds s CROSS JOIN sps),
-       |pd1 AS (
+       |${p}pqinit AS (
+       |  SELECT sp2.sp,
+       |    (ROW_NUMBER() OVER (PARTITION BY sp2.sp ORDER BY h, vec_id) - 1)::INT AS code,
+       |    s.embedding[sp2.sp*$PQ_SUBDIM+1 : sp2.sp*$PQ_SUBDIM+$PQ_SUBDIM] AS cent
+       |  FROM ${p}pqseeds s CROSS JOIN ${p}sps sp2),
+       |${p}pd1 AS (
        |  SELECT u.vec_id, u.sp, c.code,
        |    list_sum(list_transform(range(1, ${PQ_SUBDIM + 1}),
        |      i -> (u.sub[i]::DOUBLE - c.cent[i]::DOUBLE) *
        |           (u.sub[i]::DOUBLE - c.cent[i]::DOUBLE))) AS d2
-       |  FROM subs u JOIN pqinit c ON u.sp = c.sp),
-       |pa1 AS (
+       |  FROM ${p}subs u JOIN ${p}pqinit c ON u.sp = c.sp),
+       |${p}pa1 AS (
        |  SELECT vec_id, sp, code FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sp
-       |      ORDER BY d2, code) AS rn FROM pd1) WHERE rn = 1),
-       |pflat AS (
-       |  SELECT pa1.sp, pa1.code, t.i, u.sub[t.i]::DOUBLE AS x
-       |  FROM pa1 JOIN subs u ON pa1.vec_id = u.vec_id AND pa1.sp = u.sp
+       |      ORDER BY d2, code) AS rn FROM ${p}pd1) WHERE rn = 1),
+       |${p}pflat AS (
+       |  SELECT a.sp, a.code, t.i, u.sub[t.i]::DOUBLE AS x
+       |  FROM ${p}pa1 a JOIN ${p}subs u ON a.vec_id = u.vec_id AND a.sp = u.sp
        |  CROSS JOIN range(1, ${PQ_SUBDIM + 1}) t(i)),
-       |pcm AS (
+       |${p}pcm AS (
        |  SELECT sp, code, i,
        |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
-       |  FROM pflat GROUP BY 1, 2, 3),
-       |cent1 AS (
+       |  FROM ${p}pflat GROUP BY 1, 2, 3),
+       |${p}cent1 AS (
        |  SELECT sp, code, list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS cent
-       |  FROM pcm GROUP BY sp, code),
-       |pd2 AS (
+       |  FROM ${p}pcm GROUP BY sp, code),
+       |${p}pd2 AS (
        |  SELECT u.vec_id, u.sp, c.code,
        |    list_sum(list_transform(range(1, ${PQ_SUBDIM + 1}),
        |      i -> (u.sub[i]::DOUBLE - c.cent[i]::DOUBLE) *
        |           (u.sub[i]::DOUBLE - c.cent[i]::DOUBLE))) AS d2
-       |  FROM subs u JOIN cent1 c ON u.sp = c.sp),
-       |a2 AS (
+       |  FROM ${p}subs u JOIN ${p}cent1 c ON u.sp = c.sp),
+       |${p}a2 AS (
        |  SELECT vec_id, sp, code, d2 FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sp
-       |      ORDER BY d2, code) AS rn FROM pd2) WHERE rn = 1)""".stripMargin
+       |      ORDER BY d2, code) AS rn FROM ${p}pd2) WHERE rn = 1)""".stripMargin
 
   /** DuckDB CTE chain mirroring [[kmeansAssignments]] bit-for-bit —
     * terminal CTE `a2` has (vec_id, embedding, cell_id, sim). Spliced
@@ -625,6 +628,73 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s14: IVF-PQ — the two halves composed into the production
+    * vector-search architecture (Jégou et al. 2011's IVFADC: an
+    * inverted file restricts the search to probed cells, product
+    * quantization scores the candidates from codes alone): the
+    * coarse quantizer is the shared deterministic k-means
+    * ([[kmeansAssignments]] — same cells as s08/s13), the fine
+    * quantizer the shared [[pqModel]] codebook. Query time: probe
+    * the top-2 cells by centroid similarity (centroids restated
+    * decimal-exact from the final assignments, the s13 recipe), take
+    * ONLY vectors in probed cells as candidates — the IVF reduction:
+    * ~nprobe/K of the corpus ever scored — then rank them by ADC
+    * (one tiny per-query distance table over the S·K codebook; an
+    * S-term decimal sum per candidate, no corpus float I/O). At
+    * 100 TB: the candidate join is posting-list-sized, the scoring
+    * is code-arithmetic — the reason IVF-PQ serves billion-vector
+    * indexes from RAM. Every stage bit-matched by the composed
+    * DuckDB oracle (kmeans CTEs + prefixed PQ CTEs in one
+    * statement).
+    */
+  def s14IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = graft.Caches.scoped(kmeansAssignments(spark, dir))
+    // eager RDD-level populate (the d14 lesson): centroids, queries
+    // and candidates all consume `coarse` — a cold cache would
+    // re-run the k-means passes per consumer under AQE's concurrent
+    // stage launch; an RDD count does not trip the release listener
+    coarse.queryExecution.toRdd.count()
+    val (codebook, asn) = pqModel(spark, dir)
+    val cents = coarse.select(col("cell_id"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+      .groupBy(col("cell_id"), col("i"))
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(27, 10)))
+        .cast("double") / count(lit(1))).as("cx"))
+      .groupBy(col("cell_id"))
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
+      .select(col("cell_id"),
+        expr("transform(pairs, p -> CAST(p.cx AS FLOAT))").as("centroid"))
+    val queries = coarse.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("psim", GraftFunctions.cosineSim(col("qe"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cell_id"))))
+      .filter(col("probe_rank") <= 2)
+      .select(col("qid"), col("cell_id"))
+    val cand = coarse.select(col("vec_id"), col("cell_id"))
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell_id"))
+    val qsubs = emb(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), pqSlices(col("embedding"), "sub").as("x"))
+      .select(col("qid"), col("x.sp").as("sp"), col("x.sub").as("sub"))
+    val qtab = qsubs.join(broadcast(codebook), Seq("sp"))
+      .withColumn("qd2", round(pqDist2, 6))
+      .select(col("qid"), col("sp"), col("code"), col("qd2"))
+    val adc = cand
+      .join(asn.select(col("vec_id"), col("sp"), col("code")), Seq("vec_id"))
+      .join(broadcast(qtab), Seq("qid", "sp", "code"))
+      .groupBy(col("qid"), col("vec_id"), col("cell_id"))
+      .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .as("adcsum"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adcsum"), col("vec_id"))
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("vec_id").as("cid"), col("cell_id"),
+        col("adcsum").cast("double").as("adc_dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** s04: TF-IDF relevance search — score every document against a
     * fixed query term set (tf × ln(N/df) per term, fixed-order scalar
     * sum so the double arithmetic is cross-engine exact), top-20.
@@ -697,6 +767,7 @@ object Similarity {
     "s08_ann_kmeans" -> (s08AnnKmeans _),
     "s12_knn_graph" -> (s12KnnGraph _),
     "s13_ann_serve" -> (s13AnnServe _),
+    "s14_ivf_pq" -> (s14IvfPq _),
     "s04_tfidf_search" -> (s04TfidfSearch _),
     "s05_vector_stats" -> (s05VectorStats _),
     "s09_ann_recall" -> (s09AnnRecall _),
@@ -827,13 +898,63 @@ object Similarity {
     // init, cosine argmax assignment, FLOAT-cast mean centroids.
     // s10/s11: codebooks, codes and distances reproduced bit-for-bit —
     // same seeds, same fixed-order L2 fold, same decimal sums
+    // s14: both model chains in ONE statement — kmeans CTEs (a2 =
+    // cell assignments) + s13's centroid restatement + the probe,
+    // then the PQ chain under a pq_ prefix + s11's ADC, restricted
+    // to the probed-cell candidates
+    "s14_ivf_pq" ->
+      s"""WITH $kmeansSqlCtes,
+         |flat2 AS (
+         |  SELECT cell_id, i, a2.embedding[i]::DOUBLE AS x
+         |  FROM a2 CROSS JOIN range(1, 65) t(i)),
+         |cm2 AS (
+         |  SELECT cell_id, i,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
+         |  FROM flat2 GROUP BY 1, 2),
+         |cent2 AS (
+         |  SELECT cell_id,
+         |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid
+         |  FROM cm2 GROUP BY cell_id),
+         |probes AS (
+         |  SELECT qid, cell_id FROM (
+         |    SELECT q.vec_id AS qid, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${cosSql("q.embedding", "c.centroid")} DESC, c.cell_id)
+         |        AS probe_rank
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |    CROSS JOIN cent2 c) WHERE probe_rank <= 2),
+         |cand AS (
+         |  SELECT p.qid, d.vec_id, d.cell_id
+         |  FROM probes p JOIN a2 d
+         |    ON d.cell_id = p.cell_id AND d.vec_id <> p.qid),
+         |${pqSqlCtes("pq_")},
+         |qtab AS (
+         |  SELECT u.vec_id AS qid, u.sp, c.code,
+         |    round(list_sum(list_transform(range(1, ${PQ_SUBDIM + 1}),
+         |      i -> (u.sub[i]::DOUBLE - c.cent[i]::DOUBLE) *
+         |           (u.sub[i]::DOUBLE - c.cent[i]::DOUBLE))), 6) AS qd2
+         |  FROM pq_subs u JOIN pq_cent1 c ON u.sp = c.sp
+         |  WHERE u.vec_id < 10),
+         |adc AS (
+         |  SELECT cd.qid, cd.vec_id, cd.cell_id,
+         |    SUM(CAST(t.qd2 AS DECIMAL(18,6))) AS adcsum
+         |  FROM cand cd
+         |  JOIN pq_a2 a ON a.vec_id = cd.vec_id
+         |  JOIN qtab t ON t.qid = cd.qid AND t.sp = a.sp AND t.code = a.code
+         |  GROUP BY 1, 2, 3)
+         |SELECT qid,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adcsum, vec_id) AS rnk,
+         |  vec_id AS cid, cell_id, CAST(adcsum AS DOUBLE) AS adc_dist
+         |FROM adc
+         |QUALIFY rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
     "s10_pq_codebook" ->
-      s"""WITH $pqSqlCtes
+      s"""WITH ${pqSqlCtes()}
          |SELECT sp, code, COUNT(*) AS n_vectors,
          |  CAST(SUM(CAST(round(d2, 6) AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_sqdist
          |FROM a2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s11_pq_search" ->
-      s"""WITH $pqSqlCtes,
+      s"""WITH ${pqSqlCtes()},
          |qsubs AS (SELECT vec_id AS qid, sp, sub FROM subs WHERE vec_id < 10),
          |qtab AS (
          |  SELECT q.qid, q.sp, c.code,

@@ -397,6 +397,21 @@ class OperatorsSpec extends AnyFunSuite {
       "served ranking != exact in-cell ranking")
   }
 
+  test("s14 IVF-PQ: results come only from each query's <=2 probed cells, ranks contiguous") {
+    val out = graft.operators.Similarity.s14IvfPq(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet.forall(_ < 10L))
+    byQ.values.foreach { rs =>
+      // the IVF property: every served candidate lies in a probed
+      // cell, and a query probes at most nprobe=2 cells
+      assert(rs.map(_.getAs[Int]("cell_id")).distinct.length <= 2)
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length),
+        "ADC ranks must be contiguous from 1")
+      assert(rs.length <= 5)
+    }
+  }
+
   test("a10 stored-sketch rollup == direct region sketch (KMV mergeability), envelope holds") {
     import graft.functions.GraftFunctions
     import graft.functions.GraftFunctions.kMinValues
