@@ -913,6 +913,51 @@ object Warehouse {
       .orderBy(col("status"))
   }
 
+  /** q99: CHERRY-PICK — Iceberg's `cherrypick_snapshot`, the
+    * branch-commit rescue [[graft.sources.Snapshots.fastForward]]
+    * cannot perform: main advances past the fork base (so
+    * fast-forward refuses, asserted in-result), then exactly ONE of
+    * the branch's two append commits is picked onto the moved head.
+    * The final table proves the pick's selectivity three ways: the
+    * picked batch's key class is present, the unpicked later batch's
+    * class is absent, and main's version count shows one new commit
+    * (base, advance, pick — branch versions never entered the
+    * manifest). The pick is tagged `cherrypick:<v>`, so a replay
+    * resolves idempotently (tag asserted in-result). Oracle restates
+    * the surviving key classes from the same arithmetic.
+    */
+  def q99CherryPick(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val t = s"${tempDir("graft-cherry")}/orders_cp"
+    val stg = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = stg.filter(col("o_orderkey") % 4 === 0)
+    Snapshots.commit(base, t) // main v1
+    // hotfix branch: two appends — batch A (class 1), then batch B
+    // (class 2) on top of A
+    val batchA = stg.filter(col("o_orderkey") % 4 === 1)
+    val batchB = stg.filter(col("o_orderkey") % 4 === 2)
+    val vA = Snapshots.commitToBranch(base.unionAll(batchA), t, "hotfix")
+    Snapshots.commitToBranch(base.unionAll(batchA).unionAll(batchB), t, "hotfix")
+    // main advances past the fork base — fast-forward is now refused
+    Snapshots.commit(Snapshots.read(spark, t)
+      .unionByName(stg.filter(col("o_orderkey") % 4 === 3)), t)
+    val ffRefused =
+      try { Snapshots.fastForward(t, "hotfix"); false }
+      catch { case _: IllegalArgumentException => true }
+    // pick ONLY batch A's commit onto the moved head; batch B stays
+    // branch-only
+    Snapshots.cherryPick(spark, t, "hotfix", vA)
+    val tagged = Snapshots.committedTags(t).contains(s"cherrypick:$vA")
+    Snapshots.read(spark, t)
+      .groupBy((col("o_orderkey") % 4).as("key_class"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("ff_refused", lit(ffRefused))
+      .withColumn("tag_present", lit(tagged))
+      .withColumn("n_versions", lit(Snapshots.versions(t).size.toLong))
+      .orderBy(col("key_class"))
+  }
+
   /** q91: MoR POSITION DELETES — Iceberg format-v2's second delete
     * kind (`(file, pos)` tuples; docs/components/cdc.md lands CDC into
     * v2 tables): rows are removed by PHYSICAL ADDRESS, no key needed,
@@ -1200,6 +1245,7 @@ object Warehouse {
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
     "q90_branch_wap" -> (q90BranchWap _),
+    "q99_cherry_pick" -> (q99CherryPick _),
     "q89_metadata_tables" -> (q89MetadataTables _),
     "q85_snapshot_history" -> (q85SnapshotHistory _),
     "q84_rollback" -> (q84Rollback _),
@@ -1324,6 +1370,20 @@ object Warehouse {
         |WHERE o.o_orderkey % 2 = 0
         |GROUP BY c.c_mktsegment
         |ORDER BY segment""".stripMargin,
+    // q99: final head = base (class 0) + advance (class 3) + the
+    // picked batch A (class 1); the unpicked batch B (class 2) never
+    // reaches main. Main manifest: v1 base, advance, pick -> 3 lines.
+    "q99_cherry_pick" ->
+      """SELECT o_orderkey % 4 AS key_class,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  TRUE AS ff_refused,
+        |  TRUE AS tag_present,
+        |  CAST(3 AS BIGINT) AS n_versions
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (0, 1, 3)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // q92: the rollup AND the file count restated — file k of the
     // sorted chunk layout holds sorted rows [k*chunk, (k+1)*chunk),
     // so files read = distinct (rank-1)//chunk over matching rows

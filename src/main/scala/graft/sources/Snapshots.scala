@@ -893,6 +893,42 @@ object Snapshots {
       Files.deleteIfExists(branchFile(tableDir, branch)); ()
     }
 
+  /** CHERRY-PICK one branch commit onto the CURRENT main head —
+    * Iceberg's `cherrypick_snapshot` (the reference ships Iceberg
+    * 1.4.2, whose refs/procedures carry it: docs/components/kyuubi
+    * .md:27): apply exactly the rows `version` ADDED relative to its
+    * branch parent as a NEW head commit, even when main has advanced
+    * past the fork base — precisely the case [[fastForward]] refuses.
+    * Iceberg cherry-picks APPEND snapshots only (a pick that replays
+    * deletes against a moved head is ambiguous); mirrored here — the
+    * call refuses if the picked commit removed any row. The new head
+    * is tagged `cherrypick:<version>`, so a replayed pick resolves to
+    * the already-committed version instead of double-appending (the
+    * publish() idempotency rule). In a manifest store the pick is
+    * metadata-only (re-list the snapshot's appended files under the
+    * new head); this full-state store pays one distributed
+    * bag-difference + union write — same cost class as its MERGE, and
+    * the documented divergence from the 100 TB layout, where delta =
+    * the picked snapshot's own manifest.
+    */
+  def cherryPick(spark: SparkSession, tableDir: String, branch: String,
+      version: Long): Long = {
+    val entries = branchEntries(tableDir, branch)
+    val idx = entries.indexWhere(_._1 == version)
+    require(idx >= 0, s"v$version is not a commit on branch '$branch'")
+    val parentV = if (idx == 0) entries.head._2 else entries(idx - 1)._1
+    val picked = spark.read.parquet(s"$tableDir/v=$version")
+    val parent = spark.read.parquet(s"$tableDir/v=$parentV")
+    // append-only precondition: the parent bag must be contained in
+    // the picked bag (exceptAll = bag difference, duplicate-correct)
+    require(parent.exceptAll(picked).isEmpty,
+      s"cannot cherry-pick v$version: it removes rows relative to its " +
+        s"parent v$parentV — only append commits are cherry-pickable")
+    val delta = picked.exceptAll(parent)
+    commit(read(spark, tableDir).unionByName(delta), tableDir,
+      Some(s"cherrypick:$version"))
+  }
+
   // ---- Iceberg metadata tables beyond $history: $snapshots, $files,
   // $partitions — the tables an operator actually debugs with. All
   // answer from driver-side metadata (manifest, ledgers, listing, and

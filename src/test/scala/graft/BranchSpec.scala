@@ -52,6 +52,38 @@ class BranchSpec extends AnyFunSuite {
     assert(Snapshots.versions(t) == Seq(1L, 3L))
   }
 
+  test("cherry-pick applies exactly one branch commit's delta onto a moved head, idempotently") {
+    val t = fresh()
+    val base = Snapshots.read(spark, t)
+    val n1 = base.count()
+    // branch: +A (dup of base), then +B on top — two append commits
+    val vA = Snapshots.commitToBranch(base.unionAll(base), t, "wip")
+    Snapshots.commitToBranch(base.unionAll(base).unionAll(base), t, "wip")
+    // main advances: fast-forward is impossible, cherry-pick is not
+    Snapshots.commit(base.unionAll(base.limit(1)), t)
+    intercept[IllegalArgumentException](Snapshots.fastForward(t, "wip"))
+    val head = Snapshots.cherryPick(spark, t, "wip", vA)
+    // head = advanced main (n1+1) + A's delta (n1); B never landed
+    assert(Snapshots.read(spark, t).count() == 2 * n1 + 1)
+    assert(Snapshots.committedTags(t).contains(s"cherrypick:$vA"))
+    // replayed pick resolves to the same version, no double-append
+    assert(Snapshots.cherryPick(spark, t, "wip", vA) == head)
+    assert(Snapshots.read(spark, t).count() == 2 * n1 + 1)
+  }
+
+  test("cherry-pick refuses a branch commit that removed rows (appends only)") {
+    val t = fresh()
+    val base = Snapshots.read(spark, t)
+    val v = Snapshots.commitToBranch(base.limit(2), t, "wip") // shrinks
+    val ex = intercept[IllegalArgumentException](
+      Snapshots.cherryPick(spark, t, "wip", v))
+    assert(ex.getMessage.contains("append"))
+    assert(Snapshots.versions(t) == Seq(1L), "refused pick must not commit")
+    // and an unknown version is rejected outright
+    intercept[IllegalArgumentException](
+      Snapshots.cherryPick(spark, t, "wip", 99L))
+  }
+
   test("a fresh branch reads its fork point; drop forgets the branch") {
     val t = fresh()
     val n = Snapshots.read(spark, t).count()
