@@ -470,6 +470,27 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
     report
   }
 
+  /** Airflow-style BACKFILL over logical dates (reference:
+    * docs/architecture/orchestration.md §6 "Backfills — trigger with
+    * `airflow dags backfill`"; the DAG itself is daily,
+    * dag/dbt_analytics_pipeline.py:52 `schedule_interval=
+    * timedelta(days=1)`): materialize the DAG once per logical date,
+    * in date order (Airflow's catchup ordering), with `modelsFor(ds)`
+    * playing the template-context role of `{{ ds }}` — each dated DAG
+    * restricts its reads to its own interval, so a backfill's cost is
+    * #dates × one-interval, never #dates × table. Every dated run
+    * executes under resume id `backfill:<ds>`: re-triggering an
+    * already-complete date SKIPS each of its models (the marker is
+    * written only after checks pass — [[run]]'s resume semantics,
+    * reused as Airflow's task-idempotency contract). Returns the
+    * per-date reports in execution order.
+    */
+  def backfill(dates: Seq[String], modelsFor: String => Seq[Model],
+      sources: Map[String, DataFrame] = Map.empty,
+      retries: Int = 0): Seq[(String, Seq[ModelRun])] =
+    dates.sorted.map(ds =>
+      ds -> run(modelsFor(ds), sources, retries, Some(s"backfill:$ds")))
+
   /** 1+retries attempts; non-fatal failures between attempts are
     * swallowed (the failed attempt left no visible version).
     */

@@ -244,6 +244,46 @@ class PipelineRunnerSpec extends AnyFunSuite {
     assert(Snapshots.versions(runner.tableDir("down")).size == 2)
   }
 
+  test("backfill: dates run in order, each date is idempotent, a crashed date resumes mid-DAG") {
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    @volatile var broken = "" // date whose mart build fails
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def dag(ds: String): Seq[Model] = Seq(
+      Model("slice", Seq("src"), Materialization.Table,
+        (in, _) => { seen += ds; in("src").filter(col("d") === ds) }),
+      Model("mart", Seq("slice"), Materialization.Incremental(Seq("d")),
+        (in, _) => {
+          if (ds == broken) throw new IllegalStateException("boom")
+          in("slice").groupBy(col("d")).agg(sum(col("x")).as("sx"))
+        }))
+    val src = Map("src" ->
+      Seq(("d1", 1), ("d1", 2), ("d2", 10), ("d3", 100)).toDF("d", "x"))
+    // d2's mart crashes mid-backfill; d1 completed, d3 never ran
+    broken = "d2"
+    intercept[IllegalStateException](
+      runner.backfill(Seq("d3", "d1", "d2"), dag, src)) // sorted → d1 first
+    assert(seen.toSeq == Seq("d1", "d2"), "dates must run in sorted order")
+    broken = ""
+    // resuming the same backfill: d1 skips entirely, d2 skips its
+    // committed slice and finishes the mart, d3 runs fresh
+    val report = runner.backfill(Seq("d1", "d2", "d3"), dag, src)
+    val modes = report.map { case (ds, rs) =>
+      ds -> rs.map(r => r.name -> r.mode).toMap }.toMap
+    assert(modes("d1") == Map("slice" -> "skipped", "mart" -> "skipped"))
+    assert(modes("d2")("slice") == "skipped")
+    assert(modes("d2")("mart") != "skipped")
+    assert(modes("d3")("mart") != "skipped")
+    val mart = runner.readModel("mart").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mart == Map("d1" -> 3L, "d2" -> 10L, "d3" -> 100L))
+    // full replay of every date: pure no-op, no new versions
+    val nv = Snapshots.versions(runner.tableDir("mart")).size
+    val replay = runner.backfill(Seq("d1", "d2", "d3"), dag, src)
+    assert(replay.flatMap(_._2).forall(_.mode == "skipped"))
+    assert(Snapshots.versions(runner.tableDir("mart")).size == nv)
+  }
+
   test("resume: rerun under the same id skips committed models and finishes the aborted DAG") {
     import spark.implicits._
     val runner = new Runner(spark, tmp())
