@@ -40,7 +40,13 @@ object PlanAudit {
                   "p19_dataset_card", "st19_observed_metrics", "q88_graph_rank",
                   "p20_view_models", "q89_metadata_tables", "q90_branch_wap",
                   "q91_pos_delete", "st20_avro_cdc", "s13_ann_serve",
-                  "q92_manifest_pruning", "p21_curriculum")) {
+                  "q92_manifest_pruning", "p21_curriculum",
+                  "q93_namespaces", "q94_hidden_partition",
+                  "q95_partitions_meta", "q96_column_mapping",
+                  "q97_type_promotion", "q98_merge_sync",
+                  "q99_cherry_pick", "p22_dbt_snapshot",
+                  "p23_snapshot_timestamp", "p24_backfill",
+                  "st21_stream_hidden_partition", "s14_ivf_pq")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

@@ -506,16 +506,37 @@ object Similarity {
     * code, d2)) after one Lloyd refinement from the md5-seeded init —
     * deterministic end-to-end; [[pqSqlCtes]] is its DuckDB twin.
     */
+  /** The corpus split into PQ subvectors: (vec_id, sp, sub). Spread
+    * BEFORE the ×S explode + S·K distance folds: a local single-file
+    * scan is one task and the whole assignment CPU would run
+    * single-threaded (cluster scans are already wide → no-op).
+    */
+  private[graft] def pqSubs(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(emb(spark, dir).select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), pqSlices(col("embedding"), "sub").as("x"))
+      .select(col("vec_id"), col("x.sp").as("sp"), col("x.sub").as("sub"))
+
+  /** Assign every subvector to its nearest codebook cell — argmin as
+    * a hash aggregate (see kmeansAssignments.assign): the n×S×K
+    * scored rows partial-combine to n×S before the exchange. min_by
+    * over struct(d2, code) == row_number(d2 ASC, code ASC).
+    */
+  private[graft] def pqAssign(spark: SparkSession, dir: String,
+      centroids: DataFrame): DataFrame = {
+    val scored = pqSubs(spark, dir).join(broadcast(centroids), Seq("sp"))
+      .withColumn("d2", pqDist2)
+    scored.groupBy(col("vec_id"), col("sp"))
+      .agg(min_by(
+        struct(col("sub"), col("code"), col("d2")),
+        struct(col("d2"), col("code"))).as("b"))
+      .select(col("vec_id"), col("sp"), col("b.sub").as("sub"),
+        col("b.code").as("code"), col("b.d2").as("d2"))
+  }
+
   private[graft] def pqModel(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
     val e = emb(spark, dir)
-    // spread BEFORE the ×S explode + S·K distance folds: a local
-    // single-file scan is one task and the whole assignment CPU would
-    // run single-threaded (cluster scans are already wide → no-op)
-    val subs = Tables.spread(e.select(col("vec_id"), col("embedding")))
-      .select(col("vec_id"), pqSlices(col("embedding"), "sub").as("x"))
-      .select(col("vec_id"), col("x.sp").as("sp"), col("x.sub").as("sub"))
     val seeds = e
       .select(col("vec_id"), col("embedding"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
@@ -525,19 +546,8 @@ object Similarity {
         (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
       .select(col("code"), pqSlices(col("embedding"), "cent").as("x"))
       .select(col("x.sp").as("sp"), col("code"), col("x.cent").as("cent"))
-    // argmin as a hash aggregate (see kmeansAssignments.assign): the
-    // n×S×K scored rows partial-combine to n×S before the exchange.
-    // min_by over struct(d2, code) == row_number(d2 ASC, code ASC).
-    def assign(centroids: DataFrame): DataFrame = {
-      val scored = subs.join(broadcast(centroids), Seq("sp"))
-        .withColumn("d2", pqDist2)
-      scored.groupBy(col("vec_id"), col("sp"))
-        .agg(min_by(
-          struct(col("sub"), col("code"), col("d2")),
-          struct(col("d2"), col("code"))).as("b"))
-        .select(col("vec_id"), col("sp"), col("b.sub").as("sub"),
-          col("b.code").as("code"), col("b.d2").as("d2"))
-    }
+    def assign(centroids: DataFrame): DataFrame =
+      pqAssign(spark, dir, centroids)
     def recompute(assigned: DataFrame): DataFrame = assigned
       .select(col("sp"), col("code"), posexplode(col("sub")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
@@ -607,7 +617,12 @@ object Similarity {
     * built for; S/K are the deploy knobs.
     */
   def s11PqSearch(spark: SparkSession, dir: String): DataFrame = {
-    val (codebook, asn) = pqModel(spark, dir)
+    val (rawCodebook, _) = pqModel(spark, dir)
+    // two consumers (query tables + corpus assignment) would each
+    // re-run PQ training: cache the 32-row codebook, train once
+    val codebook = graft.Caches.scoped(rawCodebook)
+    codebook.queryExecution.toRdd.count()
+    val asn = pqAssign(spark, dir, codebook)
     val e = emb(spark, dir)
     val qsubs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), pqSlices(col("embedding"), "sub").as("x"))
@@ -654,7 +669,14 @@ object Similarity {
     // re-run the k-means passes per consumer under AQE's concurrent
     // stage launch; an RDD count does not trip the release listener
     coarse.queryExecution.toRdd.count()
-    val (codebook, asn) = pqModel(spark, dir)
+    val (rawCodebook, _) = pqModel(spark, dir)
+    // the trained codebook (S·K = 32 rows) feeds TWO consumers — the
+    // query distance tables and the corpus assignment pass — and each
+    // would otherwise re-run the whole PQ training chain; cache it
+    // eagerly (RDD-level populate, same rule as `coarse`)
+    val codebook = graft.Caches.scoped(rawCodebook)
+    codebook.queryExecution.toRdd.count()
+    val asn = pqAssign(spark, dir, codebook)
     val cents = coarse.select(col("cell_id"), posexplode(col("embedding")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
       .groupBy(col("cell_id"), col("i"))
