@@ -175,14 +175,14 @@ object Engine {
   private val VersionAsOf =
     """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
 
-  /** `table$history` / `$snapshots` / `$files` / `$partitions` —
-    * Iceberg's metadata-table spelling (docs/architecture/lakehouse
-    * .md:59-61 — the snapshot-id-driven read path an operator debugs
-    * with). All answer from manifests/ledgers/stat sidecars; none
-    * scans data.
+  /** `table$history` / `$snapshots` / `$files` / `$partitions` /
+    * `$refs` — Iceberg's metadata-table spelling (docs/architecture/
+    * lakehouse.md:59-61 — the snapshot-id-driven read path an
+    * operator debugs with). All answer from manifests/ledgers/stat
+    * sidecars; none scans data.
     */
   private val HistoryTable =
-    """\b([A-Za-z_][A-Za-z0-9_]*)\$(history|snapshots|files|partitions)\b""".r
+    """\b([A-Za-z_][A-Za-z0-9_]*)\$(history|snapshots|files|partitions|refs)\b""".r
   private val TimestampAsOf =
     """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))""".r
 
@@ -250,6 +250,7 @@ object Engine {
           case "snapshots" => Snapshots.snapshotsTable(spark, dir)
           case "files" => Snapshots.filesTable(spark, dir)
           case "partitions" => Snapshots.partitionsTable(spark, dir)
+          case "refs" => Snapshots.refsTable(spark, dir)
         }
         val view = s"${t}__$meta"
         df.createOrReplaceTempView(view)

@@ -958,6 +958,49 @@ object Warehouse {
       .orderBy(col("key_class"))
   }
 
+  /** q100: `$refs` METADATA TABLE — Iceberg's fourth metadata table
+    * (next to q89's $snapshots/$files/$partitions): every NAMED
+    * POINTER into the snapshot graph in one queryable surface —
+    * `main` and each live branch at its head, every ledgered tag at
+    * its pinned snapshot. The gate builds a table with a tagged
+    * release, an in-flight dev branch, and answers `t$refs` through
+    * the SQL facade, joining each ref to the ROW COUNT at its pinned
+    * version — so the metadata (names, types, versions) and the data
+    * they point at are both oracle-checked. Metadata-only planning:
+    * $refs answers from the manifest/branch/tag ledgers, no data file
+    * opened to LIST refs; the per-ref counts are version-pinned reads
+    * (time travel). Ref: Iceberg 1.4.2 metadata tables,
+    * docs/architecture/lakehouse.md:59-61.
+    */
+  def q100RefsMeta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-refs")
+    val t = s"$wh/orders_r"
+    val stg = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.commit(stg.filter(col("o_orderkey") % 3 === 0), t) // v1
+    Snapshots.commit(stg.filter(col("o_orderkey") % 3 < 2), t,
+      tag = Some("release-1.0")) // v2, tagged release
+    Snapshots.commitToBranch(stg, t, "dev") // full backfill in flight
+    val refs = graft.Engine.sqlWarehouse(spark, wh,
+      "SELECT name, type, version FROM orders_r$refs ORDER BY name")
+    // join each ref to the row count at its pinned version — branch
+    // heads read branch data, main/tags read the manifested snapshot
+    val counts = refs.collect().map { r =>
+      val (name, typ, v) = (r.getString(0), r.getString(1), r.getLong(2))
+      val n =
+        if (typ == "BRANCH" && name != "main")
+          Snapshots.readBranch(spark, t, name).count()
+        else Snapshots.read(spark, t, v).count()
+      (name, n)
+    }.toMap
+    import spark.implicits._
+    val cdf = counts.toSeq.toDF("name", "n_rows")
+    refs.join(cdf, Seq("name"))
+      .select(col("name"), col("type"), col("version"), col("n_rows"))
+      .orderBy(col("name"))
+  }
+
   /** q91: MoR POSITION DELETES — Iceberg format-v2's second delete
     * kind (`(file, pos)` tuples; docs/components/cdc.md lands CDC into
     * v2 tables): rows are removed by PHYSICAL ADDRESS, no key needed,
@@ -1246,6 +1289,7 @@ object Warehouse {
     "q91_pos_delete" -> (q91PosDelete _),
     "q90_branch_wap" -> (q90BranchWap _),
     "q99_cherry_pick" -> (q99CherryPick _),
+    "q100_refs_meta" -> (q100RefsMeta _),
     "q89_metadata_tables" -> (q89MetadataTables _),
     "q85_snapshot_history" -> (q85SnapshotHistory _),
     "q84_rollback" -> (q84Rollback _),
@@ -1370,6 +1414,19 @@ object Warehouse {
         |WHERE o.o_orderkey % 2 = 0
         |GROUP BY c.c_mktsegment
         |ORDER BY segment""".stripMargin,
+    // q100: three refs restated — dev branch head holds the full
+    // backfill (v3), main + the release tag pin v2 (keys % 3 < 2)
+    "q100_refs_meta" ->
+      """WITH c2 AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 3 < 2),
+        |     cf AS (SELECT COUNT(*) AS n FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'dev' AS name, 'BRANCH' AS type,
+        |    CAST(3 AS BIGINT) AS version, (SELECT n FROM cf) AS n_rows
+        |  UNION ALL
+        |  SELECT 'main', 'BRANCH', CAST(2 AS BIGINT), (SELECT n FROM c2)
+        |  UNION ALL
+        |  SELECT 'release-1.0', 'TAG', CAST(2 AS BIGINT), (SELECT n FROM c2))
+        |ORDER BY name""".stripMargin,
     // q99: final head = base (class 0) + advance (class 3) + the
     // picked batch A (class 1); the unpicked batch B (class 2) never
     // reaches main. Main manifest: v1 base, advance, pick -> 3 lines.

@@ -1038,6 +1038,42 @@ object Snapshots {
     * listing only; parent = the previous live version (our store's
     * linear history, like Iceberg's parent-snapshot-id on main).
     */
+  /** Branches with live records at `tableDir` (the `_branch_*` files),
+    * sorted by name.
+    */
+  private def listBranches(tableDir: String): Seq[String] = {
+    val d = Paths.get(tableDir)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("_branch_"))
+        .map(_.stripPrefix("_branch_")).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** `$refs` — Iceberg's refs metadata table, the fourth one next to
+    * `$snapshots`/`$files`/`$partitions`: one row per NAMED POINTER
+    * into the snapshot graph — `main` and every live branch (type
+    * BRANCH, version = that ref's head) plus every ledgered tag (type
+    * TAG, version = the snapshot it pins: releases, wap ids,
+    * `cherrypick:<v>` / rollback markers — the ledger is the audit
+    * surface). Driver-side metadata only (manifest + `_branch_*` +
+    * `_tags`); like the other metadata tables the answer survives
+    * data-file deletion.
+    */
+  def refsTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val main = versions(tableDir).lastOption
+      .map(v => ("main", "BRANCH", v)).toSeq
+    val branches = listBranches(tableDir).map(b =>
+      (b, "BRANCH", branchVersions(tableDir, b).last))
+    val tags = ledgerEntries(tableDir).map { case (v, t) => (t, "TAG", v) }
+    (main ++ branches ++ tags).toDF("name", "type", "version")
+  }
+
   def snapshotsTable(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val times = commitTimes(tableDir)

@@ -134,6 +134,23 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(kept0 == 0 && none.count() == 0)
   }
 
+  test("$refs: main + branches + tags; fast-forward retires the branch ref and moves main") {
+    val t = land() // v1, v2 tagged t2
+    val base = Tables(spark, sf, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    Snapshots.commitToBranch(base, t, "dev")
+    def refs() = Snapshots.refsTable(spark, t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refs() == Set(
+      ("main", "BRANCH", 2L), ("dev", "BRANCH", 3L), ("t2", "TAG", 2L)))
+    Snapshots.fastForward(t, "dev")
+    // the branch record is gone; main's head IS the published commit
+    assert(refs() == Set(("main", "BRANCH", 3L), ("t2", "TAG", 2L)))
+    // a cherry-pick-style tagged commit surfaces as a TAG ref
+    Snapshots.commit(base, t, tag = Some("release-x"))
+    assert(refs().contains(("release-x", "TAG", 4L)))
+  }
+
   test("facade: table$snapshots/$files/$partitions rewrite; non-warehouse names reach the parser") {
     val t = land()
     val wh = Paths.get(t).getParent.toString
