@@ -1500,7 +1500,7 @@ object Dedup {
     // d10: the shared k-means CTE chain (Similarity.kmeansSqlCtes)
     // extended with the within-cell pair math, mirrored exactly
     "d10_semantic_dedup" ->
-      s"""WITH ${Similarity.kmeansSqlCtes},
+      s"""WITH ${Similarity.kmeansSqlCtes()},
          |asn AS (
          |  SELECT vec_id, embedding, cell_id, round(sim, 6) AS simc FROM a2),
          |dup AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -238,9 +238,10 @@ object Similarity {
     * corpus; [[kmeansSqlCtes]] is its DuckDB twin.
     */
   private[operators] def kmeansAssignments(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String,
+      corpus: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.register(spark)
-    val e = emb(spark, dir)
+    val e = corpus.getOrElse(emb(spark, dir))
     val seeds = e
       .select(col("vec_id"), col("embedding"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
@@ -339,10 +340,10 @@ object Similarity {
     * into the s08 and d10 oracles so retuning K can never
     * de-synchronize a gate from its oracle.
     */
-  private[operators] def kmeansSqlCtes: String =
+  private[operators] def kmeansSqlCtes(src: String = "embeddings"): String =
     s"""seeds AS (
        |  SELECT vec_id, embedding, md5(vec_id::VARCHAR) AS h
-       |  FROM embeddings ORDER BY h, vec_id LIMIT $KMEANS_K),
+       |  FROM $src ORDER BY h, vec_id LIMIT $KMEANS_K),
        |init AS (
        |  SELECT (ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1)::INT AS cell_id,
        |    embedding AS centroid
@@ -350,7 +351,7 @@ object Similarity {
        |s1 AS (
        |  SELECT e.vec_id, e.embedding, c.cell_id,
        |    ${cosSql("e.embedding", "c.centroid")} AS sim
-       |  FROM embeddings e CROSS JOIN init c),
+       |  FROM $src e CROSS JOIN init c),
        |a1 AS (
        |  SELECT vec_id, embedding, cell_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -369,7 +370,7 @@ object Similarity {
        |s2 AS (
        |  SELECT e.vec_id, e.embedding, c.cell_id,
        |    ${cosSql("e.embedding", "c.centroid")} AS sim
-       |  FROM embeddings e CROSS JOIN cent1 c),
+       |  FROM $src e CROSS JOIN cent1 c),
        |a2 AS (
        |  SELECT vec_id, embedding, cell_id, sim FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -385,8 +386,8 @@ object Similarity {
     * version, amortized over every query batch after.
     */
   private[graft] def buildAnnIndex(spark: SparkSession, dir: String,
-      idxDir: String): Unit = {
-    val a = kmeansAssignments(spark, dir)
+      idxDir: String, corpus: Option[DataFrame] = None): Unit = {
+    val a = kmeansAssignments(spark, dir, corpus)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
     a.write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$idxDir/postings")
@@ -401,6 +402,37 @@ object Similarity {
       .select(col("cell_id"),
         expr("transform(pairs, p -> CAST(p.cx AS FLOAT))").as("centroid"))
     graft.sources.Snapshots.commit(cents, s"$idxDir/centroids")
+  }
+
+  /** APPEND a batch of new vectors into a stored ANN index without
+    * rebuilding it — the production ingest path of every IVF store
+    * (FAISS `add`, the reason a billion-vector index absorbs arrivals
+    * online): the coarse quantizer is FROZEN (the committed
+    * centroids), each new vector is assigned to its nearest existing
+    * cell by the same argmax-as-aggregate the trainer uses, and the
+    * assignments land as APPENDED files under their cell partitions —
+    * existing postings are never rewritten, the write cost is
+    * ∝ batch, and serves pick the new vectors up through the same
+    * partition-pruned read. (Quantizer drift is the documented
+    * trade: cells grow unevenly until the next scheduled re-train —
+    * s08's build — exactly how production IVF indexes operate.)
+    */
+  private[graft] def appendAnnIndex(spark: SparkSession, idxDir: String,
+      batch: DataFrame): Unit = {
+    GraftFunctions.register(spark)
+    val cents = graft.sources.Snapshots.read(spark, s"$idxDir/centroids")
+    val scored = Tables.spread(batch.select(col("vec_id"), col("embedding")))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim",
+        GraftFunctions.cosineSim(col("embedding"), col("centroid")))
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding"), col("cell_id"), col("sim")),
+        struct(col("sim"), (-col("cell_id")).as("nc"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.cell_id").as("cell_id"))
+    assigned.write.mode(SaveMode.Append).partitionBy("cell_id")
+      .parquet(s"$idxDir/postings")
   }
 
   /** Serve a query batch from the STORED index only: broadcast the
@@ -456,6 +488,49 @@ object Similarity {
     val q = emb(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     annServe(spark, idxDir, q, nprobe = 2, topK = 5)
+  }
+
+  /** s15: ONLINE INDEX APPEND — the ingest half of the s13 story
+    * (build-once-serve-many becomes build-once-ABSORB-ARRIVALS-serve
+    * -many, FAISS `add` / every production vector store's streaming
+    * ingest): the index is trained on the 80% of the corpus already
+    * present (`vec_id % 5 != 4`), served once, then the remaining 20%
+    * arrives and [[appendAnnIndex]] assigns each new vector to its
+    * nearest FROZEN centroid and appends it under its cell partition —
+    * no retrain, no posting rewrite, write cost ∝ batch. The same
+    * queries served again now see the new vectors through the
+    * unchanged partition-pruned read path. Both phases are gated
+    * bit-for-bit: the oracle trains the k-means chain on the SAME 80%
+    * (`kmeansSqlCtes` over a base CTE), restates the stored centroids
+    * decimal-exactly, assigns the holdout batch to them with the
+    * identical argmax, and serves both phases — so the frozen-
+    * quantizer append semantics (probes unchanged, candidates grown)
+    * are what's checked, not just row counts. At 100 TB: arrivals
+    * cost ∝ batch and serve cost stays probed-cells-sized; the
+    * documented trade is quantizer drift until the next scheduled
+    * retrain — exactly how production IVF indexes operate.
+    */
+  def s15AnnAppend(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val idxDir = graft.TempDirs.scratch("graft-ann-append")
+    val e = emb(spark, dir)
+    buildAnnIndex(spark, dir, idxDir,
+      corpus = Some(e.filter(col("vec_id") % 5 =!= 4)))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pre = annServe(spark, idxDir, q, nprobe = 2, topK = 5)
+      .withColumn("phase", lit("pre"))
+    val preRows = pre.collect() // materialize BEFORE the append lands
+    appendAnnIndex(spark, idxDir, e.filter(col("vec_id") % 5 === 4))
+    val post = annServe(spark, idxDir, q, nprobe = 2, topK = 5)
+      .withColumn("phase", lit("post"))
+    import spark.implicits._
+    val preDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(preRows.toSeq), pre.schema)
+    preDf.unionByName(post)
+      .select(col("phase"), col("qid"), col("rnk"), col("cid"),
+        col("cell_id"), col("sim_r"))
+      .orderBy(col("phase").desc, col("qid"), col("rnk"))
   }
 
   /** s08: TRUE k-means coarse quantization — the real IVF index build
@@ -790,6 +865,7 @@ object Similarity {
     "s12_knn_graph" -> (s12KnnGraph _),
     "s13_ann_serve" -> (s13AnnServe _),
     "s14_ivf_pq" -> (s14IvfPq _),
+    "s15_ann_append" -> (s15AnnAppend _),
     "s04_tfidf_search" -> (s04TfidfSearch _),
     "s05_vector_stats" -> (s05VectorStats _),
     "s09_ann_recall" -> (s09AnnRecall _),
@@ -925,7 +1001,7 @@ object Similarity {
     // then the PQ chain under a pq_ prefix + s11's ADC, restricted
     // to the probed-cell candidates
     "s14_ivf_pq" ->
-      s"""WITH $kmeansSqlCtes,
+      s"""WITH ${kmeansSqlCtes()},
          |flat2 AS (
          |  SELECT cell_id, i, a2.embedding[i]::DOUBLE AS x
          |  FROM a2 CROSS JOIN range(1, 65) t(i)),
@@ -997,7 +1073,7 @@ object Similarity {
          |QUALIFY rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
     "s08_ann_kmeans" ->
-      s"""WITH $kmeansSqlCtes
+      s"""WITH ${kmeansSqlCtes()}
          |SELECT cell_id, COUNT(*) AS n_vectors,
          |  CAST(SUM(CAST(round(sim, 6) AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_sim
          |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1005,7 +1081,7 @@ object Similarity {
     // centroids (decimal-exact means cast FLOAT), nprobe=2 probe,
     // in-probed-cell exact top-5; bit-level check of build AND serve
     "s13_ann_serve" ->
-      s"""WITH $kmeansSqlCtes,
+      s"""WITH ${kmeansSqlCtes()},
          |flat2 AS (
          |  SELECT cell_id, i, a2.embedding[i]::DOUBLE AS x
          |  FROM a2 CROSS JOIN range(1, 65) t(i)),
@@ -1038,10 +1114,69 @@ object Similarity {
          |SELECT qid, rnk, cid, cell_id, round(sim, 6) AS sim_r
          |FROM served WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+    // s15: the k-means chain trains on the SAME 80% base (src CTE),
+    // the stored centroids restate decimal-exactly, the holdout
+    // batch assigns to them frozen, and BOTH serve phases rank
+    // bit-for-bit — probes shared, candidates grown by the append
+    "s15_ann_append" ->
+      s"""WITH ebase AS (
+         |  SELECT * FROM embeddings WHERE vec_id % 5 <> 4),
+         |${kmeansSqlCtes("ebase")},
+         |flat2 AS (
+         |  SELECT cell_id, i, a2.embedding[i]::DOUBLE AS x
+         |  FROM a2 CROSS JOIN range(1, 65) t(i)),
+         |cm2 AS (
+         |  SELECT cell_id, i,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
+         |  FROM flat2 GROUP BY 1, 2),
+         |cent2 AS (
+         |  SELECT cell_id,
+         |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid
+         |  FROM cm2 GROUP BY cell_id),
+         |probes AS (
+         |  SELECT qid, cell_id FROM (
+         |    SELECT q.vec_id AS qid, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${cosSql("q.embedding", "c.centroid")} DESC, c.cell_id)
+         |        AS probe_rank
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |    CROSS JOIN cent2 c) WHERE probe_rank <= 2),
+         |newasn AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT n.vec_id, n.embedding, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        ${cosSql("n.embedding", "c.centroid")} DESC, c.cell_id) AS rn
+         |    FROM (SELECT * FROM embeddings WHERE vec_id % 5 = 4) n
+         |    CROSS JOIN cent2 c) WHERE rn = 1),
+         |post_corpus AS (
+         |  SELECT vec_id, embedding, cell_id FROM a2
+         |  UNION ALL SELECT vec_id, embedding, cell_id FROM newasn),
+         |hits_pre AS (
+         |  SELECT p.qid, d.vec_id AS cid, d.cell_id,
+         |    ${cosSql("q.embedding", "d.embedding")} AS sim
+         |  FROM probes p JOIN embeddings q ON q.vec_id = p.qid
+         |  JOIN a2 d ON d.cell_id = p.cell_id AND d.vec_id <> p.qid),
+         |hits_post AS (
+         |  SELECT p.qid, d.vec_id AS cid, d.cell_id,
+         |    ${cosSql("q.embedding", "d.embedding")} AS sim
+         |  FROM probes p JOIN embeddings q ON q.vec_id = p.qid
+         |  JOIN post_corpus d
+         |    ON d.cell_id = p.cell_id AND d.vec_id <> p.qid),
+         |served AS (
+         |  SELECT 'pre' AS phase, qid, cid, cell_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+         |  FROM hits_pre
+         |  UNION ALL
+         |  SELECT 'post', qid, cid, cell_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+         |  FROM hits_post)
+         |SELECT phase, qid, rnk, cid, cell_id, round(sim, 6) AS sim_r
+         |FROM served WHERE rnk <= 5
+         |ORDER BY phase DESC, qid, rnk""".stripMargin,
     // s12: the same cells, the same in-cell all-pairs ranking — edge
     // list equality is a full bit-level check of the graph build
     "s12_knn_graph" ->
-      s"""WITH $kmeansSqlCtes,
+      s"""WITH ${kmeansSqlCtes()},
          |knn_pairs AS (
          |  SELECT q.vec_id AS qid, d.vec_id AS cid,
          |    ${cosSql("q.embedding", "d.embedding")} AS sim

@@ -412,6 +412,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("s15 index append never rewrites an existing posting file; serves stay cell-bounded") {
+    import graft.operators.Similarity
+    val idxDir = graft.TempDirs.scratch("graft-ann-append-spec")
+    val e = Tables(spark, sf, "embeddings")
+    Similarity.buildAnnIndex(spark, sf, idxDir,
+      corpus = Some(e.filter(col("vec_id") % 5 =!= 4)))
+    def files(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(s"$idxDir/postings")
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString ->
+            java.nio.file.Files.size(p)).toMap
+      } finally s.close()
+    }
+    val before = files()
+    Similarity.appendAnnIndex(spark, idxDir, e.filter(col("vec_id") % 5 === 4))
+    val after = files()
+    // append-only: every pre-existing file survives byte-identical
+    before.foreach { case (f, sz) =>
+      assert(after.get(f).contains(sz), s"posting file $f was rewritten")
+    }
+    assert(after.size > before.size, "the append must add posting files")
+    // the appended rows are exactly the batch, each in a real cell
+    val stored = spark.read.parquet(s"$idxDir/postings")
+    val batchIds = e.filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val newRows = stored.filter(col("vec_id") % 5 === 4).collect()
+    assert(newRows.map(_.getLong(0)).toSet == batchIds)
+    val cells = graft.sources.Snapshots
+      .read(spark, s"$idxDir/centroids")
+      .select(col("cell_id")).collect().map(_.getInt(0)).toSet
+    assert(newRows.forall(r => cells(r.getAs[Int]("cell_id"))))
+  }
+
   test("a10 stored-sketch rollup == direct region sketch (KMV mergeability), envelope holds") {
     import graft.functions.GraftFunctions
     import graft.functions.GraftFunctions.kMinValues
