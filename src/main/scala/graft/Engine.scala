@@ -170,10 +170,10 @@ object Engine {
 
   // Iceberg/Trino time-travel clauses, rewritten ahead of Spark's
   // parser (temp views have no V2 time-travel path to hook into):
-  //   <table> VERSION AS OF <n>
+  //   <table> VERSION AS OF <n> | '<branch|tag>'   (ref-name travel)
   //   <table> TIMESTAMP AS OF '<yyyy-MM-dd HH:mm:ss[.SSS]>' | <epochMillis>
   private val VersionAsOf =
-    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')""".r
 
   /** `table$history` / `$snapshots` / `$files` / `$partitions` /
     * `$refs` — Iceberg's metadata-table spelling (docs/architecture/
@@ -258,11 +258,21 @@ object Engine {
       }
     })
     val afterVersion = VersionAsOf.replaceAllIn(afterHistory, m => {
-      val (t, v) = (m.group(1), m.group(2).toLong)
-      if (!tables(t) || inStringLiteral(afterHistory, m.start)) m.matched
-      else {
+      val t = m.group(1)
+      if (!tables(t) || inStringLiteral(afterHistory, m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else if (m.group(2) != null) {
+        val v = m.group(2).toLong
         val view = s"${t}__v$v"
         graft.sources.Snapshots.read(spark, dirs(t), v)
+          .createOrReplaceTempView(view)
+        view
+      } else {
+        // Iceberg's ref-name travel: VERSION AS OF '<branch|tag>'
+        val ref = m.group(3)
+        val view = s"${t}__ref${ref.map(c =>
+          if (c.isLetterOrDigit) c else '_')}"
+        graft.sources.Snapshots.readRef(spark, dirs(t), ref)
           .createOrReplaceTempView(view)
         view
       }

@@ -1001,6 +1001,44 @@ object Warehouse {
       .orderBy(col("name"))
   }
 
+  /** q101: REF-NAME TIME TRAVEL — Iceberg's `VERSION AS OF
+    * '<branch|tag>'`: the travel clause takes a NAME instead of a
+    * snapshot id — a release tag reads its pinned snapshot, a live
+    * branch reads its (unpublished) head, and the bare table stays on
+    * main — all three resolved in ONE SQL statement through the
+    * facade, which is how an analyst actually pins a report to a
+    * release ("query release-1.0" rather than "find the id
+    * release-1.0 pointed at"). Composes q100's `$refs` (the names
+    * this clause accepts) with q61's numeric travel. The branch read
+    * proves isolation inside the same statement: `dev` sees the full
+    * backfill while `main` and the tag still serve the release.
+    * Ref: Iceberg 1.4.2 ref-based reads, docs/components/iceberg.md.
+    */
+  def q101RefTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-reftravel")
+    val t = s"$wh/orders_rt"
+    val stg = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.commit(stg.filter(col("o_orderkey") % 3 === 0), t) // v1
+    Snapshots.commit(stg.filter(col("o_orderkey") % 3 < 2), t,
+      tag = Some("release-1-0")) // v2, the pinned release
+    Snapshots.commitToBranch(stg, t, "dev") // in-flight full backfill
+    graft.Engine.sqlWarehouse(spark, wh,
+      """SELECT 'tag' AS ref, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders_rt VERSION AS OF 'release-1-0'
+        |UNION ALL
+        |SELECT 'branch', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders_rt VERSION AS OF 'dev'
+        |UNION ALL
+        |SELECT 'main', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders_rt
+        |ORDER BY ref""".stripMargin)
+  }
+
   /** q91: MoR POSITION DELETES — Iceberg format-v2's second delete
     * kind (`(file, pos)` tuples; docs/components/cdc.md lands CDC into
     * v2 tables): rows are removed by PHYSICAL ADDRESS, no key needed,
@@ -1290,6 +1328,7 @@ object Warehouse {
     "q90_branch_wap" -> (q90BranchWap _),
     "q99_cherry_pick" -> (q99CherryPick _),
     "q100_refs_meta" -> (q100RefsMeta _),
+    "q101_ref_travel" -> (q101RefTravel _),
     "q89_metadata_tables" -> (q89MetadataTables _),
     "q85_snapshot_history" -> (q85SnapshotHistory _),
     "q84_rollback" -> (q84Rollback _),
@@ -1414,6 +1453,22 @@ object Warehouse {
         |WHERE o.o_orderkey % 2 = 0
         |GROUP BY c.c_mktsegment
         |ORDER BY segment""".stripMargin,
+    // q101: the three ref reads restated — tag + main pin the v2
+    // release slice (keys % 3 < 2), the dev branch the full backfill
+    "q101_ref_travel" ->
+      """SELECT * FROM (
+        |  SELECT 'tag' AS ref, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders WHERE o_orderkey % 3 < 2
+        |  UNION ALL
+        |  SELECT 'branch', COUNT(*),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'main', COUNT(*),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 < 2)
+        |ORDER BY ref""".stripMargin,
     // q100: three refs restated — dev branch head holds the full
     // backfill (v3), main + the release tag pin v2 (keys % 3 < 2)
     "q100_refs_meta" ->

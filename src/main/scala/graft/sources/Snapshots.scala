@@ -537,6 +537,22 @@ object Snapshots {
       }
     }
 
+  /** Read the table at a NAMED REF — Iceberg's `VERSION AS OF
+    * '<ref>'` spelled with a branch or tag name instead of a
+    * snapshot id: a live branch reads its head; otherwise the name
+    * resolves through the tag ledger to its pinned snapshot. The
+    * [[refsTable]] rows are exactly the names this accepts.
+    */
+  def readRef(spark: SparkSession, tableDir: String, ref: String): DataFrame =
+    if (ref.matches("[A-Za-z0-9_-]+") &&
+        branchVersions(tableDir, ref).nonEmpty)
+      readBranch(spark, tableDir, ref)
+    else taggedVersion(tableDir, ref) match {
+      case Some(v) => read(spark, tableDir, v)
+      case None => throw new IllegalArgumentException(
+        s"unknown ref '$ref' at $tableDir (no live branch or tag)")
+    }
+
   /** Timestamp time travel — Iceberg/Trino's `FOR TIMESTAMP AS OF`
     * (docs/components/iceberg.md): the latest snapshot whose commit
     * time is ≤ `tsMillis`. Versions predating the `_times` record

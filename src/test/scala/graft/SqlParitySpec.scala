@@ -172,6 +172,24 @@ class SqlParitySpec extends AnyFunSuite {
       s"SELECT COUNT(*) AS n FROM orders_tt TIMESTAMP AS OF '$utc'")
       .head.getLong(0)
     assert(viaTsQuoted == viaTs, "quoted TIMESTAMP AS OF diverges from epoch form")
+    // REF-NAME travel: a tag reads its pinned snapshot, a live branch
+    // its unpublished head; unknown refs fail loudly
+    Snapshots.tagVersion(t, v1, "rel-a")
+    Snapshots.commitToBranch(stg.unionAll(stg), t, "devx")
+    val viaTag = Engine.sqlWarehouse(spark, wh,
+      "SELECT COUNT(*) AS n FROM orders_tt VERSION AS OF 'rel-a'")
+      .head.getLong(0)
+    assert(viaTag == n(Snapshots.read(spark, t, v1)),
+      "tag-name travel diverges from the pinned snapshot")
+    val viaBranch = Engine.sqlWarehouse(spark, wh,
+      "SELECT COUNT(*) AS n FROM orders_tt VERSION AS OF 'devx'")
+      .head.getLong(0)
+    assert(viaBranch == 2 * n(stg), "branch-name travel must read the branch head")
+    intercept[IllegalArgumentException] {
+      Engine.sqlWarehouse(spark, wh,
+        "SELECT COUNT(*) FROM orders_tt VERSION AS OF 'nosuchref'")
+    }
+    Snapshots.dropBranch(t, "devx")
     // a travel clause on a NON-warehouse name is left for the parser
     intercept[Exception] {
       Engine.sqlWarehouse(spark, wh, "SELECT * FROM nosuch VERSION AS OF 1")
