@@ -100,7 +100,13 @@ object Multimodal {
     * ASCII test corpus (a real pipeline feeds true binary payloads,
     * where the text-derived fake geometry disappears anyway).
     */
-  def m03ResizeFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def m03ResizeFeatures(spark: SparkSession, dir: String): DataFrame =
+    mediaFeatures(spark, dir).orderBy(col("doc_id"))
+
+  /** The unordered feature table behind [[m03ResizeFeatures]] (m08
+    * consumes it mid-plan, where a sort would only cost an exchange).
+    */
+  private[operators] def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payloads = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -128,7 +134,48 @@ object Multimodal {
             lanes.mkString(","), norm)
         }
       }
-    }.toDF().orderBy(col("doc_id"))
+    }.toDF()
+  }
+
+  /** m08: CROSS-MODAL ALIGNMENT FILTER — the CLIP-score curation gate
+    * every web-scale multimodal corpus passes through (LAION's
+    * pipeline, Schuhmann et al. 2021: keep an (image, caption) pair
+    * iff CLIP cosine ≥ 0.28; the same fixed-threshold shape here,
+    * with the container-honest stand-ins): the "image tower" is the
+    * stubbed media feature vector ([[mediaFeatures]]' 8 exact lane
+    * sums), the "text tower" an 8-dim block-sum projection of the
+    * document's stored embedding, and the score their cosine as
+    * fixed-order double folds (the house list-arithmetic that
+    * bit-matches DuckDB). The filter is a PURE PER-ROW PREDICATE on
+    * the rounded score — no global window, no driver collect: at
+    * 100 TB this is one scan + one 1:1 key join, embarrassingly
+    * parallel, which is exactly why web-scale curation uses a fixed
+    * threshold rather than a corpus quantile.
+    */
+  def m08ClipFilter(spark: SparkSession, dir: String): DataFrame = {
+    val feats = mediaFeatures(spark, dir)
+      .select(col("doc_id"),
+        expr("transform(split(feat_sums, ','), x -> CAST(x AS DOUBLE))")
+          .as("mv"))
+    val txt = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        expr("""transform(sequence(0, 7), j ->
+          aggregate(slice(embedding, j * 8 + 1, 8),
+            CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)))""")
+          .as("tv"))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    feats.join(txt, Seq("doc_id")).join(docs, Seq("doc_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(mv, tv, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
+      .withColumn("na",
+        sqrt(expr("aggregate(mv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")))
+      .withColumn("nb",
+        sqrt(expr("aggregate(tv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")))
+      .withColumn("score_r", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("score_r") >= 0.28)
+      .select(col("doc_id"), col("lang"), col("score_r"))
+      .orderBy(col("doc_id"))
   }
 
   /** m04: media content dedup — the same payload bytes ingested under
@@ -286,7 +333,8 @@ object Multimodal {
     "m03_resize_features" -> (m03ResizeFeatures _),
     "m04_media_dedup" -> (m04MediaDedup _),
     "m05_shard_manifest" -> (m05ShardManifest _),
-    "m06_perceptual_dedup" -> (m06PerceptualDedup _)
+    "m06_perceptual_dedup" -> (m06PerceptualDedup _),
+    "m08_clip_filter" -> (m08ClipFilter _)
   )
 
   // m06 oracle pieces: aHash assembly in HUGEINT space (d04's recipe)
@@ -299,6 +347,37 @@ object Multimodal {
     .mkString("\n  UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // m08: both towers rebuilt — media lanes as m03's exact BIGINT
+    // sums cast to DOUBLE, the text tower as 8 block-sums of the
+    // stored embedding; cosine as the same fixed-order list folds,
+    // LAION's 0.28 cut applied to the rounded score
+    "m08_clip_filter" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len
+        |  FROM documents),
+        |lanes AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), j ->
+        |      CAST(CAST(coalesce(list_sum(list_transform(range(1 + j, len + 1, 8),
+        |        i -> ord(substring(text, i::INT, 1)))), 0) AS BIGINT) AS DOUBLE)) AS mv
+        |  FROM b),
+        |txt AS (
+        |  SELECT vec_id AS doc_id,
+        |    list_transform(range(0, 8), j ->
+        |      list_sum(list_transform(embedding[j*8+1 : j*8+8],
+        |        x -> x::DOUBLE))) AS tv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT l.doc_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 9), i -> mv[i] * tv[i])) /
+        |      (sqrt(list_sum(list_transform(mv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(tv, x -> x * x)))), 6) AS score_r
+        |  FROM lanes l JOIN txt t ON l.doc_id = t.doc_id)
+        |SELECT s.doc_id, d.lang, s.score_r
+        |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        |WHERE s.score_r >= 0.28
+        |ORDER BY s.doc_id""".stripMargin,
     // m07: both tracks rebuilt from the payload, alignment stated as
     // the classic as-of window (latest frame at-or-before each chunk)
     "m07_media_align" ->

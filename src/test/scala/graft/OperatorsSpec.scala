@@ -412,6 +412,16 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("m08 clip filter keeps only above-threshold pairs, one row per doc, scores in [-1, 1]") {
+    val out = graft.operators.Multimodal.m08ClipFilter(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).distinct.length == out.length,
+      "the doc<->embedding join must stay 1:1")
+    assert(out.forall(r => r.getDouble(2) >= 0.28 && r.getDouble(2) <= 1.0))
+    val total = Tables(spark, sf, "documents").count()
+    assert(out.length < total, "a fixed 0.28 cut must actually filter")
+  }
+
   test("s15 index append never rewrites an existing posting file; serves stay cell-bounded") {
     import graft.operators.Similarity
     val idxDir = graft.TempDirs.scratch("graft-ann-append-spec")
