@@ -335,6 +335,48 @@ object Similarity {
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sp
        |      ORDER BY d2, code) AS rn FROM ${p}pd2) WHERE rn = 1)""".stripMargin
 
+  /** Shared CTE chain of the frozen-quantizer append oracles (s15,
+    * st22): k-means trains on the 80% base, `cent2` restates the
+    * stored centroids decimal-exactly, `probes` the query probe set,
+    * `newasn` the holdout assigned to the FROZEN centroids, and
+    * `post_corpus` the corpus after the append. Batch-structure
+    * independent by construction — per-vector frozen assignment is
+    * the reason micro-batched and bulk appends serve identically.
+    */
+  private[graft] def annAppendSqlCtes: String =
+    s"""ebase AS (
+       |  SELECT * FROM embeddings WHERE vec_id % 5 <> 4),
+       |${kmeansSqlCtes("ebase")},
+       |flat2 AS (
+       |  SELECT cell_id, i, a2.embedding[i]::DOUBLE AS x
+       |  FROM a2 CROSS JOIN range(1, 65) t(i)),
+       |cm2 AS (
+       |  SELECT cell_id, i,
+       |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
+       |  FROM flat2 GROUP BY 1, 2),
+       |cent2 AS (
+       |  SELECT cell_id,
+       |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid
+       |  FROM cm2 GROUP BY cell_id),
+       |probes AS (
+       |  SELECT qid, cell_id FROM (
+       |    SELECT q.vec_id AS qid, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q.embedding", "c.centroid")} DESC, c.cell_id)
+       |        AS probe_rank
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+       |    CROSS JOIN cent2 c) WHERE probe_rank <= 2),
+       |newasn AS (
+       |  SELECT vec_id, embedding, cell_id FROM (
+       |    SELECT n.vec_id, n.embedding, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        ${cosSql("n.embedding", "c.centroid")} DESC, c.cell_id) AS rn
+       |    FROM (SELECT * FROM embeddings WHERE vec_id % 5 = 4) n
+       |    CROSS JOIN cent2 c) WHERE rn = 1),
+       |post_corpus AS (
+       |  SELECT vec_id, embedding, cell_id FROM a2
+       |  UNION ALL SELECT vec_id, embedding, cell_id FROM newasn)""".stripMargin
+
   /** DuckDB CTE chain mirroring [[kmeansAssignments]] bit-for-bit —
     * terminal CTE `a2` has (vec_id, embedding, cell_id, sim). Spliced
     * into the s08 and d10 oracles so retuning K can never
@@ -932,7 +974,7 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
-  private[operators] def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / " +
       s"(sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) * " +
       s"sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"
@@ -1119,38 +1161,7 @@ object Similarity {
     // batch assigns to them frozen, and BOTH serve phases rank
     // bit-for-bit — probes shared, candidates grown by the append
     "s15_ann_append" ->
-      s"""WITH ebase AS (
-         |  SELECT * FROM embeddings WHERE vec_id % 5 <> 4),
-         |${kmeansSqlCtes("ebase")},
-         |flat2 AS (
-         |  SELECT cell_id, i, a2.embedding[i]::DOUBLE AS x
-         |  FROM a2 CROSS JOIN range(1, 65) t(i)),
-         |cm2 AS (
-         |  SELECT cell_id, i,
-         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
-         |  FROM flat2 GROUP BY 1, 2),
-         |cent2 AS (
-         |  SELECT cell_id,
-         |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid
-         |  FROM cm2 GROUP BY cell_id),
-         |probes AS (
-         |  SELECT qid, cell_id FROM (
-         |    SELECT q.vec_id AS qid, c.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-         |        ${cosSql("q.embedding", "c.centroid")} DESC, c.cell_id)
-         |        AS probe_rank
-         |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
-         |    CROSS JOIN cent2 c) WHERE probe_rank <= 2),
-         |newasn AS (
-         |  SELECT vec_id, embedding, cell_id FROM (
-         |    SELECT n.vec_id, n.embedding, c.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-         |        ${cosSql("n.embedding", "c.centroid")} DESC, c.cell_id) AS rn
-         |    FROM (SELECT * FROM embeddings WHERE vec_id % 5 = 4) n
-         |    CROSS JOIN cent2 c) WHERE rn = 1),
-         |post_corpus AS (
-         |  SELECT vec_id, embedding, cell_id FROM a2
-         |  UNION ALL SELECT vec_id, embedding, cell_id FROM newasn),
+      s"""WITH $annAppendSqlCtes,
          |hits_pre AS (
          |  SELECT p.qid, d.vec_id AS cid, d.cell_id,
          |    ${cosSql("q.embedding", "d.embedding")} AS sim

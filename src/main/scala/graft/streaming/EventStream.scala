@@ -1397,7 +1397,53 @@ object EventStream {
       .orderBy(col("day"))
   }
 
+  /** st22: STREAMING ANN INGEST — the vector half of the CDC story
+    * (a production vector store's online indexing path: documents
+    * arrive, embed, and become searchable without a rebuild): the
+    * stored s13 index is trained on the 80% of the corpus already
+    * present, then the remaining 20% arrives as micro-batches and
+    * every batch rides [[graft.operators.Similarity.appendAnnIndex]]
+    * — frozen coarse quantizer, append-only posting files, write
+    * cost ∝ batch. The drained index serves the same query batch
+    * with results IDENTICAL to a single bulk append (s15's post
+    * phase): frozen-quantizer assignment is per-vector, so the
+    * result is batch-structure-invariant — which is exactly what the
+    * oracle checks (it knows nothing about the micro-batch split).
+    * Delivery is at-least-once (a replayed batch would re-append;
+    * the gate's drain has no replays — SnapshotSink's ledger pattern
+    * is the exactly-once upgrade, documented trade as in st17). At
+    * 100 TB: arrivals index at stream rate, serves stay
+    * probed-cells-sized, retrain is a scheduled offline job.
+    */
+  def st22StreamAnnIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val s = streamSession(spark)
+    val idxDir = graft.TempDirs.scratch("graft-st22-idx")
+    val e = graft.Tables(spark, dir, "embeddings")
+    Similarity.buildAnnIndex(spark, dir, idxDir,
+      corpus = Some(e.filter(col("vec_id") % 5 =!= 4)))
+    val src = graft.TempDirs.scratch("graft-st22-src")
+    val holdout = e.filter(col("vec_id") % 5 === 4)
+    holdout.repartition(8).write.mode("overwrite").parquet(src)
+    val stream = s.readStream
+      .schema(holdout.schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st22-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.appendAnnIndex(batch.sparkSession, idxDir, batch.toDF())
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.annServe(spark, idxDir, queries, nprobe = 2, topK = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st22_stream_ann_ingest" -> (st22StreamAnnIngest _),
     "st21_stream_hidden_partition" -> (st21StreamHiddenPartition _),
     "st19_observed_metrics" -> (st19ObservedMetrics _),
     "st18_streaming_mv" -> (st18StreamingMv _),
@@ -1424,6 +1470,24 @@ object EventStream {
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    // st22: s15's post-phase serve verbatim — the oracle knows
+    // nothing of the micro-batch split, which is the claim: frozen-
+    // quantizer appends are batch-structure-invariant
+    "st22_stream_ann_ingest" ->
+      s"""WITH ${graft.operators.Similarity.annAppendSqlCtes},
+         |hits AS (
+         |  SELECT p.qid, d.vec_id AS cid, d.cell_id,
+         |    ${graft.operators.Similarity.cosSql("q.embedding", "d.embedding")} AS sim
+         |  FROM probes p JOIN embeddings q ON q.vec_id = p.qid
+         |  JOIN post_corpus d
+         |    ON d.cell_id = p.cell_id AND d.vec_id <> p.qid),
+         |served AS (
+         |  SELECT qid, cid, cell_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+         |  FROM hits)
+         |SELECT qid, rnk, cid, cell_id, round(sim, 6) AS sim_r
+         |FROM served WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
     // st21: per-day week rollup from the raw table; partition counts
     // restated from day arithmetic (hit days / all landed days)
     "st21_stream_hidden_partition" ->

@@ -106,6 +106,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("ExistingRDD"), "q17 should ride Rank's shared-shuffle RDD")
   }
 
+  test("st22 micro-batched ANN ingest == s15 bulk append (batch-structure invariance)") {
+    val streamed = SparkEntry.queries("st22_stream_ann_ingest")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    import org.apache.spark.sql.functions.{col => c}
+    val bulk = graft.operators.Similarity.s15AnnAppend(spark, sf)
+      .filter(c("phase") === "post")
+      .select(c("qid"), c("rnk"), c("cid"), c("cell_id"), c("sim_r"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == bulk,
+      "micro-batched frozen-quantizer appends must serve exactly like one bulk append")
+  }
+
   test("st01 streaming totals match batch totals") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("st01_stream_window")(spark, sf)
