@@ -46,7 +46,10 @@ object PlanAudit {
                   "q97_type_promotion", "q98_merge_sync",
                   "q99_cherry_pick", "p22_dbt_snapshot",
                   "p23_snapshot_timestamp", "p24_backfill",
-                  "st21_stream_hidden_partition", "s14_ivf_pq")) {
+                  "st21_stream_hidden_partition", "s14_ivf_pq",
+                  "q99_cherry_pick", "q100_refs_meta", "q101_ref_travel",
+                  "p24_backfill", "s15_ann_append", "m08_clip_filter",
+                  "st22_stream_ann_ingest")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length
