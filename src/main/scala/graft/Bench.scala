@@ -64,15 +64,21 @@ object Bench {
     // which let r7's d14/s10/p15 spreads (8.5/8.4/4.3 s on healthy
     // mins) read as unexplained. All samples land in BENCH-FULL's
     // `runs`, so the claim is auditable from the artifact.
+    // EVERY query is timed at least twice (min-of-2). Sub-1 s queries
+    // used to be timed once as a cost optimization — which let single
+    // noisy samples of 0.1-0.3 s queries read as 2x-baseline rows
+    // (r8's q33/t01/t04). Re-timing the small entries costs seconds
+    // across the whole bench and leaves no unreplicated number in the
+    // artifact; heavy entries keep the excursion third run.
     val results = names.map { name =>
       val t1 = timed(name)
+      val two = Seq(t1, timed(name))
       if (t1 > 1.0) {
-        val two = Seq(t1, timed(name))
         val excursion =
           two.max - two.min > math.max(1.5, 0.75 * two.min)
         val runs = if (excursion) two :+ timed(name) else two
         (name, runs.min, Some(runs))
-      } else (name, t1, None)
+      } else (name, two.min, Some(two))
     }
     // The driver captures only a bounded (~2000 char) tail of stdout
     // and json-parses the single metric line. At 100+ queries the full
