@@ -1209,6 +1209,60 @@ object Warehouse {
       .orderBy(col("leg"))
   }
 
+  /** q102: PARTITION-SPEC EVOLUTION — Iceberg's `ALTER TABLE … ADD
+    * PARTITION FIELD` ([[graft.sources.Transforms.addPartitionField]];
+    * reference: the lakehouse "partition evolution" ACID surface,
+    * docs/architecture/lakehouse.md:3, over the CDC landing's hidden
+    * `days(ts)` layout, docs/components/cdc.md): January orders land
+    * under spec-0 = `days(o_orderdate)`, the spec then gains
+    * `bucket(4, o_custkey)` — ONE metadata line, zero data paths
+    * touched (TransformsSpec pins the data tree byte-identical across
+    * the ALTER) — and February lands under spec-1. Planning prunes
+    * EACH file by ITS OWN spec: the `week_span` leg's raw-date range
+    * prunes both specs by day arithmetic; the `week_key` leg's
+    * two-customer lookup bucket-prunes spec-1 but must read ALL of
+    * spec-0's day files (old files predate the bucket field — the
+    * defining evolution semantics; residual filters keep answers
+    * exact). Both `n_files_read` cells and the shared total are
+    * PINNED and oracle-restated from day/bucket arithmetic (one file
+    * per tuple by the landing invariant). At 100 TB evolution costs
+    * one ledger line and old data prunes coarser — never wrong —
+    * until compaction rewrites it under the current spec.
+    */
+  def q102SpecEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Transforms
+    val t = s"${tempDir("graft-specevo")}/orders_ev"
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val jan = orders.filter(
+      col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+    val feb = orders.filter(
+      col("o_orderdate") >= lit("1995-02-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
+    Transforms.createEvolved(t, Seq(Transforms.Days("o_orderdate")))
+    Transforms.appendEvolved(spark, t, jan)
+    Transforms.addPartitionField(t, Transforms.Bucket(4, "o_custkey"))
+    Transforms.appendEvolved(spark, t, feb)
+    val bounds = feb.agg(
+      min(col("o_custkey")).cast("long"),
+      max(col("o_custkey")).cast("long")).head
+    val keys = Seq(bounds.getLong(0), bounds.getLong(1)).distinct
+    val (spanRows, spanRead, total) = Transforms.scanEvolved(spark, t,
+      dayRange = Some(("1995-01-28", "1995-02-05")))
+    val (keyRows, keyRead, _) = Transforms.scanEvolved(spark, t,
+      keys = Some(keys))
+    def leg(rows: DataFrame, name: String, read: Long) =
+      rows.agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .select(lit(name).as("leg"), col("n_rows"), col("revenue"),
+          lit(read).as("n_files_read"), lit(total).as("n_files_total"))
+    leg(keyRows, "week_key", keyRead)
+      .unionByName(leg(spanRows, "week_span", spanRead))
+      .orderBy(col("leg"))
+  }
+
   /** q95: real `$partitions` over a HIVE-PARTITIONED snapshot — the
     * per-partition record/file/byte debugging table operators
     * actually use (Iceberg's `$partitions`; reference read path
@@ -1322,6 +1376,7 @@ object Warehouse {
     "q96_column_mapping" -> (q96ColumnMapping _),
     "q95_partitions_meta" -> (q95PartitionsMeta _),
     "q94_hidden_partition" -> (q94HiddenPartition _),
+    "q102_spec_evolution" -> (q102SpecEvolution _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
@@ -1435,6 +1490,62 @@ object Warehouse {
         |   FROM mar),
         |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM mar),
         |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM q1)
+        |ORDER BY leg""".stripMargin,
+    // q102: every pinned count restates from day/bucket arithmetic —
+    // spec-0 (days only) cannot bucket-prune, so the key leg reads
+    // ALL January day files plus February's hit (day, bucket) pairs;
+    // the span leg prunes both specs by day arithmetic
+    "q102_spec_evolution" ->
+      """WITH jan AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-02-01'),
+        |feb AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-02-01'
+        |    AND o_orderdate < TIMESTAMP '1995-03-01'),
+        |keys AS (
+        |  SELECT MIN(o_custkey) AS k FROM feb
+        |  UNION SELECT MAX(o_custkey) FROM feb),
+        |span AS (
+        |  SELECT * FROM jan
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-28'
+        |  UNION ALL
+        |  SELECT * FROM feb
+        |  WHERE CAST(o_orderdate AS DATE) < DATE '1995-02-05'),
+        |keyrows AS (
+        |  SELECT o.* FROM (
+        |    SELECT * FROM jan UNION ALL SELECT * FROM feb) o
+        |  JOIN keys ON o.o_custkey = keys.k),
+        |tot AS (
+        |  SELECT (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE))
+        |          FROM jan)
+        |    + (SELECT COUNT(*) FROM (
+        |         SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+        |           o_custkey % 4 AS b FROM feb) z) AS n)
+        |SELECT 'week_key' AS leg,
+        |  (SELECT COUNT(*) FROM keyrows) AS n_rows,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM keyrows) AS revenue,
+        |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM jan)
+        |    + (SELECT COUNT(*) FROM (
+        |         SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+        |           o_custkey % 4 AS b FROM feb
+        |         WHERE o_custkey % 4 IN (SELECT k % 4 FROM keys)) z)
+        |    AS n_files_read,
+        |  (SELECT n FROM tot) AS n_files_total
+        |UNION ALL
+        |SELECT 'week_span',
+        |  (SELECT COUNT(*) FROM span),
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM span),
+        |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM jan
+        |   WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-28')
+        |    + (SELECT COUNT(*) FROM (
+        |         SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+        |           o_custkey % 4 AS b FROM feb
+        |         WHERE CAST(o_orderdate AS DATE) < DATE '1995-02-05') z),
+        |  (SELECT n FROM tot)
         |ORDER BY leg""".stripMargin,
     // q93: each namespace restates as its key-slice of the raw table;
     // the qualified metadata count is the landing constant (1 commit)

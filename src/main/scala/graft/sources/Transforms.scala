@@ -193,6 +193,165 @@ object Transforms {
     (df, kept.size.toLong, pvals.size.toLong)
   }
 
+  // ---- partition-spec EVOLUTION (Iceberg ADD PARTITION FIELD) ------
+  // A table carries an append-only ledger of partition SPECS
+  // (`_specs`: one line per spec, `<sid>|<specLine>[;<specLine>…]` —
+  // '|' because specLines contain tabs), every data file lands under
+  // the spec that was CURRENT when it was written
+  // (`data/__spec=<sid>/__pv0=<v>[/__pv1=<w>]/…`), and evolving the
+  // spec is ONE ledger line — zero data paths touched, exactly
+  // Iceberg's ADD PARTITION FIELD. Scan planning prunes EACH file by
+  // ITS OWN spec: old files keep pruning on the fields they record
+  // and simply cannot prune on fields they predate — the defining
+  // semantics of spec evolution (old data is never rewritten, it just
+  // prunes coarser until a compaction rewrites it under the new
+  // spec).
+
+  private def specsLedger(tableDir: String) = Paths.get(tableDir, "_specs")
+
+  private def parseSpecLine(s: String): Transform = {
+    val p = s.split('\t')
+    p(0) match {
+      case "days" => Days(p(1))
+      case "bucket" => Bucket(p(2).toInt, p(1))
+      case other => throw new IllegalArgumentException(
+        s"unknown transform '$other'")
+    }
+  }
+
+  /** The spec ledger, oldest first: (specId, partition fields). */
+  def specs(tableDir: String): Seq[(Int, Seq[Transform])] = {
+    val f = specsLedger(tableDir)
+    require(Files.exists(f), s"no spec ledger at $tableDir")
+    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('|')
+        (line.substring(0, i).toInt,
+          line.substring(i + 1).split(';').toSeq.map(parseSpecLine))
+      }
+  }
+
+  /** Create an evolvable table whose first spec is `ts`. */
+  def createEvolved(tableDir: String, ts: Seq[Transform]): Unit = {
+    require(ts.nonEmpty, "a partition spec needs at least one field")
+    Files.createDirectories(Paths.get(tableDir))
+    require(!Files.exists(specsLedger(tableDir)),
+      s"spec ledger already exists at $tableDir")
+    Files.write(specsLedger(tableDir),
+      s"0|${ts.map(_.specLine).mkString(";")}\n"
+        .getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Iceberg `ALTER TABLE … ADD PARTITION FIELD`: the new current
+    * spec = the old fields plus `t`. Metadata-only by construction —
+    * the only write is the ledger line.
+    */
+  def addPartitionField(tableDir: String, t: Transform): Int = {
+    val cur = specs(tableDir)
+    val sid = cur.last._1 + 1
+    Files.write(specsLedger(tableDir),
+      s"$sid|${(cur.last._2 :+ t).map(_.specLine).mkString(";")}\n"
+        .getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    sid
+  }
+
+  /** Land `df` under the CURRENT spec (one file per partition tuple —
+    * the [[land]] invariant, so file counts stay oracle-derivable).
+    */
+  def appendEvolved(spark: SparkSession, tableDir: String,
+      df: DataFrame): Unit = {
+    val (sid, ts) = specs(tableDir).last
+    val pvCols = ts.indices.map(i => s"__pv$i")
+    val withPv = ts.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
+      d.withColumn(s"__pv$i", t.derive)
+    }
+    withPv.repartition(pvCols.map(col): _*)
+      .write.mode(SaveMode.Append).partitionBy(pvCols: _*)
+      .parquet(s"$tableDir/data/__spec=$sid")
+  }
+
+  private def listLongDirs(dir: java.nio.file.Path,
+      prefix: String): Seq[(Long, java.nio.file.Path)] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(prefix))
+      .map(p => p.getFileName.toString.stripPrefix(prefix).toLong -> p)
+      .toSeq.sortBy(_._1)
+    finally s.close()
+  }
+
+  /** One entry per partition tuple of spec `sid`: (values, leaf dir). */
+  private def specLeaves(tableDir: String, sid: Int,
+      arity: Int): Seq[(Seq[Long], java.nio.file.Path)] = {
+    val root = Paths.get(tableDir, "data", s"__spec=$sid")
+    if (!Files.exists(root)) Seq.empty
+    else (0 until arity).foldLeft(
+      Seq((Seq.empty[Long], root))) { case (acc, i) =>
+      acc.flatMap { case (vals, dir) =>
+        listLongDirs(dir, s"__pv$i=").map { case (v, p) => (vals :+ v, p) }
+      }
+    }
+  }
+
+  /** Evolved-table scan with predicates on the RAW columns. Each spec
+    * prunes by the fields IT records: a `days` field prunes against
+    * `dayRange`, a `bucket` field against `keys`' buckets, and a spec
+    * that predates a field keeps all its directories for that
+    * predicate (coarser pruning, never wrong answers — the exact
+    * row-level predicates are applied as residual filters). Returns
+    * (rows, filesRead, filesTotal) with one file per tuple by the
+    * landing invariant.
+    */
+  def scanEvolved(spark: SparkSession, tableDir: String,
+      dayRange: Option[(String, String)] = None,
+      keys: Option[Seq[Long]] = None): (DataFrame, Long, Long) = {
+    val all = specs(tableDir)
+    val lohi = dayRange.map { case (f, t) =>
+      (java.time.LocalDate.parse(f).toEpochDay,
+        java.time.LocalDate.parse(t).toEpochDay)
+    }
+    var read = 0L
+    var total = 0L
+    val kept: Seq[String] = all.flatMap { case (sid, ts) =>
+      val leaves = specLeaves(tableDir, sid, ts.length)
+      total += leaves.size
+      val hit = leaves.filter { case (vals, _) =>
+        ts.zip(vals).forall {
+          case (Days(_), v) =>
+            lohi.forall { case (lo, hi) => v >= lo && v < hi }
+          case (b: Bucket, w) =>
+            keys.forall(_.exists(k =>
+              java.lang.Math.floorMod(k, b.n.toLong) == w))
+        }
+      }
+      read += hit.size
+      hit.map(_._2.toString)
+    }
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept: _*)
+      else {
+        val any = all.flatMap { case (sid, ts) =>
+          specLeaves(tableDir, sid, ts.length)
+        }
+        require(any.nonEmpty, s"no data in evolved table $tableDir")
+        spark.read.parquet(any.head._2.toString).filter(lit(false))
+      }
+    val dayCol = all.flatMap(_._2).collectFirst { case Days(c) => c }
+    val keyCol = all.flatMap(_._2).collectFirst {
+      case b: Bucket => b.sourceCol
+    }
+    var out = base
+    for ((f, t) <- dayRange; c <- dayCol)
+      out = out.filter(col(c).cast("date") >= lit(f).cast("date") &&
+        col(c).cast("date") < lit(t).cast("date"))
+    for (ks <- keys; c <- keyCol)
+      out = out.filter(col(c).isin(ks: _*))
+    (out, read, total)
+  }
+
   /** Point lookups with the predicate on the RAW key column: opens
     * only the buckets the queried keys hash to. Returns
     * (rows, filesRead, filesTotal).

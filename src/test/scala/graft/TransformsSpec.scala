@@ -108,4 +108,62 @@ class TransformsSpec extends AnyFunSuite {
         Transforms.Days("other"))
     }
   }
+
+  test("spec evolution: ALTER is metadata-only, old files prune by their own spec") {
+    val t = TempDirs.scratch("graft-tf-evo")
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val jan = orders.filter(
+      col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+    val feb = orders.filter(
+      col("o_orderdate") >= lit("1995-02-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
+    Transforms.createEvolved(t, Seq(Transforms.Days("o_orderdate")))
+    Transforms.appendEvolved(spark, t, jan)
+    val before = dataFiles(t).map(p =>
+      p.toString -> Files.size(p)).toMap
+    // ADD PARTITION FIELD touches zero data paths
+    Transforms.addPartitionField(t, Transforms.Bucket(4, "o_custkey"))
+    assert(dataFiles(t).map(p => p.toString -> Files.size(p)).toMap
+      == before, "spec evolution must be metadata-only")
+    assert(Transforms.specs(t).map(_._1) == Seq(0, 1))
+    Transforms.appendEvolved(spark, t, feb)
+    // spec-0 files survive the spec-1 landing byte-identical
+    before.foreach { case (f, sz) =>
+      assert(Files.exists(Paths.get(f)) && Files.size(Paths.get(f)) == sz,
+        s"spec-0 file $f changed under the spec-1 append")
+    }
+    // one file per (spec, tuple): spec-0 = jan days; spec-1 = feb
+    // (day, bucket) pairs
+    val nJanDays = jan.select(col("o_orderdate").cast("date"))
+      .distinct().count()
+    val nFebPairs = feb.select(col("o_orderdate").cast("date"),
+      pmod(col("o_custkey"), lit(4))).distinct().count()
+    assert(dataFiles(t).size == nJanDays + nFebPairs)
+    // a key lookup cannot bucket-prune spec-0 (no bucket field) but
+    // prunes spec-1 to the hit buckets
+    val k = feb.agg(min(col("o_custkey")).cast("long")).head.getLong(0)
+    val (rows, read, total) = Transforms.scanEvolved(spark, t,
+      keys = Some(Seq(k)))
+    assert(total == nJanDays + nFebPairs)
+    val bucketOfK = java.lang.Math.floorMod(k, 4L)
+    val nFebHit = feb.filter(pmod(col("o_custkey"), lit(4)) === bucketOfK)
+      .select(col("o_orderdate").cast("date")).distinct().count()
+    assert(read == nJanDays + nFebHit,
+      s"key scan read $read files, want all $nJanDays spec-0 + $nFebHit hit spec-1")
+    // residual filter keeps answers exact despite the coarse spec-0 read
+    val expect = jan.unionByName(feb).filter(col("o_custkey") === k).count()
+    assert(rows.count() == expect)
+    // day range prunes BOTH specs by day arithmetic
+    val (_, read2, _) = Transforms.scanEvolved(spark, t,
+      dayRange = Some(("1995-01-28", "1995-02-05")))
+    val nJanHit = jan.filter(col("o_orderdate").cast("date") >= lit("1995-01-28"))
+      .select(col("o_orderdate").cast("date")).distinct().count()
+    val nFebHit2 = feb.filter(col("o_orderdate").cast("date") < lit("1995-02-05"))
+      .select(col("o_orderdate").cast("date"),
+        pmod(col("o_custkey"), lit(4))).distinct().count()
+    assert(read2 == nJanHit + nFebHit2)
+  }
 }
