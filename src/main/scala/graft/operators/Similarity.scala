@@ -446,6 +446,45 @@ object Similarity {
     graft.sources.Snapshots.commit(cents, s"$idxDir/centroids")
   }
 
+  // ---- exactly-once append machinery --------------------------------
+  // The append ledger (`<idxDir>/_append_ledger`, one committed batch
+  // tag per line) is the SnapshotSink pattern applied to the raw
+  // partitioned posting layout: a replayed batch whose tag is already
+  // ledgered is a no-op, and a batch that crashed AFTER landing files
+  // but BEFORE its ledger line converges on replay because every file
+  // a tag lands carries a name derived from the tag (`ann-<tag>-<i>`)
+  // — the replay first clears the tag's residue, re-lands the same
+  // set, then commits the line. Same JVM-monitor + FileChannel lock
+  // shape as Snapshots.withManifestLock.
+  private def appendLedgerPath(idxDir: String) =
+    java.nio.file.Paths.get(idxDir, "_append_ledger")
+
+  private[graft] def committedAppendTags(idxDir: String): Set[String] = {
+    val p = appendLedgerPath(idxDir)
+    if (!java.nio.file.Files.exists(p)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala
+        .map(_.trim).filter(_.nonEmpty).toSet
+    }
+  }
+
+  private val appendLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withAppendLock[A](idxDir: String)(f: => A): A = {
+    val key = java.nio.file.Paths.get(idxDir)
+      .toAbsolutePath.normalize.toString
+    val monitor = appendLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      import java.nio.file.StandardOpenOption._
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(idxDir, "_append.lock"), CREATE, WRITE)
+      try { val l = ch.lock(); try f finally l.release() }
+      finally ch.close()
+    }
+  }
+
   /** APPEND a batch of new vectors into a stored ANN index without
     * rebuilding it — the production ingest path of every IVF store
     * (FAISS `add`, the reason a billion-vector index absorbs arrivals
@@ -458,9 +497,19 @@ object Similarity {
     * partition-pruned read. (Quantizer drift is the documented
     * trade: cells grow unevenly until the next scheduled re-train —
     * s08's build — exactly how production IVF indexes operate.)
+    *
+    * With `batchTag` the append is EXACTLY-ONCE: the tag owns its
+    * posting file names, a ledgered tag replays as a no-op, and a
+    * crashed half-landed attempt is cleared and re-landed
+    * deterministically before the ledger line commits (see the
+    * ledger comment above). A concurrent reader can observe a
+    * mid-move torn batch (raw parquet listing has no commit point) —
+    * the documented trade vs the versioned store; the streaming
+    * drain → serve sequence never reads mid-append.
     */
   private[graft] def appendAnnIndex(spark: SparkSession, idxDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchTag: Option[String] = None): Unit = {
+    if (batchTag.exists(committedAppendTags(idxDir).contains)) return
     GraftFunctions.register(spark)
     val cents = graft.sources.Snapshots.read(spark, s"$idxDir/centroids")
     val scored = Tables.spread(batch.select(col("vec_id"), col("embedding")))
@@ -473,8 +522,70 @@ object Similarity {
         struct(col("sim"), (-col("cell_id")).as("nc"))).as("b"))
       .select(col("vec_id"), col("b.embedding").as("embedding"),
         col("b.cell_id").as("cell_id"))
-    assigned.write.mode(SaveMode.Append).partitionBy("cell_id")
-      .parquet(s"$idxDir/postings")
+    batchTag match {
+      case None =>
+        assigned.write.mode(SaveMode.Append).partitionBy("cell_id")
+          .parquet(s"$idxDir/postings")
+      case Some(tag) =>
+        val safe = tag.replaceAll("[^A-Za-z0-9_=.-]", "_")
+        val staging = s"$idxDir/_staging/$safe"
+        assigned.write.mode(SaveMode.Overwrite).partitionBy("cell_id")
+          .parquet(staging)
+        withAppendLock(idxDir) {
+          if (!committedAppendTags(idxDir).contains(tag)) {
+            landStaged(staging, s"$idxDir/postings", safe)
+            import java.nio.file.StandardOpenOption._
+            java.nio.file.Files.write(appendLedgerPath(idxDir),
+              s"$tag\n".getBytes("UTF-8"), CREATE, APPEND)
+            ()
+          }
+        }
+        deleteDirTree(java.nio.file.Paths.get(staging))
+    }
+  }
+
+  /** Move a staged per-cell parquet layout into the live postings
+    * under the tag's deterministic names. Clears the tag's residue
+    * first so a crash-replay converges on the same file set.
+    */
+  private def landStaged(staging: String, postings: String,
+      safe: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val postRoot = Paths.get(postings)
+    if (Files.exists(postRoot)) {
+      val walk = Files.walk(postRoot)
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(s"ann-$safe-"))
+        .toList.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    val stageRoot = Paths.get(staging)
+    val cellDirs = Files.list(stageRoot).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("cell_id="))
+      .toList.sortBy(_.getFileName.toString)
+    cellDirs.foreach { cd =>
+      val target = postRoot.resolve(cd.getFileName.toString)
+      Files.createDirectories(target)
+      val parts = Files.list(cd).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .toList.sortBy(_.getFileName.toString)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, target.resolve(s"ann-$safe-$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  private def deleteDirTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      val all = try walk.iterator().asScala.toList finally walk.close()
+      all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** Serve a query batch from the STORED index only: broadcast the
@@ -563,7 +674,8 @@ object Similarity {
     val pre = annServe(spark, idxDir, q, nprobe = 2, topK = 5)
       .withColumn("phase", lit("pre"))
     val preRows = pre.collect() // materialize BEFORE the append lands
-    appendAnnIndex(spark, idxDir, e.filter(col("vec_id") % 5 === 4))
+    appendAnnIndex(spark, idxDir, e.filter(col("vec_id") % 5 === 4),
+      batchTag = Some("s15-holdout"))
     val post = annServe(spark, idxDir, q, nprobe = 2, topK = 5)
       .withColumn("phase", lit("post"))
     import spark.implicits._
@@ -897,7 +1009,72 @@ object Similarity {
         array_min(col("embedding")).cast("double").as("vmin"))
       .orderBy(col("vec_id"))
 
+  /** s16: SCALAR QUANTIZATION (SQ8) search — the third production
+    * vector-compression family next to IVF (s03/s08) and PQ
+    * (s10/s11), and the simplest (FAISS `ScalarQuantizer`): each
+    * dimension is quantized independently to an 8-bit code against
+    * the corpus-wide per-dimension [min, max] — a 4x memory
+    * compression (64xFLOAT → 64 bytes) with NO trained codebook, so
+    * the "model" is one 64-row stats aggregate. Codes are
+    * floor-quantized (`floor((x-mn)·256/(mx-mn))` clamped to 255 —
+    * floor, not round, so the boundary behavior is bit-reproducible
+    * across engines), search is asymmetric: the float query scores
+    * midpoint-reconstructed corpus vectors for a top-20 candidate
+    * cut, then ONLY those 20 are re-ranked with the original floats
+    * for the exact top-5 — the scan runs on the compressed
+    * representation, full-precision vectors are touched for 20 rows
+    * per query. The oracle rebuilds stats→codes→reconstruction→both
+    * rankings in SQL; every arithmetic expression is shaped
+    * identically on both engines (same IEEE op order), so the gate is
+    * bit-exact. At 100 TB: the stats pass is one 64-row aggregate,
+    * the compressed scan streams 4x fewer bytes, and the exact reads
+    * are 20 rows per query — compose with IVF pruning (s13) for the
+    * full production layout.
+    */
+  def s16Sq8Search(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = emb(spark, dir)
+    val stats = e.select(posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg(min(col("col").cast("double")).as("mn"),
+        max(col("col").cast("double")).as("mx"))
+      .orderBy(col("pos"))
+      .collect() // bounded: exactly 64 dimension rows
+    val mnArr = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxArr = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val coded = e.withColumn("mn", mnArr).withColumn("mx", mxArr)
+      .withColumn("codes", expr(
+        """transform(embedding, (x, i) ->
+          |  CASE WHEN mx[i] = mn[i] THEN 0
+          |    ELSE CAST(LEAST(CAST(255 AS DOUBLE),
+          |      FLOOR((CAST(x AS DOUBLE) - mn[i]) * 256.0D
+          |        / (mx[i] - mn[i]))) AS INT) END)""".stripMargin))
+      .withColumn("rec", expr(
+        """CAST(transform(codes, (q, i) ->
+          |  mn[i] + (CAST(q AS DOUBLE) + 0.5D) * (mx[i] - mn[i]) / 256.0D)
+          |AS ARRAY<FLOAT>)""".stripMargin))
+      .select(col("vec_id").as("cid"), col("rec"),
+        col("embedding").as("ce"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cand = coded.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sq_sim", GraftFunctions.cosineSim(col("qe"), col("rec")))
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("sq_sim").desc, col("cid"))
+    val top = cand.withColumn("crnk", row_number().over(w1))
+      .filter(col("crnk") <= 20)
+      .withColumn("sim", GraftFunctions.cosineSim(col("qe"), col("ce")))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    top.withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("sq_sim"), 6).as("sq_sim_r"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_sq8_search" -> (s16Sq8Search _),
     "s01_cosine_topk" -> (s01CosineTopk _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
@@ -980,6 +1157,56 @@ object Similarity {
       s"sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    // s16: stats → floor-codes → midpoint reconstruction → SQ scan
+    // top-20 → exact re-rank top-5, every arithmetic expression
+    // shaped identically to the Spark side (same IEEE op order)
+    "s16_sq8_search" ->
+      s"""WITH dims AS (
+         |  SELECT i, MIN(embedding[i]::DOUBLE) AS mn,
+         |    MAX(embedding[i]::DOUBLE) AS mx
+         |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY i),
+         |codes AS (
+         |  SELECT e.vec_id, d.i,
+         |    CASE WHEN d.mx = d.mn THEN 0
+         |      ELSE CAST(LEAST(CAST(255 AS DOUBLE),
+         |        FLOOR((e.embedding[d.i]::DOUBLE - d.mn) * 256.0
+         |          / (d.mx - d.mn))) AS INT) END AS q
+         |  FROM embeddings e CROSS JOIN dims d),
+         |recon AS (
+         |  SELECT c.vec_id,
+         |    list_transform(
+         |      list(d.mn + (CAST(c.q AS DOUBLE) + 0.5) * (d.mx - d.mn)
+         |        / 256.0 ORDER BY c.i),
+         |      v -> v::FLOAT) AS rec
+         |  FROM codes c JOIN dims d ON c.i = d.i
+         |  GROUP BY c.vec_id),
+         |qs AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT q.qid, r.vec_id AS cid,
+         |    ${cosSql("q.qe", "r.rec")} AS sq_sim
+         |  FROM qs q JOIN recon r ON r.vec_id <> q.qid),
+         |top AS (
+         |  SELECT qid, cid, sq_sim, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY sq_sim DESC, cid) AS crnk
+         |  FROM cand),
+         |exact AS (
+         |  SELECT t.qid, t.cid, t.sq_sim,
+         |    ${cosSql("qe.embedding", "ce.embedding")} AS sim
+         |  FROM top t
+         |  JOIN embeddings qe ON qe.vec_id = t.qid
+         |  JOIN embeddings ce ON ce.vec_id = t.cid
+         |  WHERE t.crnk <= 20),
+         |ranked AS (
+         |  SELECT qid, cid, sq_sim, sim, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+         |  FROM exact)
+         |SELECT qid, rnk, cid, round(sq_sim, 6) AS sq_sim_r,
+         |  round(sim, 6) AS sim_r
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
     // s09: the same three top-5 sets (exact / own-bucket / multiprobe)
     // and intersection counts, on the shared md5 hyperplane buckets
     "s09_ann_recall" ->

@@ -1409,11 +1409,15 @@ object EventStream {
     * phase): frozen-quantizer assignment is per-vector, so the
     * result is batch-structure-invariant — which is exactly what the
     * oracle checks (it knows nothing about the micro-batch split).
-    * Delivery is at-least-once (a replayed batch would re-append;
-    * the gate's drain has no replays — SnapshotSink's ledger pattern
-    * is the exactly-once upgrade, documented trade as in st17). At
-    * 100 TB: arrivals index at stream rate, serves stay
-    * probed-cells-sized, retrain is a scheduled offline job.
+    * Delivery is EXACTLY-ONCE per micro-batch: each append carries
+    * `batch=<id>` as its ledger tag, so a foreachBatch replay whose
+    * tag is already committed is a no-op, and a half-landed crash
+    * converges on replay because the tag owns its posting file
+    * names (the SnapshotSink ledger pattern applied to the raw
+    * partitioned posting layout — see
+    * [[graft.operators.Similarity.appendAnnIndex]]). At 100 TB:
+    * arrivals index at stream rate, serves stay probed-cells-sized,
+    * retrain is a scheduled offline job.
     */
   def st22StreamAnnIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
@@ -1431,8 +1435,9 @@ object EventStream {
       .parquet(src)
     val q = stream.writeStream
       .option("checkpointLocation", graft.TempDirs.scratch("graft-st22-ckpt"))
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        Similarity.appendAnnIndex(batch.sparkSession, idxDir, batch.toDF())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        Similarity.appendAnnIndex(batch.sparkSession, idxDir, batch.toDF(),
+          batchTag = Some(s"batch=$batchId"))
         ()
       }
       .start()

@@ -459,6 +459,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(newRows.forall(r => cells(r.getAs[Int]("cell_id"))))
   }
 
+  test("tagged index append is exactly-once: replay no-ops, crash-replay converges") {
+    import graft.operators.Similarity
+    val idxDir = graft.TempDirs.scratch("graft-ann-eo-spec")
+    val e = Tables(spark, sf, "embeddings")
+    Similarity.buildAnnIndex(spark, sf, idxDir,
+      corpus = Some(e.filter(col("vec_id") % 5 =!= 4)))
+    val batch = e.filter(col("vec_id") % 5 === 4)
+    def postingRows() = spark.read.parquet(s"$idxDir/postings").count()
+    def tagFiles(): List[String] = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$idxDir/postings"))
+      try w.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("ann-b7-")).toList.sorted
+      finally w.close()
+    }
+    Similarity.appendAnnIndex(spark, idxDir, batch, batchTag = Some("b7"))
+    val afterOnce = postingRows()
+    val filesOnce = tagFiles()
+    assert(filesOnce.nonEmpty, "tagged append must land tag-named files")
+    // replay with the ledger intact: a pure no-op
+    Similarity.appendAnnIndex(spark, idxDir, batch, batchTag = Some("b7"))
+    assert(postingRows() == afterOnce, "ledgered replay duplicated rows")
+    assert(tagFiles() == filesOnce)
+    // crash simulation: files landed but the ledger line was lost
+    // (crash between landStaged and the ledger write) → the replay
+    // must clear the residue and converge, not duplicate
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(idxDir, "_append_ledger"))
+    Similarity.appendAnnIndex(spark, idxDir, batch, batchTag = Some("b7"))
+    assert(postingRows() == afterOnce, "crash-replay duplicated rows")
+    assert(tagFiles() == filesOnce, "crash-replay changed the tag's file set")
+    assert(Similarity.committedAppendTags(idxDir) == Set("b7"))
+  }
+
+  test("s16 SQ8: contiguous ranks, exact sims dominate their rank order, high recall vs brute force") {
+    import graft.functions.GraftFunctions
+    val out = graft.operators.Similarity.s16Sq8Search(spark, sf).collect()
+    assert(out.length == 50, "10 queries x top-5")
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        "exact sims must be non-increasing in rank")
+    }
+    // SQ8 at 64 dims reconstructs tightly: recall@5 vs exact brute
+    // force should be near-perfect; 0.8 mean is a safe floor
+    GraftFunctions.register(spark)
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exact = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", GraftFunctions.cosineSim(col("qe"), col("ce")))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = byQ.map { case (qid, rs) =>
+      rs.map(_.getLong(2)).toSet.intersect(exact(qid)).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"SQ8 mean recall@5 $mean below floor")
+  }
+
   test("a10 stored-sketch rollup == direct region sketch (KMV mergeability), envelope holds") {
     import graft.functions.GraftFunctions
     import graft.functions.GraftFunctions.kMinValues
