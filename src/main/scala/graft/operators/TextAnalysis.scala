@@ -442,7 +442,56 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** t15: PMI COLLOCATIONS — pointwise mutual information over the
+    * corpus bigram stream (Church & Hanks 1990), the association
+    * measure behind multiword-expression mining: PMI(w1,w2) =
+    * ln(p(w1,w2) / (p(w1)·p(w2))), with a min-count floor (n12 ≥ 5)
+    * to kill singleton noise. Differs from t07 (per-language
+    * conditional p(w2|w1)): this is corpus-global SYMMETRIC
+    * association against unigram marginals. Cross-engine
+    * determinism: the RANKING never touches libm — it orders by the
+    * raw ratio r = (n12·T·T)/(B·n1·n2), computed as exact integer
+    * products cast to double and ONE IEEE division (bit-identical on
+    * both engines; T = unigram total ~1e6 at sf0.1, so n12·T² stays
+    * well inside int64); `ln` appears only in the displayed
+    * 6-dp-rounded value (the s04 libm lesson). At 100 TB: two
+    * hash-aggregates (map-side combined) + a skinny count-table
+    * join; the ≥5 floor keeps the scored table a fraction of the
+    * bigram vocabulary.
+    */
+  def t15Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val ts = docs(spark, dir).select(tokens(col("text")).as("ts"))
+    val bigram = expr(
+      "transform(sequence(1, size(ts)-1), i -> " +
+        "struct(element_at(ts, i) AS w1, element_at(ts, CAST(i+1 AS INT)) AS w2))")
+    val uni = ts.select(explode(col("ts")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val big = ts.filter(size(col("ts")) >= 2)
+      .select(explode(bigram).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n12"))
+    val tTot = uni.agg(sum(col("n")).as("t_tot"))
+    val bTot = big.agg(sum(col("n12")).as("b_tot"))
+    val scored = big.filter(col("n12") >= 5)
+      .join(uni.select(col("token").as("w1"), col("n").as("n1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("n").as("n2")), "w2")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
+      .withColumn("r",
+        (col("n12") * col("t_tot") * col("t_tot")).cast("double") /
+          (col("b_tot") * col("n1") * col("n2")).cast("double"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("pmi_rank",
+        row_number().over(Window.orderBy(col("r").desc, col("w1"), col("w2")))
+          .cast("long"))
+      .filter(col("pmi_rank") <= 15)
+      .select(col("pmi_rank"), col("w1"), col("w2"), col("n12"),
+        col("n1"), col("n2"), round(log(col("r")), 6).as("pmi_r"))
+      .orderBy(col("pmi_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_collocations" -> (t15Collocations _),
     "t14_vocab_stats" -> (t14VocabStats _),
     "t13_normalize" -> (t13Normalize _),
     "t10_hof_suite" -> (t10HofSuite _),
@@ -514,6 +563,39 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // t15: the ranking orders by the raw ratio (exact integer
+    // products, one IEEE division — no libm); ln only in the
+    // displayed 6-dp value
+    "t15_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |uni AS (SELECT unnest(ts) AS token FROM toks),
+        |ucnt AS (SELECT token, COUNT(*) AS n FROM uni GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS t_tot FROM ucnt),
+        |big AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)),
+        |    i -> {'w1': ts[i], 'w2': ts[i+1]})) AS b
+        |  FROM toks WHERE len(ts) >= 2),
+        |bcnt AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n12
+        |  FROM big GROUP BY 1, 2),
+        |bt AS (SELECT CAST(SUM(n12) AS BIGINT) AS b_tot FROM bcnt),
+        |scored AS (
+        |  SELECT c.w1, c.w2, c.n12, u1.n AS n1, u2.n AS n2,
+        |    CAST(c.n12 * tt.t_tot * tt.t_tot AS DOUBLE)
+        |      / CAST(bt.b_tot * u1.n * u2.n AS DOUBLE) AS r
+        |  FROM bcnt c
+        |  JOIN ucnt u1 ON u1.token = c.w1
+        |  JOIN ucnt u2 ON u2.token = c.w2
+        |  CROSS JOIN tt CROSS JOIN bt
+        |  WHERE c.n12 >= 5)
+        |SELECT ROW_NUMBER() OVER (ORDER BY r DESC, w1, w2) AS pmi_rank,
+        |  w1, w2, CAST(n12 AS BIGINT) AS n12, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n2 AS BIGINT) AS n2, round(ln(r), 6) AS pmi_r
+        |FROM scored
+        |QUALIFY pmi_rank <= 15
+        |ORDER BY pmi_rank""".stripMargin,
     // t13: DuckDB's nfc_normalize is the independent NFC
     // implementation the native expression is checked against
     "t13_normalize" ->

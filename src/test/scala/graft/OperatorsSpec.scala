@@ -527,6 +527,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"SQ8 mean recall@5 $mean below floor")
   }
 
+  test("t15 collocations: contiguous ranks, min-count floor, pmi consistent with count surprise") {
+    val out = graft.operators.TextAnalysis.t15Collocations(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 15)
+    assert(out.map(_.getLong(0)).toSeq == (1L to out.length))
+    out.foreach { r =>
+      assert(r.getLong(3) >= 5, "n12 below the min-count floor")
+      assert(r.getLong(4) >= r.getLong(3) && r.getLong(5) >= r.getLong(3),
+        "a unigram count can never be below its bigram count")
+    }
+    // ranks descend in pmi (ties broken lexically, so non-strict)
+    val pmis = out.sortBy(_.getLong(0)).map(_.getDouble(6))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+  }
+
   test("a10 stored-sketch rollup == direct region sketch (KMV mergeability), envelope holds") {
     import graft.functions.GraftFunctions
     import graft.functions.GraftFunctions.kMinValues
