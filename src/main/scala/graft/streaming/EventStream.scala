@@ -1447,7 +1447,109 @@ object EventStream {
     Similarity.annServe(spark, idxDir, queries, nprobe = 2, topK = 5)
   }
 
+  /** st23: STREAMING SCHEMA DRIFT — the CDC failure mode every
+    * production pipeline meets (a producer deploy adds a field
+    * mid-stream; reference: the Debezium→Kafka→lakehouse flow of
+    * docs/components/cdc.md, where source DDL flows into the topic):
+    * phase-A producers emit `{event_id, user_id, value}` JSON, the
+    * upgraded phase-B producers add `event_type`, and the sink
+    * neither crashes nor silently drops the new field. Per
+    * micro-batch the payload schema is INFERRED from the batch
+    * itself (`spark.read.json` inside foreachBatch — the per-batch
+    * dynamic-inference trick; a streaming `from_json` pins one
+    * schema at plan time and cannot see drift), committed as a
+    * schema-versioned snapshot (batch-tagged, replay-idempotent),
+    * and a WIDENING is detected by diffing against the stored
+    * schema and recorded in a `_drift` ledger — the alerting hook.
+    * Old versions keep their write-time schema (q96's column-
+    * mapping discipline); the drained read serves the union view
+    * with pre-drift rows NULL in the new column. Result pins
+    * version count, first/last schema width, and the single
+    * recorded drift event; every group restates in the oracle from
+    * `event_id` parity. At 100 TB: inference costs one pass over
+    * each micro-batch (batch-sized, not corpus-sized), and the
+    * drift ledger turns a silent producer change into an audited
+    * schema event.
+    */
+  def st23StreamSchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val s = streamSession(spark)
+    val src = graft.TempDirs.scratch("graft-st23-src")
+    val t = s"${graft.TempDirs.scratch("graft-st23-tbl")}/events_drift"
+    val ev = graft.Tables(s, dir, "events")
+    // phase A: the old producer — three fields
+    ev.filter(col("event_id") % 2 === 0)
+      .select(to_json(struct(col("event_id"), col("user_id"),
+        col("value"))).as("value"))
+      .repartition(2).write.mode("overwrite").text(src)
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .text(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st23-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        val tag = s"batch=$batchId"
+        if (!Snapshots.committedTags(t).contains(tag)) {
+          val rows = sp.read.json(
+            batch.select(col("value")).as(org.apache.spark.sql.Encoders.STRING))
+          if (!rows.isEmpty) {
+            val manifest = java.nio.file.Paths.get(t, "_manifest")
+            val prevCols: Set[String] =
+              if (java.nio.file.Files.exists(manifest))
+                Snapshots.versions(t).lastOption.map(v =>
+                  Snapshots.read(sp, t, v).columns.toSet).getOrElse(Set.empty)
+              else Set.empty
+            val added = rows.columns.toSet -- prevCols
+            if (prevCols.nonEmpty && added.nonEmpty) {
+              import java.nio.file.StandardOpenOption._
+              java.nio.file.Files.write(java.nio.file.Paths.get(t, "_drift"),
+                s"$batchId\t${added.toSeq.sorted.mkString(",")}\n"
+                  .getBytes("UTF-8"), CREATE, APPEND)
+              ()
+            }
+            Snapshots.commit(rows, t, tag = Some(tag))
+            ()
+          }
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // phase B: the upgraded producer adds event_type mid-stream
+      ev.filter(col("event_id") % 2 === 1)
+        .select(to_json(struct(col("event_id"), col("user_id"),
+          col("value"), col("event_type"))).as("value"))
+        .repartition(2).write.mode("append").text(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val vs = Snapshots.versions(t)
+    val all = vs.map(v => Snapshots.read(spark, t, v))
+      .reduce((x, y) => x.unionByName(y, allowMissingColumns = true))
+    val firstW = Snapshots.read(spark, t, vs.head).columns.length
+    val lastW = Snapshots.read(spark, t, vs.last).columns.length
+    val nDrift = {
+      val p = java.nio.file.Paths.get(t, "_drift")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readAllLines(p).size.toLong
+      else 0L
+    }
+    all.groupBy(coalesce(col("event_type"), lit("unknown")).as("etype"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.functions.Exact.dsum(col("value"), 4).as("total_value"))
+      .withColumn("n_versions", lit(vs.size.toLong))
+      .withColumn("first_width", lit(firstW.toLong))
+      .withColumn("last_width", lit(lastW.toLong))
+      .withColumn("n_drifts", lit(nDrift))
+      .orderBy(col("etype"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st23_stream_schema_drift" -> (st23StreamSchemaDrift _),
     "st22_stream_ann_ingest" -> (st22StreamAnnIngest _),
     "st21_stream_hidden_partition" -> (st21StreamHiddenPartition _),
     "st19_observed_metrics" -> (st19ObservedMetrics _),
@@ -1475,6 +1577,23 @@ object EventStream {
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    // st23: phase membership is event_id parity — evens landed
+    // pre-drift (no event_type → 'unknown'); the pinned constants
+    // are the two-files-per-phase landing arithmetic (4 batches),
+    // the 3→4 JSON field widths, and the single drift event
+    "st23_stream_schema_drift" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'unknown'
+        |    ELSE event_type END AS etype,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |  CAST(4 AS BIGINT) AS n_versions,
+        |  CAST(3 AS BIGINT) AS first_width,
+        |  CAST(4 AS BIGINT) AS last_width,
+        |  CAST(1 AS BIGINT) AS n_drifts
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // st22: s15's post-phase serve verbatim — the oracle knows
     // nothing of the micro-batch split, which is the claim: frozen-
     // quantizer appends are batch-structure-invariant
