@@ -219,8 +219,82 @@ object Engine {
   private val QualifiedTable =
     """\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)""".r
 
+  // CALL [iceberg.]system.<proc>('<table>'[, name => value]…) — the
+  // reference's documented maintenance surface runs as SQL text
+  // (docs/architecture/lakehouse.md:73-75: expire_snapshots,
+  // rewrite_manifests, rewrite_data_files scheduled as CALLs).
+  private val CallProc =
+    """(?is)^\s*CALL\s+(?:iceberg\.)?system\.([A-Za-z_]+)\s*\((.*)\)\s*$""".r
+
+  private def dataFileCount(tableDir: String, v: Long): Long = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(tableDir, s"v=$v")
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala.count(_.toString.endsWith(".parquet")).toLong
+    finally s.close()
+  }
+
+  /** Execute one maintenance procedure against a warehouse table and
+    * return its metrics as a (metric, value) table — Iceberg's
+    * stored-procedure shape on this engine's snapshot store. Known
+    * procedures: `expire_snapshots(retain_last)`,
+    * `rewrite_data_files(min_input_files, target_files)` (no-op
+    * below the input-file floor, exactly the scheduled-compaction
+    * contract), `rewrite_manifests()` (regenerates the `$files`
+    * stats sidecar), `rollback_to_snapshot(version)`. Unknown
+    * procedures and unknown tables fail loudly.
+    */
+  private def callProcedure(spark: SparkSession, warehouseDir: String,
+      proc: String, argText: String): DataFrame = {
+    import graft.sources.Snapshots
+    val table = """'([^']+)'""".r.findFirstMatchIn(argText).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CALL system.$proc: first argument must be the quoted table name"))
+    val named: Map[String, Long] =
+      """(?i)([A-Za-z_]+)\s*=>\s*(\d+)""".r.findAllMatchIn(argText)
+        .map(m => m.group(1).toLowerCase -> m.group(2).toLong).toMap
+    val dir = warehouseEntries(warehouseDir).find(_._1 == table).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"CALL system.$proc: unknown table '$table'"))
+    def metrics(rows: (String, Long)*): DataFrame = {
+      import spark.implicits._
+      rows.toSeq.toDF("metric", "value")
+    }
+    proc.toLowerCase match {
+      case "expire_snapshots" =>
+        val keep = named.getOrElse("retain_last", 1L).toInt
+        metrics("deleted_snapshots_count" ->
+          Snapshots.expireSnapshots(dir, keep).size.toLong)
+      case "rewrite_data_files" =>
+        val minIn = named.getOrElse("min_input_files", 2L)
+        val target = named.getOrElse("target_files", 1L).toInt
+        val latest = Snapshots.versions(dir).last
+        val nFiles = dataFileCount(dir, latest)
+        if (nFiles >= minIn) {
+          Snapshots.compactLatest(spark, dir, target)
+          metrics("rewritten_data_files_count" -> nFiles,
+            "added_data_files_count" -> target.toLong)
+        } else metrics("rewritten_data_files_count" -> 0L,
+          "added_data_files_count" -> 0L)
+      case "rewrite_manifests" =>
+        Snapshots.writeFileStats(spark, dir, Snapshots.versions(dir).last)
+        metrics("rewritten_manifests_count" -> 1L)
+      case "rollback_to_snapshot" =>
+        val v = named.getOrElse("version", throw new IllegalArgumentException(
+          "rollback_to_snapshot needs version => <n>"))
+        metrics("rolled_back_to" -> Snapshots.rollback(dir, v))
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure system.$other")
+    }
+  }
+
   def sqlWarehouse(spark: SparkSession, warehouseDir: String,
       query: String): DataFrame = {
+    query match {
+      case CallProc(proc, args) =>
+        return callProcedure(spark, warehouseDir, proc, args)
+      case _ =>
+    }
     openWarehouse(spark, warehouseDir)
     val entries = warehouseEntries(warehouseDir)
     val dirs: Map[String, String] =

@@ -1263,6 +1263,61 @@ object Warehouse {
       .orderBy(col("leg"))
   }
 
+  /** q103: STORED MAINTENANCE PROCEDURES — the reference's documented
+    * maintenance surface as SQL text (docs/architecture/lakehouse.md:
+    * 73-75 schedules `CALL iceberg.system.expire_snapshots(…,
+    * RETAIN_LAST => 7)`, `rewrite_manifests`, `rewrite_data_files(…,
+    * MIN_INPUT_FILES => 50)` — a user of the reference types exactly
+    * these): four quarterly commits land 8 files each, then the three
+    * CALLs run through [[graft.Engine.sqlWarehouse]] — compaction
+    * rewrites the 8-file head into 2 (metrics = Iceberg's
+    * rewritten/added counts), expiry retains the last 2 of the 5
+    * versions, manifest rewrite regenerates the `$files` sidecar.
+    * Every metric is commit arithmetic (8 files by explicit
+    * repartition, 4+1 versions, retain 2) and the final state
+    * restates from the raw table — all oracle-pinned. At 100 TB these
+    * are the scheduled jobs that keep a lakehouse table healthy;
+    * compaction cost ∝ the head snapshot, expiry and manifest rewrite
+    * are metadata-sized.
+    */
+  def q103CallProcedures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-call")
+    val t = s"$wh/sales_m"
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    Seq(("1995-01-01", "1995-04-01"), ("1995-04-01", "1995-07-01"),
+      ("1995-07-01", "1995-10-01"), ("1995-10-01", "1996-01-01"))
+      .foreach { case (lo, hi) =>
+        Snapshots.commit(orders.filter(
+          col("o_orderdate") >= lit(lo).cast("timestamp") &&
+            col("o_orderdate") < lit(hi).cast("timestamp"))
+          .repartition(8), t)
+      }
+    def call(sqlText: String, proc: String): DataFrame =
+      graft.Engine.sqlWarehouse(spark, wh, sqlText)
+        .withColumn("proc", lit(proc))
+    val compact = call(
+      "CALL system.rewrite_data_files('sales_m', min_input_files => 4, target_files => 2)",
+      "rewrite_data_files")
+    val expire = call(
+      "CALL iceberg.system.expire_snapshots('sales_m', retain_last => 2)",
+      "expire_snapshots")
+    val manifests = call(
+      "CALL system.rewrite_manifests('sales_m')", "rewrite_manifests")
+    val state = Snapshots.read(spark, t)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("table_state").as("proc"), lit("row_count").as("metric"),
+        col("value"))
+      .unionByName(spark.range(1).select(
+        lit("table_state").as("proc"), lit("live_versions").as("metric"),
+        lit(Snapshots.versions(t).size.toLong).as("value")))
+    compact.unionByName(expire).unionByName(manifests)
+      .select(col("proc"), col("metric"), col("value"))
+      .unionByName(state)
+      .orderBy(col("proc"), col("metric"))
+  }
+
   /** q95: real `$partitions` over a HIVE-PARTITIONED snapshot — the
     * per-partition record/file/byte debugging table operators
     * actually use (Iceberg's `$partitions`; reference read path
@@ -1377,6 +1432,7 @@ object Warehouse {
     "q95_partitions_meta" -> (q95PartitionsMeta _),
     "q94_hidden_partition" -> (q94HiddenPartition _),
     "q102_spec_evolution" -> (q102SpecEvolution _),
+    "q103_call_procedures" -> (q103CallProcedures _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
@@ -1491,6 +1547,29 @@ object Warehouse {
         |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM mar),
         |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM q1)
         |ORDER BY leg""".stripMargin,
+    // q103: every metric is commit arithmetic (8 files by explicit
+    // repartition, 4 commits + 1 compaction, retain 2); the final
+    // row count restates from the Q4 slice (versions are snapshots)
+    "q103_call_procedures" ->
+      """SELECT 'expire_snapshots' AS proc,
+        |  'deleted_snapshots_count' AS metric, CAST(3 AS BIGINT) AS value
+        |UNION ALL
+        |SELECT 'rewrite_data_files', 'added_data_files_count',
+        |  CAST(2 AS BIGINT)
+        |UNION ALL
+        |SELECT 'rewrite_data_files', 'rewritten_data_files_count',
+        |  CAST(8 AS BIGINT)
+        |UNION ALL
+        |SELECT 'rewrite_manifests', 'rewritten_manifests_count',
+        |  CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'table_state', 'live_versions', CAST(2 AS BIGINT)
+        |UNION ALL
+        |SELECT 'table_state', 'row_count', (
+        |  SELECT COUNT(*) FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY proc, metric""".stripMargin,
     // q102: every pinned count restates from day/bucket arithmetic —
     // spec-0 (days only) cannot bucket-prune, so the key leg reads
     // ALL January day files plus February's hit (day, bucket) pairs;

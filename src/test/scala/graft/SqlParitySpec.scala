@@ -135,6 +135,38 @@ class SqlParitySpec extends AnyFunSuite {
     info(s"${rel.size} queries verified facade == DataFrame")
   }
 
+  test("facade CALL procedures: metrics shape, compaction floor no-op, loud failures") {
+    import graft.sources.Snapshots
+    val wh = java.nio.file.Files.createTempDirectory("graft-call-wh").toString
+    val t = s"$wh/orders_call"
+    val stg = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.commit(stg.repartition(3), t)
+    // below the input-file floor: the scheduled-compaction contract
+    // is a no-op, not a rewrite
+    val noop = Engine.sqlWarehouse(spark, wh,
+      "CALL system.rewrite_data_files('orders_call', min_input_files => 10)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(noop("rewritten_data_files_count") == 0L)
+    assert(Snapshots.versions(t).size == 1, "a no-op must not commit")
+    // above the floor: rewrites 3 -> 1 and commits one version
+    val done = Engine.sqlWarehouse(spark, wh,
+      "CALL iceberg.system.rewrite_data_files('orders_call', min_input_files => 2)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(done("rewritten_data_files_count") == 3L)
+    assert(done("added_data_files_count") == 1L)
+    assert(Snapshots.versions(t).size == 2)
+    assert(Snapshots.read(spark, t).count() == stg.count(),
+      "compaction must preserve the data")
+    // unknown procedure / unknown table fail loudly
+    intercept[IllegalArgumentException] {
+      Engine.sqlWarehouse(spark, wh, "CALL system.no_such_proc('orders_call')")
+    }
+    intercept[IllegalArgumentException] {
+      Engine.sqlWarehouse(spark, wh, "CALL system.rewrite_manifests('nosuch')")
+    }
+  }
+
   test("facade time travel: VERSION AS OF / TIMESTAMP AS OF reach snapshot history") {
     import graft.sources.Snapshots
     val wh = java.nio.file.Files.createTempDirectory("graft-tt-wh").toString
