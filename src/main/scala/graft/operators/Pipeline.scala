@@ -535,7 +535,47 @@ object Pipeline {
       .orderBy(col("split"))
   }
 
+  /** p25: EPOCH SCHEDULE — the multi-epoch data-ordering deliverable
+    * (what the trainer actually reads in epoch e): each epoch gets
+    * its OWN deterministic permutation (key = md5 over (epoch,
+    * doc_id, copy) — repeating one epoch's order across epochs is a
+    * known training pathology), upsampled domains (source idx % 4 ==
+    * 0 → 2 copies, the p10 weighting made integral) appear once per
+    * copy AT DIFFERENT POSITIONS (the copy index enters the key),
+    * and the schedule materializes as SHARD assignments (first md5
+    * byte mod 8) rather than a global sort — the webdataset layout:
+    * at 100 TB ordering a corpus is a hash shuffle per epoch, never
+    * a total-order sort; within-shard order is the key order. Gate:
+    * per (epoch, shard) entry/distinct-doc counts plus the shard's
+    * first (key, doc) — pinning both the permutation and its
+    * cross-epoch decorrelation; the oracle re-derives every cell
+    * from the same md5 arithmetic.
+    */
+  def p25EpochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("source"))
+      .withColumn("n_copies",
+        when(substring(col("source"), 4, 10).cast("int") % 4 === 0, 2)
+          .otherwise(1))
+      .withColumn("copy", explode(expr("sequence(1, n_copies)")))
+    val epochs = spark.range(1, 4).select(col("id").cast("int").as("epoch"))
+    val keyed = base.crossJoin(broadcast(epochs))
+      .withColumn("k", md5(concat(
+        lit("epoch:"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"),
+        lit(":"), col("copy").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("k"), 1, 2), 16, 10).cast("long") % 8)
+    keyed.groupBy(col("epoch"), col("shard"))
+      .agg(
+        count(lit(1)).as("n_entries"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("k")).as("first_key"),
+        min_by(col("doc_id"), col("k")).as("first_doc"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p25_epoch_schedule" -> (p25EpochSchedule _),
     "p21_curriculum" -> (p21Curriculum _),
     "p19_dataset_card" -> (p19DatasetCard _),
     "p17_weighted_sample" -> (p17WeightedSample _),
@@ -560,6 +600,35 @@ object Pipeline {
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    // p25: every cell re-derived from the same md5 arithmetic —
+    // per-epoch keys, integral upsampling, first-byte shards
+    "p25_epoch_schedule" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN CAST(substr(source, 4, 10) AS INT) % 4 = 0
+        |      THEN 2 ELSE 1 END AS n_copies
+        |  FROM documents),
+        |expanded AS (
+        |  SELECT doc_id, unnest(range(1, n_copies + 1)) AS copy
+        |  FROM base),
+        |keyed AS (
+        |  SELECT e.epoch, x.doc_id, x.copy,
+        |    md5('epoch:' || e.epoch::VARCHAR || ':'
+        |      || x.doc_id::VARCHAR || ':' || x.copy::VARCHAR) AS k
+        |  FROM expanded x
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS epoch) e),
+        |sharded AS (
+        |  SELECT epoch, doc_id, k,
+        |    (('0x' || substr(k, 1, 2))::BIGINT % 8) AS shard
+        |  FROM keyed)
+        |SELECT epoch, shard,
+        |  COUNT(*) AS n_entries,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  MIN(k) AS first_key,
+        |  arg_min(doc_id, k) AS first_doc
+        |FROM sharded
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // p21: the same integer difficulty, the same total order, the
     // same equal-count thirds — phase boundaries restated exactly
     "p21_curriculum" ->
