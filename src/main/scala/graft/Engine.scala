@@ -58,6 +58,9 @@ object Engine {
     * spelling, same-name tables in two databases never collide.
     */
   def openWarehouse(spark: SparkSession, warehouseDir: String): SparkSession = {
+    // reads go through the catalog: complete any durable-but-part-
+    // published multi-table transaction before resolving views
+    graft.sources.Snapshots.recoverTxns(warehouseDir)
     warehouseEntries(warehouseDir).foreach { case (name, tdir) =>
       graft.sources.Snapshots.read(spark, tdir)
         .createOrReplaceTempView(viewName(name))
@@ -247,6 +250,7 @@ object Engine {
   private def callProcedure(spark: SparkSession, warehouseDir: String,
       proc: String, argText: String): DataFrame = {
     import graft.sources.Snapshots
+    Snapshots.recoverTxns(warehouseDir) // catalog entry point
     val table = """'([^']+)'""".r.findFirstMatchIn(argText).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException(
         s"CALL system.$proc: first argument must be the quoted table name"))

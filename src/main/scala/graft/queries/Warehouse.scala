@@ -1318,6 +1318,62 @@ object Warehouse {
       .orderBy(col("proc"), col("metric"))
   }
 
+  /** q104: MULTI-TABLE ATOMIC TRANSACTION — a fact table and its
+    * derived mart commit as ONE transaction
+    * ([[graft.sources.Snapshots.commitTxn]]; the Nessie /
+    * Iceberg-catalog commit extending the single-table ACID claim of
+    * docs/architecture/lakehouse.md:3 across tables — the invariant
+    * every two-table pipeline needs: a reader can NEVER observe the
+    * fact advanced but the mart stale). Two transactions land (Q1,
+    * then H1 with its re-aggregated mart), a replay of the second is
+    * an idempotent no-op (same version ids back, zero writes), and
+    * the gate reads both tables through the catalog and pins
+    * mart == agg(fact) plus both version counts. SnapshotsSpec
+    * simulates the crash-after-commit-point window (one manifest
+    * line lost) and proves [[Snapshots.recoverTxns]] — run by every
+    * catalog entry point — completes it, and that a crash BEFORE the
+    * commit point leaves both tables untouched. At 100 TB the
+    * transaction costs its data writes; the commit point is one
+    * ledger append regardless of table count.
+    */
+  def q104MultiTableTxn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-txn")
+    val fact = s"$wh/sales_fact"
+    val mart = s"$wh/sales_mart"
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    def slice(hi: String) = orders.filter(
+      col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+    def martOf(f: DataFrame) = f
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+    val q1 = slice("1995-04-01")
+    Snapshots.commitTxn(wh, Seq((q1, fact), (martOf(q1), mart)), "txn-1")
+    val h1 = slice("1995-07-01")
+    val v2 = Snapshots.commitTxn(wh,
+      Seq((h1, fact), (martOf(h1), mart)), "txn-2")
+    // exactly-once: the replayed transaction returns the same ids
+    // and writes nothing
+    val replay = Snapshots.commitTxn(wh,
+      Seq((h1, fact), (martOf(h1), mart)), "txn-2")
+    require(replay == v2, "txn replay must be an idempotent no-op")
+    val factNow = Snapshots.read(spark, fact)
+    val martNow = Snapshots.read(spark, mart)
+    val check = martOf(factNow)
+      .withColumnRenamed("n_orders", "n_from_fact")
+      .withColumnRenamed("revenue", "rev_from_fact")
+    martNow.join(check, Seq("month"))
+      .select(col("month"), col("n_orders"), col("revenue"),
+        (col("n_orders") === col("n_from_fact") &&
+          col("revenue") === col("rev_from_fact")).as("mart_matches_fact"),
+        lit(Snapshots.versions(fact).size.toLong).as("fact_versions"),
+        lit(Snapshots.versions(mart).size.toLong).as("mart_versions"))
+      .orderBy(col("month"))
+  }
+
   /** q95: real `$partitions` over a HIVE-PARTITIONED snapshot — the
     * per-partition record/file/byte debugging table operators
     * actually use (Iceberg's `$partitions`; reference read path
@@ -1433,6 +1489,7 @@ object Warehouse {
     "q94_hidden_partition" -> (q94HiddenPartition _),
     "q102_spec_evolution" -> (q102SpecEvolution _),
     "q103_call_procedures" -> (q103CallProcedures _),
+    "q104_multi_table_txn" -> (q104MultiTableTxn _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
@@ -1547,6 +1604,22 @@ object Warehouse {
         |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM mar),
         |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM q1)
         |ORDER BY leg""".stripMargin,
+    // q104: the mart restates from the H1 fact slice; both version
+    // counts are the two committed transactions (the replay is a
+    // no-op); consistency is true by the atomic-commit construction
+    "q104_multi_table_txn" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  TRUE AS mart_matches_fact,
+        |  CAST(2 AS BIGINT) AS fact_versions,
+        |  CAST(2 AS BIGINT) AS mart_versions
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
     // q103: every metric is commit arithmetic (8 files by explicit
     // repartition, 4 commits + 1 compaction, retain 2); the final
     // row count restates from the Q4 slice (versions are snapshots)

@@ -224,6 +224,129 @@ object Snapshots {
     }
   }
 
+  // ---- MULTI-TABLE ATOMIC TRANSACTIONS ------------------------------
+  // The Nessie / Iceberg-catalog story: N tables commit as ONE
+  // transaction — all become visible or none do (the fact table and
+  // its derived mart can never be observed out of step; reference
+  // ACID claim docs/architecture/lakehouse.md:3 extended across
+  // tables, the way a catalog-level commit does). Protocol:
+  //   1. every table's manifest lock, canonical (sorted) order — two
+  //      concurrent transactions cannot deadlock
+  //   2. reserve ids + write all data dirs + times/schema sidecars
+  //      (all INVISIBLE: readers resolve through manifests)
+  //   3. append ONE record to `<txnRoot>/_txns` — THE commit point;
+  //      idempotent on txnId (re-checked inside the locks)
+  //   4. append each table's manifest line (publish)
+  // Crash before 3: nothing visible anywhere; the reserved dirs are
+  // orphans for [[vacuumOrphans]]. Crash after 3: the txn is DURABLE
+  // but possibly part-published — [[recoverTxns]] completes exactly
+  // the missing manifest lines (conditioned on the data dir still
+  // existing, so expiry/rollback are never resurrected), and every
+  // catalog entry point ([[graft.Engine.openWarehouse]] /
+  // `sqlWarehouse`) runs recovery first — "reads go through the
+  // catalog", which is precisely how Iceberg closes the same window.
+
+  private def txnsFile(root: String) = Paths.get(root, "_txns")
+
+  private def txnRecords(root: String): Seq[(String, Seq[(String, Long)])] =
+    if (!Files.exists(txnsFile(root))) Seq.empty
+    else Files.readAllLines(txnsFile(root), StandardCharsets.UTF_8)
+      .asScala.toSeq.filter(_.nonEmpty).map { line =>
+        val cut = line.indexOf('\t')
+        val id = line.substring(0, cut)
+        id -> line.substring(cut + 1).split(',').toSeq.map { p =>
+          val i = p.lastIndexOf(':')
+          (Paths.get(root).resolve(p.substring(0, i)).toString,
+            p.substring(i + 1).toLong)
+        }
+      }
+
+  /** Complete any durable-but-part-published transactions: a recorded
+    * (table, version) whose manifest lacks the version but whose data
+    * directory exists gets its manifest line appended. Returns the
+    * number of lines repaired. Safe to run any time; every catalog
+    * entry point runs it.
+    */
+  def recoverTxns(txnRoot: String): Int = {
+    var repaired = 0
+    txnRecords(txnRoot).foreach { case (_, parts) =>
+      parts.foreach { case (d, v) =>
+        if (!versions(d).contains(v) && Files.exists(Paths.get(d, s"v=$v")))
+          withManifestLock(d) {
+            if (!versions(d).contains(v)) {
+              Files.write(manifest(d),
+                s"$v\n".getBytes(StandardCharsets.UTF_8),
+                StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+              repaired += 1
+            }
+          }
+      }
+    }
+    repaired
+  }
+
+  /** Commit every (DataFrame, tableDir) pair as ONE atomic
+    * transaction (see the protocol above). Idempotent on `txnId`: a
+    * replay returns the recorded versions without writing anything.
+    * Table dirs must live under `txnRoot`.
+    */
+  def commitTxn(txnRoot: String, writes: Seq[(DataFrame, String)],
+      txnId: String): Seq[Long] = {
+    require(writes.nonEmpty, "empty transaction")
+    require(!txnId.exists(c => c == '\t' || c == '\n' || c == ','),
+      s"txnId must not contain tab/newline/comma: $txnId")
+    recoverTxns(txnRoot) // repair any part-published predecessor first
+    val root = Paths.get(txnRoot).toAbsolutePath.normalize
+    val ordered = writes.map { case (df, d) =>
+      (df, Paths.get(d).toAbsolutePath.normalize.toString)
+    }.sortBy(_._2)
+    require(ordered.map(_._2).distinct.size == ordered.size,
+      "a transaction may touch each table once")
+    def replayed: Option[Seq[Long]] =
+      txnRecords(txnRoot).find(_._1 == txnId).map { case (_, parts) =>
+        val byDir = parts.toMap
+        writes.map { case (_, d) =>
+          byDir(Paths.get(d).toAbsolutePath.normalize.toString)
+        }
+      }
+    replayed.getOrElse {
+      def locked[A](rest: List[String])(f: => A): A = rest match {
+        case Nil => f
+        case h :: t => withManifestLock(h)(locked(t)(f))
+      }
+      ordered.foreach { case (_, d) =>
+        Files.createDirectories(Paths.get(d))
+      }
+      locked(ordered.map(_._2).toList) {
+        replayed.getOrElse { // zombie-writer re-check inside the locks
+          val staged = ordered.map { case (df, d) =>
+            val v = reserveVersion(d)
+            df.write.mode(SaveMode.Overwrite).parquet(s"$d/v=$v")
+            appendTime(d, v)
+            recordCommitSchema(d, v, df.schema)
+            (d, v)
+          }
+          val rec = staged.map { case (d, v) =>
+            s"${root.relativize(Paths.get(d))}:$v"
+          }.mkString(",")
+          Files.createDirectories(root)
+          Files.write(txnsFile(txnRoot),
+            s"$txnId\t$rec\n".getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+          staged.foreach { case (d, v) =>
+            Files.write(manifest(d),
+              s"$v\n".getBytes(StandardCharsets.UTF_8),
+              StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+          }
+          val byDir = staged.toMap
+          writes.map { case (_, d) =>
+            byDir(Paths.get(d).toAbsolutePath.normalize.toString)
+          }
+        }
+      }
+    }
+  }
+
   // ---- Column-mapping schema evolution (Iceberg tracks columns by
   // ID, so a rename or drop is METADATA-ONLY — no file rewritten, old
   // snapshots stay time-travelable across the change; reference ACID

@@ -455,4 +455,43 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.history(spark, dir).collect()
       .map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("multi-table txn: one commit point, crash recovery via the catalog, idempotent replay") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val wh = TempDirs.scratch("graft-txn-spec")
+    val fact = s"$wh/t_fact"
+    val mart = s"$wh/t_mart"
+    def df(n: Int) = spark.range(n).toDF("k")
+    val v1 = Snapshots.commitTxn(wh, Seq((df(4), fact), (df(2), mart)), "tx1")
+    assert(v1 == Seq(1L, 1L))
+    val v2 = Snapshots.commitTxn(wh, Seq((df(8), fact), (df(3), mart)), "tx2")
+    assert(v2 == Seq(2L, 2L))
+    // crash AFTER the commit point, BEFORE the mart's publish: drop
+    // the mart's last manifest line — the torn window recovery closes
+    val m = Paths.get(mart, "_manifest")
+    val lines = Files.readAllLines(m).asScala.toSeq
+    Files.write(m, (lines.dropRight(1).mkString("\n") + "\n").getBytes("UTF-8"))
+    assert(Snapshots.versions(mart) == Seq(1L), "torn state set up")
+    // any catalog entry point repairs before resolving views
+    Engine.openWarehouse(spark, wh)
+    assert(Snapshots.versions(mart) == Seq(1L, 2L),
+      "recovery must complete the part-published transaction")
+    assert(Snapshots.read(spark, mart).count() == 3L)
+    // crash BEFORE the commit point: staged data, no txn record —
+    // recovery must NOT publish it
+    Files.createDirectories(Paths.get(fact, "v=99"))
+    Snapshots.recoverTxns(wh)
+    assert(!Snapshots.versions(fact).contains(99L),
+      "an unrecorded staged write must stay invisible")
+    // a replayed transaction returns the same ids and writes nothing
+    val manifestBytes = Files.readAllBytes(m).length
+    assert(Snapshots.commitTxn(wh, Seq((df(8), fact), (df(3), mart)), "tx2") == v2)
+    assert(Files.readAllBytes(m).length == manifestBytes,
+      "txn replay must not touch the manifest")
+    // expired versions are never resurrected by recovery
+    Snapshots.expireSnapshots(mart, keep = 1)
+    Snapshots.recoverTxns(wh)
+    assert(Snapshots.versions(mart) == Seq(2L))
+  }
 }
