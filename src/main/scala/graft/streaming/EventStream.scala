@@ -1548,7 +1548,85 @@ object EventStream {
       .orderBy(col("etype"))
   }
 
+  /** st24: STREAMING TWO-TABLE TRANSACTION — exactly-once across a
+    * fact AND its mart per micro-batch: each batch commits the
+    * appended fact slice and the UPDATED running mart as ONE
+    * [[graft.sources.Snapshots.commitTxn]] transaction keyed by the
+    * batch id (replay = the recorded ids back, zero writes), so no
+    * reader — at any instant, across any crash — observes the fact
+    * advanced but the mart stale: the invariant every
+    * streaming-medallion pipeline wants and usually fakes with
+    * eventual consistency. The mart state is held in DECIMAL until
+    * the final read (counts are exact longs), so the accumulated
+    * values are BATCH-STRUCTURE-INVARIANT — the oracle computes the
+    * same totals from the raw table with no knowledge of the
+    * micro-batch split, which is exactly the claim. The gate also
+    * re-derives the mart from the drained fact and pins equality,
+    * and pins fact/mart version counts equal (one txn per batch).
+    * At 100 TB: per-batch cost = the batch write + a mart-sized
+    * merge; the commit point stays one ledger append.
+    */
+  def st24StreamTwoSinkTxn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
+    val src = graft.TempDirs.scratch("graft-st24-src")
+    graft.Tables(spark, dir, "events")
+      .withColumn("ts", unix_micros(col("ts")))
+      .repartition(16)
+      .write.mode("overwrite").parquet(src)
+    val wh = graft.TempDirs.scratch("graft-st24-wh")
+    val fact = s"$wh/events_fact"
+    val mart = s"$wh/events_mart"
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    def martOf(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type").as("etype"))
+      .agg(sum(col("value").cast(dec)).as("rev_dec"),
+        count(lit(1)).as("n_events"))
+    val stream = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st24-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        val cached = batch.persist()
+        try {
+          if (!cached.isEmpty) {
+            val prev =
+              if (Snapshots.versions(mart).nonEmpty) Snapshots.read(sp, mart)
+              else martOf(cached.toDF()).filter(lit(false))
+            val merged = prev.unionByName(martOf(cached.toDF()))
+              .groupBy(col("etype"))
+              .agg(sum(col("rev_dec").cast(dec)).as("rev_dec"),
+                sum(col("n_events")).as("n_events"))
+            Snapshots.commitTxn(wh,
+              Seq((cached.toDF(), fact), (merged, mart)), s"batch-$batchId")
+            ()
+          }
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val factAll = Snapshots.versions(fact)
+      .map(v => Snapshots.read(spark, fact, v))
+      .reduce(_ unionAll _)
+    val fromFact = martOf(factAll)
+      .withColumnRenamed("rev_dec", "rev_check")
+      .withColumnRenamed("n_events", "n_check")
+    Snapshots.read(spark, mart).join(fromFact, Seq("etype"))
+      .select(col("etype"), col("n_events"),
+        col("rev_dec").cast("double").as("total_value"),
+        (col("n_events") === col("n_check") &&
+          col("rev_dec") === col("rev_check")).as("mart_matches_fact"),
+        lit(Snapshots.versions(fact).size.toLong).as("fact_versions"),
+        lit(Snapshots.versions(mart).size.toLong).as("mart_versions"))
+      .orderBy(col("etype"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st24_two_sink_txn" -> (st24StreamTwoSinkTxn _),
     "st23_stream_schema_drift" -> (st23StreamSchemaDrift _),
     "st22_stream_ann_ingest" -> (st22StreamAnnIngest _),
     "st21_stream_hidden_partition" -> (st21StreamHiddenPartition _),
@@ -1577,6 +1655,20 @@ object EventStream {
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    // st24: the mart accumulates in DECIMAL, so totals are batch-
+    // structure-invariant — the oracle knows nothing of the split;
+    // version counts are the 16-file / 4-per-trigger arithmetic and
+    // consistency is true by the atomic-commit construction
+    "st24_two_sink_txn" ->
+      """SELECT event_type AS etype,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |  TRUE AS mart_matches_fact,
+        |  CAST(4 AS BIGINT) AS fact_versions,
+        |  CAST(4 AS BIGINT) AS mart_versions
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // st23: phase membership is event_id parity — evens landed
     // pre-drift (no event_type → 'unknown'); the pinned constants
     // are the two-files-per-phase landing arithmetic (4 batches),
