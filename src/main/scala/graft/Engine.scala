@@ -292,11 +292,40 @@ object Engine {
     }
   }
 
+  private val ShowTables =
+    """(?is)^\s*SHOW\s+TABLES(?:\s+IN\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$""".r
+
+  /** `SHOW TABLES [IN <db>]` — the catalog listing a Kyuubi user
+    * types first (reference: namespace-per-database convention,
+    * docs/components/iceberg.md:6-7): one row per warehouse table
+    * with its namespace, version count, head version and current
+    * row count (parquet footer metadata — no data scan).
+    */
+  private def showTables(spark: SparkSession, warehouseDir: String,
+      db: Option[String]): DataFrame = {
+    import graft.sources.Snapshots
+    Snapshots.recoverTxns(warehouseDir)
+    val rows = warehouseEntries(warehouseDir).map { case (name, d) =>
+      val (ns, t) = name.split('.') match {
+        case Array(a, b) => (a, b)
+        case _ => ("default", name)
+      }
+      val vs = Snapshots.versions(d)
+      (ns, t, vs.size.toLong, vs.lastOption.getOrElse(0L),
+        Snapshots.read(spark, d).count())
+    }.filter(r => db.forall(_ == r._1)).sortBy(r => (r._1, r._2))
+    import spark.implicits._
+    rows.toDF("namespace", "table_name", "n_versions",
+      "latest_version", "latest_rows")
+  }
+
   def sqlWarehouse(spark: SparkSession, warehouseDir: String,
       query: String): DataFrame = {
     query match {
       case CallProc(proc, args) =>
         return callProcedure(spark, warehouseDir, proc, args)
+      case ShowTables(db) =>
+        return showTables(spark, warehouseDir, Option(db))
       case _ =>
     }
     openWarehouse(spark, warehouseDir)

@@ -1374,6 +1374,44 @@ object Warehouse {
       .orderBy(col("month"))
   }
 
+  /** q105: CATALOG LISTING — `SHOW TABLES [IN <db>]` through the
+    * facade, the first statement a Kyuubi user types (reference:
+    * docs/components/kyuubi.md session flow + the
+    * namespace-per-database convention of docs/components/
+    * iceberg.md:6-7): one row per table with namespace, version
+    * count, head version and current row count — the row count from
+    * parquet FOOTER metadata, no data scan; the listing cost is the
+    * warehouse directory walk. Fixture: two namespaces + a
+    * default-namespace mart, one table with real version history;
+    * both the full listing and the `IN sales` scope are gated, with
+    * every row-count cell restated from key arithmetic.
+    */
+  def q105ShowTables(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-show")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    Snapshots.commit(evens.filter(col("o_orderkey") % 4 === 0),
+      s"$wh/sales.db/orders")
+    Snapshots.commit(evens, s"$wh/sales.db/orders")
+    Snapshots.commit(Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")),
+      s"$wh/sales.db/customers")
+    Snapshots.commit(orders.filter(col("o_orderkey") % 3 === 0),
+      s"$wh/ops.db/orders")
+    Snapshots.commit(Tables(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name")), s"$wh/mart")
+    val all = graft.Engine.sqlWarehouse(spark, wh, "SHOW TABLES")
+      .withColumn("scope", lit("all"))
+    val sales = graft.Engine.sqlWarehouse(spark, wh, "SHOW TABLES IN sales")
+      .withColumn("scope", lit("sales"))
+    all.unionByName(sales)
+      .select(col("scope"), col("namespace"), col("table_name"),
+        col("n_versions"), col("latest_version"), col("latest_rows"))
+      .orderBy(col("scope"), col("namespace"), col("table_name"))
+  }
+
   /** q95: real `$partitions` over a HIVE-PARTITIONED snapshot — the
     * per-partition record/file/byte debugging table operators
     * actually use (Iceberg's `$partitions`; reference read path
@@ -1490,6 +1528,7 @@ object Warehouse {
     "q102_spec_evolution" -> (q102SpecEvolution _),
     "q103_call_procedures" -> (q103CallProcedures _),
     "q104_multi_table_txn" -> (q104MultiTableTxn _),
+    "q105_show_tables" -> (q105ShowTables _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
@@ -1604,6 +1643,27 @@ object Warehouse {
         |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM mar),
         |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM q1)
         |ORDER BY leg""".stripMargin,
+    // q105: the listing is landing arithmetic — every row count a
+    // key-slice restatement, version counts the commit sequence
+    "q105_show_tables" ->
+      """WITH rows_tbl AS (
+        |  SELECT 'default' AS namespace, 'mart' AS table_name,
+        |    CAST(1 AS BIGINT) AS n_versions,
+        |    CAST(1 AS BIGINT) AS latest_version,
+        |    (SELECT COUNT(*) FROM region) AS latest_rows
+        |  UNION ALL
+        |  SELECT 'ops', 'orders', 1, 1,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+        |  UNION ALL
+        |  SELECT 'sales', 'customers', 1, 1,
+        |    (SELECT COUNT(*) FROM customer)
+        |  UNION ALL
+        |  SELECT 'sales', 'orders', 2, 2,
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0))
+        |SELECT 'all' AS scope, * FROM rows_tbl
+        |UNION ALL
+        |SELECT 'sales', * FROM rows_tbl WHERE namespace = 'sales'
+        |ORDER BY scope, namespace, table_name""".stripMargin,
     // q104: the mart restates from the H1 fact slice; both version
     // counts are the two committed transactions (the replay is a
     // no-op); consistency is true by the atomic-commit construction
