@@ -49,7 +49,12 @@ object PlanAudit {
                   "st21_stream_hidden_partition", "s14_ivf_pq",
                   "q99_cherry_pick", "q100_refs_meta", "q101_ref_travel",
                   "p24_backfill", "s15_ann_append", "m08_clip_filter",
-                  "st22_stream_ann_ingest")) {
+                  "st22_stream_ann_ingest",
+                  "q102_spec_evolution", "q103_call_procedures",
+                  "q104_multi_table_txn", "q105_show_tables",
+                  "q106_default_values", "s16_sq8_search",
+                  "t15_collocations", "p25_epoch_schedule",
+                  "st23_stream_schema_drift", "st24_two_sink_txn")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

@@ -1412,6 +1412,57 @@ object Warehouse {
       .orderBy(col("scope"), col("namespace"), col("table_name"))
   }
 
+  /** q106: COLUMN DEFAULT VALUES — Iceberg v3's `initial-default`
+    * ([[graft.sources.Snapshots.addColumn]]; the v3 sibling of q96's
+    * rename and q97's promotion in the same by-id schema ledger,
+    * lakehouse schema-evolution claim docs/architecture/
+    * lakehouse.md:3): ADD COLUMN with a default is ONE metadata line,
+    * and the semantic distinguishing it from "add nullable" is that
+    * rows written BEFORE the column existed serve the DEFAULT in the
+    * current view — here v2's files predate `o_channel`, so the
+    * mapped read groups every row under 'store' without touching a
+    * file; the next commit stores real values; and explicit-version
+    * travel to v2 still has NO such column (write-time schema —
+    * asserted in-entry). All three phases restate from key
+    * arithmetic in the oracle. At 100 TB: the ALTER costs one ledger
+    * line and the default materializes at read time as a literal —
+    * zero rewrite, zero storage.
+    */
+  def q106DefaultValues(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val t = s"${tempDir("graft-defaults")}/orders_dv"
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    Snapshots.commit(evens.filter(col("o_orderkey") % 4 === 0), t)
+    Snapshots.commit(evens, t)
+    Snapshots.addColumn(t, "o_channel",
+      org.apache.spark.sql.types.StringType, Some("'store'"))
+    def agg(df: DataFrame, phase: String,
+        channel: org.apache.spark.sql.Column) = df
+      .groupBy(channel.as("channel"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .select(lit(phase).as("phase"), col("channel"), col("n_orders"),
+        col("revenue"))
+    // the initial-default moment: v2's files predate the column; the
+    // current view serves 'store' — NOT null — with zero data movement
+    val mapped = Snapshots.read(spark, t)
+    require(mapped.columns.contains("o_channel"),
+      "current view must expose the added column")
+    val m = agg(mapped, "mapped", col("o_channel"))
+    Snapshots.commit(evens.withColumn("o_channel",
+      when(col("o_orderkey") % 4 === 0, "web").otherwise("phone")), t)
+    val p = agg(Snapshots.read(spark, t), "post", col("o_channel"))
+    // travel keeps the write-time schema: v2 has no o_channel at all
+    val v2 = Snapshots.read(spark, t, 2L)
+    require(!v2.columns.contains("o_channel"),
+      "explicit-version travel must keep the write-time schema")
+    val tr = agg(v2, "travel", lit("(absent)"))
+    m.unionByName(p).unionByName(tr)
+      .orderBy(col("phase"), col("channel"))
+  }
+
   /** q95: real `$partitions` over a HIVE-PARTITIONED snapshot — the
     * per-partition record/file/byte debugging table operators
     * actually use (Iceberg's `$partitions`; reference read path
@@ -1529,6 +1580,7 @@ object Warehouse {
     "q103_call_procedures" -> (q103CallProcedures _),
     "q104_multi_table_txn" -> (q104MultiTableTxn _),
     "q105_show_tables" -> (q105ShowTables _),
+    "q106_default_values" -> (q106DefaultValues _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
@@ -1643,6 +1695,28 @@ object Warehouse {
         |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM mar),
         |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM q1)
         |ORDER BY leg""".stripMargin,
+    // q106: all three phases restate from key arithmetic — 'mapped'
+    // is every even row under the default, 'post' the real values,
+    // 'travel' the pre-add write-time schema
+    "q106_default_values" ->
+      """WITH evens AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT 'mapped' AS phase, 'store' AS channel,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM evens
+        |UNION ALL
+        |SELECT 'post',
+        |  CASE WHEN o_orderkey % 4 = 0 THEN 'web' ELSE 'phone' END,
+        |  COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM evens GROUP BY 2
+        |UNION ALL
+        |SELECT 'travel', '(absent)', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM evens
+        |ORDER BY phase, channel""".stripMargin,
     // q105: the listing is landing arithmetic — every row count a
     // key-slice restatement, version counts the commit sequence
     "q105_show_tables" ->

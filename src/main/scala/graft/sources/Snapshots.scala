@@ -353,7 +353,10 @@ object Snapshots {
   // claim: docs/architecture/lakehouse.md:3) ----
   //
   //   tableDir/_schema   one line per column per schema entry:
-  //                      `<seq>\t<asOfVersion>\t<colId>\t<name>\t<typeJson>`
+  //                      `<seq>\t<asOfVersion>\t<colId>\t<name>\t<typeJson>[\t<defaultSql>]`
+  //                      (the optional 6th field is Iceberg v3's
+  //                      initial-default: what pre-existing rows
+  //                      serve for a column added after their write)
   //
   // Entry `seq` applies to versions >= its asOfVersion; a version's
   // WRITE schema (its files' physical names) is the highest-seq entry
@@ -365,7 +368,8 @@ object Snapshots {
 
   private def schemaFile(tableDir: String) = Paths.get(tableDir, "_schema")
 
-  final case class ColumnDef(id: Int, name: String, typeJson: String)
+  final case class ColumnDef(id: Int, name: String, typeJson: String,
+    default: Option[String] = None)
   final case class SchemaEntry(seq: Int, asOf: Long, cols: Seq[ColumnDef])
 
   def schemaEntries(tableDir: String): Seq[SchemaEntry] = {
@@ -374,7 +378,8 @@ object Snapshots {
     else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty).map { line =>
         val p = line.split('\t')
-        (p(0).toInt, p(1).toLong, ColumnDef(p(2).toInt, p(3), p(4)))
+        (p(0).toInt, p(1).toLong, ColumnDef(p(2).toInt, p(3), p(4),
+          if (p.length >= 6) Some(p(5)) else None))
       }
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (seq, ls) => SchemaEntry(seq, ls.head._2, ls.map(_._3)) }
@@ -385,7 +390,9 @@ object Snapshots {
     cols.foreach(c => require(!c.name.exists(ch => ch == '\t' || ch == '\n'),
       s"column name must not contain tab/newline: ${c.name}"))
     val seq = schemaEntries(tableDir).lastOption.map(_.seq + 1).getOrElse(0)
-    val body = cols.map(c => s"$seq\t$asOf\t${c.id}\t${c.name}\t${c.typeJson}")
+    val body = cols.map(c =>
+      s"$seq\t$asOf\t${c.id}\t${c.name}\t${c.typeJson}" +
+        c.default.fold("")(d => s"\t$d"))
       .mkString("", "\n", "\n")
     Files.write(schemaFile(tableDir), body.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -442,7 +449,7 @@ object Snapshots {
               s"${f.dataType.simpleString} but the table holds " +
               s"${curT.simpleString} — cast it (only widening " +
               "promotions evolve implicitly)")
-          ColumnDef(c.id, f.name, f.dataType.json)
+          ColumnDef(c.id, f.name, f.dataType.json, c.default)
         case None =>
           val id = nextId; nextId += 1; ColumnDef(id, f.name, f.dataType.json)
       }
@@ -498,6 +505,34 @@ object Snapshots {
           "(int->bigint, float->double, decimal precision) are legal")
       appendSchemaEntry(tableDir, versions(tableDir).last + 1L,
         cur.map(x => if (x.name == name) x.copy(typeJson = newType.json) else x))
+    }
+
+  /** ADD a column with an INITIAL DEFAULT (Iceberg v3's
+    * `initial-default`), metadata-only: one schema-ledger entry, no
+    * data file touched. In the CURRENT view, snapshots written
+    * BEFORE the column existed serve the default (not NULL — the
+    * v3 semantic that distinguishes "added with default" from
+    * "added nullable"); writers from here on store real values;
+    * explicit-version travel keeps each snapshot's write-time
+    * schema, so pre-add versions still omit the column.
+    * `defaultSql` is a SQL literal expression (e.g. `'store'`,
+    * `0`, `CAST(NULL AS STRING)`).
+    */
+  def addColumn(tableDir: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      defaultSql: Option[String] = None): Unit =
+    withManifestLock(tableDir) {
+      val entries = schemaEntries(tableDir)
+      require(entries.nonEmpty, s"no schema ledger at $tableDir (commit first)")
+      val cur = entries.last.cols
+      require(!cur.exists(_.name == name), s"column '$name' exists")
+      defaultSql.foreach(d => require(
+        !d.exists(c => c == '\t' || c == '\n'),
+        s"default must not contain tab/newline: $d"))
+      val nextId = entries.flatMap(_.cols.map(_.id)).max + 1
+      appendSchemaEntry(tableDir, versions(tableDir).last + 1L,
+        cur :+ ColumnDef(nextId, name, dataType.json, defaultSql))
+      ()
     }
 
   /** RENAME a column, metadata-only: appends a schema entry (same
@@ -560,7 +595,10 @@ object Snapshots {
         case Some(p) => col(p.name)
           .cast(org.apache.spark.sql.types.DataType.fromJson(c.typeJson))
           .as(c.name)
-        case None => lit(null)
+        // a column this snapshot predates: its recorded
+        // initial-default if one exists (Iceberg v3), else null
+        case None => c.default.map(expr)
+          .getOrElse(lit(null))
           .cast(org.apache.spark.sql.types.DataType.fromJson(c.typeJson))
           .as(c.name)
       }

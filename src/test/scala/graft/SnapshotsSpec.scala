@@ -494,4 +494,32 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.recoverTxns(wh)
     assert(Snapshots.versions(mart) == Seq(2L))
   }
+
+  test("addColumn with initial-default: pre-add snapshots serve the default, not null") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import spark.implicits._
+    val dir = s"${TempDirs.scratch("graft-dv-spec")}/t_dv"
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    Snapshots.addColumn(dir, "tier", StringType, Some("'bronze'"))
+    Snapshots.addColumn(dir, "pts", IntegerType) // no default -> null
+    val cur = Snapshots.read(spark, dir)
+    assert(cur.columns.toSeq == Seq("k", "s", "tier", "pts"))
+    val rows = cur.orderBy("k").collect()
+    assert(rows.forall(_.getString(2) == "bronze"),
+      "pre-add rows must serve the initial-default")
+    assert(rows.forall(_.isNullAt(3)),
+      "a defaultless added column is null for pre-add rows")
+    // a writer storing real values keeps ids and the recorded default
+    Snapshots.commit(Seq((1L, "a", "gold", 5), (3L, "c", "silver", 1))
+      .toDF("k", "s", "tier", "pts"), dir)
+    val v2 = Snapshots.read(spark, dir).orderBy("k").collect()
+    assert(v2.map(_.getString(2)).toSeq == Seq("gold", "silver"))
+    // duplicate add and tab-carrying defaults fail loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.addColumn(dir, "tier", StringType)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.addColumn(dir, "x", StringType, Some("'a\tb'"))
+    }
+  }
 }
