@@ -188,6 +188,8 @@ object Engine {
     """\b([A-Za-z_][A-Za-z0-9_]*)\$(history|snapshots|files|partitions|refs)\b""".r
   private val TimestampAsOf =
     """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))""".r
+  private val TableChangesCall =
+    """(?i)\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*(?:,\s*'([^']+)')?\s*\)""".r
 
   /** True when offset `i` in `sql` falls inside a single-quoted
     * string literal (standard SQL `''` escaping) — travel-clause
@@ -341,13 +343,34 @@ object Engine {
         scala.util.matching.Regex.quoteReplacement(m.matched)
       else viewName(q0)
     })
-    val afterHistory = HistoryTable.replaceAllIn(afterNs, m => {
+    // table_changes('t', v1, v2[, 'key,key']) — the CDF table-valued
+    // read (Delta's spelling; the key list is this engine's explicit
+    // parameter, defaulting to the table's first column)
+    val afterChanges = TableChangesCall.replaceAllIn(afterNs, m => {
+      val raw = m.group(1)
+      val vn = if (raw.contains('.')) viewName(raw) else raw
+      if (!tables(vn) || inStringLiteral(afterNs, m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val d = dirs(vn)
+        val keys = Option(m.group(4))
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Seq(
+            graft.sources.Snapshots.read(spark, d).columns.head))
+        val view = s"${vn}__changes_${m.group(2)}_${m.group(3)}"
+        graft.sources.Snapshots.tableChanges(spark, d,
+          m.group(2).toLong, m.group(3).toLong, keys)
+          .createOrReplaceTempView(view)
+        view
+      }
+    })
+    val afterHistory = HistoryTable.replaceAllIn(afterChanges, m => {
       val (t, meta) = (m.group(1), m.group(2))
       // quoteReplacement: the fallthrough text contains `$<meta>`, which
       // Matcher.appendReplacement would otherwise parse as a group ref
       // and throw on — e.g. `$history` inside a string literal of an
       // otherwise-valid query must pass through verbatim, not crash
-      if (!tables(t) || inStringLiteral(afterNs, m.start))
+      if (!tables(t) || inStringLiteral(afterChanges, m.start))
         scala.util.matching.Regex.quoteReplacement(m.matched)
       else {
         import graft.sources.Snapshots

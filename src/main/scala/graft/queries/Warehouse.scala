@@ -1463,6 +1463,43 @@ object Warehouse {
       .orderBy(col("phase"), col("channel"))
   }
 
+  /** q107: CHANGE DATA FEED read — `table_changes('t', v1, v2)`
+    * through the SQL facade (Delta's CDF spelling over this engine's
+    * snapshot diff; reference changelog story:
+    * docs/components/cdc.md's Debezium feed, here re-emitted FROM
+    * the warehouse so downstream consumers replay row-level change
+    * data, not just keys): full row images tagged insert / delete /
+    * update_preimage / update_postimage. Fixture: v2 deletes keys
+    * %10==0, updates %10==2 (+10 price), inserts odd %10==1 — every
+    * class and both its images restate from key arithmetic in the
+    * oracle. At 100 TB the CDF read costs the two snapshots' join
+    * on keys — and the real deployment pairs it with incremental
+    * diff maintenance (q66) rather than full-history replay.
+    */
+  def q107TableChanges(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-cdf")
+    val t = s"$wh/orders_cdf"
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    Snapshots.commit(evens, t)
+    val v2 = evens.filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 2, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(col("o_orderkey") % 10 === 1))
+    Snapshots.commit(v2, t)
+    graft.Engine.sqlWarehouse(spark, wh,
+      """SELECT _change_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  MIN(_commit_version) AS commit_version
+        |FROM table_changes('orders_cdf', 1, 2, 'o_orderkey')
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin)
+  }
+
   /** q95: real `$partitions` over a HIVE-PARTITIONED snapshot — the
     * per-partition record/file/byte debugging table operators
     * actually use (Iceberg's `$partitions`; reference read path
@@ -1581,6 +1618,7 @@ object Warehouse {
     "q104_multi_table_txn" -> (q104MultiTableTxn _),
     "q105_show_tables" -> (q105ShowTables _),
     "q106_default_values" -> (q106DefaultValues _),
+    "q107_table_changes" -> (q107TableChanges _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
@@ -1695,6 +1733,34 @@ object Warehouse {
         |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM mar),
         |  (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM q1)
         |ORDER BY leg""".stripMargin,
+    // q107: each change class and both update images restate from
+    // key arithmetic (deletes %10==0 with old price, inserts odd
+    // %10==1, updates %10==2 pre and post +10)
+    "q107_table_changes" ->
+      """WITH evens AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0)
+        |SELECT 'delete' AS _change_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(2 AS BIGINT) AS commit_version
+        |FROM evens WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT 'insert', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(2 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 10 = 1
+        |UNION ALL
+        |SELECT 'update_preimage', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(2 AS BIGINT)
+        |FROM evens WHERE o_orderkey % 10 = 2
+        |UNION ALL
+        |SELECT 'update_postimage', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice + 10.0 AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(2 AS BIGINT)
+        |FROM evens WHERE o_orderkey % 10 = 2
+        |ORDER BY _change_type""".stripMargin,
     // q106: all three phases restate from key arithmetic — 'mapped'
     // is every even row under the default, 'post' the real values,
     // 'travel' the pre-add write-time schema

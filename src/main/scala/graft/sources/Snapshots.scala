@@ -1416,4 +1416,33 @@ object Snapshots {
       .filter(col("op").isNotNull)
       .select(keys.map(col) :+ col("op"): _*)
   }
+
+  /** Delta-CDF-shaped ROW-LEVEL changes between two versions: full
+    * row images tagged `_change_type` ∈ {insert, delete,
+    * update_preimage, update_postimage} plus `_commit_version` —
+    * [[diff]]'s keys+op classification joined back to both
+    * snapshots, so a consumer replays the change data itself, not
+    * just the keys. Exposed in the SQL facade as
+    * `table_changes('<table>', <fromV>, <toV>[, '<key[,key]>'])`
+    * (the key list is this engine's explicit parameter where
+    * Delta's row tracking is implicit — documented dialect
+    * divergence; it defaults to the table's first column).
+    */
+  def tableChanges(spark: SparkSession, tableDir: String, fromV: Long,
+      toV: Long, keys: Seq[String]): DataFrame = {
+    val d = diff(spark, tableDir, fromV, toV, keys)
+    val post = read(spark, tableDir, toV)
+      .join(d.filter(col("op").isin("insert", "update")), keys)
+      .withColumn("_change_type",
+        when(col("op") === "insert", "insert")
+          .otherwise("update_postimage"))
+      .drop("op")
+    val pre = read(spark, tableDir, fromV)
+      .join(d.filter(col("op").isin("delete", "update")), keys)
+      .withColumn("_change_type",
+        when(col("op") === "delete", "delete")
+          .otherwise("update_preimage"))
+      .drop("op")
+    post.unionByName(pre).withColumn("_commit_version", lit(toV))
+  }
 }
