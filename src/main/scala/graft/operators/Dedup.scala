@@ -967,7 +967,41 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** d16: SOFT DEDUP — repetition-DISCOUNT weights instead of drops
+    * (the "count-based downweighting" alternative to d01's
+    * keep-one: duplicated text still trains, but its gradient
+    * contribution is divided by its multiplicity, so the corpus
+    * distribution is unbiased without discarding data — the knob
+    * several production pipelines prefer over hard dedup for
+    * near-boilerplate). Per doc: its exact-hash multiplicity, weight
+    * = 1/n (one IEEE division), and the weighted token contribution
+    * (one IEEE multiply) — plus the corpus-level effective-size
+    * audit: Σ weight = #distinct texts by construction, pinned
+    * per-row for the gate. Two map-combined aggregates + a skinny
+    * count join; at 100 TB the weights ride the same hash shuffle
+    * d01 already pays.
+    */
+  def d16DedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("n_tokens"))
+    val counts = hashed.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    val distinctTexts = counts.agg(count(lit(1)).as("n_distinct"))
+    hashed.join(counts, "h")
+      .crossJoin(broadcast(distinctTexts))
+      .withColumn("weight",
+        lit(1.0).cast("double") / col("n_copies").cast("double"))
+      .withColumn("weighted_tokens",
+        col("n_tokens").cast("double") * col("weight"))
+      .select(col("doc_id"), col("n_copies"), col("weight"),
+        col("n_tokens"), col("weighted_tokens"), col("n_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_dedup_weights" -> (d16DedupWeights _),
     "d15_cdc_chunks" -> (d15CdcChunks _),
     "d11_dup_spans" -> (d11DupSpans _),
     "d01_dedup_exact" -> (d01DedupExact _),
@@ -1023,6 +1057,26 @@ object Dedup {
   }.mkString("\n  UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // d16: weight = one IEEE division, weighted tokens = one IEEE
+    // multiply — both bit-deterministic; n_distinct the same global
+    // count on both engines
+    "d16_dedup_weights" ->
+      """WITH hashed AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |counts AS (SELECT h, COUNT(*) AS n_copies FROM hashed GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_distinct FROM counts)
+        |SELECT doc_id, n_copies,
+        |  CAST(1 AS DOUBLE) / CAST(n_copies AS DOUBLE) AS weight,
+        |  n_tokens,
+        |  CAST(n_tokens AS DOUBLE) *
+        |    (CAST(1 AS DOUBLE) / CAST(n_copies AS DOUBLE))
+        |    AS weighted_tokens,
+        |  (SELECT n_distinct FROM nd) AS n_distinct
+        |FROM hashed JOIN counts USING (h)
+        |ORDER BY doc_id""".stripMargin,
     // d15: identical boundary rule, segmentation, and rollup in
     // DuckDB list lambdas — md5 window hashes are the shared
     // cross-engine primitive (SURVEY §4)
