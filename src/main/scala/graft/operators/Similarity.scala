@@ -428,9 +428,14 @@ object Similarity {
     * version, amortized over every query batch after.
     */
   private[graft] def buildAnnIndex(spark: SparkSession, dir: String,
-      idxDir: String, corpus: Option[DataFrame] = None): Unit = {
-    val a = kmeansAssignments(spark, dir, corpus)
+      idxDir: String, corpus: Option[DataFrame] = None,
+      meta: Option[DataFrame] = None): Unit = {
+    val base = kmeansAssignments(spark, dir, corpus)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
+    // metadata columns (filter attributes) ride INSIDE the posting
+    // files — the vector-store "metadata filtering" layout: a
+    // filtered serve never joins back to the raw table
+    val a = meta.fold(base)(m => base.join(m, "vec_id"))
     a.write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$idxDir/postings")
     val stored = spark.read.parquet(s"$idxDir/postings")
@@ -1073,7 +1078,61 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s17: FILTERED ANN — metadata filtering inside the vector index,
+    * the feature every production vector store ships (Qdrant/
+    * Weaviate/Milvus "filtered search"; FAISS leaves it to the
+    * caller): the query asks for nearest neighbors WITHIN ITS OWN
+    * LABEL, and the filter column lives IN the posting files (built
+    * once via [[buildAnnIndex]]'s meta join), so the serve is still
+    * index-only — broadcast centroid probe, partition-pruned posting
+    * read, label predicate applied IN-CELL before the exact top-5.
+    * nprobe=3 (one more than s13) because filtering thins cells —
+    * the classic filtered-search recall trade, priced explicitly.
+    * Queries whose label is rare enough to empty all probed cells
+    * return fewer than 5 rows — honest filtered-search semantics.
+    * The oracle rebuilds index + label join + probe + filtered serve
+    * in SQL. At 100 TB the filter costs zero extra I/O (it rides the
+    * posting bytes already read); pre- vs post-filter selection is a
+    * per-query planner choice this layout leaves open.
+    */
+  def s17FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val idxDir = graft.TempDirs.scratch("graft-ann-filtered")
+    val e = emb(spark, dir)
+    buildAnnIndex(spark, dir, idxDir,
+      meta = Some(e.select(col("vec_id"), col("label"))))
+    val cents = graft.sources.Snapshots.read(spark, s"$idxDir/centroids")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("psim", GraftFunctions.cosineSim(col("qe"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("psim").desc, col("cell_id"))))
+      .filter(col("probe_rank") <= 3)
+      .select(col("qid"), col("qe"), col("qlabel"), col("cell_id"))
+    // bounded driver list: |queries| × nprobe cell ids
+    val cells = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val postings = spark.read.parquet(s"$idxDir/postings")
+      .filter(col("cell_id").isin(cells.map(c => c: Any): _*))
+    val hits = postings.join(broadcast(probes),
+        postings("cell_id") === probes("cell_id") &&
+          col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("sim", GraftFunctions.cosineSim(col("qe"), col("embedding")))
+      .select(col("qid"), col("vec_id").as("cid"), col("label"),
+        postings("cell_id").as("cell_id"), col("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    hits.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("cid"), col("label"),
+        col("cell_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_filtered_ann" -> (s17FilteredAnn _),
     "s16_sq8_search" -> (s16Sq8Search _),
     "s01_cosine_topk" -> (s01CosineTopk _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1349,6 +1408,47 @@ object Similarity {
     // s13: the whole index lifecycle rebuilt in SQL — final-assignment
     // centroids (decimal-exact means cast FLOAT), nprobe=2 probe,
     // in-probed-cell exact top-5; bit-level check of build AND serve
+    // s17: s13's chain with the label joined into the postings and
+    // the same-label predicate applied in-cell before the top-5;
+    // nprobe=3
+    "s17_filtered_ann" ->
+      s"""WITH ${kmeansSqlCtes()},
+         |flat2 AS (
+         |  SELECT cell_id, i, a2.embedding[i]::DOUBLE AS x
+         |  FROM a2 CROSS JOIN range(1, 65) t(i)),
+         |cm2 AS (
+         |  SELECT cell_id, i,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
+         |  FROM flat2 GROUP BY 1, 2),
+         |cent2 AS (
+         |  SELECT cell_id,
+         |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid
+         |  FROM cm2 GROUP BY cell_id),
+         |al AS (
+         |  SELECT a2.vec_id, a2.embedding, a2.cell_id, e.label
+         |  FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id),
+         |probes AS (
+         |  SELECT qid, qlabel, cell_id FROM (
+         |    SELECT q.vec_id AS qid, q.label AS qlabel, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${cosSql("q.embedding", "c.centroid")} DESC, c.cell_id)
+         |        AS probe_rank
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |    CROSS JOIN cent2 c) WHERE probe_rank <= 3),
+         |hits AS (
+         |  SELECT p.qid, d.vec_id AS cid, d.label, d.cell_id,
+         |    ${cosSql("q.embedding", "d.embedding")} AS sim
+         |  FROM probes p
+         |  JOIN embeddings q ON q.vec_id = p.qid
+         |  JOIN al d ON d.cell_id = p.cell_id
+         |    AND d.label = p.qlabel AND d.vec_id <> p.qid),
+         |served AS (
+         |  SELECT qid, cid, label, cell_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+         |  FROM hits)
+         |SELECT qid, rnk, cid, label, cell_id, round(sim, 6) AS sim_r
+         |FROM served WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
     "s13_ann_serve" ->
       s"""WITH ${kmeansSqlCtes()},
          |flat2 AS (
