@@ -61,9 +61,21 @@ object Engine {
     // reads go through the catalog: complete any durable-but-part-
     // published multi-table transaction before resolving views
     graft.sources.Snapshots.recoverTxns(warehouseDir)
+    // stats-informed planning: a table whose STORED statistics (q108's
+    // ANALYZE sidecar) say it is small registers broadcast-hinted, so
+    // joins against it plan broadcast even when Spark's size estimate
+    // can't see through the view (the CBO use every catalog keeps
+    // stats for). Threshold in ROWS because that's what ANALYZE
+    // stores; -Dgraft.cbo.broadcastRows=0 disables.
+    val cboRows = sys.props.getOrElse("graft.cbo.broadcastRows", "50000").toLong
     warehouseEntries(warehouseDir).foreach { case (name, tdir) =>
-      graft.sources.Snapshots.read(spark, tdir)
-        .createOrReplaceTempView(viewName(name))
+      val base = readTable(spark, tdir)
+      val hinted = graft.sources.Snapshots.analyzedRowCount(spark, tdir) match {
+        case Some(n) if cboRows > 0 && n <= cboRows =>
+          org.apache.spark.sql.functions.broadcast(base)
+        case _ => base
+      }
+      hinted.createOrReplaceTempView(viewName(name))
     }
     GraftFunctions.register(spark)
     graft.functions.SqlDialect.register(spark)
@@ -80,6 +92,18 @@ object Engine {
   private def viewName(qualified: String): String =
     qualified.replace(".", "__")
 
+  /** True when `dir` is a merge-on-read table ([[graft.sources.Mor]]'s
+    * `_commits` ledger) rather than a copy-on-write snapshot table
+    * (`_manifest`). The facade's DML lands MoR; reads pick per-dir.
+    */
+  private def isMorTable(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_commits"))
+
+  /** Latest view of a warehouse table, whichever store backs it. */
+  private def readTable(spark: SparkSession, dir: String): DataFrame =
+    if (isMorTable(dir)) graft.sources.Mor.read(spark, dir)
+    else graft.sources.Snapshots.read(spark, dir)
+
   /** (qualified name, table dir) for every table under the warehouse:
     * flat `<wh>/<t>` and namespaced `<wh>/<db>.db/<t>` entries.
     */
@@ -90,7 +114,8 @@ object Engine {
       else {
         val listing = java.nio.file.Files.list(root)
         try listing.iterator().asScala
-          .filter(p => java.nio.file.Files.exists(p.resolve("_manifest")))
+          .filter(p => java.nio.file.Files.exists(p.resolve("_manifest")) ||
+            java.nio.file.Files.exists(p.resolve("_commits")))
           .toSeq
         finally listing.close()
       }
@@ -185,7 +210,7 @@ object Engine {
     * sidecars; none scans data.
     */
   private val HistoryTable =
-    """\b([A-Za-z_][A-Za-z0-9_]*)\$(history|snapshots|files|partitions|refs)\b""".r
+    """\b([A-Za-z_][A-Za-z0-9_]*)\$(history|snapshots|files|partitions|refs|stats)\b""".r
   private val TimestampAsOf =
     """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))""".r
   private val TableChangesCall =
@@ -297,6 +322,70 @@ object Engine {
   private val ShowTables =
     """(?is)^\s*SHOW\s+TABLES(?:\s+IN\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$""".r
 
+  // ANALYZE TABLE <t> COMPUTE STATISTICS [FOR ALL COLUMNS] — Spark's
+  // own spelling (Trino: ANALYZE <t>); stats land as a versioned
+  // sidecar and serve through `<t>$stats` + the broadcast planner.
+  private val AnalyzeStmt =
+    """(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+ALL\s+COLUMNS)?\s*$""".r
+
+  // SQL DML over merge-on-read tables — the reference's own GDPR
+  // surface is literally `DELETE FROM <table> WHERE user_id=…` with
+  // positionDeletes keeping it metadata-only
+  // (docs/architecture/lakehouse.md:108). CREATE TABLE AS and INSERT
+  // INTO land/append data commits; UPDATE rides Mor.updateWhere's
+  // atomic posdelete+data pair; DELETE FROM rides Mor.deleteAt — no
+  // key columns needed, no data file rewritten, cost ∝ rows touched.
+  private val CreateTableAs =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+AS\s+(SELECT\b.*)$""".r
+  private val InsertInto =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_.]*)\s+(SELECT\b.*)$""".r
+  private val DeleteFrom =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+WHERE\s+(.+)$""".r
+  private val UpdateStmt =
+    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+SET\s+(.+?)\s+WHERE\s+(.+)$""".r
+
+  /** Split `a = e1, b = e2, …` on top-level commas (quote- and
+    * paren-aware) into (column, expression-text) pairs.
+    */
+  private def parseAssignments(s: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    var depth = 0; var inStr = false; val cur = new StringBuilder
+    s.foreach { ch =>
+      if (ch == '\'') { inStr = !inStr; cur += ch }
+      else if (!inStr && ch == '(') { depth += 1; cur += ch }
+      else if (!inStr && ch == ')') { depth -= 1; cur += ch }
+      else if (!inStr && depth == 0 && ch == ',') {
+        parts += cur.toString; cur.clear()
+      } else cur += ch
+    }
+    parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"malformed SET assignment: '$a'")
+      (a.take(i).trim, a.drop(i + 1).trim)
+    }
+  }
+
+  /** Resolve a DML target: the on-disk dir of an EXISTING warehouse
+    * table (flat or namespaced), failing loudly on unknown names.
+    */
+  private def existingDir(warehouseDir: String, name: String,
+      stmt: String): String =
+    warehouseEntries(warehouseDir).find(_._1 == name).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$stmt: unknown table '$name'"))
+
+  /** One (table, operation, rows_affected) row — the facade's DML
+    * result shape. `rowsAffected` reads the landed commit directory's
+    * row count (the delta itself — never the table).
+    */
+  private def dmlResult(spark: SparkSession, table: String, op: String,
+      dir: String, commitId: Long): DataFrame = {
+    import spark.implicits._
+    val n = spark.read.parquet(s"$dir/c=$commitId").count()
+    Seq((table, op, n)).toDF("table_name", "operation", "rows_affected")
+  }
+
   /** `SHOW TABLES [IN <db>]` — the catalog listing a Kyuubi user
     * types first (reference: namespace-per-database convention,
     * docs/components/iceberg.md:6-7): one row per warehouse table
@@ -312,9 +401,11 @@ object Engine {
         case Array(a, b) => (a, b)
         case _ => ("default", name)
       }
-      val vs = Snapshots.versions(d)
+      val vs =
+        if (isMorTable(d)) graft.sources.Mor.commits(d).map(_.id)
+        else Snapshots.versions(d)
       (ns, t, vs.size.toLong, vs.lastOption.getOrElse(0L),
-        Snapshots.read(spark, d).count())
+        readTable(spark, d).count())
     }.filter(r => db.forall(_ == r._1)).sortBy(r => (r._1, r._2))
     import spark.implicits._
     rows.toDF("namespace", "table_name", "n_versions",
@@ -328,6 +419,45 @@ object Engine {
         return callProcedure(spark, warehouseDir, proc, args)
       case ShowTables(db) =>
         return showTables(spark, warehouseDir, Option(db))
+      case AnalyzeStmt(table) =>
+        graft.sources.Snapshots.recoverTxns(warehouseDir)
+        val dir = warehouseEntries(warehouseDir).find(_._1 == table)
+          .map(_._2).getOrElse(throw new IllegalArgumentException(
+            s"ANALYZE TABLE: unknown table '$table'"))
+        return graft.sources.Snapshots.analyzeTable(spark, dir)
+      case CreateTableAs(name, select) =>
+        import graft.sources.Mor
+        val dir = tableDir(warehouseDir, name)
+        require(warehouseEntries(warehouseDir).forall(_._1 != name),
+          s"CREATE TABLE: table '$name' already exists")
+        val id = Mor.land(sqlWarehouse(spark, warehouseDir, select), dir)
+        return dmlResult(spark, name, "create", dir, id)
+      case InsertInto(name, select) =>
+        import graft.sources.Mor
+        val dir = existingDir(warehouseDir, name, "INSERT INTO")
+        require(isMorTable(dir),
+          s"INSERT INTO: '$name' is a snapshot table; DML targets MoR tables")
+        val id = Mor.append(sqlWarehouse(spark, warehouseDir, select), dir)
+        return dmlResult(spark, name, "insert", dir, id)
+      case UpdateStmt(name, setText, condText) =>
+        import graft.sources.Mor
+        val dir = existingDir(warehouseDir, name, "UPDATE")
+        require(isMorTable(dir),
+          s"UPDATE: '$name' is a snapshot table; DML targets MoR tables")
+        val set = parseAssignments(setText).map { case (c, e) =>
+          c -> org.apache.spark.sql.functions.expr(e)
+        }.toMap
+        val (_, addId) = Mor.updateWhere(spark, dir,
+          org.apache.spark.sql.functions.expr(condText), set)
+        return dmlResult(spark, name, "update", dir, addId)
+      case DeleteFrom(name, condText) =>
+        import graft.sources.Mor
+        val dir = existingDir(warehouseDir, name, "DELETE FROM")
+        require(isMorTable(dir),
+          s"DELETE FROM: '$name' is a snapshot table; DML targets MoR tables")
+        val id = Mor.deleteAt(spark, dir,
+          org.apache.spark.sql.functions.expr(condText))
+        return dmlResult(spark, name, "delete", dir, id)
       case _ =>
     }
     openWarehouse(spark, warehouseDir)
@@ -381,6 +511,7 @@ object Engine {
           case "files" => Snapshots.filesTable(spark, dir)
           case "partitions" => Snapshots.partitionsTable(spark, dir)
           case "refs" => Snapshots.refsTable(spark, dir)
+          case "stats" => Snapshots.statsTable(spark, dir)
         }
         val view = s"${t}__$meta"
         df.createOrReplaceTempView(view)

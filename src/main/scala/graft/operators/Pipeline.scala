@@ -574,7 +574,46 @@ object Pipeline {
       .orderBy(col("epoch"), col("shard"))
   }
 
+  /** p26: QUALITY-THRESHOLD RETENTION CURVE — the calibration sweep a
+    * curator runs before picking a filter cutoff (the "what fraction
+    * of my tokens does each threshold cost" table behind every
+    * quality-filter decision, e.g. Gopher/FineWeb-style rule tuning):
+    * for thresholds 0.1 … 0.9 over t02's composite quality score,
+    * documents kept, tokens kept, and both retention fractions.
+    * Shape: ONE corpus scan → per-doc (score, tokens) → a broadcast
+    * 9-row threshold spine → a map-side-combining aggregate (n×9
+    * rows reduce to 9 before the exchange). Cross-engine exactness
+    * rides on t02's already-gated bit-identical score. At 100 TB the
+    * sweep costs one scan regardless of how many thresholds — the
+    * reason to compute the whole curve at once instead of re-running
+    * the filter per candidate cutoff.
+    */
+  def p26QualityCurve(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.t02QualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val ks = spark.range(1, 10).select(col("id").cast("int").as("k"))
+    scored.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        count(when(col("quality_score") >= col("k").cast("double") / lit(10.0), 1))
+          .as("n_docs_kept"),
+        sum(when(col("quality_score") >= col("k").cast("double") / lit(10.0),
+          col("n_tokens")).otherwise(0L)).as("n_tokens_kept"))
+      .select(
+        (col("k").cast("double") / lit(10.0)).as("threshold"),
+        col("n_docs"), col("n_docs_kept"),
+        round(col("n_docs_kept").cast("double") /
+          col("n_docs").cast("double"), 6).as("doc_retention"),
+        col("n_tokens_total"), col("n_tokens_kept"),
+        round(col("n_tokens_kept").cast("double") /
+          col("n_tokens_total").cast("double"), 6).as("token_retention"))
+      .orderBy(col("threshold"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p26_quality_curve" -> (p26QualityCurve _),
     "p25_epoch_schedule" -> (p25EpochSchedule _),
     "p21_curriculum" -> (p21Curriculum _),
     "p19_dataset_card" -> (p19DatasetCard _),
@@ -600,6 +639,41 @@ object Pipeline {
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    // p26: the t02 score chain verbatim, swept over a 9-row threshold
+    // spine; sums cast to BIGINT (HUGEINT portability rule, §4)
+    "p26_quality_curve" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    len(text) AS text_len,
+         |    len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))
+         |      AS punct_count,
+         |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+         |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      t -> t in ($stopListSql))) AS stop_hits
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, n_tokens,
+         |    0.4*least(1.0, CAST(text_len AS DOUBLE)/500.0)
+         |    + 0.3*(1.0 - CAST(punct_count AS DOUBLE)
+         |        /NULLIF(CAST(text_len AS DOUBLE), 0))
+         |    + 0.3*(CAST(stop_hits AS DOUBLE)
+         |        /NULLIF(CAST(n_tokens AS DOUBLE), 0)) AS quality_score
+         |  FROM base),
+         |ks AS (SELECT unnest(range(1, 10)) AS k)
+         |SELECT CAST(k AS DOUBLE) / 10.0 AS threshold,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN quality_score >= CAST(k AS DOUBLE) / 10.0 THEN 1 END)
+         |    AS n_docs_kept,
+         |  ROUND(CAST(COUNT(CASE WHEN quality_score >= CAST(k AS DOUBLE) / 10.0 THEN 1 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS doc_retention,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+         |  CAST(SUM(CASE WHEN quality_score >= CAST(k AS DOUBLE) / 10.0 THEN n_tokens
+         |    ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+         |  ROUND(CAST(SUM(CASE WHEN quality_score >= CAST(k AS DOUBLE) / 10.0 THEN n_tokens
+         |      ELSE 0 END) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 6)
+         |    AS token_retention
+         |FROM scored CROSS JOIN ks
+         |GROUP BY k ORDER BY threshold""".stripMargin,
     // p25: every cell re-derived from the same md5 arithmetic —
     // per-epoch keys, integral upsampling, first-byte shards
     "p25_epoch_schedule" ->

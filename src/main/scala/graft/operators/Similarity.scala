@@ -692,6 +692,104 @@ object Similarity {
       .orderBy(col("phase").desc, col("qid"), col("rnk"))
   }
 
+  /** Rewrite the posting layout so every cell directory holds exactly
+    * ONE parquet file — the maintenance half of the online-append
+    * story (FAISS re-adds into a fresh index; LSM stores and Iceberg
+    * call it compaction, q53's pattern applied to the vector index):
+    * each tagged append lands its own small files per cell, and after
+    * enough micro-batches a serve reads dozens of tiny postings where
+    * one would do. `repartition(cell_id)` puts each cell's rows in
+    * exactly one task, so the partitioned rewrite emits one file per
+    * cell; the swap happens under the append lock (no append can
+    * interleave), and the ledger is untouched — already-committed
+    * batch tags replay as no-ops against the compacted layout, so
+    * exactly-once survives compaction. Same documented trade as the
+    * append path: a concurrent READER could observe the swap window
+    * (raw layout, no commit point); maintenance runs fenced.
+    */
+  private[graft] def compactAnnIndex(spark: SparkSession, idxDir: String): Unit = {
+    val staging = s"$idxDir/_compact_staging"
+    spark.read.parquet(s"$idxDir/postings")
+      .repartition(col("cell_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(staging)
+    withAppendLock(idxDir) {
+      import java.nio.file.{Files, Paths}
+      val live = Paths.get(s"$idxDir/postings")
+      val old = Paths.get(s"$idxDir/_postings_old")
+      deleteDirTree(old)
+      Files.move(live, old)
+      Files.move(Paths.get(staging), live)
+      deleteDirTree(old)
+    }
+  }
+
+  /** Per-cell parquet file count of the stored posting layout —
+    * bounded driver listing (K cell directories). */
+  private def postingFileCounts(idxDir: String): Map[Int, Long] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(s"$idxDir/postings")
+    val cells = Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("cell_id="))
+      .toList
+    cells.map { cd =>
+      val n = Files.list(cd).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+      cd.getFileName.toString.stripPrefix("cell_id=").toInt -> n.toLong
+    }.toMap
+  }
+
+  /** s18: INDEX COMPACTION — the maintenance op that keeps the online
+    * ANN index (s13 build + s15/st22 appends) servable over time:
+    * tagged micro-batch appends accrete small posting files per cell,
+    * and [[compactAnnIndex]] rewrites each cell to exactly one file
+    * WITHOUT changing a single served answer. The entry builds on the
+    * 80% base, lands the holdout as TWO tagged appends (so cells hold
+    * base + 2 append files), serves, compacts, serves again — and
+    * returns per-cell (n_vectors, n_files) with two invariants
+    * computed in-result: `n_files` = 1 per cell (pinned by the
+    * one-task-per-cell rewrite), `serve_matches` = the pre/post serve
+    * row sets compare equal (both bounded: |queries|×topK rows), and
+    * `files_shrank` = the pre-compaction layout really had more files
+    * than cells (the op wasn't vacuous). The oracle restates per-cell
+    * vector counts from the frozen-quantizer chain ([[annAppendSqlCtes]]
+    * `post_corpus`) and the three pinned invariants. At 100 TB:
+    * compaction cost ∝ index bytes (not corpus bytes), runs per cell
+    * in parallel, and the serve path it protects stays probed-cells-
+    * sized — the same economics as q53's table compaction.
+    */
+  def s18IndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val idxDir = graft.TempDirs.scratch("graft-ann-compact")
+    val e = emb(spark, dir)
+    buildAnnIndex(spark, dir, idxDir,
+      corpus = Some(e.filter(col("vec_id") % 5 =!= 4)))
+    val hold = e.filter(col("vec_id") % 5 === 4)
+    appendAnnIndex(spark, idxDir, hold.filter(col("vec_id") % 2 === 0),
+      batchTag = Some("s18-even"))
+    appendAnnIndex(spark, idxDir, hold.filter(col("vec_id") % 2 === 1),
+      batchTag = Some("s18-odd"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pre = annServe(spark, idxDir, q, nprobe = 2, topK = 5).collect().toSeq
+    val before = postingFileCounts(idxDir)
+    compactAnnIndex(spark, idxDir)
+    val after = postingFileCounts(idxDir)
+    val post = annServe(spark, idxDir, q, nprobe = 2, topK = 5).collect().toSeq
+    val matches = pre.sortBy(_.toString) == post.sortBy(_.toString)
+    val shrank = before.values.sum > after.keys.size
+    import spark.implicits._
+    val files = after.toSeq.map { case (c, n) => (c, n) }
+      .toDF("cell_id", "n_files")
+    spark.read.parquet(s"$idxDir/postings")
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_vectors"))
+      .join(broadcast(files), "cell_id")
+      .withColumn("serve_matches", lit(matches))
+      .withColumn("files_shrank", lit(shrank))
+      .orderBy(col("cell_id"))
+  }
+
   /** s08: TRUE k-means coarse quantization — the real IVF index build
     * that s03's per-label cells stand in for. Deterministic
     * end-to-end: init = the K vectors with smallest md5(vec_id) (a
@@ -1132,6 +1230,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_index_compact" -> (s18IndexCompact _),
     "s17_filtered_ann" -> (s17FilteredAnn _),
     "s16_sq8_search" -> (s16Sq8Search _),
     "s01_cosine_topk" -> (s01CosineTopk _),
@@ -1483,6 +1582,15 @@ object Similarity {
          |SELECT qid, rnk, cid, cell_id, round(sim, 6) AS sim_r
          |FROM served WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+    // s18: per-cell vector counts restate from the frozen-quantizer
+    // chain's post-append corpus; one-file-per-cell, serve
+    // invariance and non-vacuousness are pinned by construction
+    "s18_index_compact" ->
+      s"""WITH $annAppendSqlCtes
+         |SELECT cell_id, COUNT(*) AS n_vectors,
+         |  CAST(1 AS BIGINT) AS n_files,
+         |  TRUE AS serve_matches, TRUE AS files_shrank
+         |FROM post_corpus GROUP BY cell_id ORDER BY cell_id""".stripMargin,
     // s15: the k-means chain trains on the SAME 80% base (src CTE),
     // the stored centroids restate decimal-exactly, the holdout
     // batch assigns to them frozen, and BOTH serve phases rank

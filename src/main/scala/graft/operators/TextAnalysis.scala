@@ -490,7 +490,49 @@ object TextAnalysis {
       .orderBy(col("pmi_rank"))
   }
 
+  /** t16: VOCAB-SIZE COVERAGE CURVE — the calibration table behind
+    * choosing a tokenizer's vocabulary size (p26's retention-curve
+    * idea applied to the vocabulary axis; the first question of any
+    * BPE/WordPiece budget: "what token coverage does each vocab size
+    * buy"): words ranked by corpus frequency (count desc, word —
+    * deterministic), then for each candidate size K ∈ {256 … 8192}
+    * the fraction of all token OCCURRENCES covered by the top-K
+    * words and the residual OOV rate. One corpus scan → a
+    * DISTINCT-WORD table (t11's bounded shape — the global
+    * frequency-rank window runs on the vocabulary, never the
+    * corpus) → a broadcast size spine → map-side-combining
+    * aggregate. OOV computed as (total−covered)/total, not
+    * 1−rounded-coverage, so both cells stay exact independently.
+    */
+  def t16VocabCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("rnk",
+      row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    val spine = spark.createDataFrame(
+      Seq(256, 512, 1024, 2048, 4096, 8192).map(Tuple1(_)))
+      .toDF("vocab_size")
+    ranked.crossJoin(broadcast(spine))
+      .groupBy(col("vocab_size"))
+      .agg(
+        count(lit(1)).as("n_distinct_words"),
+        sum(col("n")).as("tokens_total"),
+        count(when(col("rnk") <= col("vocab_size"), 1)).as("vocab_used"),
+        sum(when(col("rnk") <= col("vocab_size"), col("n"))
+          .otherwise(0L)).as("tokens_covered"))
+      .select(col("vocab_size"), col("n_distinct_words"), col("vocab_used"),
+        col("tokens_total"), col("tokens_covered"),
+        round(col("tokens_covered").cast("double") /
+          col("tokens_total").cast("double"), 6).as("coverage"),
+        round((col("tokens_total") - col("tokens_covered")).cast("double") /
+          col("tokens_total").cast("double"), 6).as("oov_rate"))
+      .orderBy(col("vocab_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_vocab_curve" -> (t16VocabCurve _),
     "t15_collocations" -> (t15Collocations _),
     "t14_vocab_stats" -> (t14VocabStats _),
     "t13_normalize" -> (t13Normalize _),
@@ -789,6 +831,33 @@ object TextAnalysis {
         |    AS top10_coverage
         |FROM panel p JOIN top10 t USING (lang)
         |ORDER BY p.lang""".stripMargin,
+    // t16: the same tokenization and (n DESC, token) frequency rank;
+    // sums cast to BIGINT (HUGEINT portability rule, §4); OOV from
+    // the exact residual, never 1−rounded-coverage
+    "t16_vocab_curve" ->
+      """WITH counts AS (
+        |  SELECT token, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS token
+        |    FROM documents) GROUP BY 1),
+        |ranked AS (
+        |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+        |  FROM counts),
+        |spine AS (SELECT unnest([256, 512, 1024, 2048, 4096, 8192])
+        |  AS vocab_size)
+        |SELECT vocab_size,
+        |  COUNT(*) AS n_distinct_words,
+        |  COUNT(CASE WHEN rnk <= vocab_size THEN 1 END) AS vocab_used,
+        |  CAST(SUM(n) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN rnk <= vocab_size THEN n ELSE 0 END)
+        |    AS BIGINT) AS tokens_covered,
+        |  ROUND(CAST(SUM(CASE WHEN rnk <= vocab_size THEN n ELSE 0 END)
+        |      AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS coverage,
+        |  ROUND(CAST(SUM(n) - SUM(CASE WHEN rnk <= vocab_size THEN n
+        |      ELSE 0 END) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+        |    AS oov_rate
+        |FROM ranked CROSS JOIN spine
+        |GROUP BY vocab_size ORDER BY vocab_size""".stripMargin,
     "t05_top_tokens" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

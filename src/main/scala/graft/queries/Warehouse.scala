@@ -1500,6 +1500,148 @@ object Warehouse {
         |ORDER BY 1""".stripMargin)
   }
 
+  /** q108: ANALYZE TABLE + the `$stats` metadata table — catalog
+    * column statistics as a first-class versioned artifact (Spark's
+    * `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS`, Trino's
+    * `ANALYZE` — the stats every warehouse keeps so its planner can
+    * see; reference: the Kyuubi SQL surface over Iceberg tables,
+    * docs/components/kyuubi.md + iceberg.md). One distributed pass
+    * computes every column's null count, exact NDV, portable min/max
+    * (ints verbatim, fractionals at DECIMAL(18,2), temporals at date
+    * granularity) and average string length together; the result
+    * lands as a per-version `_tablestats` sidecar and serves through
+    * `analytics.orders$stats` — metadata-only, like every `$meta`
+    * table. A NULLIF-derived column exercises the null path. The
+    * oracle recomputes all eight stats per column from the raw table.
+    * At 100 TB: ANALYZE costs one scan (the documented price, paid
+    * once per analyzed version); every later planner read costs a
+    * #columns-row sidecar. q109 makes the stored stats load-bearing.
+    */
+  def q108AnalyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-analyze")
+    val orders = Tables(spark, dir, "orders")
+      .withColumn("o_ship_status", expr("nullif(o_orderstatus, 'O')"))
+    Snapshots.commit(orders, graft.Engine.tableDir(wh, "analytics.orders"))
+    graft.Engine.sqlWarehouse(spark, wh,
+      "ANALYZE TABLE analytics.orders COMPUTE STATISTICS FOR ALL COLUMNS")
+    graft.Engine.sqlWarehouse(spark, wh,
+      """SELECT column_name, data_type, n_rows, n_nulls, n_distinct,
+        |  min_value, max_value, avg_len, analyzed_version
+        |FROM analytics.orders$stats
+        |ORDER BY column_name""".stripMargin)
+  }
+
+  /** q109: STATS-INFORMED BROADCAST — the stored q108 statistics
+    * steering the planner (the CBO story catalogs keep stats FOR:
+    * Spark reads table stats for join selection the same way): the
+    * facade registers an ANALYZEd-small table broadcast-hinted, so
+    * the fact⋈dim join plans BroadcastHashJoin even with BOTH
+    * size-based broadcast paths disabled (static AND adaptive
+    * thresholds at -1 — the realistic posture over views, where
+    * Spark's size estimate can't see through). Two legs, same join:
+    * the ANALYZEd dim broadcasts, the never-analyzed twin
+    * sort-merges; each leg's `used_broadcast` cell is read off the
+    * EXECUTED plan in-result (q92's proof pattern), so the oracle
+    * pins that the stats — and only the stats — flipped the plan.
+    * At 100 TB this is the difference between shipping a dim's 25
+    * rows and shuffling the fact: the single highest-leverage plan
+    * decision a warehouse makes.
+    */
+  def q109StatsBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-cbo")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Snapshots.commit(orders, graft.Engine.tableDir(wh, "analytics.orders"))
+    Snapshots.commit(cust, graft.Engine.tableDir(wh, "analytics.customers"))
+    Snapshots.commit(cust, graft.Engine.tableDir(wh, "raw.customers"))
+    graft.Engine.sqlWarehouse(spark, wh,
+      "ANALYZE TABLE analytics.customers COMPUTE STATISTICS")
+    // both size-based broadcast paths OFF: any broadcast below can
+    // come only from the stored-stats hint
+    val s2 = org.apache.spark.sql.GraftShims.cloneWithConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    def leg(name: String, dim: String): DataFrame = {
+      val df = graft.Engine.sqlWarehouse(s2, wh,
+        s"""SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS revenue
+           |FROM analytics.orders o
+           |JOIN $dim c ON o.o_custkey = c.c_custkey
+           |GROUP BY c.c_mktsegment""".stripMargin)
+      df.collect() // finalize the adaptive plan before reading it
+      val bcast = df.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin")
+      df.withColumn("leg", lit(name))
+        .withColumn("used_broadcast", lit(bcast))
+    }
+    leg("analyzed", "analytics.customers")
+      .unionByName(leg("unanalyzed", "raw.customers"))
+      .select(col("leg"), col("segment"), col("n_orders"), col("revenue"),
+        col("used_broadcast"))
+      .orderBy(col("leg"), col("segment"))
+  }
+
+  /** q110: SQL DML through the facade — CREATE TABLE AS / INSERT INTO
+    * / UPDATE / DELETE FROM over a merge-on-read table, the statement
+    * surface a Kyuubi SQL user actually types (the reference's GDPR
+    * story is literally `DELETE FROM <table> WHERE user_id=…` with
+    * positionDeletes keeping it metadata-only —
+    * docs/architecture/lakehouse.md:108). CTAS and INSERT land data
+    * commits; UPDATE rides `Mor.updateWhere`'s ATOMIC posdelete+data
+    * pair; DELETE rides `Mor.deleteAt` — no key columns, no data file
+    * opened for write. The entry proves the write-cheap claim
+    * in-result: every byte of the CTAS base commit is UNTOUCHED after
+    * all three mutations (`base_untouched`), and the ledger kinds are
+    * pinned (3 data, 2 posdelete). The final state restates from key
+    * arithmetic in the oracle. At 100 TB: the UPDATE and DELETE cost
+    * ∝ rows touched; the base is never rewritten — the economics the
+    * MoR store exists for, now reachable from plain SQL.
+    */
+  def q110SqlDml(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Mor, Snapshots}
+    val wh = tempDir("graft-dml")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    Snapshots.commit(orders, graft.Engine.tableDir(wh, "sales.orders"))
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    val t = graft.Engine.tableDir(wh, "gdpr.user_orders")
+    sql("""CREATE TABLE gdpr.user_orders AS
+          |SELECT o_orderkey, o_custkey AS user_id,
+          |  o_orderstatus AS status, o_totalprice AS price
+          |FROM sales.orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    def baseBytes(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(t, "c=1"))
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> java.nio.file.Files.size(p))
+        .toMap
+      finally s.close()
+    }
+    val before = baseBytes()
+    sql("""INSERT INTO gdpr.user_orders
+          |SELECT o_orderkey, o_custkey AS user_id,
+          |  o_orderstatus AS status, o_totalprice AS price
+          |FROM sales.orders WHERE o_orderkey % 2 = 1""".stripMargin)
+    sql("UPDATE gdpr.user_orders SET price = price + 10.0 WHERE user_id % 10 = 7")
+    sql("DELETE FROM gdpr.user_orders WHERE user_id % 10 = 3")
+    val untouched = baseBytes() == before
+    val kinds = Mor.commits(t).groupBy(_.kind)
+      .map { case (k, cs) => k -> cs.size.toLong }
+    sql("""SELECT status, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM gdpr.user_orders GROUP BY status""".stripMargin)
+      .withColumn("n_data_commits", lit(kinds.getOrElse("data", 0L)))
+      .withColumn("n_posdelete_commits", lit(kinds.getOrElse("posdelete", 0L)))
+      .withColumn("base_untouched", lit(untouched))
+      .orderBy(col("status"))
+  }
+
   /** q95: real `$partitions` over a HIVE-PARTITIONED snapshot — the
     * per-partition record/file/byte debugging table operators
     * actually use (Iceberg's `$partitions`; reference read path
@@ -1619,6 +1761,9 @@ object Warehouse {
     "q105_show_tables" -> (q105ShowTables _),
     "q106_default_values" -> (q106DefaultValues _),
     "q107_table_changes" -> (q107TableChanges _),
+    "q108_analyze_stats" -> (q108AnalyzeStats _),
+    "q109_stats_broadcast" -> (q109StatsBroadcast _),
+    "q110_sql_dml" -> (q110SqlDml _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
@@ -1761,6 +1906,102 @@ object Warehouse {
         |  CAST(2 AS BIGINT)
         |FROM evens WHERE o_orderkey % 10 = 2
         |ORDER BY _change_type""".stripMargin,
+    // q108: every stored stat recomputes from the raw table — the
+    // engine-portable min/max spellings (ints verbatim, fractionals
+    // at DECIMAL(18,2), temporals at date granularity) are the
+    // cross-engine contract, restated here literally
+    "q108_analyze_stats" ->
+      """WITH src AS (
+        |  SELECT *, NULLIF(o_orderstatus, 'O') AS o_ship_status
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_custkey' AS column_name, 'bigint' AS data_type,
+        |    COUNT(*) AS n_rows, COUNT(*) - COUNT(o_custkey) AS n_nulls,
+        |    COUNT(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+        |    CAST(MAX(o_custkey) AS VARCHAR) AS max_value,
+        |    CAST(NULL AS DOUBLE) AS avg_len,
+        |    CAST(1 AS BIGINT) AS analyzed_version
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'o_orderdate', 'timestamp',
+        |    COUNT(*), COUNT(*) - COUNT(o_orderdate),
+        |    COUNT(DISTINCT o_orderdate),
+        |    CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+        |    CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR),
+        |    CAST(NULL AS DOUBLE), CAST(1 AS BIGINT)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'o_orderkey', 'bigint',
+        |    COUNT(*), COUNT(*) - COUNT(o_orderkey),
+        |    COUNT(DISTINCT o_orderkey),
+        |    CAST(MIN(o_orderkey) AS VARCHAR),
+        |    CAST(MAX(o_orderkey) AS VARCHAR),
+        |    CAST(NULL AS DOUBLE), CAST(1 AS BIGINT)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', 'string',
+        |    COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority),
+        |    MIN(o_orderpriority), MAX(o_orderpriority),
+        |    ROUND(AVG(LENGTH(o_orderpriority)), 4), CAST(1 AS BIGINT)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', 'string',
+        |    COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus),
+        |    MIN(o_orderstatus), MAX(o_orderstatus),
+        |    ROUND(AVG(LENGTH(o_orderstatus)), 4), CAST(1 AS BIGINT)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'o_ship_status', 'string',
+        |    COUNT(*), COUNT(*) - COUNT(o_ship_status),
+        |    COUNT(DISTINCT o_ship_status),
+        |    MIN(o_ship_status), MAX(o_ship_status),
+        |    ROUND(AVG(LENGTH(o_ship_status)), 4), CAST(1 AS BIGINT)
+        |  FROM src
+        |  UNION ALL
+        |  SELECT 'o_totalprice', 'double',
+        |    COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice),
+        |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(NULL AS DOUBLE), CAST(1 AS BIGINT)
+        |  FROM src)
+        |ORDER BY column_name""".stripMargin,
+    // q109: both legs aggregate identically — the broadcast cells are
+    // pinned by the stats-hint construction (size-based broadcast is
+    // disabled on both paths in-entry)
+    "q109_stats_broadcast" ->
+      """WITH agg AS (
+        |  SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment)
+        |SELECT 'analyzed' AS leg, segment, n_orders, revenue,
+        |  TRUE AS used_broadcast
+        |FROM agg
+        |UNION ALL
+        |SELECT 'unanalyzed', segment, n_orders, revenue, FALSE
+        |FROM agg
+        |ORDER BY leg, segment""".stripMargin,
+    // q110: final state from key arithmetic — evens CTAS'd + odds
+    // inserted = all orders; %10==7 users at +10; %10==3 users gone;
+    // ledger kinds and base-immutability pinned by construction
+    "q110_sql_dml" ->
+      """WITH fin AS (
+        |  SELECT o_orderstatus AS status,
+        |    o_totalprice +
+        |      CASE WHEN o_custkey % 10 = 7 THEN 10.0 ELSE 0.0 END AS price
+        |  FROM orders WHERE o_custkey % 10 <> 3)
+        |SELECT status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(3 AS BIGINT) AS n_data_commits,
+        |  CAST(2 AS BIGINT) AS n_posdelete_commits,
+        |  TRUE AS base_untouched
+        |FROM fin GROUP BY status
+        |ORDER BY status""".stripMargin,
     // q106: all three phases restate from key arithmetic — 'mapped'
     // is every even row under the default, 'post' the real values,
     // 'travel' the pre-add write-time schema

@@ -6,7 +6,7 @@ import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardOpenOpti
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned table layer — the Iceberg-equivalent surface of the
@@ -1313,6 +1313,105 @@ object Snapshots {
       .agg(count(lit(1)).as("file_count"),
         sum(col("n_rows")).as("record_count"),
         sum(col("n_bytes")).as("total_bytes"))
+  }
+
+  private def tableStatsDir(tableDir: String, v: Long) =
+    s"$tableDir/_tablestats/v=$v"
+
+  /** ANALYZE TABLE — per-COLUMN statistics of the head snapshot in ONE
+    * distributed pass (one scan computes every column's null count,
+    * exact NDV, min/max and average string length together — the cost
+    * model of Spark's own `ANALYZE TABLE … FOR ALL COLUMNS` and
+    * Trino's `ANALYZE`), persisted as a per-version `_tablestats`
+    * sidecar next to the `_filestats`/`_colstats` manifests. min/max
+    * land engine-portably: integers verbatim, fractionals at
+    * DECIMAL(18,2), temporals at date granularity, strings as
+    * themselves. The stored stats are what [[statsTable]] serves and
+    * what the facade's stats-informed broadcast planning reads —
+    * catalog statistics as a first-class, versioned artifact. At
+    * 100 TB: one full scan (the documented ANALYZE price), #columns
+    * output rows, never re-paid until the next analyzed version.
+    */
+  def analyzeTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val v = versions(tableDir).last
+    val df = read(spark, tableDir, v)
+    val fields = df.schema.fields.toSeq
+    def mmExpr(f: StructField, agg: Column => Column): Column = f.dataType match {
+      case DoubleType | FloatType | _: DecimalType =>
+        agg(col(f.name)).cast(DecimalType(18, 2)).cast("string")
+      case DateType | TimestampType | TimestampNTZType =>
+        agg(col(f.name)).cast("date").cast("string")
+      case _ => agg(col(f.name)).cast("string")
+    }
+    val aggs = fields.flatMap { f =>
+      Seq(count(col(f.name)).as(s"nn_${f.name}"),
+        countDistinct(col(f.name)).as(s"nd_${f.name}"),
+        mmExpr(f, min).as(s"mn_${f.name}"),
+        mmExpr(f, max).as(s"mx_${f.name}")) ++
+        (f.dataType match {
+          case StringType =>
+            Seq(round(avg(length(col(f.name))), 4).as(s"al_${f.name}"))
+          case _ => Seq.empty
+        })
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
+    def portable(t: DataType): String = t match {
+      case LongType => "bigint"
+      case IntegerType => "int"
+      case DoubleType | FloatType => "double"
+      case StringType => "string"
+      case DateType => "date"
+      case TimestampType | TimestampNTZType => "timestamp"
+      case other => other.simpleString
+    }
+    val nRows = row.getAs[Long]("n_rows")
+    val out = fields.map { f =>
+      (f.name, portable(f.dataType), nRows,
+        nRows - row.getAs[Long](s"nn_${f.name}"),
+        row.getAs[Long](s"nd_${f.name}"),
+        Option(row.getAs[String](s"mn_${f.name}")).orNull,
+        Option(row.getAs[String](s"mx_${f.name}")).orNull,
+        if (f.dataType == StringType)
+          row.getAs[java.lang.Double](s"al_${f.name}")
+        else null.asInstanceOf[java.lang.Double])
+    }
+    import spark.implicits._
+    val stats = out.toDF("column_name", "data_type", "n_rows", "n_nulls",
+      "n_distinct", "min_value", "max_value", "avg_len")
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(tableStatsDir(tableDir, v))
+    stats
+  }
+
+  /** `$stats` — the stored per-column statistics of the most recent
+    * ANALYZEd version at or before the head (fails loudly when the
+    * table was never analyzed: serving stale-or-absent stats silently
+    * is how planners pick catastrophic joins). Metadata-only read.
+    */
+  def statsTable(spark: SparkSession, tableDir: String): DataFrame = {
+    val head = versions(tableDir).last
+    val analyzed = versions(tableDir).filter(v =>
+      Files.exists(Paths.get(tableStatsDir(tableDir, v))) && v <= head)
+    require(analyzed.nonEmpty,
+      s"no statistics at $tableDir: run ANALYZE TABLE first")
+    spark.read.parquet(tableStatsDir(tableDir, analyzed.last))
+      .withColumn("analyzed_version", lit(analyzed.last))
+  }
+
+  /** Stored row count of the most recent ANALYZEd version, if any —
+    * the one number the facade's stats-informed join planning needs.
+    * Reads the tiny stats sidecar (#columns rows), never the data.
+    */
+  def analyzedRowCount(spark: SparkSession, tableDir: String): Option[Long] = {
+    if (versions(tableDir).isEmpty) return None
+    val head = versions(tableDir).last
+    val analyzed = versions(tableDir).filter(v =>
+      Files.exists(Paths.get(tableStatsDir(tableDir, v))) && v <= head)
+    analyzed.lastOption.map { v =>
+      spark.read.parquet(tableStatsDir(tableDir, v))
+        .select(max(col("n_rows"))).head().getLong(0)
+    }
   }
 
   /** Roll the table BACK to `toVersion` as a NEW commit — Iceberg's

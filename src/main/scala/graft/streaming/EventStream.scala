@@ -1625,7 +1625,143 @@ object EventStream {
       .orderBy(col("etype"))
   }
 
+  /** st25: STREAMING CDF CONSUMPTION — a downstream mart maintained
+    * ONLY from the upstream table's change feed (Delta's "streaming
+    * from CDF" / Iceberg incremental reads; reference: the Debezium
+    * changelog story of docs/components/cdc.md carried one hop
+    * further, warehouse table → warehouse table): each micro-batch
+    * (1) LWW-merges its CDC slice into the upstream versioned table
+    * (st09's idempotent tagged merge), then (2) reads
+    * `table_changes(cursor, head)` — NEVER the upstream rows — turns
+    * the change images into signed DECIMAL deltas (+post, −pre;
+    * tombstone images contribute zero) and (3) commits the updated
+    * mart AND the advanced version cursor as ONE q104 transaction,
+    * so consumption is exactly-once by construction: a replayed
+    * batch finds its merge tag ledgered and its cursor at head (both
+    * no-ops); a crash between merge and consume replays into a
+    * cursor<head consume; a crash mid-transaction is repaired by
+    * recovery before anything else reads. Because consecutive diffs
+    * TELESCOPE, consuming cursor→head in one hop is exact no matter
+    * how many versions a batch advanced. Fixture: every key upserts
+    * (seq 1), keys ≡0 mod 5 re-upsert +100 (seq 2), keys ≡0 mod 7
+    * delete (seq 3) — final state is pure key arithmetic, restated in
+    * the oracle; the gate also pins mart==recompute, both version
+    * counts and cursor==head. At 100 TB: the mart never rescans the
+    * upstream — each batch costs the batch merge + a diff of the two
+    * versions' keys + a #groups merge, the incremental-consumer
+    * economics CDF exists for.
+    */
+  def st25StreamCdf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
+    val wh = graft.TempDirs.scratch("graft-st25-wh")
+    val up = s"$wh/orders_up"
+    val mart = s"$wh/status_mart"
+    val cur = s"$wh/cdf_cursor"
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val orders = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = orders
+      .withColumn("seq", lit(1L)).withColumn("deleted", lit(false))
+    val upd = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .withColumn("seq", lit(2L)).withColumn("deleted", lit(false))
+    val del = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("seq", lit(3L)).withColumn("deleted", lit(true))
+    val src = graft.TempDirs.scratch("graft-st25-src")
+    base.unionByName(upd).unionByName(del)
+      .repartition(16).write.mode("overwrite").parquet(src)
+    // seeds: empty upstream state, empty mart, cursor at the seed
+    Snapshots.commit(base.filter(lit(false)), up)
+    Snapshots.commit(
+      base.filter(lit(false))
+        .select(col("o_orderstatus").as("status"),
+          lit(0L).as("n_live"), lit(null).cast(dec).as("rev_dec")), mart)
+    import spark.implicits._
+    Snapshots.commit(Seq(1L).toDF("last_version"), cur)
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("deleted",
+        org.apache.spark.sql.types.BooleanType)))
+    val stream = s.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", "4").parquet(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st25-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sp = batch.sparkSession
+        val cached = batch.persist()
+        try {
+          if (!cached.isEmpty) {
+            // (1) LWW-merge the slice into the upstream versioned table
+            val reduced = cached.groupBy(col("o_orderkey"))
+              .agg(max_by(struct(cached.columns.map(col): _*),
+                col("seq")).as("w"))
+              .select(col("w.*"))
+            Snapshots.mergeWith(sp, up, reduced,
+              tag = Some(s"cdc-batch=$id"))(
+              graft.operators.Merge.cdcApply(_, _, Seq("o_orderkey"),
+                Seq("seq"), "deleted"))
+            // (2) consume the change feed cursor → head
+            val cursor = Snapshots.read(sp, cur).head().getLong(0)
+            val head = Snapshots.versions(up).last
+            if (head > cursor) {
+              val ch = Snapshots.tableChanges(sp, up, cursor, head,
+                Seq("o_orderkey"))
+              val delta = ch.filter(!col("deleted"))
+                .withColumn("sgn",
+                  when(col("_change_type").isin("insert", "update_postimage"),
+                    1L).otherwise(-1L))
+                .groupBy(col("o_orderstatus").as("status"))
+                .agg(sum(col("sgn")).as("dn"),
+                  sum(when(col("sgn") === 1L, col("o_totalprice"))
+                    .otherwise(-col("o_totalprice")).cast(dec)).as("drev"))
+              val prev = Snapshots.read(sp, mart)
+                .select(col("status"), col("n_live").as("dn"),
+                  col("rev_dec").as("drev"))
+              val merged = prev.unionByName(delta)
+                .groupBy(col("status"))
+                .agg(sum(col("dn")).as("n_live"),
+                  sum(col("drev")).cast(dec).as("rev_dec"))
+                .filter(col("n_live") > 0)
+              // (3) mart + cursor advance as ONE transaction
+              val curDf = sp.range(head, head + 1)
+                .select(col("id").as("last_version"))
+              Snapshots.commitTxn(wh, Seq((merged, mart), (curDf, cur)),
+                s"cdf-$cursor-$head")
+              ()
+            }
+          }
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val live = Snapshots.read(spark, up).filter(!col("deleted"))
+    val recompute = live.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_chk"),
+        sum(col("o_totalprice").cast(dec)).cast(dec).as("rev_chk"))
+    val cursorFinal = Snapshots.read(spark, cur).head().getLong(0)
+    val headFinal = Snapshots.versions(up).last
+    Snapshots.read(spark, mart).join(recompute, Seq("status"))
+      .select(col("status"), col("n_live"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("n_live") === col("n_chk") &&
+          col("rev_dec") === col("rev_chk")).as("matches_recompute"),
+        lit(Snapshots.versions(up).size.toLong).as("up_versions"),
+        lit(Snapshots.versions(mart).size.toLong).as("mart_versions"),
+        lit(cursorFinal == headFinal).as("cursor_at_head"))
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st25_stream_cdf" -> (st25StreamCdf _),
     "st24_two_sink_txn" -> (st24StreamTwoSinkTxn _),
     "st23_stream_schema_drift" -> (st23StreamSchemaDrift _),
     "st22_stream_ann_ingest" -> (st22StreamAnnIngest _),
@@ -1655,6 +1791,25 @@ object EventStream {
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    // st25: the final upstream state is pure key arithmetic (keys
+    // %7==0 deleted, %5==0 at +100, else base — seq LWW makes it
+    // batch-order-independent), the CDF-maintained mart telescopes
+    // to exactly that state, and the pinned constants are the
+    // 16-file / 4-per-trigger landing (4 batches + 1 seed each side)
+    "st25_stream_cdf" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice +
+        |      CASE WHEN o_orderkey % 5 = 0 THEN 100.0 ELSE 0.0 END AS price
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderstatus AS status, COUNT(*) AS n_live,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  TRUE AS matches_recompute,
+        |  CAST(5 AS BIGINT) AS up_versions,
+        |  CAST(5 AS BIGINT) AS mart_versions,
+        |  TRUE AS cursor_at_head
+        |FROM fin GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // st24: the mart accumulates in DECIMAL, so totals are batch-
     // structure-invariant — the oracle knows nothing of the split;
     // version counts are the 16-file / 4-per-trigger arithmetic and

@@ -494,6 +494,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Similarity.committedAppendTags(idxDir) == Set("b7"))
   }
 
+  test("s18 compaction: one file per cell, serves bit-identical, ledgered tags still no-op") {
+    import graft.operators.Similarity
+    val idxDir = graft.TempDirs.scratch("graft-ann-compact-spec")
+    val e = Tables(spark, sf, "embeddings")
+    Similarity.buildAnnIndex(spark, sf, idxDir,
+      corpus = Some(e.filter(col("vec_id") % 5 =!= 4)))
+    val batch = e.filter(col("vec_id") % 5 === 4)
+    Similarity.appendAnnIndex(spark, idxDir, batch, batchTag = Some("c1"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def serve() = Similarity.annServe(spark, idxDir, q, 2, 5)
+      .collect().map(_.toString).sorted.toSeq
+    val pre = serve()
+    val rowsPre = spark.read.parquet(s"$idxDir/postings").count()
+    Similarity.compactAnnIndex(spark, idxDir)
+    // layout: exactly one parquet file under every cell directory
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(s"$idxDir/postings")
+    val cells = java.nio.file.Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("cell_id=")).toList
+    assert(cells.nonEmpty)
+    cells.foreach { cd =>
+      val n = java.nio.file.Files.list(cd).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+      assert(n == 1, s"${cd.getFileName} holds $n files after compaction")
+    }
+    assert(spark.read.parquet(s"$idxDir/postings").count() == rowsPre)
+    assert(serve() == pre, "compaction changed a served answer")
+    // exactly-once survives compaction: the ledgered tag replays as a
+    // no-op even though its tag-named files no longer exist
+    Similarity.appendAnnIndex(spark, idxDir, batch, batchTag = Some("c1"))
+    assert(spark.read.parquet(s"$idxDir/postings").count() == rowsPre,
+      "a ledgered tag re-applied after compaction")
+  }
+
   test("s16 SQ8: contiguous ranks, exact sims dominate their rank order, high recall vs brute force") {
     import graft.functions.GraftFunctions
     val out = graft.operators.Similarity.s16Sq8Search(spark, sf).collect()

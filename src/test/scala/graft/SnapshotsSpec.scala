@@ -495,6 +495,55 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.versions(mart) == Seq(2L))
   }
 
+  test("ANALYZE: versioned column stats, loud pre-analyze $stats, stats-steered broadcast") {
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-stats-spec")
+    val t = s"$wh/dim"
+    Snapshots.commit(
+      Seq((1L, "a", 1.5), (2L, null.asInstanceOf[String], 2.5),
+        (3L, "ccc", 3.5)).toDF("k", "s", "x"), t)
+    // serving absent stats silently is how planners pick bad joins
+    intercept[IllegalArgumentException] { Snapshots.statsTable(spark, t) }
+    Snapshots.analyzeTable(spark, t)
+    val st = Snapshots.statsTable(spark, t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st("k").getLong(2) == 3 && st("k").getLong(3) == 0)
+    assert(st("k").getString(5) == "1" && st("k").getString(6) == "3")
+    assert(st("s").getLong(3) == 1, "one null in s")
+    assert(st("s").getLong(4) == 2, "exact NDV excludes nulls")
+    assert(st("s").getDouble(7) == 2.0, "avg_len over non-null strings")
+    assert(st("x").getString(5) == "1.50" && st("x").getString(6) == "3.50",
+      "fractional min/max land at DECIMAL(18,2)")
+    assert(Snapshots.analyzedRowCount(spark, t).contains(3L))
+    // stats are VERSIONED: a later un-analyzed commit serves the old
+    // (explicitly versioned) stats rather than silently recomputing
+    Snapshots.commit(Seq((9L, "z", 9.9)).toDF("k", "s", "x"), t)
+    assert(Snapshots.statsTable(spark, t)
+      .select("analyzed_version").head().getLong(0) == 1L)
+    // the stored stats steer the facade's join planning with BOTH
+    // size-based broadcast paths off
+    Snapshots.commit(spark.range(500).select(col("id").as("k"),
+      (col("id") % 3).as("v")), s"$wh/fact")
+    val s2 = org.apache.spark.sql.GraftShims.cloneWithConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    def planOf(sql: String): String = {
+      val df = Engine.sqlWarehouse(s2, wh, sql)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val joined =
+      "SELECT COUNT(*) AS n FROM fact f JOIN dim d ON f.k = d.k"
+    assert(planOf(joined).contains("BroadcastHashJoin"),
+      "ANALYZEd-small dim must broadcast")
+    // the same join against a never-analyzed twin sort-merges
+    Snapshots.commit(Seq((1L, "a", 1.5)).toDF("k", "s", "x"), s"$wh/dim2")
+    assert(!planOf(
+      "SELECT COUNT(*) AS n FROM fact f JOIN dim2 d ON f.k = d.k")
+      .contains("BroadcastHashJoin"),
+      "without stats and with size-broadcast off, no broadcast")
+  }
+
   test("addColumn with initial-default: pre-add snapshots serve the default, not null") {
     import org.apache.spark.sql.types.{IntegerType, StringType}
     import spark.implicits._

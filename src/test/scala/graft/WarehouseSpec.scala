@@ -359,6 +359,39 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Sources.statsOnlyAnswer(p) == fromStats)
   }
 
+  test("facade DML: rows_affected exact, loud wrong-store and duplicate-CTAS errors, both stores listed") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-dml-spec")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"),
+      Engine.tableDir(wh, "raw.src"))
+    def sql(q: String) = Engine.sqlWarehouse(spark, wh, q)
+    val created = sql("CREATE TABLE lake.t AS SELECT k, s FROM raw.src").head()
+    assert(created.getString(1) == "create" && created.getLong(2) == 3L)
+    val ins = sql("INSERT INTO lake.t SELECT k + 10 AS k, s FROM raw.src").head()
+    assert(ins.getLong(2) == 3L)
+    val upd = sql("UPDATE lake.t SET s = concat(s, '!') WHERE k > 10").head()
+    assert(upd.getString(1) == "update" && upd.getLong(2) == 3L)
+    val del = sql("DELETE FROM lake.t WHERE k = 2").head()
+    assert(del.getString(1) == "delete" && del.getLong(2) == 1L)
+    // zero-match DML: affected 0, view unchanged
+    assert(sql("DELETE FROM lake.t WHERE k = 999").head().getLong(2) == 0L)
+    val rows = sql("SELECT k, s FROM lake.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (3L, "c"),
+      (11L, "a!"), (12L, "b!"), (13L, "c!")))
+    // wrong store and duplicate CTAS fail loudly, leaving no trace
+    intercept[IllegalArgumentException] {
+      sql("DELETE FROM raw.src WHERE k = 1") }
+    intercept[IllegalArgumentException] {
+      sql("CREATE TABLE lake.t AS SELECT k, s FROM raw.src") }
+    assert(sql("SELECT COUNT(*) AS n FROM raw.src").head().getLong(0) == 3L)
+    // SHOW TABLES sees the MoR table next to the snapshot table
+    val listed = sql("SHOW TABLES").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(listed == Set(("raw", "src"), ("lake", "t")))
+  }
+
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
     import spark.implicits._
     import graft.operators.Ivm
