@@ -386,6 +386,34 @@ object Engine {
     Seq((table, op, n)).toDF("table_name", "operation", "rows_affected")
   }
 
+  // CREATE VIEW / DROP VIEW / SHOW VIEWS — named logical views in the
+  // warehouse catalog (the dbt `view` materialization at the SQL
+  // surface, p20's semantic: a view RE-RESOLVES against the current
+  // table state on every query, a table stays pinned). Definitions
+  // live in a `_views` ledger (name + base64 SQL — SQL text may carry
+  // any byte); they resolve in creation order, so a definition may
+  // reference tables and EARLIER views only (later- or self-reference
+  // fails loudly at CREATE validation — cycles are unrepresentable).
+  private val CreateView =
+    """(?is)^\s*CREATE\s+VIEW\s+([A-Za-z_][A-Za-z0-9_.]*)\s+AS\s+(SELECT\b.*)$""".r
+  private val DropView =
+    """(?is)^\s*DROP\s+VIEW\s+([A-Za-z_][A-Za-z0-9_.]*)\s*$""".r
+  private val ShowViews = """(?is)^\s*SHOW\s+VIEWS\s*$""".r
+
+  private def viewsLedger(wh: String) =
+    java.nio.file.Paths.get(wh, "_views")
+
+  private def viewDefs(wh: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val p = viewsLedger(wh)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else java.nio.file.Files.readAllLines(p).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(n, b64) = line.split('\t')
+        n -> new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+      }
+  }
+
   /** `SHOW TABLES [IN <db>]` — the catalog listing a Kyuubi user
     * types first (reference: namespace-per-database convention,
     * docs/components/iceberg.md:6-7): one row per warehouse table
@@ -413,8 +441,52 @@ object Engine {
   }
 
   def sqlWarehouse(spark: SparkSession, warehouseDir: String,
-      query: String): DataFrame = {
+      query: String): DataFrame =
+    sqlWarehouse0(spark, warehouseDir, query, withViews = true)
+
+  /** `withViews = false` is the view-definition resolution path: it
+    * skips the registration loop (the loop itself is registering, in
+    * ledger order — earlier views are already temp views when a later
+    * definition resolves), which is what makes view-over-view legal
+    * and self/forward reference a loud failure instead of recursion.
+    */
+  private def sqlWarehouse0(spark: SparkSession, warehouseDir: String,
+      query: String, withViews: Boolean): DataFrame = {
     query match {
+      case CreateView(name, select) =>
+        require(warehouseEntries(warehouseDir).forall(_._1 != name) &&
+          viewDefs(warehouseDir).forall(_._1 != name),
+          s"CREATE VIEW: '$name' already exists")
+        // validate NOW — a broken definition must fail at CREATE,
+        // not at some later reader's query
+        sqlWarehouse0(spark, warehouseDir, select, withViews = true).schema
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(select.getBytes("UTF-8"))
+        java.nio.file.Files.write(viewsLedger(warehouseDir),
+          s"$name\t$b64\n".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        import spark.implicits._
+        return Seq((name, "create_view")).toDF("view_name", "operation")
+      case DropView(name) =>
+        val defs = viewDefs(warehouseDir)
+        require(defs.exists(_._1 == name), s"DROP VIEW: unknown view '$name'")
+        val kept = defs.filter(_._1 != name).map { case (n, s) =>
+          s"$n\t${java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))}"
+        }
+        java.nio.file.Files.write(viewsLedger(warehouseDir),
+          kept.mkString("", "\n", if (kept.isEmpty) "" else "\n")
+            .getBytes("UTF-8"))
+        import spark.implicits._
+        return Seq((name, "drop_view")).toDF("view_name", "operation")
+      case ShowViews() =>
+        import spark.implicits._
+        return viewDefs(warehouseDir).map { case (n, _) =>
+          n.split('.') match {
+            case Array(db, t) => (db, t)
+            case _ => ("default", n)
+          }
+        }.sortBy(identity).toDF("namespace", "view_name")
       case CallProc(proc, args) =>
         return callProcedure(spark, warehouseDir, proc, args)
       case ShowTables(db) =>
@@ -462,10 +534,16 @@ object Engine {
     }
     openWarehouse(spark, warehouseDir)
     val entries = warehouseEntries(warehouseDir)
+    val defs = viewDefs(warehouseDir)
+    if (withViews)
+      defs.foreach { case (n, sql) =>
+        sqlWarehouse0(spark, warehouseDir, sql, withViews = false)
+          .createOrReplaceTempView(viewName(n))
+      }
     val dirs: Map[String, String] =
       entries.map { case (n, d) => viewName(n) -> d }.toMap
     val qualified: Set[String] =
-      entries.collect { case (n, _) if n.contains('.') => n }.toSet
+      (entries.map(_._1) ++ defs.map(_._1)).filter(_.contains('.')).toSet
     val tables = dirs.keySet
     val afterNs = QualifiedTable.replaceAllIn(query, m => {
       val q0 = s"${m.group(1)}.${m.group(2)}"
@@ -525,8 +603,13 @@ object Engine {
       else if (m.group(2) != null) {
         val v = m.group(2).toLong
         val view = s"${t}__v$v"
-        graft.sources.Snapshots.read(spark, dirs(t), v)
-          .createOrReplaceTempView(view)
+        // numeric travel works on BOTH stores: snapshot version, or
+        // MoR commit id (the ledger replay up to that commit — so a
+        // pre-DELETE read shows the GDPR'd rows, the audit view)
+        val travelled =
+          if (isMorTable(dirs(t))) graft.sources.Mor.read(spark, dirs(t), v)
+          else graft.sources.Snapshots.read(spark, dirs(t), v)
+        travelled.createOrReplaceTempView(view)
         view
       } else {
         // Iceberg's ref-name travel: VERSION AS OF '<branch|tag>'

@@ -1642,6 +1642,97 @@ object Warehouse {
       .orderBy(col("status"))
   }
 
+  /** q111: TIME TRAVEL OVER DML — `VERSION AS OF <commit>` on a
+    * merge-on-read table through the facade: the GDPR-audit read
+    * (lakehouse.md:108's `DELETE FROM` is metadata-only, so the
+    * PRE-delete commit still serves the deleted rows — time travel
+    * and right-to-be-forgotten interplay, the same tension q76
+    * resolves for the snapshot store with purge). A CTAS lands the
+    * base (commit 1), a DELETE retires keys ≡3 mod 10 (commit 2,
+    * position-delete); the same aggregate runs AS OF 1 (audit: all
+    * rows) and at the head (deleted rows gone). Both legs restate
+    * from key arithmetic. Travel on MoR = ledger replay up to the
+    * named commit — no data copied, any commit point readable.
+    */
+  def q111MorTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-mor-travel")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    Snapshots.commit(orders, graft.Engine.tableDir(wh, "sales.orders"))
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    sql("""CREATE TABLE gdpr.user_orders AS
+          |SELECT o_orderkey, o_custkey AS user_id,
+          |  o_orderstatus AS status, o_totalprice AS price
+          |FROM sales.orders""".stripMargin)
+    sql("DELETE FROM gdpr.user_orders WHERE user_id % 10 = 3")
+    def leg(name: String, from: String) =
+      sql(s"""SELECT status, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM $from GROUP BY status""".stripMargin)
+        .withColumn("leg", lit(name))
+    leg("audit", "gdpr.user_orders VERSION AS OF 1")
+      .unionByName(leg("current", "gdpr.user_orders"))
+      .select(col("leg"), col("status"), col("n_orders"), col("revenue"))
+      .orderBy(col("leg"), col("status"))
+  }
+
+  /** q112: CATALOG VIEWS — CREATE VIEW / DROP VIEW / SHOW VIEWS at
+    * the SQL surface (dbt's `view` materialization brought to the
+    * catalog, p20's semantic one level up): a view definition lives
+    * in the warehouse's `_views` ledger and RE-RESOLVES against the
+    * current table state on every query — after an INSERT INTO the
+    * MoR base, the same view serves the new rows with no refresh
+    * step (the table/view distinction that IS dbt's materialization
+    * choice). View-over-view composes (ledger order; forward/self
+    * reference fails loudly at CREATE — cycles unrepresentable).
+    * Gate: the same view aggregated before and after the insert,
+    * plus SHOW VIEWS counts across a DROP — all restated from key
+    * arithmetic and pinned constants. Views are pure metadata: at
+    * 100 TB a view costs its SELECT at query time, nothing at rest.
+    */
+  def q112SqlViews(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-views")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    Snapshots.commit(orders, graft.Engine.tableDir(wh, "sales.orders"))
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    sql("""CREATE TABLE lake.orders AS
+          |SELECT o_orderkey, o_orderstatus AS status,
+          |  o_totalprice AS price
+          |FROM sales.orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    sql("""CREATE VIEW lake.order_stats AS
+          |SELECT status, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM lake.orders GROUP BY status""".stripMargin)
+    // view-over-view: ledger order makes earlier views referencable
+    sql("""CREATE VIEW lake.top_stats AS
+          |SELECT status, n_orders, revenue FROM lake.order_stats
+          |WHERE n_orders > 0""".stripMargin)
+    val pre = sql("SELECT * FROM lake.top_stats")
+      .withColumn("leg", lit("pre_insert")).collect().toSeq
+    sql("""INSERT INTO lake.orders
+          |SELECT o_orderkey, o_orderstatus AS status,
+          |  o_totalprice AS price
+          |FROM sales.orders WHERE o_orderkey % 2 = 1""".stripMargin)
+    val post = sql("SELECT * FROM lake.top_stats")
+      .withColumn("leg", lit("post_insert"))
+    val nBefore = sql("SHOW VIEWS").count()
+    sql("DROP VIEW lake.top_stats")
+    val nAfter = sql("SHOW VIEWS").count()
+    val preDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pre), post.schema)
+    preDf.unionByName(post)
+      .select(col("leg"), col("status"), col("n_orders"), col("revenue"),
+        lit(nBefore).as("views_before_drop"),
+        lit(nAfter).as("views_after_drop"))
+      .orderBy(col("leg").desc, col("status"))
+  }
+
   /** q95: real `$partitions` over a HIVE-PARTITIONED snapshot — the
     * per-partition record/file/byte debugging table operators
     * actually use (Iceberg's `$partitions`; reference read path
@@ -1764,6 +1855,8 @@ object Warehouse {
     "q108_analyze_stats" -> (q108AnalyzeStats _),
     "q109_stats_broadcast" -> (q109StatsBroadcast _),
     "q110_sql_dml" -> (q110SqlDml _),
+    "q111_mor_travel" -> (q111MorTravel _),
+    "q112_sql_views" -> (q112SqlViews _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
@@ -2002,6 +2095,37 @@ object Warehouse {
         |  TRUE AS base_untouched
         |FROM fin GROUP BY status
         |ORDER BY status""".stripMargin,
+    // q111: the audit leg is every order, the current leg drops
+    // %10==3 users — both pure key arithmetic
+    "q111_mor_travel" ->
+      """SELECT 'audit' AS leg, o_orderstatus AS status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'current', o_orderstatus, COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_custkey % 10 <> 3 GROUP BY o_orderstatus
+        |ORDER BY leg, status""".stripMargin,
+    // q112: the pre leg aggregates evens only, the post leg all
+    // orders (the re-resolution semantic); view counts pinned 2 → 1
+    "q112_sql_views" ->
+      """WITH legs AS (
+        |  SELECT 'pre_insert' AS leg, o_orderstatus AS status,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'post_insert', o_orderstatus, COUNT(*),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT leg, status, n_orders, revenue,
+        |  CAST(2 AS BIGINT) AS views_before_drop,
+        |  CAST(1 AS BIGINT) AS views_after_drop
+        |FROM legs
+        |ORDER BY leg DESC, status""".stripMargin,
     // q106: all three phases restate from key arithmetic — 'mapped'
     // is every even row under the default, 'post' the real values,
     // 'travel' the pre-add write-time schema

@@ -392,6 +392,35 @@ class WarehouseSpec extends AnyFunSuite {
     assert(listed == Set(("raw", "src"), ("lake", "t")))
   }
 
+  test("catalog views: re-resolve per query, compose in ledger order, fail loudly on bad refs") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-views-spec")
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"),
+      Engine.tableDir(wh, "raw.t"))
+    def sql(q: String) = Engine.sqlWarehouse(spark, wh, q)
+    sql("CREATE VIEW raw.v1 AS SELECT k, x * 2 AS x2 FROM raw.t")
+    sql("CREATE VIEW raw.v2 AS SELECT SUM(x2) AS s FROM raw.v1")
+    assert(sql("SELECT s FROM raw.v2").head().getDouble(0) == 60.0)
+    // a view tracks the CURRENT base state — no refresh step
+    sql("CREATE TABLE raw.m AS SELECT k, x FROM raw.t")
+    sql("CREATE VIEW raw.vm AS SELECT SUM(x) AS s FROM raw.m")
+    assert(sql("SELECT s FROM raw.vm").head().getDouble(0) == 30.0)
+    sql("INSERT INTO raw.m SELECT k + 10 AS k, x FROM raw.t")
+    assert(sql("SELECT s FROM raw.vm").head().getDouble(0) == 60.0)
+    // duplicate name, self/forward reference, unknown DROP: all loud
+    intercept[IllegalArgumentException] {
+      sql("CREATE VIEW raw.v1 AS SELECT 1 AS one") }
+    intercept[Exception] {
+      sql("CREATE VIEW raw.bad AS SELECT * FROM raw.bad") }
+    assert(sql("SHOW VIEWS").count() == 3,
+      "a failed CREATE VIEW must leave no ledger entry")
+    intercept[IllegalArgumentException] { sql("DROP VIEW raw.nope") }
+    // a view name must not shadow a table name
+    intercept[IllegalArgumentException] {
+      sql("CREATE VIEW raw.t AS SELECT 1 AS one") }
+  }
+
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
     import spark.implicits._
     import graft.operators.Ivm
