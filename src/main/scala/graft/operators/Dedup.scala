@@ -59,16 +59,33 @@ object Dedup {
     * candidate sides.
     */
   private def d02From(sh: DataFrame): DataFrame = {
-    // ONE-pass pruned inverted index with a BOUNDED buffer: the doc
-    // lists are aggregated by [[graft.functions.CollectCapped]], whose
-    // buffer physically stops at 51 elements, so a hyper-frequent
-    // shingle (a stop-word 3-gram at 100 TB) can never materialize its
-    // full doc list in memory — it surfaces as a 51-length list and
-    // the df-filter below drops it, exactly what a separate df-count
-    // pass + semi-join would keep (groups ≤ 50 are collected in full,
-    // order-independent) at half the shingle explosions and one fewer
-    // shuffle. Pairs are then generated MAP-SIDE from each
-    // ≤50-element list (fanout ≤ 1225/gram) — no index self-join.
+    val j = pairStats(sh)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_grams_a") + col("n_grams_b") - col("n_common")).cast("double"))
+    j.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20)
+      .withColumn("pair_rank",
+        row_number().over(Window.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))))
+      .select(col("pair_rank"), col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_grams_a"), col("n_grams_b"), col("jaccard"))
+      .orderBy(col("pair_rank"))
+  }
+
+  /** Per-pair intersection stats (doc_a < doc_b, n_common,
+    * n_grams_a/b) from a shingle table — the shared core of d02's
+    * Jaccard and d17's containment scoring. ONE-pass pruned inverted
+    * index with a BOUNDED buffer: the doc lists are aggregated by
+    * [[graft.functions.CollectCapped]], whose buffer physically stops
+    * at 51 elements, so a hyper-frequent shingle (a stop-word 3-gram
+    * at 100 TB) can never materialize its full doc list in memory —
+    * it surfaces as a 51-length list and the df-filter below drops
+    * it, exactly what a separate df-count pass + semi-join would keep
+    * (groups ≤ 50 are collected in full, order-independent) at half
+    * the shingle explosions and one fewer shuffle. Pairs are then
+    * generated MAP-SIDE from each ≤50-element list (fanout ≤
+    * 1225/gram) — no index self-join.
+    */
+  private def pairStats(sh: DataFrame): DataFrame = {
     val grouped = graft.Caches.scoped(
       sh.groupBy(col("source"), col("g"))
         .agg(graft.functions.GraftFunctions
@@ -81,17 +98,43 @@ object Dedup {
     val pairs = grouped.select(explode(pairArr).as("p"))
       .groupBy(col("p.da").as("doc_a"), col("p.db").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    val j = pairs
+    pairs
       .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("n_grams_a")), Seq("doc_a"))
       .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("n_grams_b")), Seq("doc_b"))
+  }
+
+  /** d17: CONTAINMENT (overlap-coefficient) near-dup detection — the
+    * asymmetric case Jaccard structurally misses: a short document
+    * embedded in a long one (quoted article, boilerplate-wrapped
+    * copy) shares most of ITS shingles but a tiny fraction of the
+    * union, so J = |A∩B|/|A∪B| stays low while the overlap
+    * coefficient O = |A∩B|/min(|A|,|B|) ≈ 1 (Broder's containment,
+    * the reason dedup suites score both). Same df-pruned
+    * source-blocked inverted index as d02 ([[pairStats]] — shared
+    * core, one implementation to keep honest), scored by O with J
+    * alongside so the divergence is visible in-result, plus the
+    * CONTAINED side (the smaller shingle set — the doc a curator
+    * would drop). Top-20 by (O desc, ids). Same 100 TB shape as d02:
+    * Σ df² bounded fanout, map-side pair generation.
+    */
+  def d17Containment(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val o = pairStats(shingles(docs(spark, dir)))
+      .withColumn("overlap",
+        col("n_common").cast("double") /
+          least(col("n_grams_a"), col("n_grams_b")).cast("double"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_grams_a") + col("n_grams_b") - col("n_common")).cast("double"))
-    j.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(20)
-      .withColumn("pair_rank",
-        row_number().over(Window.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))))
-      .select(col("pair_rank"), col("doc_a"), col("doc_b"), col("n_common"),
-        col("n_grams_a"), col("n_grams_b"), col("jaccard"))
+      .withColumn("contained_doc",
+        when(col("n_grams_a") <= col("n_grams_b"), col("doc_a"))
+          .otherwise(col("doc_b")))
+    o.orderBy(col("overlap").desc, col("doc_a"), col("doc_b")).limit(20)
+      .withColumn("pair_rank", row_number().over(
+        Window.orderBy(col("overlap").desc, col("doc_a"), col("doc_b"))))
+      .select(col("pair_rank"), col("doc_a"), col("doc_b"),
+        col("contained_doc"), col("n_common"), col("n_grams_a"),
+        col("n_grams_b"), col("overlap"), col("jaccard"))
       .orderBy(col("pair_rank"))
   }
 
@@ -1006,6 +1049,7 @@ object Dedup {
     "d11_dup_spans" -> (d11DupSpans _),
     "d01_dedup_exact" -> (d01DedupExact _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
+    "d17_containment" -> (d17Containment _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
     "d04_simhash" -> (d04Simhash _),
     "d05_embedding_dup" -> (d05EmbeddingDup _),
@@ -1441,6 +1485,35 @@ object Dedup {
         |SELECT ROW_NUMBER() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS pair_rank,
         |  doc_a, doc_b, n_common, n_grams_a, n_grams_b, jaccard
         |FROM j
+        |QUALIFY pair_rank <= 20
+        |ORDER BY pair_rank""".stripMargin,
+    // d17: d02's chain re-ranked by the overlap coefficient, with
+    // the contained (smaller) side named per pair
+    "d17_containment" ->
+      """WITH raw AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(text)-1), i -> substring(text, i, 3))) AS g
+        |  FROM documents WHERE len(text) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, source, g FROM raw),
+        |dfc AS (SELECT source, g FROM sh GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+        |kept AS (SELECT sh.* FROM sh JOIN dfc USING (source, g)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM kept a JOIN kept b
+        |    ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT doc_a, doc_b,
+        |    CASE WHEN ca.n <= cb.n THEN doc_a ELSE doc_b END AS contained_doc,
+        |    n_common, ca.n AS n_grams_a, cb.n AS n_grams_b,
+        |    CAST(n_common AS DOUBLE)/CAST(least(ca.n, cb.n) AS DOUBLE) AS overlap,
+        |    CAST(n_common AS DOUBLE)/CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+        |  FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+        |SELECT ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_a, doc_b) AS pair_rank,
+        |  doc_a, doc_b, contained_doc, n_common, n_grams_a, n_grams_b,
+        |  overlap, jaccard
+        |FROM o
         |QUALIFY pair_rank <= 20
         |ORDER BY pair_rank""".stripMargin,
     // d09 = d02's exact truth chain (d-prefixed CTEs) left-joined
