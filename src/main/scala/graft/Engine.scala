@@ -386,6 +386,27 @@ object Engine {
     Seq((table, op, n)).toDF("table_name", "operation", "rows_affected")
   }
 
+  // ALTER TABLE — the SQL spelling of the by-id schema ledger
+  // (reference: the lakehouse schema-evolution matrix, docs/
+  // architecture/lakehouse.md:83-89 — add/rename/drop/compatible-
+  // type-change, all metadata-only "tracked via field IDs"). Each
+  // statement appends ONE ledger entry; no data file is touched;
+  // explicit-version travel keeps every snapshot's write-time schema.
+  private val AlterRename =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+  private val AlterAddCol =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+ADD\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z][A-Za-z0-9_(),\s]*?)(?:\s+DEFAULT\s+(.+?))?\s*$""".r
+  private val AlterColType =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+([A-Za-z][A-Za-z0-9_(),\s]*?)\s*$""".r
+  private val AlterDropCol =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+DROP\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+
+  private def ddlResult(spark: SparkSession, table: String, op: String,
+      detail: String): DataFrame = {
+    import spark.implicits._
+    Seq((table, op, detail)).toDF("table_name", "operation", "detail")
+  }
+
   // CREATE VIEW / DROP VIEW / SHOW VIEWS — named logical views in the
   // warehouse catalog (the dbt `view` materialization at the SQL
   // surface, p20's semantic: a view RE-RESOLVES against the current
@@ -497,6 +518,28 @@ object Engine {
           .map(_._2).getOrElse(throw new IllegalArgumentException(
             s"ANALYZE TABLE: unknown table '$table'"))
         return graft.sources.Snapshots.analyzeTable(spark, dir)
+      case AlterRename(name, from, to) =>
+        graft.sources.Snapshots.renameColumn(
+          existingDir(warehouseDir, name, "ALTER TABLE"), from, to)
+        return ddlResult(spark, name, "rename_column", s"$from -> $to")
+      case AlterAddCol(name, colName, typeText, defaultText) =>
+        graft.sources.Snapshots.addColumn(
+          existingDir(warehouseDir, name, "ALTER TABLE"), colName,
+          org.apache.spark.sql.types.DataType.fromDDL(typeText.trim),
+          Option(defaultText))
+        return ddlResult(spark, name, "add_column",
+          s"$colName ${typeText.trim}" +
+            Option(defaultText).fold("")(d => s" default $d"))
+      case AlterColType(name, colName, typeText) =>
+        graft.sources.Snapshots.widenColumn(
+          existingDir(warehouseDir, name, "ALTER TABLE"), colName,
+          org.apache.spark.sql.types.DataType.fromDDL(typeText.trim))
+        return ddlResult(spark, name, "widen_column",
+          s"$colName -> ${typeText.trim}")
+      case AlterDropCol(name, colName) =>
+        graft.sources.Snapshots.dropColumn(
+          existingDir(warehouseDir, name, "ALTER TABLE"), colName)
+        return ddlResult(spark, name, "drop_column", colName)
       case CreateTableAs(name, select) =>
         import graft.sources.Mor
         val dir = tableDir(warehouseDir, name)

@@ -1733,6 +1733,56 @@ object Warehouse {
       .orderBy(col("leg").desc, col("status"))
   }
 
+  /** q113: ALTER TABLE DDL — the SQL spelling of the by-id schema
+    * ledger (the reference's schema-evolution matrix verbatim:
+    * add / rename / drop / compatible type change, all "tracked via
+    * field IDs", docs/architecture/lakehouse.md:83-89; q96/q97/q106
+    * exposed these as API — this is the statement a Kyuubi user
+    * types). Four ALTERs run through the facade — RENAME COLUMN,
+    * ADD COLUMN … DEFAULT, ALTER COLUMN … TYPE (widen int→bigint),
+    * DROP COLUMN — each ONE metadata line, zero data paths touched.
+    * The gate aggregates the CURRENT view (new names, widened sums,
+    * served default, dropped column gone) and the `VERSION AS OF 1`
+    * view (write-time schema: old name, original type, no added
+    * column), both restated from key arithmetic; per-leg column
+    * counts pin the shape. Narrowing is rejected at the statement
+    * (spec). At 100 TB every ALTER costs a ledger append.
+    */
+  def q113SqlDdl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-ddl")
+    val base = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"),
+        (col("o_orderkey") % 50 + 1).cast("int").as("qty"))
+    Snapshots.commit(base, graft.Engine.tableDir(wh, "lake.t"))
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    sql("ALTER TABLE lake.t RENAME COLUMN status TO order_status")
+    sql("ALTER TABLE lake.t ADD COLUMN channel STRING DEFAULT 'store'")
+    sql("ALTER TABLE lake.t ALTER COLUMN qty TYPE BIGINT")
+    sql("ALTER TABLE lake.t DROP COLUMN price")
+    val cur = sql(
+      """SELECT order_status, channel, COUNT(*) AS n_orders,
+        |  SUM(qty) AS total_qty
+        |FROM lake.t GROUP BY order_status, channel""".stripMargin)
+      .withColumn("leg", lit("current"))
+      .withColumn("n_cols",
+        lit(sql("SELECT * FROM lake.t").columns.length.toLong))
+    val v1 = sql(
+      """SELECT status AS order_status, '(absent)' AS channel,
+        |  COUNT(*) AS n_orders, SUM(qty) AS total_qty
+        |FROM lake.t VERSION AS OF 1
+        |GROUP BY status""".stripMargin)
+      .withColumn("leg", lit("v1"))
+      .withColumn("n_cols",
+        lit(sql("SELECT * FROM lake.t VERSION AS OF 1").columns.length.toLong))
+    cur.unionByName(v1)
+      .select(col("leg"), col("order_status"), col("channel"),
+        col("n_orders"), col("total_qty"), col("n_cols"))
+      .orderBy(col("leg"), col("order_status"))
+  }
+
   /** q95: real `$partitions` over a HIVE-PARTITIONED snapshot — the
     * per-partition record/file/byte debugging table operators
     * actually use (Iceberg's `$partitions`; reference read path
@@ -1857,6 +1907,7 @@ object Warehouse {
     "q110_sql_dml" -> (q110SqlDml _),
     "q111_mor_travel" -> (q111MorTravel _),
     "q112_sql_views" -> (q112SqlViews _),
+    "q113_sql_ddl" -> (q113SqlDdl _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
@@ -2095,6 +2146,25 @@ object Warehouse {
         |  TRUE AS base_untouched
         |FROM fin GROUP BY status
         |ORDER BY status""".stripMargin,
+    // q113: both legs from key arithmetic — SUM(qty) is identical in
+    // both (widening changes the type, never a value); the v1 leg
+    // keeps the 4-column write-time shape, the current leg is also 4
+    // (rename/widen in place, +channel, −price)
+    "q113_sql_ddl" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus AS status,
+        |    (o_orderkey % 50 + 1) AS qty
+        |  FROM orders)
+        |SELECT 'current' AS leg, status AS order_status,
+        |  'store' AS channel, COUNT(*) AS n_orders,
+        |  CAST(SUM(qty) AS BIGINT) AS total_qty,
+        |  CAST(4 AS BIGINT) AS n_cols
+        |FROM t GROUP BY status
+        |UNION ALL
+        |SELECT 'v1', status, '(absent)', COUNT(*),
+        |  CAST(SUM(qty) AS BIGINT), CAST(4 AS BIGINT)
+        |FROM t GROUP BY status
+        |ORDER BY leg, order_status""".stripMargin,
     // q111: the audit leg is every order, the current leg drops
     // %10==3 users — both pure key arithmetic
     "q111_mor_travel" ->

@@ -421,6 +421,38 @@ class WarehouseSpec extends AnyFunSuite {
       sql("CREATE VIEW raw.t AS SELECT 1 AS one") }
   }
 
+  test("ALTER TABLE DDL: metadata-only, narrowing and unknown columns rejected loudly") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-ddl-spec")
+    val t = Engine.tableDir(wh, "lake.t")
+    Snapshots.commit(Seq((1L, 10, "x"), (2L, 20, "y")).toDF("k", "q", "s"), t)
+    def sql(qq: String) = Engine.sqlWarehouse(spark, wh, qq)
+    def dataBytes(): Long = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(t, "v=1"))
+      try w.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size(_)).sum
+      finally w.close()
+    }
+    val before = dataBytes()
+    sql("ALTER TABLE lake.t RENAME COLUMN q TO qty")
+    sql("ALTER TABLE lake.t ALTER COLUMN qty TYPE BIGINT")
+    sql("ALTER TABLE lake.t ADD COLUMN tier STRING DEFAULT 'bronze'")
+    sql("ALTER TABLE lake.t DROP COLUMN s")
+    assert(dataBytes() == before, "DDL must touch zero data bytes")
+    val rows = sql("SELECT k, qty, tier FROM lake.t ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      == Seq((1L, 10L, "bronze"), (2L, 20L, "bronze")))
+    // narrowing, unknown column, unknown table: all loud
+    intercept[IllegalArgumentException] {
+      sql("ALTER TABLE lake.t ALTER COLUMN qty TYPE INT") }
+    intercept[IllegalArgumentException] {
+      sql("ALTER TABLE lake.t RENAME COLUMN nope TO x") }
+    intercept[IllegalArgumentException] {
+      sql("ALTER TABLE lake.missing DROP COLUMN k") }
+  }
+
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
     import spark.implicits._
     import graft.operators.Ivm
