@@ -407,6 +407,32 @@ object Engine {
     Seq((table, op, detail)).toDF("table_name", "operation", "detail")
   }
 
+  // MERGE INTO — the canonical whole-row Delta/Iceberg spelling over
+  // the copy-on-write merge primitive (`Merge.upsertFull` under
+  // `Snapshots.mergeWith`'s optimistic-retry commit): ON must be key
+  // equalities, matched rows take the whole source row (`UPDATE SET
+  // *`) or DELETE under a condition, unmatched source rows `INSERT *`,
+  // and the two `NOT MATCHED BY SOURCE` actions (DELETE / UPDATE SET)
+  // handle disappeared records. Column-wise SET on MATCHED is out of
+  // scope by design — reshape the source with CREATE VIEW instead
+  // (the composition the view catalog exists for).
+  private val MergeIntoStmt =
+    """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?\s+ON\s+(.+?)\s+(WHEN\s.+)$""".r
+  // the clause-boundary lookahead names the full clause heads so a
+  // CASE WHEN inside a SET expression can never terminate a clause
+  private val WhenClause =
+    """(?is)WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)(?:\s+AND\s+(.+?))?\s+THEN\s+(DELETE|INSERT\s*\*|UPDATE\s+SET\s+(?:\*|.+?))\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)""".r
+  private val OnEquality =
+    """(?:([A-Za-z_][A-Za-z0-9_]*)\.)?([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?:([A-Za-z_][A-Za-z0-9_]*)\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
+
+  /** Strip `alias.` prefixes so clause conditions written against the
+    * MERGE aliases resolve as bare columns inside the primitive.
+    */
+  private def stripAliases(text: String, aliases: Seq[String]): String =
+    aliases.filter(_ != null).foldLeft(text) { (t, a) =>
+      t.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(a)}\\.", "")
+    }
+
   // CREATE VIEW / DROP VIEW / SHOW VIEWS — named logical views in the
   // warehouse catalog (the dbt `view` materialization at the SQL
   // surface, p20's semantic: a view RE-RESOLVES against the current
@@ -540,6 +566,69 @@ object Engine {
         graft.sources.Snapshots.dropColumn(
           existingDir(warehouseDir, name, "ALTER TABLE"), colName)
         return ddlResult(spark, name, "drop_column", colName)
+      case MergeIntoStmt(tName, tAlias, sName, sAlias, onText, whenText) =>
+        import graft.sources.Snapshots
+        val dir = existingDir(warehouseDir, tName, "MERGE INTO")
+        require(!isMorTable(dir),
+          "MERGE INTO targets snapshot (copy-on-write) tables; use " +
+            "INSERT/UPDATE/DELETE for merge-on-read tables")
+        val aliases = Seq(tAlias, sAlias)
+        val keys = OnEquality.findAllMatchIn(onText).map { m =>
+          require(m.group(2) == m.group(4),
+            s"MERGE ON must equate same-named key columns, got " +
+              s"'${m.group(2)}' = '${m.group(4)}'")
+          m.group(2)
+        }.toSeq
+        require(keys.nonEmpty, s"MERGE ON has no key equality: $onText")
+        var matchedUpdate = false
+        var deleteWhen: Option[org.apache.spark.sql.Column] = None
+        var insertAll = false
+        var nmbsDelete: Option[org.apache.spark.sql.Column] = None
+        var nmbsSet: Map[String, org.apache.spark.sql.Column] = Map.empty
+        def condOf(s: String) =
+          org.apache.spark.sql.functions.expr(stripAliases(s, aliases))
+        WhenClause.findAllMatchIn(whenText).foreach { m =>
+          val kind = m.group(1).toLowerCase.replaceAll("\\s+", " ")
+          val cond = Option(m.group(2))
+          val action = m.group(3).trim
+          val actionU = action.toUpperCase.replaceAll("\\s+", " ")
+          (kind, actionU) match {
+            case ("matched", "UPDATE SET *") =>
+              require(cond.isEmpty,
+                "conditional MATCHED UPDATE is unsupported; use a view")
+              matchedUpdate = true
+            case ("matched", "DELETE") =>
+              deleteWhen = Some(cond.map(condOf)
+                .getOrElse(org.apache.spark.sql.functions.lit(true)))
+            case ("not matched", "INSERT *") =>
+              require(cond.isEmpty,
+                "conditional NOT MATCHED INSERT is unsupported; use a view")
+              insertAll = true
+            case ("not matched by source", "DELETE") =>
+              nmbsDelete = Some(cond.map(condOf)
+                .getOrElse(org.apache.spark.sql.functions.lit(true)))
+            case ("not matched by source", a) if a.startsWith("UPDATE SET ") =>
+              require(cond.isEmpty,
+                "fold the condition into the SET expression (CASE WHEN)")
+              nmbsSet = parseAssignments(
+                action.replaceAll("(?is)^UPDATE\\s+SET\\s+", ""))
+                .map { case (c, e) => c -> condOf(e) }.toMap
+            case other => throw new IllegalArgumentException(
+              s"unsupported MERGE clause: WHEN ${m.group(1)} THEN $action")
+          }
+        }
+        require(matchedUpdate && insertAll,
+          "MERGE needs WHEN MATCHED THEN UPDATE SET * and " +
+            "WHEN NOT MATCHED THEN INSERT * (whole-row semantics; " +
+            "reshape the source with CREATE VIEW for anything else)")
+        val srcDf = sqlWarehouse0(spark, warehouseDir,
+          s"SELECT * FROM $sName", withViews = true)
+        val v = Snapshots.mergeWith(spark, dir, srcDf)(
+          (base, src) => graft.operators.Merge.upsertFull(
+            base, src, keys, deleteWhen, nmbsDelete, nmbsSet))
+        import spark.implicits._
+        return Seq((tName, "merge", v))
+          .toDF("table_name", "operation", "committed_version")
       case CreateTableAs(name, select) =>
         import graft.sources.Mor
         val dir = tableDir(warehouseDir, name)

@@ -1783,6 +1783,54 @@ object Warehouse {
       .orderBy(col("leg"), col("order_status"))
   }
 
+  /** q114: MERGE INTO as SQL — the full three-branch grammar (q98's
+    * operator surface) reachable from the statement a warehouse user
+    * actually writes: `WHEN MATCHED THEN UPDATE SET *`, `WHEN NOT
+    * MATCHED THEN INSERT *`, and BOTH `WHEN NOT MATCHED BY SOURCE`
+    * actions (conditional DELETE + UPDATE SET) — running as
+    * `Merge.upsertFull` under `Snapshots.mergeWith`'s
+    * optimistic-retry copy-on-write commit. The source is reshaped
+    * through a CATALOG VIEW (q112) — exactly the composition the
+    * whole-row grammar is designed around (Delta's `UPDATE SET *` /
+    * `INSERT *` spelling). Scenario = q98's dimension sync
+    * (deactivate-disappeared-records), so the oracle is its proven
+    * final-state arithmetic, aggregated. At 100 TB: one shuffled
+    * full-outer on the keys per statement, retried optimistically on
+    * commit races — dbt's incremental-merge economics from plain SQL.
+    */
+  def q114SqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-sqlmerge")
+    val cust = Tables(spark, dir, "customer").select(
+      col("c_custkey").as("k"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").as("balance"))
+    Snapshots.commit(
+      cust.filter(col("k") <= 900).withColumn("is_active", lit(true)),
+      graft.Engine.tableDir(wh, "lake.dim"))
+    Snapshots.commit(cust, graft.Engine.tableDir(wh, "raw.customers"))
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    sql("""CREATE VIEW lake.src AS
+          |SELECT k, segment, balance + 50.0 AS balance,
+          |  true AS is_active
+          |FROM raw.customers
+          |WHERE k BETWEEN 300 AND 1200 AND segment = 'BUILDING'""".stripMargin)
+    sql("""MERGE INTO lake.dim AS t USING lake.src AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE
+          |  AND segment = 'BUILDING' AND balance < 0 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+          |  is_active = CASE WHEN segment = 'BUILDING' THEN false
+          |    ELSE is_active END""".stripMargin)
+    sql("""SELECT segment, COUNT(*) AS n_rows,
+          |  SUM(CASE WHEN is_active THEN 1 ELSE 0 END) AS n_active,
+          |  CAST(SUM(CAST(balance AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_balance
+          |FROM lake.dim GROUP BY segment
+          |ORDER BY segment""".stripMargin)
+  }
+
   /** q95: real `$partitions` over a HIVE-PARTITIONED snapshot — the
     * per-partition record/file/byte debugging table operators
     * actually use (Iceberg's `$partitions`; reference read path
@@ -1908,6 +1956,7 @@ object Warehouse {
     "q111_mor_travel" -> (q111MorTravel _),
     "q112_sql_views" -> (q112SqlViews _),
     "q113_sql_ddl" -> (q113SqlDdl _),
+    "q114_sql_merge" -> (q114SqlMerge _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
@@ -2146,6 +2195,31 @@ object Warehouse {
         |  TRUE AS base_untouched
         |FROM fin GROUP BY status
         |ORDER BY status""".stripMargin,
+    // q114: q98's proven final-state arithmetic, aggregated — in-scope
+    // (BUILDING) rows >= 300 take the +50 restated balance, < 300
+    // deactivate or purge on negative balance, inserts 901-1200,
+    // out-of-scope rows pass through untouched
+    "q114_sql_merge" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS segment,
+        |    c_acctbal AS balance
+        |  FROM customer),
+        |fin AS (
+        |  SELECT k, segment,
+        |    CASE WHEN k >= 300 AND segment = 'BUILDING'
+        |         THEN balance + 50.0 ELSE balance END AS balance,
+        |    NOT (segment = 'BUILDING' AND k < 300) AS is_active
+        |  FROM c
+        |  WHERE (k <= 900
+        |         AND NOT (k < 300 AND segment = 'BUILDING' AND balance < 0))
+        |     OR (k BETWEEN 901 AND 1200 AND segment = 'BUILDING'))
+        |SELECT segment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN is_active THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_active,
+        |  CAST(SUM(CAST(balance AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_balance
+        |FROM fin GROUP BY segment
+        |ORDER BY segment""".stripMargin,
     // q113: both legs from key arithmetic — SUM(qty) is identical in
     // both (widening changes the type, never a value); the v1 leg
     // keeps the 4-column write-time shape, the current leg is also 4

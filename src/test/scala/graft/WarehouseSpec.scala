@@ -453,6 +453,36 @@ class WarehouseSpec extends AnyFunSuite {
       sql("ALTER TABLE lake.missing DROP COLUMN k") }
   }
 
+  test("MERGE INTO SQL: whole-row grammar enforced, MoR targets and bad ON rejected") {
+    import graft.sources.{Mor, Snapshots}
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-merge-spec")
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"),
+      Engine.tableDir(wh, "lake.dim"))
+    Snapshots.commit(Seq((2L, 25.0), (3L, 30.0)).toDF("k", "v"),
+      Engine.tableDir(wh, "lake.src"))
+    def sql(q: String) = Engine.sqlWarehouse(spark, wh, q)
+    sql("""MERGE INTO lake.dim t USING lake.src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = sql("SELECT k, v FROM lake.dim ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+    // missing INSERT *, mismatched ON keys, MoR target: all loud
+    intercept[IllegalArgumentException] {
+      sql("""MERGE INTO lake.dim t USING lake.src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *""".stripMargin) }
+    intercept[IllegalArgumentException] {
+      sql("""MERGE INTO lake.dim t USING lake.src s ON t.k = s.v
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+    sql("CREATE TABLE lake.mor AS SELECT k, v FROM lake.src")
+    intercept[IllegalArgumentException] {
+      sql("""MERGE INTO lake.mor t USING lake.src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+  }
+
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
     import spark.implicits._
     import graft.operators.Ivm
