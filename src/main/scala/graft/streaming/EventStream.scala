@@ -1660,14 +1660,16 @@ object EventStream {
     val mart = s"$wh/status_mart"
     val cur = s"$wh/cdf_cursor"
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
-    val orders = graft.Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val base = orders
+    val cust = graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"))
+    val base = cust
       .withColumn("seq", lit(1L)).withColumn("deleted", lit(false))
-    val upd = orders.filter(col("o_orderkey") % 5 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+    val upd = cust.filter(col("k") % 5 === 0)
+      .withColumn("bal", col("bal") + 100.0)
       .withColumn("seq", lit(2L)).withColumn("deleted", lit(false))
-    val del = orders.filter(col("o_orderkey") % 7 === 0)
+    val del = cust.filter(col("k") % 7 === 0)
       .withColumn("seq", lit(3L)).withColumn("deleted", lit(true))
     val src = graft.TempDirs.scratch("graft-st25-src")
     base.unionByName(upd).unionByName(del)
@@ -1676,16 +1678,16 @@ object EventStream {
     Snapshots.commit(base.filter(lit(false)), up)
     Snapshots.commit(
       base.filter(lit(false))
-        .select(col("o_orderstatus").as("status"),
+        .select(col("seg").as("status"),
           lit(0L).as("n_live"), lit(null).cast(dec).as("rev_dec")), mart)
     import spark.implicits._
     Snapshots.commit(Seq(1L).toDF("last_version"), cur)
     val srcSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("o_orderkey",
+      org.apache.spark.sql.types.StructField("k",
         org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("o_orderstatus",
+      org.apache.spark.sql.types.StructField("seg",
         org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("o_totalprice",
+      org.apache.spark.sql.types.StructField("bal",
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("seq",
         org.apache.spark.sql.types.LongType),
@@ -1701,28 +1703,32 @@ object EventStream {
         try {
           if (!cached.isEmpty) {
             // (1) LWW-merge the slice into the upstream versioned table
-            val reduced = cached.groupBy(col("o_orderkey"))
+            val reduced = cached.groupBy(col("k"))
               .agg(max_by(struct(cached.columns.map(col): _*),
                 col("seq")).as("w"))
               .select(col("w.*"))
             Snapshots.mergeWith(sp, up, reduced,
               tag = Some(s"cdc-batch=$id"))(
-              graft.operators.Merge.cdcApply(_, _, Seq("o_orderkey"),
+              graft.operators.Merge.cdcApply(_, _, Seq("k"),
                 Seq("seq"), "deleted"))
-            // (2) consume the change feed cursor → head
+            // (2) consume the change feed cursor → head — every
+            // SECOND batch, so each consume hops MULTIPLE upstream
+            // versions in one cursor advance: the telescoping claim
+            // (diff(v1,v3) == diff(v1,v2) + diff(v2,v3)) exercised
+            // live, and half the consumer cost
             val cursor = Snapshots.read(sp, cur).head().getLong(0)
             val head = Snapshots.versions(up).last
-            if (head > cursor) {
+            if (id % 2 == 1 && head > cursor) {
               val ch = Snapshots.tableChanges(sp, up, cursor, head,
-                Seq("o_orderkey"))
+                Seq("k"))
               val delta = ch.filter(!col("deleted"))
                 .withColumn("sgn",
                   when(col("_change_type").isin("insert", "update_postimage"),
                     1L).otherwise(-1L))
-                .groupBy(col("o_orderstatus").as("status"))
+                .groupBy(col("seg").as("status"))
                 .agg(sum(col("sgn")).as("dn"),
-                  sum(when(col("sgn") === 1L, col("o_totalprice"))
-                    .otherwise(-col("o_totalprice")).cast(dec)).as("drev"))
+                  sum(when(col("sgn") === 1L, col("bal"))
+                    .otherwise(-col("bal")).cast(dec)).as("drev"))
               val prev = Snapshots.read(sp, mart)
                 .select(col("status"), col("n_live").as("dn"),
                   col("rev_dec").as("drev"))
@@ -1744,9 +1750,9 @@ object EventStream {
       .start()
     try q.processAllAvailable() finally q.stop()
     val live = Snapshots.read(spark, up).filter(!col("deleted"))
-    val recompute = live.groupBy(col("o_orderstatus").as("status"))
+    val recompute = live.groupBy(col("seg").as("status"))
       .agg(count(lit(1)).as("n_chk"),
-        sum(col("o_totalprice").cast(dec)).cast(dec).as("rev_chk"))
+        sum(col("bal").cast(dec)).cast(dec).as("rev_chk"))
     val cursorFinal = Snapshots.read(spark, cur).head().getLong(0)
     val headFinal = Snapshots.versions(up).last
     Snapshots.read(spark, mart).join(recompute, Seq("status"))
@@ -1798,15 +1804,15 @@ object EventStream {
     // 16-file / 4-per-trigger landing (4 batches + 1 seed each side)
     "st25_stream_cdf" ->
       """WITH fin AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    o_totalprice +
-        |      CASE WHEN o_orderkey % 5 = 0 THEN 100.0 ELSE 0.0 END AS price
-        |  FROM orders WHERE o_orderkey % 7 <> 0)
-        |SELECT o_orderstatus AS status, COUNT(*) AS n_live,
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    c_acctbal +
+        |      CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END AS price
+        |  FROM customer WHERE c_custkey % 7 <> 0)
+        |SELECT seg AS status, COUNT(*) AS n_live,
         |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  TRUE AS matches_recompute,
         |  CAST(5 AS BIGINT) AS up_versions,
-        |  CAST(5 AS BIGINT) AS mart_versions,
+        |  CAST(3 AS BIGINT) AS mart_versions,
         |  TRUE AS cursor_at_head
         |FROM fin GROUP BY 1
         |ORDER BY 1""".stripMargin,
