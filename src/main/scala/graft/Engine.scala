@@ -407,6 +407,14 @@ object Engine {
     Seq((table, op, detail)).toDF("table_name", "operation", "detail")
   }
 
+  // CREATE TABLE … [SHALLOW] CLONE <src> [VERSION AS OF n] — Delta's
+  // zero-copy clone as a statement: a new table hard-linked over one
+  // source snapshot ([[graft.sources.Snapshots.cloneTable]]), independent
+  // from birth. Dev/test copies of a 100 TB table for the cost of a
+  // manifest write — the workflow shallow clone exists for.
+  private val CloneStmt =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+(?:SHALLOW\s+)?CLONE\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$""".r
+
   // MERGE INTO — the canonical whole-row Delta/Iceberg spelling over
   // the copy-on-write merge primitive (`Merge.upsertFull` under
   // `Snapshots.mergeWith`'s optimistic-retry commit): ON must be key
@@ -566,6 +574,18 @@ object Engine {
         graft.sources.Snapshots.dropColumn(
           existingDir(warehouseDir, name, "ALTER TABLE"), colName)
         return ddlResult(spark, name, "drop_column", colName)
+      case CloneStmt(newName, srcName, vText) =>
+        import graft.sources.Snapshots
+        require(warehouseEntries(warehouseDir).forall(_._1 != newName),
+          s"CLONE: table '$newName' already exists")
+        val srcDir = existingDir(warehouseDir, srcName, "CLONE")
+        require(!isMorTable(srcDir),
+          "CLONE sources snapshot tables (MoR tables carry delete " +
+            "ledgers a link-tree cannot snapshot consistently)")
+        Snapshots.cloneTable(spark, srcDir, tableDir(warehouseDir, newName),
+          Option(vText).map(_.toLong).getOrElse(-1L))
+        return ddlResult(spark, newName, "clone",
+          s"$srcName${Option(vText).fold("")(v => s" v$v")}")
       case MergeIntoStmt(tName, tAlias, sName, sAlias, onText, whenText) =>
         import graft.sources.Snapshots
         val dir = existingDir(warehouseDir, tName, "MERGE INTO")

@@ -790,6 +790,51 @@ object Similarity {
       .orderBy(col("cell_id"))
   }
 
+  /** s19: QUANTIZER-DRIFT MONITOR — the metric that closes the
+    * online-index loop (s13 build → s15/st22 append → s18 compact →
+    * WHEN to retrain): frozen-quantizer appends grow cells unevenly
+    * (the documented trade of every production IVF store), and the
+    * operational question is whether the skew has reached the point
+    * where serve cost (∝ probed-cell size) justifies an s08 rebuild.
+    * Per cell: base size, appended count, growth ratio; globally:
+    * skew = max(total)/mean(total) and the retrain recommendation at
+    * the 1.5 threshold. All counts come from the postings' partition
+    * footprint — the monitor reads INDEX metadata-sized data, never
+    * the corpus. The oracle restates every cell from the
+    * frozen-assignment chain ([[annAppendSqlCtes]]). At 100 TB this
+    * is a #cells-row aggregate — the cheap continuous check that
+    * schedules the expensive rebuild.
+    */
+  def s19IndexDrift(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val idxDir = graft.TempDirs.scratch("graft-ann-drift")
+    val e = emb(spark, dir)
+    buildAnnIndex(spark, dir, idxDir,
+      corpus = Some(e.filter(col("vec_id") % 5 =!= 4)))
+    val baseCounts = spark.read.parquet(s"$idxDir/postings")
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_base"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))) // bounded: K cells
+    appendAnnIndex(spark, idxDir, e.filter(col("vec_id") % 5 === 4),
+      batchTag = Some("s19-holdout"))
+    import spark.implicits._
+    val base = baseCounts.toSeq.toDF("cell_id", "n_base")
+    val per = spark.read.parquet(s"$idxDir/postings")
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_total"))
+      .join(broadcast(base), "cell_id")
+      .withColumn("n_new", col("n_total") - col("n_base"))
+      .withColumn("growth_r", round(
+        col("n_new").cast("double") / col("n_base").cast("double"), 6))
+    val sk = per.agg(round(
+      max(col("n_total")).cast("double") /
+        (sum(col("n_total")).cast("double") /
+          count(lit(1)).cast("double")), 6).as("skew"))
+    per.crossJoin(broadcast(sk))
+      .withColumn("retrain_recommended", col("skew") > lit(1.5))
+      .select(col("cell_id"), col("n_base"), col("n_new"), col("n_total"),
+        col("growth_r"), col("skew"), col("retrain_recommended"))
+      .orderBy(col("cell_id"))
+  }
+
   /** s08: TRUE k-means coarse quantization — the real IVF index build
     * that s03's per-label cells stand in for. Deterministic
     * end-to-end: init = the K vectors with smallest md5(vec_id) (a
@@ -1230,6 +1275,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_index_drift" -> (s19IndexDrift _),
     "s18_index_compact" -> (s18IndexCompact _),
     "s17_filtered_ann" -> (s17FilteredAnn _),
     "s16_sq8_search" -> (s16Sq8Search _),
@@ -1582,6 +1628,29 @@ object Similarity {
          |SELECT qid, rnk, cid, cell_id, round(sim, 6) AS sim_r
          |FROM served WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+    // s19: per-cell base/appended counts restate from the frozen-
+    // assignment chain; skew and the 1.5-threshold flag from the
+    // same totals
+    "s19_index_drift" ->
+      s"""WITH $annAppendSqlCtes,
+         |basec AS (SELECT cell_id, COUNT(*) AS n_base FROM a2 GROUP BY 1),
+         |newc AS (SELECT cell_id, COUNT(*) AS n_new FROM newasn GROUP BY 1),
+         |per AS (
+         |  SELECT b.cell_id, b.n_base,
+         |    COALESCE(n.n_new, 0) AS n_new,
+         |    b.n_base + COALESCE(n.n_new, 0) AS n_total
+         |  FROM basec b LEFT JOIN newc n ON b.cell_id = n.cell_id),
+         |sk AS (
+         |  SELECT ROUND(CAST(MAX(n_total) AS DOUBLE) /
+         |    (CAST(SUM(n_total) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+         |    AS skew
+         |  FROM per)
+         |SELECT cell_id, n_base, n_new, n_total,
+         |  ROUND(CAST(n_new AS DOUBLE) / CAST(n_base AS DOUBLE), 6)
+         |    AS growth_r,
+         |  skew, skew > 1.5 AS retrain_recommended
+         |FROM per CROSS JOIN sk
+         |ORDER BY cell_id""".stripMargin,
     // s18: per-cell vector counts restate from the frozen-quantizer
     // chain's post-append corpus; one-file-per-cell, serve
     // invariance and non-vacuousness are pinned by construction

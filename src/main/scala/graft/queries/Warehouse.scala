@@ -1831,6 +1831,63 @@ object Warehouse {
           |ORDER BY segment""".stripMargin)
   }
 
+  /** q115: ZERO-COPY TABLE CLONE — `CREATE TABLE … CLONE src VERSION
+    * AS OF n` (Delta's shallow clone; the dev/test-copy workflow, and
+    * the posix twin of Iceberg snapshot-ref forking — q90's branches
+    * as a fully separate TABLE): the clone's v=1 is a hard-link tree
+    * over one source snapshot — O(#files) metadata ops, zero bytes
+    * copied (`zero_copy` pins inode identity in-result), carrying the
+    * by-id schema ledger. Independence both ways, proven in-result:
+    * the clone takes a divergent commit the source never sees, and
+    * the source's head count stays pinned. Three legs (source head,
+    * clone birth via travel, clone head) restate from key arithmetic.
+    * At 100 TB: cloning costs a manifest write; maintenance on either
+    * side is safe (hard links keep shared content until the last
+    * referencing directory entry goes — q84's rollback mechanics).
+    */
+  def q115CloneTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-clone")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val src = graft.Engine.tableDir(wh, "sales.orders")
+    Snapshots.commit(orders.filter(col("o_orderkey") % 2 === 0), src)
+    Snapshots.commit(orders, src)
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    sql("CREATE TABLE sales.orders_dev CLONE sales.orders VERSION AS OF 1")
+    val dev = graft.Engine.tableDir(wh, "sales.orders_dev")
+    // zero-copy proof: every cloned parquet file shares its inode
+    // with the source snapshot's file (bounded driver listing)
+    def inodes(d: String): Map[String, Any] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(d)
+      val w = java.nio.file.Files.walk(root)
+      try w.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          java.nio.file.Files.getAttribute(p, "unix:ino"))
+        .toMap
+      finally w.close()
+    }
+    val zeroCopy = inodes(s"$src/v=1") == inodes(s"$dev/v=1")
+    // the clone diverges; the source never sees it
+    Snapshots.commit(
+      Snapshots.read(spark, dev)
+        .unionByName(orders.filter(col("o_orderkey") % 4 === 1)), dev)
+    def leg(name: String, from: String) =
+      sql(s"""SELECT COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM $from""".stripMargin)
+        .withColumn("leg", lit(name))
+    leg("source_head", "sales.orders")
+      .unionByName(leg("clone_birth", "sales.orders_dev VERSION AS OF 1"))
+      .unionByName(leg("clone_head", "sales.orders_dev"))
+      .select(col("leg"), col("n_rows"), col("revenue"),
+        lit(zeroCopy).as("zero_copy"))
+      .orderBy(col("leg"))
+  }
+
   /** q95: real `$partitions` over a HIVE-PARTITIONED snapshot — the
     * per-partition record/file/byte debugging table operators
     * actually use (Iceberg's `$partitions`; reference read path
@@ -1957,6 +2014,7 @@ object Warehouse {
     "q112_sql_views" -> (q112SqlViews _),
     "q113_sql_ddl" -> (q113SqlDdl _),
     "q114_sql_merge" -> (q114SqlMerge _),
+    "q115_clone_table" -> (q115CloneTable _),
     "q93_namespaces" -> (q93Namespaces _),
     "q92_manifest_pruning" -> (q92ManifestPruning _),
     "q91_pos_delete" -> (q91PosDelete _),
@@ -2195,6 +2253,25 @@ object Warehouse {
         |  TRUE AS base_untouched
         |FROM fin GROUP BY status
         |ORDER BY status""".stripMargin,
+    // q115: three legs from key arithmetic — source head = all
+    // orders, clone birth = the evens snapshot it forked from, clone
+    // head = evens plus its divergent %4==1 commit; zero_copy pinned
+    // by the hard-link construction
+    "q115_clone_table" ->
+      """SELECT 'clone_birth' AS leg, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  TRUE AS zero_copy
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'clone_head', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+        |UNION ALL
+        |SELECT 'source_head', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), TRUE
+        |FROM orders
+        |ORDER BY leg""".stripMargin,
     // q114: q98's proven final-state arithmetic, aggregated — in-scope
     // (BUILDING) rows >= 300 take the +50 restated balance, < 300
     // deactivate or purge on negative balance, inserts 901-1200,

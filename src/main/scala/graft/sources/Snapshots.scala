@@ -1428,6 +1428,64 @@ object Snapshots {
     * survives until the last referencing version goes. Filesystems
     * without hard links fall back to a copy (correct, just not free).
     */
+  /** ZERO-COPY CLONE — Delta's `CREATE TABLE … SHALLOW CLONE src
+    * [VERSION AS OF v]`: a NEW table whose v=1 is a hard-link tree
+    * over one snapshot of the source (same mechanism as [[rollback]]
+    * — O(#files) metadata ops, zero bytes copied, so cloning a
+    * 100 TB table costs a manifest write). The clone is a fully
+    * independent table from birth: its own manifest/ledgers, its own
+    * future commits, and source maintenance (expiry, compaction,
+    * further writes) never reaches it — hard links keep shared file
+    * content alive until the LAST referencing directory entry goes.
+    * The clone carries the source's by-id schema ledger, so its
+    * current view resolves renames/drops exactly like the source's
+    * (time travel into pre-clone source HISTORY belongs to the
+    * source — the clone has one version at birth).
+    */
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Long = -1L): Long = {
+    val vs = versions(srcDir)
+    require(vs.nonEmpty, s"no snapshots at $srcDir")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"unknown version $version (have $vs)")
+    require(versions(dstDir).isEmpty, s"clone target $dstDir exists")
+    Files.createDirectories(Paths.get(dstDir))
+    val src = Paths.get(srcDir, s"v=$v")
+    val dst = Paths.get(dstDir, "v=1")
+    Files.createDirectories(dst)
+    val listing = Files.walk(src)
+    try listing.iterator().asScala.filter(Files.isRegularFile(_))
+      // sidecar stats (_filestats/_colstats) describe the same bytes —
+      // link them too, so the clone's metadata tables answer for free
+      .foreach { f =>
+        val target = dst.resolve(src.relativize(f))
+        Files.createDirectories(target.getParent)
+        try Files.createLink(target, f)
+        catch {
+          case _: UnsupportedOperationException => Files.copy(f, target)
+        }
+      }
+    finally listing.close()
+    withManifestLock(dstDir) {
+      appendTime(dstDir, 1L)
+      // carry the by-id schema ledger: the clone's current view must
+      // resolve renames/drops exactly like the source's (ids are the
+      // contract); its v=1 maps to the source's write entry for v
+      if (Files.exists(schemaFile(srcDir))) {
+        Files.copy(schemaFile(srcDir), schemaFile(dstDir))
+        schemaWrites(srcDir).get(v)
+          .orElse(schemaEntries(srcDir).filter(_.asOf <= v)
+            .lastOption.map(_.seq))
+          .foreach(seq => appendSchemaWrite(dstDir, 1L, seq))
+      }
+      Files.write(manifest(dstDir),
+        s"1\tclone-of-v$v\n".getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      appendTag(dstDir, 1L, s"clone-of-v$v")
+    }
+    1L
+  }
+
   def rollback(tableDir: String, toVersion: Long): Long = {
     val vs = versions(tableDir)
     require(vs.contains(toVersion), s"unknown version $toVersion (have $vs)")

@@ -544,6 +544,31 @@ class SnapshotsSpec extends AnyFunSuite {
       "without stats and with size-broadcast off, no broadcast")
   }
 
+  test("clone: zero-copy, independent both ways, survives source expiry, carries renames") {
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-clone-spec")
+    val src = s"$wh/src"
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), src)
+    Snapshots.renameColumn(src, "s", "name")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name"), src)
+    val dst = s"$wh/dev"
+    Snapshots.cloneTable(spark, src, dst, version = 1L)
+    // the by-id ledger travels: v1's files store 's', the clone reads 'name'
+    assert(Snapshots.read(spark, dst).columns.toSeq == Seq("k", "name"))
+    assert(Snapshots.read(spark, dst).count() == 2)
+    // divergence is invisible to the source, and vice versa
+    Snapshots.commit(Seq((9L, "z")).toDF("k", "name"), dst)
+    assert(Snapshots.read(spark, dst).count() == 1)
+    assert(Snapshots.read(spark, src).count() == 3)
+    // hard links: expiring the source's cloned-from snapshot leaves
+    // the clone's v=1 fully readable (content outlives the entry)
+    Snapshots.expireSnapshots(src, keep = 1)
+    assert(Snapshots.read(spark, dst, 1L).count() == 2)
+    // a clone onto an existing table refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.cloneTable(spark, src, dst) }
+  }
+
   test("addColumn with initial-default: pre-add snapshots serve the default, not null") {
     import org.apache.spark.sql.types.{IntegerType, StringType}
     import spark.implicits._

@@ -19,6 +19,8 @@ class SqlParitySpec extends AnyFunSuite {
 
   /** Minimal engine-specific rewrites for dialect-semantic divergence. */
   private val variants: Map[String, String => String] = Map(
+    // Spark's parser needs a length on VARCHAR; STRING is the alias
+    "q108_analyze_stats" -> (_.replace("AS VARCHAR)", "AS STRING)")),
     // DuckDB dayofweek is 0-based (oracle adds 1); Spark's is 1-based
     "q02_stg_orders" -> (_.replace(
       "CAST(dayofweek(o_orderdate) + 1 AS BIGINT)",
