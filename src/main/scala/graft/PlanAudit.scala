@@ -54,7 +54,15 @@ object PlanAudit {
                   "q104_multi_table_txn", "q105_show_tables",
                   "q106_default_values", "s16_sq8_search",
                   "t15_collocations", "p25_epoch_schedule",
-                  "st23_stream_schema_drift", "st24_two_sink_txn")) {
+                  "st23_stream_schema_drift", "st24_two_sink_txn",
+                  "d16_dedup_weights", "s17_filtered_ann",
+                  "s18_index_compact", "s19_index_drift",
+                  "st25_stream_cdf", "q108_analyze_stats",
+                  "q109_stats_broadcast", "q110_sql_dml",
+                  "q111_mor_travel", "q112_sql_views",
+                  "q113_sql_ddl", "q114_sql_merge",
+                  "q115_clone_table", "p26_quality_curve",
+                  "t16_vocab_curve", "d17_containment")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length
