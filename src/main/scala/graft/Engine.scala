@@ -458,6 +458,18 @@ object Engine {
   private def viewsLedger(wh: String) =
     java.nio.file.Paths.get(wh, "_views")
 
+  // CREATE/DROP VIEW mutate the ledger under an exclusive file lock
+  // (the store convention — Snapshots.withManifestLock's shape): a
+  // concurrent CREATE interleaving a DROP's read-rewrite would
+  // otherwise lose one of the two writes silently.
+  private def withViewsLock[A](wh: String)(f: => A): A = {
+    import java.nio.file.StandardOpenOption._
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(wh, "_views.lock"), CREATE, WRITE)
+    try { val l = ch.lock(); try f finally l.release() }
+    finally ch.close()
+  }
+
   private def viewDefs(wh: String): Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._
     val p = viewsLedger(wh)
@@ -509,29 +521,34 @@ object Engine {
       query: String, withViews: Boolean): DataFrame = {
     query match {
       case CreateView(name, select) =>
-        require(warehouseEntries(warehouseDir).forall(_._1 != name) &&
-          viewDefs(warehouseDir).forall(_._1 != name),
+        require(warehouseEntries(warehouseDir).forall(_._1 != name),
           s"CREATE VIEW: '$name' already exists")
         // validate NOW — a broken definition must fail at CREATE,
         // not at some later reader's query
         sqlWarehouse0(spark, warehouseDir, select, withViews = true).schema
-        val b64 = java.util.Base64.getEncoder
-          .encodeToString(select.getBytes("UTF-8"))
-        java.nio.file.Files.write(viewsLedger(warehouseDir),
-          s"$name\t$b64\n".getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
+        withViewsLock(warehouseDir) {
+          require(viewDefs(warehouseDir).forall(_._1 != name),
+            s"CREATE VIEW: '$name' already exists")
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(select.getBytes("UTF-8"))
+          java.nio.file.Files.write(viewsLedger(warehouseDir),
+            s"$name\t$b64\n".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
         import spark.implicits._
         return Seq((name, "create_view")).toDF("view_name", "operation")
       case DropView(name) =>
-        val defs = viewDefs(warehouseDir)
-        require(defs.exists(_._1 == name), s"DROP VIEW: unknown view '$name'")
-        val kept = defs.filter(_._1 != name).map { case (n, s) =>
-          s"$n\t${java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))}"
+        withViewsLock(warehouseDir) {
+          val defs = viewDefs(warehouseDir)
+          require(defs.exists(_._1 == name), s"DROP VIEW: unknown view '$name'")
+          val kept = defs.filter(_._1 != name).map { case (n, s) =>
+            s"$n\t${java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))}"
+          }
+          java.nio.file.Files.write(viewsLedger(warehouseDir),
+            kept.mkString("", "\n", if (kept.isEmpty) "" else "\n")
+              .getBytes("UTF-8"))
         }
-        java.nio.file.Files.write(viewsLedger(warehouseDir),
-          kept.mkString("", "\n", if (kept.isEmpty) "" else "\n")
-            .getBytes("UTF-8"))
         import spark.implicits._
         return Seq((name, "drop_view")).toDF("view_name", "operation")
       case ShowViews() =>
@@ -593,12 +610,18 @@ object Engine {
           "MERGE INTO targets snapshot (copy-on-write) tables; use " +
             "INSERT/UPDATE/DELETE for merge-on-read tables")
         val aliases = Seq(tAlias, sAlias)
-        val keys = OnEquality.findAllMatchIn(onText).map { m =>
-          require(m.group(2) == m.group(4),
-            s"MERGE ON must equate same-named key columns, got " +
-              s"'${m.group(2)}' = '${m.group(4)}'")
-          m.group(2)
-        }.toSeq
+        // EVERY ANDed conjunct must be a same-name key equality — a
+        // silently-dropped extra ON predicate would change which rows
+        // match, the worst kind of wrong answer
+        val keys = onText.split("(?i)\\s+AND\\s+").toSeq.map(_.trim).map {
+          case OnEquality(_, l, _, r) =>
+            require(l == r,
+              s"MERGE ON must equate same-named key columns, got '$l' = '$r'")
+            l
+          case other => throw new IllegalArgumentException(
+            s"MERGE ON supports only ANDed key equalities; " +
+              s"fold '$other' into the source view")
+        }
         require(keys.nonEmpty, s"MERGE ON has no key equality: $onText")
         var matchedUpdate = false
         var deleteWhen: Option[org.apache.spark.sql.Column] = None

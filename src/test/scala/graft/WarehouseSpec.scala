@@ -481,6 +481,12 @@ class WarehouseSpec extends AnyFunSuite {
       sql("""MERGE INTO lake.mor t USING lake.src s ON t.k = s.k
             |WHEN MATCHED THEN UPDATE SET *
             |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+    // a non-equality ON predicate must fail loudly, never be dropped
+    intercept[IllegalArgumentException] {
+      sql("""MERGE INTO lake.dim t USING lake.src s
+            |ON t.k = s.k AND s.v > 5
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
   }
 
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
