@@ -1766,7 +1766,103 @@ object EventStream {
       .orderBy(col("status"))
   }
 
+  /** st26: STREAMING QUALITY GATE — write-side constraints enforced
+    * per micro-batch with dead-letter routing (q87's ADD CONSTRAINT
+    * contract meeting st14's DLQ, the shape every production ingest
+    * runs: validate → route → commit, never land-then-clean): each
+    * batch splits on the constraint predicate, the CLEAN slice
+    * commits through [[graft.pipeline.Checks.commitChecked]] (checks
+    * run BEFORE the commit point on the pinned batch — a violating
+    * write leaves no trace), the violating rows append to a
+    * merge-on-read dead-letter table (tagged, exactly-once), and the
+    * gate's teeth are proven IN-STREAM: the first dirty batch is
+    * also offered RAW to the checked writer and the rejection is
+    * recorded (`gate_rejects` — not a spec assertion, a live cell).
+    * Fixture: `value` nulled for event_id ≡ 0 (mod 11). The result
+    * pins: no null ever landed, clean ∪ DLQ partitions the topic
+    * EXACTLY, the per-type rollup, and the 4-batch version count.
+    * At 100 TB: the gate costs one predicate scan per batch; the
+    * DLQ append costs ∝ violations; the check runs on the batch,
+    * never the table.
+    */
+  def st26StreamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Checks
+    import graft.sources.{Mor, Snapshots}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamSession(spark)
+    val src = graft.TempDirs.scratch("graft-st26-src")
+    graft.Tables(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("user_id"), col("event_type"),
+        when(col("event_id") % 11 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      .repartition(16).write.mode("overwrite").parquet(src)
+    val wh = graft.TempDirs.scratch("graft-st26-wh")
+    val fact = s"$wh/events_clean"
+    val dlq = s"$wh/events_dlq"
+    val gate = Seq(Checks.NotNull("value"))
+    @volatile var gateRejects = false
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4").parquet(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st26-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sp = batch.sparkSession
+        val cached = batch.persist()
+        try {
+          if (!cached.isEmpty) {
+            val bad = cached.filter(col("value").isNull).toDF()
+            val good = cached.filter(col("value").isNotNull).toDF()
+            // prove the gate bites: the raw dirty batch must bounce,
+            // and the bounced attempt must leave NO trace
+            if (!gateRejects && !bad.isEmpty) {
+              gateRejects =
+                try { Checks.commitChecked(cached.toDF(), fact, gate); false }
+                catch { case _: IllegalStateException => true }
+            }
+            val state =
+              if (Snapshots.versions(fact).nonEmpty)
+                Snapshots.read(sp, fact).unionByName(good)
+              else good
+            Checks.commitChecked(state, fact, gate,
+              tag = Some(s"clean-$id"))
+            if (!bad.isEmpty) Mor.append(bad, dlq, tag = Some(s"dlq-$id"))
+            ()
+          }
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val clean = Snapshots.read(spark, fact)
+    val nDlq = Mor.read(spark, dlq).count()
+    val total = spark.read.parquet(src).count()
+    val noNullLanded = clean.filter(col("value").isNull).count() == 0
+    clean.groupBy(col("event_type").as("etype"))
+      .agg(count(lit(1)).as("n_clean"),
+        graft.functions.Exact.dsum(col("value"), 4).as("total_value"))
+      .withColumn("n_dlq", lit(nDlq))
+      .withColumn("partition_exact",
+        lit(clean.count() + nDlq == total))
+      .withColumn("no_null_landed", lit(noNullLanded))
+      .withColumn("gate_rejects", lit(gateRejects))
+      .withColumn("fact_versions",
+        lit(Snapshots.versions(fact).size.toLong))
+      .orderBy(col("etype"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st26_stream_quality_gate" -> (st26StreamQualityGate _),
     "st25_stream_cdf" -> (st25StreamCdf _),
     "st24_two_sink_txn" -> (st24StreamTwoSinkTxn _),
     "st23_stream_schema_drift" -> (st23StreamSchemaDrift _),
@@ -1797,6 +1893,23 @@ object EventStream {
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    // st26: clean rows are event_id %11 != 0 (the nulled fixture),
+    // DLQ the rest; pins: partition exactness, no-null-landed, the
+    // live gate rejection, the 16-file/4-per-trigger version count
+    "st26_stream_quality_gate" ->
+      """SELECT event_type AS etype,
+        |  COUNT(*) AS n_clean,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_value,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 11 = 0)
+        |    AS n_dlq,
+        |  TRUE AS partition_exact,
+        |  TRUE AS no_null_landed,
+        |  TRUE AS gate_rejects,
+        |  CAST(4 AS BIGINT) AS fact_versions
+        |FROM events WHERE event_id % 11 <> 0
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     // st25: the final upstream state is pure key arithmetic (keys
     // %7==0 deleted, %5==0 at +100, else base — seq LWW makes it
     // batch-order-independent), the CDF-maintained mart telescopes
