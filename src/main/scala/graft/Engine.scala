@@ -66,11 +66,15 @@ object Engine {
     // joins against it plan broadcast even when Spark's size estimate
     // can't see through the view (the CBO use every catalog keeps
     // stats for). Threshold in ROWS because that's what ANALYZE
-    // stores; -Dgraft.cbo.broadcastRows=0 disables.
+    // stores; -Dgraft.cbo.broadcastRows=0 disables. HEAD-only: stats
+    // from any older version are stale (the table may have grown
+    // arbitrarily since) and broadcast() overrides size-based vetoes,
+    // so a stale hint would be a driver-OOM risk — any commit after
+    // ANALYZE invalidates the hint until the next ANALYZE.
     val cboRows = sys.props.getOrElse("graft.cbo.broadcastRows", "50000").toLong
     warehouseEntries(warehouseDir).foreach { case (name, tdir) =>
       val base = readTable(spark, tdir)
-      val hinted = graft.sources.Snapshots.analyzedRowCount(spark, tdir) match {
+      val hinted = graft.sources.Snapshots.headAnalyzedRowCount(spark, tdir) match {
         case Some(n) if cboRows > 0 && n <= cboRows =>
           org.apache.spark.sql.functions.broadcast(base)
         case _ => base
@@ -441,6 +445,28 @@ object Engine {
       t.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(a)}\\.", "")
     }
 
+  /** Reject a MERGE clause condition that qualifies columns with the
+    * alias of the side the condition will NOT be evaluated against.
+    * [[graft.operators.Merge.upsertFull]] evaluates `WHEN MATCHED …
+    * DELETE` conditions on the SOURCE row and `WHEN NOT MATCHED BY
+    * SOURCE` conditions on the TARGET row; blindly stripping the
+    * other side's alias would silently re-point `t.balance < 0` at
+    * the source's `balance` — a silent wrong answer. Failing loudly
+    * here directs the user to fold such logic into the source view
+    * (the documented composition path). Checked on the raw clause
+    * text, so an over-match inside a string literal errs loud, never
+    * silent.
+    */
+  private def rejectWrongSideAlias(cond: String, alias: String,
+      clause: String, evalSide: String): Unit =
+    if (alias != null &&
+      s"(?i)\\b${java.util.regex.Pattern.quote(alias)}\\.".r
+        .findFirstIn(cond).isDefined)
+      throw new IllegalArgumentException(
+        s"$clause condition references alias '$alias', but this clause " +
+          s"is evaluated against the $evalSide row only; fold that logic " +
+          "into the source view (CREATE VIEW) instead")
+
   // CREATE VIEW / DROP VIEW / SHOW VIEWS — named logical views in the
   // warehouse catalog (the dbt `view` materialization at the SQL
   // surface, p20's semantic: a view RE-RESOLVES against the current
@@ -549,6 +575,13 @@ object Engine {
             kept.mkString("", "\n", if (kept.isEmpty) "" else "\n")
               .getBytes("UTF-8"))
         }
+        // drop BOTH spellings from the session catalog: a FLAT view
+        // name was registered verbatim, so a post-drop query would
+        // otherwise resolve the stale same-name temp view and silently
+        // serve the dropped definition (dotted names register only
+        // mangled — dropping both covers either case)
+        spark.catalog.dropTempView(name)
+        spark.catalog.dropTempView(viewName(name))
         import spark.implicits._
         return Seq((name, "drop_view")).toDF("view_name", "operation")
       case ShowViews() =>
@@ -641,6 +674,8 @@ object Engine {
                 "conditional MATCHED UPDATE is unsupported; use a view")
               matchedUpdate = true
             case ("matched", "DELETE") =>
+              cond.foreach(rejectWrongSideAlias(_, tAlias,
+                "WHEN MATCHED … DELETE", "source"))
               deleteWhen = Some(cond.map(condOf)
                 .getOrElse(org.apache.spark.sql.functions.lit(true)))
             case ("not matched", "INSERT *") =>
@@ -648,14 +683,20 @@ object Engine {
                 "conditional NOT MATCHED INSERT is unsupported; use a view")
               insertAll = true
             case ("not matched by source", "DELETE") =>
+              cond.foreach(rejectWrongSideAlias(_, sAlias,
+                "WHEN NOT MATCHED BY SOURCE … DELETE", "target"))
               nmbsDelete = Some(cond.map(condOf)
                 .getOrElse(org.apache.spark.sql.functions.lit(true)))
             case ("not matched by source", a) if a.startsWith("UPDATE SET ") =>
               require(cond.isEmpty,
                 "fold the condition into the SET expression (CASE WHEN)")
-              nmbsSet = parseAssignments(
+              val assigns = parseAssignments(
                 action.replaceAll("(?is)^UPDATE\\s+SET\\s+", ""))
-                .map { case (c, e) => c -> condOf(e) }.toMap
+              assigns.foreach { case (_, e) =>
+                rejectWrongSideAlias(e, sAlias,
+                  "WHEN NOT MATCHED BY SOURCE … UPDATE SET", "target")
+              }
+              nmbsSet = assigns.map { case (c, e) => c -> condOf(e) }.toMap
             case other => throw new IllegalArgumentException(
               s"unsupported MERGE clause: WHEN ${m.group(1)} THEN $action")
           }

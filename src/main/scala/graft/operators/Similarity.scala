@@ -708,11 +708,17 @@ object Similarity {
     * (raw layout, no commit point); maintenance runs fenced.
     */
   private[graft] def compactAnnIndex(spark: SparkSession, idxDir: String): Unit = {
-    val staging = s"$idxDir/_compact_staging"
-    spark.read.parquet(s"$idxDir/postings")
-      .repartition(col("cell_id"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(staging)
+    // the WHOLE read-rewrite-swap runs under the append lock: an
+    // append committing between a staging build and the swap would be
+    // dropped by the swap, and — its tag already ledgered — would
+    // replay as a no-op forever (permanent silent loss). Holding the
+    // lock across the rewrite trades append latency during compaction
+    // for the no-interleave guarantee the exactly-once ledger assumes.
     withAppendLock(idxDir) {
+      val staging = s"$idxDir/_compact_staging"
+      spark.read.parquet(s"$idxDir/postings")
+        .repartition(col("cell_id"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(staging)
       import java.nio.file.{Files, Paths}
       val live = Paths.get(s"$idxDir/postings")
       val old = Paths.get(s"$idxDir/_postings_old")

@@ -1414,6 +1414,23 @@ object Snapshots {
     }
   }
 
+  /** [[analyzedRowCount]], but ONLY when the analyzed version IS the
+    * table head — the staleness guard broadcast planning needs: a
+    * once-small table analyzed at v3 and grown huge by v40 must NOT
+    * keep force-broadcasting (broadcast() overrides every size-based
+    * veto, so a stale hint is a driver-OOM, not a slow plan). This is
+    * how real catalogs invalidate stats: any commit after ANALYZE
+    * drops the planner's confidence until the next ANALYZE.
+    */
+  def headAnalyzedRowCount(spark: SparkSession, tableDir: String): Option[Long] = {
+    versions(tableDir).lastOption
+      .filter(h => Files.exists(Paths.get(tableStatsDir(tableDir, h))))
+      .map { h =>
+        spark.read.parquet(tableStatsDir(tableDir, h))
+          .select(max(col("n_rows"))).head().getLong(0)
+      }
+  }
+
   /** Roll the table BACK to `toVersion` as a NEW commit — Iceberg's
     * `rollback_to_snapshot` procedure: history keeps moving FORWARD
     * (the bad versions stay readable for time-travel debugging;

@@ -534,8 +534,15 @@ class SnapshotsSpec extends AnyFunSuite {
     }
     val joined =
       "SELECT COUNT(*) AS n FROM fact f JOIN dim d ON f.k = d.k"
+    // dim grew a commit AFTER its ANALYZE: the stats are stale, and a
+    // stale row count must NOT force-broadcast (broadcast() overrides
+    // every size-based veto — a once-small, now-huge table would OOM
+    // the driver). Any commit invalidates the hint until re-ANALYZE.
+    assert(!planOf(joined).contains("BroadcastHashJoin"),
+      "stale (non-head) stats must not force-broadcast")
+    Snapshots.analyzeTable(spark, t)
     assert(planOf(joined).contains("BroadcastHashJoin"),
-      "ANALYZEd-small dim must broadcast")
+      "head-ANALYZEd-small dim must broadcast")
     // the same join against a never-analyzed twin sort-merges
     Snapshots.commit(Seq((1L, "a", 1.5)).toDF("k", "s", "x"), s"$wh/dim2")
     assert(!planOf(

@@ -487,6 +487,77 @@ class WarehouseSpec extends AnyFunSuite {
             |ON t.k = s.k AND s.v > 5
             |WHEN MATCHED THEN UPDATE SET *
             |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+    // clause conditions are evaluated one-sided (MATCHED DELETE on the
+    // SOURCE row, NOT MATCHED BY SOURCE on the TARGET row): a condition
+    // qualified with the OTHER side's alias would silently re-point at
+    // the wrong row's columns after alias-stripping — reject loudly
+    intercept[IllegalArgumentException] {
+      sql("""MERGE INTO lake.dim t USING lake.src s ON t.k = s.k
+            |WHEN MATCHED AND t.v < 15 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+    intercept[IllegalArgumentException] {
+      sql("""MERGE INTO lake.dim t USING lake.src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE""".stripMargin) }
+    intercept[IllegalArgumentException] {
+      sql("""MERGE INTO lake.dim t USING lake.src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v""".stripMargin) }
+  }
+
+  test("MERGE INTO SQL: CASE WHEN inside a clause condition or SET expression parses whole") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-merge-case-spec")
+    Snapshots.commit(Seq((1L, 10.0), (2L, 20.0), (4L, 40.0)).toDF("k", "v"),
+      Engine.tableDir(wh, "lake.dim"))
+    Snapshots.commit(Seq((2L, 25.0), (3L, 30.0)).toDF("k", "v"),
+      Engine.tableDir(wh, "lake.src"))
+    def sql(q: String) = Engine.sqlWarehouse(spark, wh, q)
+    // the CASE's inner THEN must not terminate the clause: cond is the
+    // whole CASE expression (not firing here: 25 and 30 are <= 35),
+    // action is DELETE — key 2 upserts, key 3 inserts; and the NMBS
+    // SET's CASE stays one expression — key 4 (absent from source,
+    // v=40 > 35) flips v to -1
+    sql("""MERGE INTO lake.dim t USING lake.src s ON t.k = s.k
+          |WHEN MATCHED AND CASE WHEN s.v > 35 THEN true ELSE false END THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = CASE WHEN v > 35 THEN -1.0 ELSE v END""".stripMargin)
+    val rows = sql("SELECT k, v FROM lake.dim ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 10.0), (2L, 25.0), (3L, 30.0), (4L, -1.0)))
+    // a MATCHED DELETE whose CASE condition FIRES removes the key
+    Snapshots.commit(Seq((3L, 99.0)).toDF("k", "v"),
+      Engine.tableDir(wh, "lake.src2"))
+    sql("""MERGE INTO lake.dim t USING lake.src2 s ON t.k = s.k
+          |WHEN MATCHED AND CASE WHEN s.v > 35 THEN true ELSE false END THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(sql("SELECT k FROM lake.dim ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("DROP VIEW unregisters the session temp view (flat names must fail, not serve stale)") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-dropview-spec")
+    Snapshots.commit(Seq((1L, 5.0), (2L, 7.0)).toDF("k", "x"), s"$wh/base")
+    def sql(q: String) = Engine.sqlWarehouse(spark, wh, q)
+    sql("CREATE VIEW flatv AS SELECT SUM(x) AS s FROM base")
+    assert(sql("SELECT s FROM flatv").head().getDouble(0) == 12.0)
+    sql("DROP VIEW flatv")
+    // the undotted name was registered verbatim as a temp view — after
+    // DROP it must be gone from the catalog, so the query fails loudly
+    // instead of resolving the stale definition
+    intercept[Exception] { sql("SELECT s FROM flatv").collect() }
+    // dotted views keep failing loudly too (only the mangled name ever
+    // existed); re-creating after a drop works
+    sql("CREATE VIEW flatv AS SELECT COUNT(*) AS s FROM base")
+    assert(sql("SELECT s FROM flatv").head().getLong(0) == 2L)
   }
 
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
