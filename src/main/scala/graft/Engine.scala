@@ -202,10 +202,27 @@ object Engine {
 
   // Iceberg/Trino time-travel clauses, rewritten ahead of Spark's
   // parser (temp views have no V2 time-travel path to hook into):
-  //   <table> VERSION AS OF <n> | '<branch|tag>'   (ref-name travel)
-  //   <table> TIMESTAMP AS OF '<yyyy-MM-dd HH:mm:ss[.SSS]>' | <epochMillis>
+  //   <table> [FOR] VERSION AS OF <n> | '<branch|tag>'  (ref travel)
+  //   <table> [FOR] TIMESTAMP AS OF '<yyyy-MM-dd HH:mm:ss[.SSS]>'
+  //     | <epochMillis>
+  //     | NOW() [- INTERVAL '<n>' DAY|HOUR|MINUTE|SECOND]
+  // The optional FOR prefix and the NOW()-relative form are Trino's
+  // spelling — the reference's own example is `FOR TIMESTAMP AS OF
+  // NOW() - INTERVAL '1' DAY` (docs/components/iceberg.md:9-12). The
+  // relative expression is evaluated ONCE at parse time against the
+  // session clock ([[nowMillis]]; -Dgraft.now.millis injects a fixed
+  // clock for deterministic tests) and resolves to the latest
+  // snapshot at or before the instant.
   private val VersionAsOf =
-    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')""".r
+    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')""".r
+
+  /** The session clock relative travel evaluates against —
+    * `-Dgraft.now.millis=<epochMillis>` pins it for tests/replays
+    * (no wall-clock may reach an oracle-checked plan).
+    */
+  private def nowMillis(): Long =
+    sys.props.get("graft.now.millis").map(_.toLong)
+      .getOrElse(System.currentTimeMillis())
 
   /** `table$history` / `$snapshots` / `$files` / `$partitions` /
     * `$refs` — Iceberg's metadata-table spelling (docs/architecture/
@@ -216,7 +233,9 @@ object Engine {
   private val HistoryTable =
     """\b([A-Za-z_][A-Za-z0-9_]*)\$(history|snapshots|files|partitions|refs|stats)\b""".r
   private val TimestampAsOf =
-    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))""".r
+    ("""(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+(?:FOR\s+)?TIMESTAMP\s+AS\s+OF\s+""" +
+      """(?:'([^']+)'|(\d+)|NOW\s*\(\s*\)""" +
+      """(?:\s*-\s*INTERVAL\s+'(\d+)'\s+(DAY|HOUR|MINUTE|SECOND)S?)?)""").r
   private val TableChangesCall =
     """(?i)\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*(?:,\s*'([^']+)')?\s*\)""".r
 
@@ -842,10 +861,24 @@ object Engine {
       if (!tables(t) || inStringLiteral(afterVersion, m.start)) m.matched
       else {
         // quoted form parses as UTC, matching the engine's session
-        // timeZone convention (Timestamp.valueOf would use JVM-local)
-        val millis = Option(m.group(3)).map(_.toLong).getOrElse(
-          java.time.LocalDateTime.parse(m.group(2).replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+        // timeZone convention (Timestamp.valueOf would use JVM-local);
+        // NOW()-relative evaluates once at parse time vs the session
+        // clock ([[nowMillis]]) — Trino's semantics for the clause
+        val millis = (Option(m.group(3)), Option(m.group(2))) match {
+          case (Some(epoch), _) => epoch.toLong
+          case (_, Some(lit)) =>
+            java.time.LocalDateTime.parse(lit.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          case _ =>
+            val unitMs = Option(m.group(5)).map(_.toUpperCase) match {
+              case Some("DAY") => 86400000L
+              case Some("HOUR") => 3600000L
+              case Some("MINUTE") => 60000L
+              case Some("SECOND") => 1000L
+              case _ => 0L
+            }
+            nowMillis() - Option(m.group(4)).fold(0L)(_.toLong) * unitMs
+        }
         val view = s"${t}__ts$millis"
         graft.sources.Snapshots.readAsOf(spark, dirs(t), millis)
           .createOrReplaceTempView(view)

@@ -118,7 +118,14 @@ object GraftFunctions {
         }
         KMinValues(exprs.head, k)
       }, "scala_udf")
+    IcebergHash.registerWith(spark.sessionState.functionRegistry)
   }
+
+  /** Iceberg-spec murmur3 bucket id ([[IcebergBucketExpr]]). */
+  def icebergBucket(c: Column, n: Int): Column = IcebergHash.icebergBucket(c, n)
+
+  /** Raw Iceberg-spec murmur3_x86_32 hash ([[IcebergHashExpr]]). */
+  def icebergHash(c: Column): Column = IcebergHash.icebergHash(c)
 
   /** 64-bit rolling hash of a string column (register first). */
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)

@@ -1209,6 +1209,162 @@ object Warehouse {
       .orderBy(col("leg"))
   }
 
+  /** q116: Iceberg-SPEC murmur3 `bucket` transform on an integral
+    * key ([[graft.sources.Transforms.MBucket]]) — the spec-fidelity
+    * upgrade of q94's legacy `mod` bucket (reference: docs/components/
+    * iceberg.md:6-7; Iceberg spec Appendix B requires
+    * `murmur3_x86_32` seed 0 so ANY engine sharing the table agrees
+    * on file placement). `supplier` lands bucketed `mbucket(8,
+    * s_suppkey)`; a 4-key point lookup opens exactly the 3 bucket
+    * directories those keys hash to (keys 3 and 7 collide in bucket
+    * 3 — a genuinely hash-shaped fact `mod` would get wrong).
+    * DuckDB has no murmur3, so the oracle RESTATES the spec
+    * arithmetic as precomputed constants (cross-checked against the
+    * spec's published vectors in TransformsSpec: hash(34)=2017239379
+    * etc.) — the engine's codegen'd [[graft.functions
+    * .IcebergBucketExpr]] must land on the same numbers from the
+    * actual pruned read. At 100 TB a key lookup opens 1 of N bucket
+    * files via sidecar arithmetic; no data listing, no footer reads.
+    */
+  def q116MurmurBucket(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Transforms
+    graft.functions.GraftFunctions.register(spark)
+    val wh = tempDir("graft-mbucket")
+    val t = s"$wh/supplier_by_key"
+    Transforms.land(spark, t,
+      Tables(spark, dir, "supplier").select(
+        col("s_suppkey"), col("s_name"), col("s_acctbal")),
+      Transforms.MBucket(8, "s_suppkey"))
+    val keys = Seq(1L, 3L, 5L, 7L)
+    val (rows, kept, _) = Transforms.scanKeys(spark, t, keys)
+    rows.select(col("s_suppkey"), col("s_name"))
+      .withColumn("bucket_id",
+        graft.functions.GraftFunctions.icebergBucket(col("s_suppkey"), 8))
+      .withColumn("n_files_read", lit(kept))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** q117: murmur3 bucketing of STRING keys — the other half of the
+    * Iceberg bucket spec (strings hash their UTF-8 bytes, no length
+    * prefix), over the one table whose contents are IDENTICAL at
+    * every scale factor (`nation`, 25 fixed rows) so the full
+    * hash-map is oracle-restatable: all 25 nations with the engine's
+    * codegen'd bucket of BOTH the integral key and the name, plus a
+    * 2-name point lookup against the name-bucketed LAYOUT
+    * ([[graft.sources.Transforms.scanStringKeys]]) pinning
+    * `n_files_read`/`n_files_total` (the 25 names happen to cover
+    * all 8 buckets). Every bucket constant in the oracle was
+    * precomputed with the spec arithmetic — 50 independent equalities
+    * pinning the string hash bit-for-bit at the gate.
+    */
+  def q117StringBucket(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Transforms
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val wh = tempDir("graft-sbucket")
+    val t = s"$wh/nation_by_name"
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    Transforms.land(spark, t, nation, Transforms.MBucket(8, "n_name"))
+    val (hit, kept, total) =
+      Transforms.scanStringKeys(spark, t, Seq("NATION_3", "NATION_7"))
+    val nHit = hit.count()
+    nation
+      .withColumn("bucket_key", GraftFunctions.icebergBucket(col("n_nationkey"), 8))
+      .withColumn("bucket_name", GraftFunctions.icebergBucket(col("n_name"), 8))
+      .withColumn("n_files_read", lit(kept))
+      .withColumn("n_files_total", lit(total))
+      .withColumn("n_lookup_rows", lit(nHit))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** q118: Iceberg `truncate(w)` transform + range pruning
+    * ([[graft.sources.Transforms.TruncateLong]]) — truncate is the
+    * bucket-family transform that PRESERVES ordering, so a range
+    * predicate on the raw key prunes to the overlapped width-groups
+    * (the reason the spec recommends it for range-queried keys,
+    * where a hash bucket would have to open everything). `orders`
+    * lands `truncate(50, o_custkey)`; the `[50, 150)` scan opens
+    * exactly 2 of the table's group files; truncate IS plain
+    * arithmetic, so the oracle restates the whole thing — per-group
+    * rollups AND both file counts — from `o_custkey - o_custkey %
+    * 50`, nothing precomputed. At 100 TB: a customer-range query
+    * reads width/domain of the table; planning is sidecar-only.
+    */
+  def q118TruncateTransform(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Transforms
+    val wh = tempDir("graft-trunc")
+    val t = s"$wh/orders_by_custgroup"
+    Transforms.land(spark, t,
+      Tables(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+      Transforms.TruncateLong(50L, "o_custkey"))
+    val (rows, kept, total) = Transforms.scanRange(spark, t, 50L, 150L)
+    rows.groupBy((col("o_custkey") - pmod(col("o_custkey"), lit(50L)))
+        .as("trunc_group"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("n_files_read", lit(kept))
+      .withColumn("n_files_total", lit(total))
+      .orderBy(col("trunc_group"))
+  }
+
+  /** q119: RELATIVE timestamp travel + `FOR`-prefixed clauses — the
+    * reference's own headline example is `SELECT * FROM sales.orders
+    * FOR TIMESTAMP AS OF NOW() - INTERVAL '1' DAY`
+    * (docs/components/iceberg.md:9-12, Trino's spelling): the facade
+    * evaluates the relative expression ONCE at parse time against the
+    * session clock and resolves to the latest snapshot at or before
+    * the instant. Three versions land with strictly increasing commit
+    * timestamps (the entry WAITS the clock past each commit — no two
+    * versions may share a millisecond, or "latest ≤ instant" is
+    * ambiguous); the session clock is then INJECTED
+    * (`-Dgraft.now.millis` = v2's commit time + 1 day) so `NOW() -
+    * INTERVAL '1' DAY` lands exactly on v2 — deterministic, no
+    * wall-clock in any oracle-checked cell. Legs: the relative read
+    * (= v2 = orders before 1996), `FOR VERSION AS OF` v1 (before
+    * 1995), and the current head; the oracle restates each leg as a
+    * date slice of the raw table. At 100 TB resolving the instant is
+    * a `_times` sidecar scan — no data touched until the pinned
+    * version is read.
+    */
+  def q119RelativeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-reltravel")
+    val t = s"$wh/orders_rt"
+    val stg = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    def commitDistinct(df: DataFrame): Long = {
+      val v = Snapshots.commit(df, t)
+      // park the clock strictly past this commit's recorded millisecond
+      val ts = Snapshots.commitTimes(t)(v)
+      while (System.currentTimeMillis() <= ts) Thread.sleep(1L)
+      v
+    }
+    commitDistinct(stg.filter(
+      col("o_orderdate") < lit("1995-01-01").cast("timestamp")))
+    val v2 = commitDistinct(stg.filter(
+      col("o_orderdate") < lit("1996-01-01").cast("timestamp")))
+    commitDistinct(stg)
+    val injectedNow = Snapshots.commitTimes(t)(v2) + 86400000L
+    sys.props("graft.now.millis") = injectedNow.toString
+    // the relative clause resolves INSIDE sqlWarehouse (parse time):
+    // the returned plan is already pinned to the resolved snapshot,
+    // so clearing the injected clock after parse is safe
+    try graft.Engine.sqlWarehouse(spark, wh,
+        """SELECT 'a_relative_1d' AS leg, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders_rt FOR TIMESTAMP AS OF NOW() - INTERVAL '1' DAY
+          |UNION ALL
+          |SELECT 'b_for_version_1', COUNT(*),
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |FROM orders_rt FOR VERSION AS OF 1
+          |UNION ALL
+          |SELECT 'c_current', COUNT(*),
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |FROM orders_rt
+          |ORDER BY leg""".stripMargin)
+    finally sys.props.remove("graft.now.millis")
+  }
+
   /** q102: PARTITION-SPEC EVOLUTION — Iceberg's `ALTER TABLE … ADD
     * PARTITION FIELD` ([[graft.sources.Transforms.addPartitionField]];
     * reference: the lakehouse "partition evolution" ACID surface,
@@ -2001,6 +2157,10 @@ object Warehouse {
     "q96_column_mapping" -> (q96ColumnMapping _),
     "q95_partitions_meta" -> (q95PartitionsMeta _),
     "q94_hidden_partition" -> (q94HiddenPartition _),
+    "q116_murmur_bucket" -> (q116MurmurBucket _),
+    "q117_string_bucket" -> (q117StringBucket _),
+    "q118_truncate_transform" -> (q118TruncateTransform _),
+    "q119_relative_travel" -> (q119RelativeTravel _),
     "q102_spec_evolution" -> (q102SpecEvolution _),
     "q103_call_procedures" -> (q103CallProcedures _),
     "q104_multi_table_txn" -> (q104MultiTableTxn _),
@@ -2048,6 +2208,72 @@ object Warehouse {
 
   val oracles: Map[String, String] = Map(
     // q97: all three views restate from key arithmetic (v1 = even
+    // q116: DuckDB has no murmur3 — the oracle restates the SPEC's
+    // bucket arithmetic as precomputed constants, themselves
+    // cross-checked against the Iceberg spec's published test vectors
+    // in TransformsSpec (hash(1)=…, hash(3)=…; keys 3 and 7 collide
+    // in bucket 3, so the 4-key lookup opens 3 files)
+    "q116_murmur_bucket" ->
+      """SELECT s_suppkey, s_name,
+        |  CASE s_suppkey WHEN 1 THEN 4 WHEN 3 THEN 3
+        |                 WHEN 5 THEN 7 WHEN 7 THEN 3 END AS bucket_id,
+        |  CAST(3 AS BIGINT) AS n_files_read
+        |FROM supplier WHERE s_suppkey IN (1, 3, 5, 7)
+        |ORDER BY s_suppkey""".stripMargin,
+    // q117: all 50 bucket cells are spec-arithmetic constants over
+    // the fixed 25-row nation table (names are identical at every
+    // SF); the 25 names cover all 8 buckets, the 2-name lookup hits
+    // buckets {3, 4}
+    "q117_string_bucket" ->
+      """SELECT n_nationkey, n_name,
+        |  CASE n_nationkey
+        |    WHEN 0 THEN 4 WHEN 1 THEN 4 WHEN 2 THEN 4 WHEN 3 THEN 3
+        |    WHEN 4 THEN 6 WHEN 5 THEN 7 WHEN 6 THEN 1 WHEN 7 THEN 3
+        |    WHEN 8 THEN 7 WHEN 9 THEN 7 WHEN 10 THEN 4 WHEN 11 THEN 7
+        |    WHEN 12 THEN 4 WHEN 13 THEN 5 WHEN 14 THEN 1 WHEN 15 THEN 0
+        |    WHEN 16 THEN 2 WHEN 17 THEN 3 WHEN 18 THEN 4 WHEN 19 THEN 6
+        |    WHEN 20 THEN 3 WHEN 21 THEN 1 WHEN 22 THEN 5 WHEN 23 THEN 5
+        |    WHEN 24 THEN 4 END AS bucket_key,
+        |  CASE n_nationkey
+        |    WHEN 0 THEN 3 WHEN 1 THEN 5 WHEN 2 THEN 4 WHEN 3 THEN 3
+        |    WHEN 4 THEN 6 WHEN 5 THEN 7 WHEN 6 THEN 2 WHEN 7 THEN 4
+        |    WHEN 8 THEN 4 WHEN 9 THEN 1 WHEN 10 THEN 7 WHEN 11 THEN 0
+        |    WHEN 12 THEN 5 WHEN 13 THEN 7 WHEN 14 THEN 7 WHEN 15 THEN 7
+        |    WHEN 16 THEN 6 WHEN 17 THEN 6 WHEN 18 THEN 2 WHEN 19 THEN 5
+        |    WHEN 20 THEN 0 WHEN 21 THEN 2 WHEN 22 THEN 7 WHEN 23 THEN 2
+        |    WHEN 24 THEN 4 END AS bucket_name,
+        |  CAST(2 AS BIGINT) AS n_files_read,
+        |  CAST(8 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_lookup_rows
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // q119: each travel leg restates as the date slice its version
+    // landed; the injected session clock keeps wall time out of every
+    // checked cell (legs a/b/c force a stable sort key)
+    "q119_relative_travel" ->
+      """SELECT 'a_relative_1d' AS leg, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |UNION ALL
+        |SELECT 'b_for_version_1', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        |UNION ALL
+        |SELECT 'c_current', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders
+        |ORDER BY leg""".stripMargin,
+    // q118: truncate IS arithmetic — per-group rollups and BOTH file
+    // counts restate from o_custkey - o_custkey % 50 (one file per
+    // group by the landing invariant), nothing precomputed
+    "q118_truncate_transform" ->
+      """SELECT (o_custkey - o_custkey % 50) AS trunc_group,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(2 AS BIGINT) AS n_files_read,
+        |  (SELECT CAST(COUNT(DISTINCT o_custkey - o_custkey % 50) AS BIGINT)
+        |   FROM orders) AS n_files_total
+        |FROM orders WHERE o_custkey >= 50 AND o_custkey < 150
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // keys at % 100000; v2 = all keys shifted past the int range);
     // SUM/MAX cast to BIGINT (DuckDB SUM(INT) is HUGEINT)
     "q97_type_promotion" ->

@@ -60,11 +60,48 @@ object Transforms {
         .cast("long")
     def specLine: String = s"days\t$sourceCol"
   }
-  /** `bucket(n, key)`: key mod n over an integral key column. */
+  /** `bucket(n, key)`: key mod n over an integral key column — the
+    * engine's LEGACY bucket function (pre-murmur3 tables recorded
+    * `mod`; the recorded spec keeps them readable forever). New
+    * tables should use [[MBucket]], the Iceberg-spec hash.
+    */
   final case class Bucket(n: Int, sourceCol: String) extends Transform {
     require(n > 0, s"bucket count must be positive: $n")
     def derive: Column = pmod(col(sourceCol).cast("long"), lit(n.toLong))
     def specLine: String = s"bucket\t$sourceCol\t$n"
+  }
+
+  /** `mbucket(n, key)`: the Iceberg-SPEC bucket transform —
+    * `(murmur3_x86_32(key) & Int.MaxValue) % n` with the spec's type
+    * rules (integral keys hash their 8 little-endian bytes, strings
+    * their UTF-8 bytes) via the codegen'd
+    * [[graft.functions.IcebergBucketExpr]]. This is the transform a
+    * real Iceberg reader/writer sharing the table computes, so both
+    * engines agree on file placement bit-for-bit (reference:
+    * docs/components/iceberg.md:6-7 + Iceberg spec Appendix B;
+    * test vectors pinned in TransformsSpec).
+    */
+  final case class MBucket(n: Int, sourceCol: String) extends Transform {
+    require(n > 0, s"bucket count must be positive: $n")
+    def derive: Column =
+      graft.functions.GraftFunctions.icebergBucket(col(sourceCol), n)
+        .cast("long")
+    def specLine: String = s"mbucket\t$sourceCol\t$n"
+  }
+
+  /** `truncate(w, col)`: Iceberg's truncate transform over an
+    * integral column — value floored to a multiple of the width,
+    * `v - (v mod w)` with floor mod, so negatives land in the bucket
+    * BELOW zero exactly as the spec requires. A range predicate on
+    * the raw column prunes to the overlapped width-groups.
+    */
+  final case class TruncateLong(w: Long, sourceCol: String) extends Transform {
+    require(w > 0, s"truncate width must be positive: $w")
+    def derive: Column = {
+      val c = col(sourceCol).cast("long")
+      (c - pmod(c, lit(w))).cast("long")
+    }
+    def specLine: String = s"truncate\t$sourceCol\t$w"
   }
 
   private def readSpec(tableDir: String): Transform = {
@@ -72,13 +109,18 @@ object Transforms {
     require(Files.exists(f), s"no transform spec at $tableDir")
     val p = Files.readAllLines(f, StandardCharsets.UTF_8).asScala
       .find(_.nonEmpty).get.split('\t')
+    parseSpecParts(p)
+  }
+
+  private def parseSpecParts(p: Array[String]): Transform =
     p(0) match {
       case "days" => Days(p(1))
       case "bucket" => Bucket(p(2).toInt, p(1))
+      case "mbucket" => MBucket(p(2).toInt, p(1))
+      case "truncate" => TruncateLong(p(2).toLong, p(1))
       case other => throw new IllegalArgumentException(
         s"unknown transform '$other'")
     }
-  }
 
   /** The manifest: every partition value with a data directory. */
   def partitionValues(tableDir: String): Seq[Long] = {
@@ -94,6 +136,7 @@ object Transforms {
     */
   def land(spark: SparkSession, tableDir: String, df: DataFrame,
       t: Transform): Unit = {
+    graft.functions.GraftFunctions.register(spark) // MBucket's expression
     Files.createDirectories(Paths.get(tableDir))
     df.withColumn(PvCol, t.derive)
       .repartition(col(PvCol))
@@ -150,6 +193,7 @@ object Transforms {
       Files.readAllLines(ledger, StandardCharsets.UTF_8).asScala
         .contains(batchId.get.toString)
     if (seen) return
+    graft.functions.GraftFunctions.register(spark) // MBucket's expression
     Files.createDirectories(Paths.get(tableDir))
     df.withColumn(PvCol, t.derive)
       .repartition(col(PvCol))
@@ -209,15 +253,7 @@ object Transforms {
 
   private def specsLedger(tableDir: String) = Paths.get(tableDir, "_specs")
 
-  private def parseSpecLine(s: String): Transform = {
-    val p = s.split('\t')
-    p(0) match {
-      case "days" => Days(p(1))
-      case "bucket" => Bucket(p(2).toInt, p(1))
-      case other => throw new IllegalArgumentException(
-        s"unknown transform '$other'")
-    }
-  }
+  private def parseSpecLine(s: String): Transform = parseSpecParts(s.split('\t'))
 
   /** The spec ledger, oldest first: (specId, partition fields). */
   def specs(tableDir: String): Seq[(Int, Seq[Transform])] = {
@@ -262,6 +298,7 @@ object Transforms {
     */
   def appendEvolved(spark: SparkSession, tableDir: String,
       df: DataFrame): Unit = {
+    graft.functions.GraftFunctions.register(spark) // MBucket's expression
     val (sid, ts) = specs(tableDir).last
     val pvCols = ts.indices.map(i => s"__pv$i")
     val withPv = ts.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
@@ -325,6 +362,12 @@ object Transforms {
           case (b: Bucket, w) =>
             keys.forall(_.exists(k =>
               java.lang.Math.floorMod(k, b.n.toLong) == w))
+          case (b: MBucket, w) =>
+            keys.forall(_.exists(k =>
+              graft.functions.IcebergMurmur3.bucketLong(k, b.n).toLong == w))
+          case (t: TruncateLong, v) =>
+            keys.forall(_.exists(k =>
+              k - java.lang.Math.floorMod(k, t.w) == v))
         }
       }
       read += hit.size
@@ -342,6 +385,8 @@ object Transforms {
     val dayCol = all.flatMap(_._2).collectFirst { case Days(c) => c }
     val keyCol = all.flatMap(_._2).collectFirst {
       case b: Bucket => b.sourceCol
+      case b: MBucket => b.sourceCol
+      case t: TruncateLong => t.sourceCol
     }
     var out = base
     for ((f, t) <- dayRange; c <- dayCol)
@@ -353,22 +398,72 @@ object Transforms {
   }
 
   /** Point lookups with the predicate on the RAW key column: opens
-    * only the buckets the queried keys hash to. Returns
-    * (rows, filesRead, filesTotal).
+    * only the buckets the queried keys hash to — `mod` for the legacy
+    * [[Bucket]] spec, the Iceberg murmur3 for [[MBucket]]; either
+    * way planning is pure driver arithmetic against the `_pvals`
+    * sidecar. Returns (rows, filesRead, filesTotal).
     */
   def scanKeys(spark: SparkSession, tableDir: String,
       keys: Seq[Long]): (DataFrame, Long, Long) = {
-    val t = readSpec(tableDir) match {
-      case b: Bucket => b
+    val (srcCol, bucketOf) = readSpec(tableDir) match {
+      case b: Bucket =>
+        (b.sourceCol, (k: Long) => java.lang.Math.floorMod(k, b.n.toLong))
+      case b: MBucket =>
+        (b.sourceCol,
+          (k: Long) => graft.functions.IcebergMurmur3.bucketLong(k, b.n).toLong)
       case other => throw new IllegalArgumentException(
         s"scanKeys on a ${other.specLine} table")
     }
     val pvals = partitionValues(tableDir)
-    val want = keys.map(k => java.lang.Math.floorMod(k, t.n.toLong))
+    val want = keys.map(bucketOf).distinct.toSet
+    val kept = pvals.filter(want)
+    val df = readParts(spark, tableDir, kept)
+      .filter(col(srcCol).isin(keys: _*))
+    (df, kept.size.toLong, pvals.size.toLong)
+  }
+
+  /** [[scanKeys]] for STRING keys on an [[MBucket]] table — the spec
+    * hashes the key's UTF-8 bytes, so a natural-key-bucketed table
+    * (user ids, URLs) point-looks-up by opening one bucket per key.
+    */
+  def scanStringKeys(spark: SparkSession, tableDir: String,
+      keys: Seq[String]): (DataFrame, Long, Long) = {
+    val t = readSpec(tableDir) match {
+      case b: MBucket => b
+      case other => throw new IllegalArgumentException(
+        s"scanStringKeys on a ${other.specLine} table (string keys need " +
+          "the murmur3 spec)")
+    }
+    val pvals = partitionValues(tableDir)
+    val want = keys
+      .map(k => graft.functions.IcebergMurmur3.bucketString(k, t.n).toLong)
       .distinct.toSet
     val kept = pvals.filter(want)
     val df = readParts(spark, tableDir, kept)
       .filter(col(t.sourceCol).isin(keys: _*))
+    (df, kept.size.toLong, pvals.size.toLong)
+  }
+
+  /** Range scan `[lo, hi)` on the RAW column of a [[TruncateLong]]
+    * table: a width-`w` group starting at `v` overlaps iff
+    * `v < hi && v + w > lo` — truncate is the one bucket-family
+    * transform that PRESERVES ordering, which is exactly why Iceberg
+    * recommends it for range-queried keys. The exact predicate is
+    * applied as the residual filter (the group boundaries rarely
+    * align with the range). Returns (rows, filesRead, filesTotal).
+    */
+  def scanRange(spark: SparkSession, tableDir: String,
+      lo: Long, hiExcl: Long): (DataFrame, Long, Long) = {
+    val t = readSpec(tableDir) match {
+      case tr: TruncateLong => tr
+      case other => throw new IllegalArgumentException(
+        s"scanRange on a ${other.specLine} table")
+    }
+    val pvals = partitionValues(tableDir)
+    val kept = pvals.filter(v => v < hiExcl && v + t.w > lo)
+    val df = readParts(spark, tableDir, kept)
+      .filter(col(t.sourceCol).cast("long") >= lo &&
+        col(t.sourceCol).cast("long") < hiExcl)
     (df, kept.size.toLong, pvals.size.toLong)
   }
 }

@@ -166,4 +166,92 @@ class TransformsSpec extends AnyFunSuite {
         pmod(col("o_custkey"), lit(4))).distinct().count()
     assert(read2 == nJanHit + nFebHit2)
   }
+
+  test("murmur3: matches the Iceberg spec's published test vectors bit-for-bit") {
+    import graft.functions.IcebergMurmur3._
+    // Iceberg Table Spec, Appendix B "32-bit Hash Requirements":
+    // hashes MUST be murmur3_x86_32 seed 0 over the listed encodings
+    assert(hashLong(34L) == 2017239379, "int/long 34")
+    assert(hashLong(17486L) == -653330422, "date 2017-11-16 = day 17486")
+    assert(hashBytes("iceberg".getBytes("UTF-8")) == 1210000089, "string")
+    assert(hashBytes(Array[Byte](0, 1, 2, 3)) == -188683207, "binary 00010203")
+    // the codegen'd expression lands on the same numbers from SQL,
+    // over every accepted input type
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT iceberg_hash(CAST(34 AS BIGINT)) AS h_long,
+        |  iceberg_hash(CAST(34 AS INT)) AS h_int,
+        |  iceberg_hash('iceberg') AS h_str,
+        |  iceberg_hash(CAST('2017-11-16' AS DATE)) AS h_date,
+        |  iceberg_bucket(CAST(34 AS BIGINT), 16) AS b_long,
+        |  iceberg_bucket('iceberg', 16) AS b_str""".stripMargin).head()
+    assert(r.getInt(0) == 2017239379 && r.getInt(1) == 2017239379)
+    assert(r.getInt(2) == 1210000089)
+    assert(r.getInt(3) == -653330422)
+    assert(r.getInt(4) == (2017239379 & Int.MaxValue) % 16)
+    assert(r.getInt(5) == (1210000089 & Int.MaxValue) % 16)
+    // spec rule: int and long values of the same number hash alike
+    // (a bucket spec survives an int->bigint type promotion)
+    val both = spark.range(100).selectExpr(
+      "iceberg_bucket(CAST(id AS INT), 7) AS bi",
+      "iceberg_bucket(id, 7) AS bl")
+      .filter(col("bi") =!= col("bl")).count()
+    assert(both == 0L)
+  }
+
+  test("mbucket transform: murmur3 placement, long and string key lookups prune") {
+    val t = TempDirs.scratch("graft-tf-mbucket")
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Transforms.land(spark, t, orders, Transforms.MBucket(8, "o_orderkey"))
+    val keys = Seq(1L, 3L, 5L, 7L)
+    val (df, kept, total) = Transforms.scanKeys(spark, t, keys)
+    assert(df.count() == orders.filter(col("o_orderkey").isin(keys: _*)).count())
+    assert(kept == keys.map(k =>
+      graft.functions.IcebergMurmur3.bucketLong(k, 8)).distinct.size.toLong)
+    assert(kept < total, "point lookup must prune")
+    // placement IS the spec hash: every surviving directory value
+    // equals the murmur3 bucket of the keys it holds
+    val placed = spark.read.parquet(s"$t/data")
+      .select(col("o_orderkey"), col("__pv"))
+      .filter(col("__pv") =!= graft.functions.GraftFunctions
+        .icebergBucket(col("o_orderkey"), 8).cast("long"))
+    assert(placed.count() == 0L, "a row landed outside its spec bucket")
+    // string keys: nation by name, lookup opens one bucket per name
+    val tn = TempDirs.scratch("graft-tf-mbucket-str")
+    Transforms.land(spark, tn,
+      Tables(spark, sf, "nation").select(col("n_nationkey"), col("n_name")),
+      Transforms.MBucket(8, "n_name"))
+    val (nf, nKept, _) =
+      Transforms.scanStringKeys(spark, tn, Seq("NATION_3", "NATION_7"))
+    assert(nf.count() == 2L)
+    assert(nKept == Seq("NATION_3", "NATION_7").map(s =>
+      graft.functions.IcebergMurmur3.bucketString(s, 8)).distinct.size.toLong)
+    // wrong-scan-kind guard (loud, never wrong)
+    intercept[IllegalArgumentException] {
+      Transforms.scanRange(spark, t, 0L, 10L)
+    }
+  }
+
+  test("truncate transform: range scan opens exactly the overlapped width-groups") {
+    import spark.implicits._
+    val t = TempDirs.scratch("graft-tf-trunc")
+    // negatives included: truncate must floor DOWN (-1 -> group -50)
+    val rows = Seq(-60L, -1L, 0L, 49L, 50L, 149L, 150L, 260L)
+      .map(k => (k, 1.0)).toDF("k", "x")
+    Transforms.land(spark, t, rows, Transforms.TruncateLong(50L, "k"))
+    assert(Transforms.partitionValues(t) ==
+      Seq(-100L, -50L, 0L, 50L, 100L, 150L, 250L))
+    val (df, kept, total) = Transforms.scanRange(spark, t, -10L, 150L)
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(-1L, 0L, 49L, 50L, 149L))
+    assert(kept == 4L && total == 7L,
+      s"groups -50, 0, 50, 100 overlap [-10,150): kept=$kept total=$total")
+    // group boundaries are half-open: hi exactly on a boundary never
+    // opens the group above it
+    assert(Transforms.scanRange(spark, t, 0L, 50L)._2 == 1L)
+    intercept[IllegalArgumentException] {
+      Transforms.scanKeys(spark, t, Seq(1L))
+    }
+  }
 }

@@ -541,6 +541,51 @@ class WarehouseSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("relative time travel: FOR TIMESTAMP AS OF NOW() - INTERVAL resolves on the session clock") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-reltravel-spec")
+    val t = s"$wh/tbl"
+    def commitDistinct(df: org.apache.spark.sql.DataFrame): Long = {
+      val v = Snapshots.commit(df, t)
+      val ts = Snapshots.commitTimes(t)(v)
+      while (System.currentTimeMillis() <= ts) Thread.sleep(1L)
+      v
+    }
+    val v1 = commitDistinct(Seq((1L, "a")).toDF("k", "s"))
+    val v2 = commitDistinct(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    commitDistinct(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+    def countAt(clause: String, nowMs: Long): Long = {
+      sys.props("graft.now.millis") = nowMs.toString
+      try Engine.sqlWarehouse(spark, wh,
+        s"SELECT COUNT(*) AS n FROM tbl $clause").head().getLong(0)
+      finally sys.props.remove("graft.now.millis")
+    }
+    val ts1 = Snapshots.commitTimes(t)(v1)
+    val ts2 = Snapshots.commitTimes(t)(v2)
+    // now - 1h lands between v1 and v2 -> v1; now - 0-interval = head
+    assert(countAt("FOR TIMESTAMP AS OF NOW() - INTERVAL '1' HOUR",
+      ts1 + 3600000L) == 1L)
+    assert(countAt("FOR TIMESTAMP AS OF NOW() - INTERVAL '1' DAY",
+      ts2 + 86400000L) == 2L)
+    assert(countAt("FOR TIMESTAMP AS OF NOW()", ts2) == 2L)
+    // bare NOW() on the real clock = head (the injected value IS now)
+    assert(countAt("FOR TIMESTAMP AS OF NOW()",
+      System.currentTimeMillis()) == 3L)
+    // FOR-prefixed VERSION spelling; and both Trino forms compose with
+    // the plain (non-FOR) spelling the facade always accepted
+    assert(countAt("FOR VERSION AS OF 1", ts1) == 1L)
+    assert(countAt("VERSION AS OF 2", ts1) == 2L)
+    // an instant before the first snapshot fails loudly
+    intercept[IllegalArgumentException] {
+      countAt("FOR TIMESTAMP AS OF NOW() - INTERVAL '2' DAY", ts1 + 1000L)
+    }
+    // relative text inside a string literal is never rewritten
+    val lit = Engine.sqlWarehouse(spark, wh,
+      "SELECT 'tbl FOR TIMESTAMP AS OF NOW()' AS s FROM tbl").count()
+    assert(lit == 3L)
+  }
+
   test("DROP VIEW unregisters the session temp view (flat names must fail, not serve stale)") {
     import graft.sources.Snapshots
     import spark.implicits._
