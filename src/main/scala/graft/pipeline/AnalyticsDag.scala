@@ -426,7 +426,198 @@ object AnalyticsDag {
       .orderBy(col("order_month"), col("status"))
   }
 
+  /** p27: dbt `--full-refresh` — the flag every dbt operator reaches
+    * for the first time an incremental model's LOGIC changes
+    * (reference: docs/components/dbt.md's `dbt run` workflow; dbt
+    * docs: "full-refresh … rebuild incremental models from scratch").
+    * The daily-revenue mart first materializes counting ALL orders;
+    * the logic then changes to finished-only (`status = 'F'`) and a
+    * PLAIN incremental run merges just the frontier-and-later days —
+    * every earlier day silently keeps the OLD logic's numbers (the
+    * exact stale-mart hazard). `run(..., fullRefresh = true)` rebuilds
+    * the whole mart under the new logic as a third committed version;
+    * the superseded stale mart stays time-travelable. Gated cells:
+    * the final mart (oracle = finished-only recompute from raw),
+    * `stale_days_before` (days the plain run left on old logic —
+    * restated from frontier arithmetic), and `n_versions` = 3 (run,
+    * merge, refresh — nothing overwritten). At 100 TB the trade is
+    * explicit: a plain run prices at recomputed-grains, the refresh
+    * at one full rebuild — which is why it's a flag, not a default.
+    */
+  def p27FullRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val runner = new Runner(spark, freshWarehouse())
+    val orders = Tables(spark, dir, "orders")
+    def mdl(finishedOnly: Boolean): Model =
+      Model("daily_rev", Seq("orders_src"),
+        Materialization.Incremental(Seq("metric_date")),
+        (in, cur) => {
+          val base = cur match {
+            case Some(c) =>
+              val frontier = c.agg(max(col("metric_date")).as("__frontier"))
+              in("orders_src").join(broadcast(frontier))
+                .filter(to_date(col("o_orderdate")) >= col("__frontier"))
+                .drop("__frontier")
+            case None => in("orders_src")
+          }
+          val scoped =
+            if (finishedOnly)
+              base.filter(upper(trim(col("o_orderstatus"))) === "F")
+            else base
+          scoped.groupBy(to_date(col("o_orderdate")).as("metric_date"))
+            .agg(count(lit(1)).as("n_orders"),
+              dsum(col("o_totalprice")).as("revenue"))
+        })
+    // run 1: old logic (all orders) over the first half of history
+    runner.run(Seq(mdl(finishedOnly = false)), Map("orders_src" ->
+      orders.filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))))
+    // run 2: logic changed, PLAIN incremental — only frontier+ days
+    // recompute; everything earlier silently keeps the old numbers
+    runner.run(Seq(mdl(finishedOnly = true)), Map("orders_src" -> orders))
+    val stale = runner.readModel("daily_rev").as("m")
+      .join(orders.filter(upper(trim(col("o_orderstatus"))) === "F")
+          .groupBy(to_date(col("o_orderdate")).as("metric_date"))
+          .agg(count(lit(1)).as("n_new")).as("r"),
+        Seq("metric_date"), "left")
+      .filter(!(col("n_orders") <=> col("n_new"))).count()
+    // run 3: --full-refresh rebuilds the whole mart under new logic
+    runner.run(Seq(mdl(finishedOnly = true)), Map("orders_src" -> orders),
+      fullRefresh = true)
+    val nVersions = graft.sources.Snapshots
+      .versions(runner.tableDir("daily_rev")).size.toLong
+    runner.readModel("daily_rev")
+      .withColumn("stale_days_before", lit(stale))
+      .withColumn("n_versions", lit(nVersions))
+      .orderBy(col("metric_date"))
+  }
+
+  /** The reference's analytics DAG as DATA — the YAML a
+    * [[ConfigDag]] deployment would check in (reference authoring
+    * surface: config-generated DAGs, orchestration.md §6, + dbt SQL
+    * models with front-matter). `stg_orders` and the incremental
+    * daily mart carry the reference models' exact template idioms
+    * (`{{ ref('…') }}`, `{% if is_incremental() %} … {{ this }}`);
+    * `simple_pipeline` re-expresses dbt/analytics/models/
+    * simple_pipeline.sql's self-contained CTE pipeline (dummy data →
+    * join → aggregates → window ranks; `calculated_at` dropped —
+    * wall-clock may not reach a gated cell).
+    */
+  val ReferenceDagYaml: String =
+    """#models:
+      #  - name: stg_orders
+      #    depends_on: [orders]
+      #    materialized: table
+      #    tags: [staging]
+      #    checks:
+      #      - {test: not_null, column: o_orderkey}
+      #      - {test: accepted_values, column: status, values: [F, O, P]}
+      #    sql: |
+      #      SELECT o_orderkey, o_custkey, o_totalprice,
+      #        CAST(o_orderdate AS DATE) AS order_date,
+      #        UPPER(TRIM(o_orderstatus)) AS status,
+      #        CASE WHEN o_totalprice < 50000.0 THEN 'Small'
+      #             WHEN o_totalprice < 200000.0 THEN 'Medium'
+      #             ELSE 'Large' END AS order_size
+      #      FROM orders
+      #  - name: daily_order_metrics
+      #    depends_on: [stg_orders]
+      #    materialized: incremental
+      #    unique_key: [metric_date]
+      #    on_schema_change: fail
+      #    tags: [marts, daily]
+      #    checks:
+      #      - {test: not_null, column: metric_date}
+      #      - {test: unique, column: metric_date}
+      #    sql: |
+      #      SELECT *,
+      #        CAST(finished_orders AS DOUBLE) * 100.0
+      #          / NULLIF(CAST(total_orders AS DOUBLE), 0) AS completion_rate_pct,
+      #        total_revenue
+      #          / NULLIF(CAST(unique_customers AS DOUBLE), 0) AS revenue_per_customer
+      #      FROM (
+      #        SELECT order_date AS metric_date,
+      #          COUNT(*) AS total_orders,
+      #          COUNT(CASE WHEN status = 'F' THEN 1 END) AS finished_orders,
+      #          COUNT(CASE WHEN status = 'O' THEN 1 END) AS open_orders,
+      #          COUNT(CASE WHEN status = 'P' THEN 1 END) AS pending_orders,
+      #          COUNT(DISTINCT o_custkey) AS unique_customers,
+      #          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+      #          CAST(SUM(CASE WHEN status = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS finished_revenue,
+      #          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value,
+      #          MIN(o_totalprice) AS min_order_value,
+      #          MAX(o_totalprice) AS max_order_value
+      #        FROM {{ ref('stg_orders') }}
+      #        {% if is_incremental() %}
+      #        WHERE order_date >= (SELECT MAX(metric_date) FROM {{ this }})
+      #        {% endif %}
+      #        GROUP BY order_date) agg
+      #  - name: simple_pipeline
+      #    materialized: table
+      #    tags: [pipeline, demo]
+      #    sql: |
+      #      WITH raw_users AS (
+      #        SELECT 1 AS user_id, 'Alice Johnson' AS full_name, 25 AS age, 'Engineering' AS department
+      #        UNION ALL SELECT 2, 'Bob Smith', 30, 'Marketing'
+      #        UNION ALL SELECT 3, 'Charlie Brown', 35, 'Sales'
+      #        UNION ALL SELECT 4, 'Diana Prince', 28, 'Engineering'
+      #        UNION ALL SELECT 5, 'Eve Wilson', 32, 'Marketing'),
+      #      raw_orders AS (
+      #        SELECT 1 AS order_id, 1 AS user_id, 100.50 AS amount, '2024-01-15' AS order_date, 'completed' AS status
+      #        UNION ALL SELECT 2, 2, 250.75, '2024-01-16', 'completed'
+      #        UNION ALL SELECT 3, 1, 75.25, '2024-01-17', 'pending'
+      #        UNION ALL SELECT 4, 3, 400.00, '2024-01-18', 'completed'
+      #        UNION ALL SELECT 5, 4, 150.30, '2024-01-19', 'completed'
+      #        UNION ALL SELECT 6, 2, 320.80, '2024-01-20', 'cancelled'
+      #        UNION ALL SELECT 7, 5, 89.99, '2024-01-21', 'completed'
+      #        UNION ALL SELECT 8, 1, 199.95, '2024-01-22', 'completed'),
+      #      user_metrics AS (
+      #        SELECT u.user_id, u.full_name, u.department, u.age,
+      #          CASE WHEN u.age < 30 THEN 'Young Professional'
+      #               WHEN u.age < 40 THEN 'Mid-Career'
+      #               ELSE 'Senior Professional' END AS career_stage,
+      #          COUNT(o.order_id) AS total_orders,
+      #          COALESCE(SUM(CASE WHEN UPPER(o.status) = 'COMPLETED' THEN o.amount END), 0) AS total_completed_revenue,
+      #          COUNT(CASE WHEN UPPER(o.status) = 'COMPLETED' THEN 1 END) AS completed_orders
+      #        FROM raw_users u LEFT JOIN raw_orders o ON u.user_id = o.user_id
+      #        GROUP BY u.user_id, u.full_name, u.department, u.age)
+      #      SELECT *,
+      #        ROW_NUMBER() OVER (ORDER BY total_completed_revenue DESC) AS revenue_rank,
+      #        ROW_NUMBER() OVER (PARTITION BY department ORDER BY total_completed_revenue DESC) AS dept_revenue_rank,
+      #        CASE WHEN total_orders = 0 THEN 'No Orders'
+      #             WHEN total_orders = 1 THEN 'New Customer'
+      #             WHEN total_orders <= 3 THEN 'Regular Customer'
+      #             ELSE 'VIP Customer' END AS customer_tier
+      #      FROM user_metrics
+      #""".stripMargin('#')
+
+  /** p28: the CONFIG-DRIVEN DAG end-to-end — [[ReferenceDagYaml]]
+    * loads through [[ConfigDag]] and runs with the SAME backfill +
+    * incremental-refresh shape as the code-built q50 (first run over
+    * pre-1996 orders, second over the full source), so the gate
+    * proves the YAML surface — materializations, dep graph, dbt
+    * templates, checks — produces bit-identical marts to a full
+    * recompute: the `{% if is_incremental() %}` block renders against
+    * `{{ this }}` on run 2 and MERGEs only frontier-and-later days.
+    * `simple_pipeline_rows` pins the reference's third model (its
+    * fixed 5-user CTE pipeline) materialized alongside. ConfigDagSpec
+    * additionally proves config-built == code-built on the shared
+    * models and that config typos fail loudly.
+    */
+  def p28ConfigDag(spark: SparkSession, dir: String): DataFrame = {
+    val runner = new Runner(spark, freshWarehouse())
+    val models = ConfigDag.load(spark, ReferenceDagYaml)
+    val orders = Tables(spark, dir, "orders")
+    runner.run(models, Map("orders" ->
+      orders.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))))
+    runner.run(models, Map("orders" -> orders))
+    val simpleRows = runner.readModel("simple_pipeline").count()
+    runner.readModel("daily_order_metrics")
+      .withColumn("simple_pipeline_rows", lit(simpleRows))
+      .orderBy(col("metric_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p28_config_dag" -> (p28ConfigDag _),
+    "p27_full_refresh" -> (p27FullRefresh _),
     "p24_backfill" -> (p24Backfill _),
     "p23_snapshot_timestamp" -> (p23SnapshotTimestamp _),
     "p22_dbt_snapshot" -> (p22DbtSnapshot _),
@@ -444,6 +635,57 @@ object AnalyticsDag {
     * lineage would flatten to (DuckDB dialect).
     */
   val oracles: Map[String, String] = Map(
+    // p28: q50's composed staging->mart recompute (the config DAG must
+    // land bit-identical to the code-built one) + the fixed 5-row
+    // simple_pipeline count
+    "p28_config_dag" ->
+      """WITH stg AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(o_orderdate AS DATE) AS order_date,
+        |    UPPER(TRIM(o_orderstatus)) AS status
+        |  FROM orders),
+        |agg AS (
+        |  SELECT order_date AS metric_date,
+        |    COUNT(*) AS total_orders,
+        |    COUNT(CASE WHEN status = 'F' THEN 1 END) AS finished_orders,
+        |    COUNT(CASE WHEN status = 'O' THEN 1 END) AS open_orders,
+        |    COUNT(CASE WHEN status = 'P' THEN 1 END) AS pending_orders,
+        |    COUNT(DISTINCT o_custkey) AS unique_customers,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |    CAST(SUM(CASE WHEN status = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS finished_revenue,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(o_totalprice) AS avg_order_value,
+        |    MIN(o_totalprice) AS min_order_value,
+        |    MAX(o_totalprice) AS max_order_value
+        |  FROM stg GROUP BY 1)
+        |SELECT *,
+        |  CAST(finished_orders AS DOUBLE)*100.0/NULLIF(CAST(total_orders AS DOUBLE),0) AS completion_rate_pct,
+        |  total_revenue/NULLIF(CAST(unique_customers AS DOUBLE),0) AS revenue_per_customer,
+        |  CAST(5 AS BIGINT) AS simple_pipeline_rows
+        |FROM agg ORDER BY metric_date""".stripMargin,
+    // p27: final mart = finished-only recompute; stale_days_before
+    // restates the plain-run hazard from frontier arithmetic (days
+    // before the run-1 frontier whose all-orders numbers differ from
+    // finished-only); n_versions pinned at 3 (run, merge, refresh)
+    "p27_full_refresh" ->
+      """WITH f AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS metric_date,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders WHERE upper(trim(o_orderstatus)) = 'F'
+        |  GROUP BY 1),
+        |stale AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT CAST(o_orderdate AS DATE) AS d,
+        |      COUNT(*) AS n_all,
+        |      COUNT(CASE WHEN upper(trim(o_orderstatus)) = 'F' THEN 1 END) AS n_f
+        |    FROM orders GROUP BY 1) x
+        |  WHERE d < (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders
+        |             WHERE o_orderdate < TIMESTAMP '1995-07-01')
+        |    AND n_all <> n_f)
+        |SELECT metric_date, n_orders, revenue,
+        |  (SELECT n FROM stale) AS stale_days_before,
+        |  CAST(3 AS BIGINT) AS n_versions
+        |FROM f ORDER BY metric_date""".stripMargin,
     // p24: the four backfilled/scheduled months restated from raw
     // orders; idempotency booleans pinned TRUE
     "p24_backfill" ->

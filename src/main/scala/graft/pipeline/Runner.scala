@@ -132,7 +132,8 @@ final case class Model(
     materialization: Materialization,
     build: (Map[String, DataFrame], Option[DataFrame]) => DataFrame,
     checks: Seq[Checks.Check] = Nil,
-    tags: Set[String] = Set.empty)
+    tags: Set[String] = Set.empty,
+    fullRefresh: Option[Boolean] = None)
 
 object Model {
   /** A seed node: no deps, no build — materializes straight from its
@@ -340,10 +341,27 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
 
   private val runCounter = new java.util.concurrent.atomic.AtomicLong
 
+  /** `fullRefresh` is dbt's `dbt run --full-refresh`: every
+    * Incremental model rebuilds FROM SCRATCH as a new committed
+    * version — the model's build sees `existing = None` (so its
+    * `is_incremental()` branch is off), the result replaces the mart
+    * wholesale, and prior versions stay time-travelable (a bad
+    * refresh is one `rollback` away). The flag every dbt operator
+    * reaches for the first time an incremental model's LOGIC changes:
+    * a plain run only merges recomputed grains, silently leaving
+    * stale rows computed under the old logic. A model may pin
+    * `Model.fullRefresh` to `Some(true)` (always rebuild) or
+    * `Some(false)` (never — dbt's guard for huge marts where an
+    * accidental --full-refresh would be a multi-hour rebuild);
+    * `None` follows the run flag. Non-incremental materializations
+    * are unaffected (table/seed already rebuild each run; snapshots
+    * are append-only audit history dbt never refreshes).
+    */
   def run(models: Seq[Model],
       sources: Map[String, DataFrame] = Map.empty,
       retries: Int = 0,
-      resumeId: Option[String] = None): Seq[ModelRun] = {
+      resumeId: Option[String] = None,
+      fullRefresh: Boolean = false): Seq[ModelRun] = {
     val byName = models.map(m => m.name -> m).toMap
     require(byName.size == models.size, "duplicate model names in DAG")
     models.foreach { m =>
@@ -434,7 +452,7 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
               }
               else sources.getOrElse(d, readModel(d)))
       }.toMap
-      val run = retrying(m.name, retries)(materialize(m, inputs))
+      val run = retrying(m.name, retries)(materialize(m, inputs, fullRefresh))
       // dbt's `dbt test` after build: a failing severity=error check
       // aborts the DAG before anything downstream consumes bad data;
       // severity=warn failures are reported and the run proceeds.
@@ -509,10 +527,15 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
   }
 
   private def materialize(m: Model,
-      inputs: Map[String, DataFrame]): ModelRun = {
+      inputs: Map[String, DataFrame],
+      runFullRefresh: Boolean = false): ModelRun = {
     val dir = tableDir(m.name)
     val existing =
       if (Snapshots.versions(dir).nonEmpty) Some(readModel(m.name)) else None
+    // dbt precedence: the model's own full_refresh config overrides
+    // the run flag (Some(false) protects a huge mart from accidental
+    // rebuild; Some(true) always rebuilds)
+    val doFullRefresh = m.fullRefresh.getOrElse(runFullRefresh)
     m.materialization match {
       case Materialization.View =>
         // validate the definition resolves/analyzes NOW (dbt compiles
@@ -556,6 +579,15 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
               "snapshot")
         }
       case Materialization.Incremental(keys, policy) =>
+        if (doFullRefresh && existing.isDefined) {
+          // rebuild from scratch: the model's is_incremental() branch
+          // is off (no `this`), the whole mart re-commits as a NEW
+          // version (old versions stay travelable), and the schema
+          // drift policy doesn't apply — changing the logic/schema is
+          // exactly what --full-refresh exists for
+          val df = m.build(inputs, None)
+          return ModelRun(m.name, Snapshots.commit(df, dir), "full-refresh")
+        }
         val df = m.build(inputs, existing)
         existing match {
           case None =>

@@ -575,4 +575,51 @@ class PipelineRunnerSpec extends AnyFunSuite {
       (1L, "a2", t("2024-02-01 00:00:00"), None),
       (2L, "b", t("2024-01-09 00:00:00"), None)))
   }
+
+  test("--full-refresh rebuilds an incremental model whose logic changed; Some(false) pins never") {
+    import spark.implicits._
+    val runner = new Runner(spark, TempDirs.scratch("graft-runner-fr"))
+    val src = Seq((1L, 10.0, "x"), (1L, 20.0, "y"), (2L, 5.0, "x"))
+      .toDF("k", "v", "cat")
+    def mdl(xOnly: Boolean, pin: Option[Boolean] = None): Model =
+      Model("mart", Seq("src"), Materialization.Incremental(Seq("k")),
+        (in, cur) => {
+          // incremental branch: only keys ABSENT from the mart land
+          // (so a logic change never reaches existing keys)
+          val base = cur match {
+            case Some(c) => in("src").join(c.select("k"), Seq("k"), "left_anti")
+            case None => in("src")
+          }
+          val scoped = if (xOnly) base.filter(col("cat") === "x") else base
+          scoped.groupBy(col("k")).agg(sum(col("v")).as("sv"))
+        }, fullRefresh = pin)
+    def mart(): Map[Long, Double] = runner.readModel("mart").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    runner.run(Seq(mdl(xOnly = false)), Map("src" -> src))
+    assert(mart() == Map(1L -> 30.0, 2L -> 5.0))
+    // logic change + plain run: existing keys keep the OLD numbers
+    runner.run(Seq(mdl(xOnly = true)), Map("src" -> src))
+    assert(mart() == Map(1L -> 30.0, 2L -> 5.0), "plain run must leave stale rows")
+    // --full-refresh: whole mart rebuilt under the new logic, as a
+    // NEW version — the stale mart stays travelable
+    val report = runner.run(Seq(mdl(xOnly = true)), Map("src" -> src),
+      fullRefresh = true)
+    assert(report.head.mode == "full-refresh")
+    assert(mart() == Map(1L -> 10.0, 2L -> 5.0))
+    val dir = runner.tableDir("mart")
+    assert(graft.sources.Snapshots.versions(dir).size == 3)
+    assert(graft.sources.Snapshots.read(spark, dir, 2L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == Map(1L -> 30.0, 2L -> 5.0), "superseded mart must stay travelable")
+    // Some(false) pins never-refresh: the flag is ignored (dbt's guard
+    // for marts too big to accidentally rebuild)
+    val guarded = runner.run(
+      Seq(mdl(xOnly = true, pin = Some(false))), Map("src" -> src),
+      fullRefresh = true)
+    assert(guarded.head.mode == "merge")
+    // Some(true) pins always-refresh even without the flag
+    val always = runner.run(
+      Seq(mdl(xOnly = true, pin = Some(true))), Map("src" -> src))
+    assert(always.head.mode == "full-refresh")
+  }
 }
