@@ -364,8 +364,38 @@ object Engine {
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_.]*)\s+(SELECT\b.*)$""".r
   private val DeleteFrom =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+WHERE\s+(.+)$""".r
+  // SET body and WHERE split by [[topLevelIndexOf]], not the regex: a
+  // lazy `(.+?)\s+WHERE` would split at a WHERE inside a string
+  // literal (found by the fuzz corpus — `SET s = 'DELETE … WHERE 1=1'`)
   private val UpdateStmt =
-    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+SET\s+(.+?)\s+WHERE\s+(.+)$""".r
+    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+SET\s+(.+)$""".r
+
+  /** Index of the first word-bounded, case-insensitive `keyword` in
+    * `text` at paren depth 0 and OUTSIDE single-quoted literals
+    * (`''` escaping toggles twice — same effect); -1 when absent.
+    * The statement splitter for clause keywords that may legally
+    * appear inside literal data.
+    */
+  private def topLevelIndexOf(text: String, keyword: String): Int = {
+    var i = 0
+    var depth = 0
+    var inStr = false
+    val n = text.length
+    def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') depth -= 1
+      else if (!inStr && depth == 0 &&
+        text.regionMatches(true, i, keyword, 0, keyword.length) &&
+        (i == 0 || !wordChar(text.charAt(i - 1))) &&
+        (i + keyword.length >= n || !wordChar(text.charAt(i + keyword.length))))
+        return i
+      i += 1
+    }
+    -1
+  }
 
   /** Split `a = e1, b = e2, …` on top-level commas (quote- and
     * paren-aware) into (column, expression-text) pairs.
@@ -503,16 +533,27 @@ object Engine {
   private def viewsLedger(wh: String) =
     java.nio.file.Paths.get(wh, "_views")
 
-  // CREATE/DROP VIEW mutate the ledger under an exclusive file lock
+  // CREATE/DROP VIEW mutate the ledger under an exclusive lock
   // (the store convention — Snapshots.withManifestLock's shape): a
   // concurrent CREATE interleaving a DROP's read-rewrite would
-  // otherwise lose one of the two writes silently.
+  // otherwise lose one of the two writes silently. Per-warehouse JVM
+  // monitor FIRST (two sessions of ONE Spark app — the Kyuubi share
+  // model — would otherwise hit OverlappingFileLockException, since
+  // FileChannel locks are held per-JVM), then the file lock
+  // arbitrates across processes.
+  private val viewsJvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def withViewsLock[A](wh: String)(f: => A): A = {
     import java.nio.file.StandardOpenOption._
-    val ch = java.nio.channels.FileChannel.open(
-      java.nio.file.Paths.get(wh, "_views.lock"), CREATE, WRITE)
-    try { val l = ch.lock(); try f finally l.release() }
-    finally ch.close()
+    val key = java.nio.file.Paths.get(wh).toAbsolutePath.normalize.toString
+    val monitor = viewsJvmLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(wh, "_views.lock"), CREATE, WRITE)
+      try { val l = ch.lock(); try f finally l.release() }
+      finally ch.close()
+    }
   }
 
   private def viewDefs(wh: String): Seq[(String, String)] = {
@@ -746,11 +787,17 @@ object Engine {
           s"INSERT INTO: '$name' is a snapshot table; DML targets MoR tables")
         val id = Mor.append(sqlWarehouse(spark, warehouseDir, select), dir)
         return dmlResult(spark, name, "insert", dir, id)
-      case UpdateStmt(name, setText, condText) =>
+      case UpdateStmt(name, body) =>
         import graft.sources.Mor
         val dir = existingDir(warehouseDir, name, "UPDATE")
         require(isMorTable(dir),
           s"UPDATE: '$name' is a snapshot table; DML targets MoR tables")
+        val wIdx = topLevelIndexOf(body, "WHERE")
+        require(wIdx > 0,
+          s"UPDATE needs a top-level WHERE clause (a WHERE inside a " +
+            s"string literal does not count): $query")
+        val setText = body.take(wIdx).trim
+        val condText = body.drop(wIdx + "WHERE".length).trim
         val set = parseAssignments(setText).map { case (c, e) =>
           c -> org.apache.spark.sql.functions.expr(e)
         }.toMap

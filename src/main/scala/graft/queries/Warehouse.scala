@@ -1307,6 +1307,43 @@ object Warehouse {
       .orderBy(col("trunc_group"))
   }
 
+  /** q120: the COARSER Iceberg time transforms — `months(ts)` /
+    * `years(ts)` (and `hours` in TransformsSpec), completing the
+    * spec's transform family next to days/bucket/truncate: months
+    * and years are what a slowly-growing 100 TB landing actually
+    * partitions by (a day layout is millions of directories; a
+    * month layout is thousands). All time transforms are MONOTONE,
+    * so a raw-timestamp range prunes to a contiguous value range
+    * via [[graft.sources.Transforms.scanTimeRange]] — the
+    * to-exclusive bound evaluated at −1µs never opens the group
+    * above an exact boundary, and misaligned bounds (the months leg
+    * starts/ends mid-month here deliberately) stay exact through
+    * the residual filter. The whole thing is calendar arithmetic,
+    * so the oracle restates both legs — rollups AND file counts —
+    * with nothing precomputed.
+    */
+  def q120TimeTransforms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Transforms
+    val wh = tempDir("graft-timetf")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    val tM = s"$wh/orders_by_month"
+    Transforms.land(spark, tM, orders, Transforms.Months("o_orderdate"))
+    val (mr, mKept, mTotal) = Transforms.scanTimeRange(spark, tM,
+      "1995-03-15 00:00:00", "1995-06-15 00:00:00")
+    val tY = s"$wh/orders_by_year"
+    Transforms.land(spark, tY, orders, Transforms.Years("o_orderdate"))
+    val (yr, yKept, yTotal) = Transforms.scanTimeRange(spark, tY,
+      "1996-01-01 00:00:00", "1997-01-01 00:00:00")
+    def leg(rows: DataFrame, name: String, kept: Long, total: Long) =
+      rows.agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("revenue"))
+        .select(lit(name).as("leg"), col("n_rows"), col("revenue"),
+          lit(kept).as("n_files_read"), lit(total).as("n_files_total"))
+    leg(mr, "months_range", mKept, mTotal)
+      .unionByName(leg(yr, "years_1996", yKept, yTotal))
+      .orderBy(col("leg"))
+  }
+
   /** q119: RELATIVE timestamp travel + `FOR`-prefixed clauses — the
     * reference's own headline example is `SELECT * FROM sales.orders
     * FOR TIMESTAMP AS OF NOW() - INTERVAL '1' DAY`
@@ -2161,6 +2198,7 @@ object Warehouse {
     "q117_string_bucket" -> (q117StringBucket _),
     "q118_truncate_transform" -> (q118TruncateTransform _),
     "q119_relative_travel" -> (q119RelativeTravel _),
+    "q120_time_transforms" -> (q120TimeTransforms _),
     "q102_spec_evolution" -> (q102SpecEvolution _),
     "q103_call_procedures" -> (q103CallProcedures _),
     "q104_multi_table_txn" -> (q104MultiTableTxn _),
@@ -2246,6 +2284,26 @@ object Warehouse {
         |  CAST(8 AS BIGINT) AS n_files_total,
         |  CAST(2 AS BIGINT) AS n_lookup_rows
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // q120: calendar arithmetic end-to-end — the months leg opens the
+    // 4 months 1995-03..06 (mid-month bounds; residual-exact), the
+    // years leg opens exactly 1996; totals = distinct months/years
+    "q120_time_transforms" ->
+      """SELECT 'months_range' AS leg, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(4 AS BIGINT) AS n_files_read,
+        |  (SELECT CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+        |   FROM orders) AS n_files_total
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1995-03-15'
+        |  AND o_orderdate < TIMESTAMP '1995-06-15'
+        |UNION ALL
+        |SELECT 'years_1996', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(1 AS BIGINT),
+        |  (SELECT CAST(COUNT(DISTINCT date_part('year', o_orderdate)) AS BIGINT)
+        |   FROM orders)
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY leg""".stripMargin,
     // q119: each travel leg restates as the date slice its version
     // landed; the injected session clock keeps wall time out of every
     // checked cell (legs a/b/c force a stable sort key)

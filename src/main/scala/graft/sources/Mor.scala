@@ -81,12 +81,23 @@ object Mor {
     id
   }
 
+  // per-table JVM monitor first (two sessions of one Spark app —
+  // FileChannel locks are per-JVM and overlap throws, not waits),
+  // then the file lock arbitrates across processes — the
+  // Snapshots.withManifestLock convention
+  private val ledgerJvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def withLedgerLock[A](tableDir: String)(f: => A): A = {
-    val lockPath = Paths.get(tableDir, "_commits.lock")
-    val ch = FileChannel.open(lockPath,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    try { val l = ch.lock(); try f finally l.release() }
-    finally ch.close()
+    val key = Paths.get(tableDir).toAbsolutePath.normalize.toString
+    val monitor = ledgerJvmLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      val lockPath = Paths.get(tableDir, "_commits.lock")
+      val ch = FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try f finally l.release() }
+      finally ch.close()
+    }
   }
 
   /** Write `df` under a fresh commit id, then ledger it (append LAST,
@@ -191,9 +202,16 @@ object Mor {
     try {
       val positions = matched
         .select(col(PosFile).as("file"), col(PosIdx).as("pos")).distinct()
-      val updated = set.foldLeft(matched.drop(PosFile, PosIdx)) {
-        case (acc, (c, e)) => acc.withColumn(c, e)
-      }
+      // ONE select, every SET expression against the OLD row — the
+      // SQL-standard UPDATE semantic. A sequential withColumn fold
+      // would let later assignments see earlier ones, in Map order —
+      // nondeterministic for interdependent SETs (fuzz-spec finding)
+      val base = matched.drop(PosFile, PosIdx)
+      val unknown = set.keySet -- base.columns
+      require(unknown.isEmpty,
+        s"UPDATE SET names unknown columns: ${unknown.toSeq.sorted.mkString(",")}")
+      val updated = base.select(base.columns.toSeq.map(c =>
+        set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
       commitPair(positions, updated, tableDir, tag.map(_ + ":upd"))
     } finally {
       try matched.unpersist(blocking = false) catch { case _: Throwable => () }

@@ -89,6 +89,33 @@ object Transforms {
     def specLine: String = s"mbucket\t$sourceCol\t$n"
   }
 
+  /** `hours(ts)` / `months(ts)` / `years(ts)`: the rest of Iceberg's
+    * time-transform family next to [[Days]] — hours/months/years
+    * since epoch (1970-01-01 / 1970-01). All monotone in the source
+    * timestamp, so a raw time-range predicate prunes to a contiguous
+    * value range ([[scanTimeRange]]). Months and years are the
+    * coarser CDC-landing layouts a slowly-growing table wants (a
+    * day-partitioned 100 TB table is millions of directories; a
+    * month-partitioned one is thousands).
+    */
+  final case class Hours(sourceCol: String) extends Transform {
+    def derive: Column = {
+      val secs = col(sourceCol).cast("long")
+      ((secs - pmod(secs, lit(3600L))) / 3600L).cast("long")
+    }
+    def specLine: String = s"hours\t$sourceCol"
+  }
+  final case class Months(sourceCol: String) extends Transform {
+    def derive: Column =
+      ((year(col(sourceCol)) - 1970) * 12 + month(col(sourceCol)) - 1)
+        .cast("long")
+    def specLine: String = s"months\t$sourceCol"
+  }
+  final case class Years(sourceCol: String) extends Transform {
+    def derive: Column = (year(col(sourceCol)) - 1970).cast("long")
+    def specLine: String = s"years\t$sourceCol"
+  }
+
   /** `truncate(w, col)`: Iceberg's truncate transform over an
     * integral column — value floored to a multiple of the width,
     * `v - (v mod w)` with floor mod, so negatives land in the bucket
@@ -115,6 +142,9 @@ object Transforms {
   private def parseSpecParts(p: Array[String]): Transform =
     p(0) match {
       case "days" => Days(p(1))
+      case "hours" => Hours(p(1))
+      case "months" => Months(p(1))
+      case "years" => Years(p(1))
       case "bucket" => Bucket(p(2).toInt, p(1))
       case "mbucket" => MBucket(p(2).toInt, p(1))
       case "truncate" => TruncateLong(p(2).toLong, p(1))
@@ -234,6 +264,41 @@ object Transforms {
     val df = readParts(spark, tableDir, kept)
       .filter(col(t.sourceCol).cast("date") >= lit(from).cast("date") &&
         col(t.sourceCol).cast("date") < lit(toExcl).cast("date"))
+    (df, kept.size.toLong, pvals.size.toLong)
+  }
+
+  /** Raw-timestamp range scan `[from, toExcl)` over ANY of the
+    * monotone time transforms ([[Days]]/[[Hours]]/[[Months]]/
+    * [[Years]]): the derived values of the bounds delimit the kept
+    * partition directories (to-exclusive evaluated at `toExcl − 1µs`
+    * so an exact boundary never opens the group above), and the
+    * exact predicate applies as the residual filter — misaligned
+    * bounds stay correct, just prune one extra edge group.
+    * Timestamps parse as UTC (the engine's session convention).
+    * Returns (rows, filesRead, filesTotal).
+    */
+  def scanTimeRange(spark: SparkSession, tableDir: String,
+      from: String, toExcl: String): (DataFrame, Long, Long) = {
+    val t = readSpec(tableDir)
+    def parse(s: String) =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    def valueOf(dt: java.time.LocalDateTime): Long = t match {
+      case Days(_) => dt.toLocalDate.toEpochDay
+      case Hours(_) =>
+        java.lang.Math.floorDiv(
+          dt.toEpochSecond(java.time.ZoneOffset.UTC), 3600L)
+      case Months(_) => (dt.getYear - 1970).toLong * 12 + dt.getMonthValue - 1
+      case Years(_) => (dt.getYear - 1970).toLong
+      case other => throw new IllegalArgumentException(
+        s"scanTimeRange on a ${other.specLine} table")
+    }
+    val lo = valueOf(parse(from))
+    val hi = valueOf(parse(toExcl).minusNanos(1000))
+    val pvals = partitionValues(tableDir)
+    val kept = pvals.filter(v => v >= lo && v <= hi)
+    val df = readParts(spark, tableDir, kept)
+      .filter(col(t.sourceCol).cast("timestamp") >= lit(from).cast("timestamp") &&
+        col(t.sourceCol).cast("timestamp") < lit(toExcl).cast("timestamp"))
     (df, kept.size.toLong, pvals.size.toLong)
   }
 
@@ -368,6 +433,9 @@ object Transforms {
           case (t: TruncateLong, v) =>
             keys.forall(_.exists(k =>
               k - java.lang.Math.floorMod(k, t.w) == v))
+          // coarser time fields in an evolved spec: kept (no pruning
+          // on this field) — the residual filter keeps answers exact
+          case (_: Hours | _: Months | _: Years, _) => true
         }
       }
       read += hit.size

@@ -233,6 +233,41 @@ class TransformsSpec extends AnyFunSuite {
     }
   }
 
+  test("hours/months/years transforms: monotone pruning, exact boundaries half-open") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ts("1994-12-31 23:59:59"), ts("1995-01-15 10:30:00"),
+      ts("1995-02-01 00:00:00"), ts("1995-02-28 23:00:00"),
+      ts("1996-07-04 12:00:00")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("k", "t")
+    // months: value = months since 1970-01
+    val tm = TempDirs.scratch("graft-tf-months")
+    Transforms.land(spark, tm, rows, Transforms.Months("t"))
+    assert(Transforms.partitionValues(tm) == Seq(299L, 300L, 301L, 318L))
+    val (md, mk, mt) = Transforms.scanTimeRange(spark, tm,
+      "1995-01-10 00:00:00", "1995-02-01 00:00:00")
+    // to-bound exactly on the month boundary: Feb must NOT open
+    assert(mk == 1L && mt == 4L && md.count() == 1L)
+    // years
+    val ty = TempDirs.scratch("graft-tf-years")
+    Transforms.land(spark, ty, rows, Transforms.Years("t"))
+    assert(Transforms.partitionValues(ty) == Seq(24L, 25L, 26L))
+    val (yd, yk, _) = Transforms.scanTimeRange(spark, ty,
+      "1995-01-01 00:00:00", "1996-01-01 00:00:00")
+    assert(yk == 1L && yd.count() == 3L)
+    // hours: epoch-hour floor; the 23:59:59 row lands the hour below
+    val th = TempDirs.scratch("graft-tf-hours")
+    Transforms.land(spark, th, rows, Transforms.Hours("t"))
+    val (hd, hk, ht) = Transforms.scanTimeRange(spark, th,
+      "1995-01-15 10:00:00", "1995-01-15 11:00:00")
+    assert(hk == 1L && ht == 5L && hd.count() == 1L)
+    // wrong-kind guard
+    intercept[IllegalArgumentException] {
+      Transforms.scanKeys(spark, tm, Seq(1L))
+    }
+  }
+
   test("truncate transform: range scan opens exactly the overlapped width-groups") {
     import spark.implicits._
     val t = TempDirs.scratch("graft-tf-trunc")
