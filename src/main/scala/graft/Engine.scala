@@ -345,6 +345,22 @@ object Engine {
   private val ShowTables =
     """(?is)^\s*SHOW\s+TABLES(?:\s+IN\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$""".r
 
+  // DESCRIBE [TABLE] <t> — the other first-contact catalog statement
+  // next to SHOW TABLES: the CURRENT schema (post-DDL names/types,
+  // the by-id ledger applied), answered metadata-only.
+  private val DescribeStmt =
+    """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s*$""".r
+
+  private def describeTable(spark: SparkSession, warehouseDir: String,
+      name: String): DataFrame = {
+    val dir = existingDir(warehouseDir, name, "DESCRIBE")
+    val fields = readTable(spark, dir).schema.fields
+    import spark.implicits._
+    fields.zipWithIndex.map { case (f, i) =>
+      (i + 1L, f.name, f.dataType.sql.toLowerCase)
+    }.toSeq.toDF("ordinal", "column_name", "data_type")
+  }
+
   // ANALYZE TABLE <t> COMPUTE STATISTICS [FOR ALL COLUMNS] — Spark's
   // own spelling (Trino: ANALYZE <t>); stats land as a versioned
   // sidecar and serve through `<t>$stats` + the broadcast planner.
@@ -656,6 +672,9 @@ object Engine {
         return callProcedure(spark, warehouseDir, proc, args)
       case ShowTables(db) =>
         return showTables(spark, warehouseDir, Option(db))
+      case DescribeStmt(name) =>
+        graft.sources.Snapshots.recoverTxns(warehouseDir)
+        return describeTable(spark, warehouseDir, name)
       case AnalyzeStmt(table) =>
         graft.sources.Snapshots.recoverTxns(warehouseDir)
         val dir = warehouseEntries(warehouseDir).find(_._1 == table)

@@ -549,6 +549,66 @@ object Similarity {
     }
   }
 
+  /** Tombstoned vec_ids of a stored index, if any — the delete side
+    * of the online-index story (see [[deleteFromAnnIndex]]).
+    */
+  private def annTombstones(spark: SparkSession,
+      idxDir: String): Option[DataFrame] = {
+    val d = java.nio.file.Paths.get(s"$idxDir/deletes")
+    if (java.nio.file.Files.exists(d)) Some(spark.read.parquet(d.toString))
+    else None
+  }
+
+  /** DELETE vectors from a stored ANN index — the GDPR/right-to-be-
+    * forgotten path every production vector store needs (FAISS
+    * `remove_ids`, the MoR `positionDeletes` economics applied to
+    * postings): the ids land as TOMBSTONES under `deletes/` — no
+    * posting file is rewritten, cost ∝ deleted ids — and every serve
+    * anti-joins them out until the next [[compactAnnIndex]] bakes
+    * them in and clears the ledger. `batchTag` rides the same
+    * exactly-once append ledger as [[appendAnnIndex]]: a replayed
+    * delete batch is a no-op. The tombstone set stays bounded by
+    * deletions-since-last-compaction (the LSM posture), so the
+    * serve-side anti-join broadcast is safe by construction.
+    */
+  private[graft] def deleteFromAnnIndex(spark: SparkSession, idxDir: String,
+      ids: DataFrame, batchTag: Option[String] = None): Unit = {
+    if (batchTag.exists(committedAppendTags(idxDir).contains)) return
+    val tombs = ids.select(col("vec_id")).distinct()
+    batchTag match {
+      case None =>
+        tombs.write.mode(SaveMode.Append).parquet(s"$idxDir/deletes")
+      case Some(tag) =>
+        val safe = tag.replaceAll("[^A-Za-z0-9_=.-]", "_")
+        val staging = s"$idxDir/_staging/del-$safe"
+        tombs.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+        withAppendLock(idxDir) {
+          if (!committedAppendTags(idxDir).contains(tag)) {
+            import java.nio.file.{Files, Paths, StandardCopyOption}
+            import scala.jdk.CollectionConverters._
+            val target = Paths.get(s"$idxDir/deletes")
+            Files.createDirectories(target)
+            val parts = {
+              val l = Files.list(Paths.get(staging))
+              try l.iterator().asScala
+                .filter(_.toString.endsWith(".parquet"))
+                .toList.sortBy(_.getFileName.toString)
+              finally l.close()
+            }
+            parts.zipWithIndex.foreach { case (p, i) =>
+              Files.move(p, target.resolve(s"del-$safe-$i.parquet"),
+                StandardCopyOption.REPLACE_EXISTING)
+            }
+            import java.nio.file.StandardOpenOption._
+            Files.write(appendLedgerPath(idxDir),
+              s"$tag\n".getBytes("UTF-8"), CREATE, APPEND)
+            ()
+          }
+        }
+        deleteDirTree(java.nio.file.Paths.get(staging))
+    }
+  }
+
   /** Move a staged per-cell parquet layout into the live postings
     * under the tag's deterministic names. Clears the tag's residue
     * first so a crash-replay converges on the same file set.
@@ -612,8 +672,14 @@ object Similarity {
     // bounded driver list: |queries| × nprobe cell ids — the probe set
     val cells = probes.select(col("cell_id")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val postings = spark.read.parquet(s"$idxDir/postings")
+    val stored = spark.read.parquet(s"$idxDir/postings")
       .filter(col("cell_id").isin(cells.map(c => c: Any): _*))
+    // tombstoned vectors never serve (bounded by deletions since the
+    // last compaction — the LSM posture — so broadcast is safe)
+    val postings = annTombstones(spark, idxDir) match {
+      case Some(t) => stored.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => stored
+    }
     val hits = postings.join(broadcast(probes),
         postings("cell_id") === probes("cell_id") && col("vec_id") =!= col("qid"))
       .withColumn("sim", GraftFunctions.cosineSim(col("qe"), col("embedding")))
@@ -716,8 +782,14 @@ object Similarity {
     // for the no-interleave guarantee the exactly-once ledger assumes.
     withAppendLock(idxDir) {
       val staging = s"$idxDir/_compact_staging"
-      spark.read.parquet(s"$idxDir/postings")
-        .repartition(col("cell_id"))
+      val stored = spark.read.parquet(s"$idxDir/postings")
+      // bake tombstones in: deleted vectors leave the layout for
+      // good, and the tombstone set resets to empty afterwards
+      val live0 = annTombstones(spark, idxDir) match {
+        case Some(t) => stored.join(broadcast(t), Seq("vec_id"), "left_anti")
+        case None => stored
+      }
+      live0.repartition(col("cell_id"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(staging)
       import java.nio.file.{Files, Paths}
       val live = Paths.get(s"$idxDir/postings")
@@ -726,6 +798,7 @@ object Similarity {
       Files.move(live, old)
       Files.move(Paths.get(staging), live)
       deleteDirTree(old)
+      deleteDirTree(Paths.get(s"$idxDir/deletes"))
     }
   }
 
@@ -839,6 +912,60 @@ object Similarity {
       .select(col("cell_id"), col("n_base"), col("n_new"), col("n_total"),
         col("growth_r"), col("skew"), col("retrain_recommended"))
       .orderBy(col("cell_id"))
+  }
+
+  /** s20: VECTOR DELETION from the stored ANN index — the GDPR path
+    * that completes the index lifecycle (build s13 / append s15 /
+    * compact s18 / drift s19 / DELETE): [[deleteFromAnnIndex]] lands
+    * the ids as tombstones (no posting rewritten, cost ∝ deleted
+    * ids, exactly-once via the shared append ledger), every serve
+    * anti-joins them out, and the next [[compactAnnIndex]] BAKES
+    * them in and clears the tombstone set — the MoR positionDeletes
+    * economics applied to postings. Gated phases: the pre-delete
+    * serve, then the post-delete serve where every `vec_id % 7 = 3`
+    * candidate is gone and ranks re-close over the survivors (the
+    * oracle re-runs the full k-means serve chain with the same
+    * exclusion); three invariants computed in-result and pinned
+    * TRUE: a REPLAYED delete batch is a no-op (ledgered tag),
+    * compaction changes no served answer, and compaction cleared the
+    * tombstones. At 100 TB: deleting a user's vectors writes one
+    * tombstone file, serves stay probed-cells-sized, and the cost of
+    * physical erasure is deferred to the next scheduled compaction —
+    * exactly how production vector stores honor erasure requests.
+    */
+  def s20AnnDelete(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val idxDir = graft.TempDirs.scratch("graft-ann-del")
+    buildAnnIndex(spark, dir, idxDir)
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def serve(): DataFrame = annServe(spark, idxDir, q, nprobe = 2, topK = 5)
+    val pre = serve().withColumn("phase", lit("a_pre"))
+    val preRows = pre.collect() // materialize BEFORE the delete lands
+    val del = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    deleteFromAnnIndex(spark, idxDir, del, batchTag = Some("s20-del"))
+    val postServed = serve().collect() // unphased: the comparison basis
+    val post = serve().withColumn("phase", lit("b_post"))
+    val postRows = post.collect()
+    def sig(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(_.toString).sorted
+    // replayed delete batch: ledgered tag short-circuits — no change
+    deleteFromAnnIndex(spark, idxDir, del, batchTag = Some("s20-del"))
+    val replayNoop = sig(serve().collect().toSeq) == sig(postServed.toSeq)
+    compactAnnIndex(spark, idxDir)
+    val compactMatches = sig(serve().collect().toSeq) == sig(postServed.toSeq)
+    val cleared = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idxDir/deletes"))
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize((preRows ++ postRows).toSeq), pre.schema)
+    all.withColumn("replay_noop", lit(replayNoop))
+      .withColumn("compact_matches", lit(compactMatches))
+      .withColumn("tombstones_cleared", lit(cleared))
+      .select(col("phase"), col("qid"), col("rnk"), col("cid"),
+        col("cell_id"), col("sim_r"), col("replay_noop"),
+        col("compact_matches"), col("tombstones_cleared"))
+      .orderBy(col("phase"), col("qid"), col("rnk"))
   }
 
   /** s08: TRUE k-means coarse quantization — the real IVF index build
@@ -1283,6 +1410,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s19_index_drift" -> (s19IndexDrift _),
     "s18_index_compact" -> (s18IndexCompact _),
+    "s20_ann_delete" -> (s20AnnDelete _),
     "s17_filtered_ann" -> (s17FilteredAnn _),
     "s16_sq8_search" -> (s16Sq8Search _),
     "s01_cosine_topk" -> (s01CosineTopk _),
@@ -1634,6 +1762,58 @@ object Similarity {
          |SELECT qid, rnk, cid, cell_id, round(sim, 6) AS sim_r
          |FROM served WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+    // s20: both serve phases re-run the full k-means serve chain —
+    // the post phase excludes the tombstoned ids from the CANDIDATES
+    // (ranks re-close over survivors); the three lifecycle
+    // invariants (replay no-op, compaction serve-invariant,
+    // tombstones cleared) are engine-computed and pinned TRUE
+    "s20_ann_delete" ->
+      s"""WITH ${kmeansSqlCtes()},
+         |flat2 AS (
+         |  SELECT cell_id, i, a2.embedding[i]::DOUBLE AS x
+         |  FROM a2 CROSS JOIN range(1, 65) t(i)),
+         |cm2 AS (
+         |  SELECT cell_id, i,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS cx
+         |  FROM flat2 GROUP BY 1, 2),
+         |cent2 AS (
+         |  SELECT cell_id,
+         |    list_transform(list(cx ORDER BY i), c -> c::FLOAT) AS centroid
+         |  FROM cm2 GROUP BY cell_id),
+         |probes AS (
+         |  SELECT qid, cell_id FROM (
+         |    SELECT q.vec_id AS qid, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${cosSql("q.embedding", "c.centroid")} DESC, c.cell_id)
+         |        AS probe_rank
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |    CROSS JOIN cent2 c) WHERE probe_rank <= 2),
+         |hits_pre AS (
+         |  SELECT p.qid, d.vec_id AS cid, d.cell_id,
+         |    ${cosSql("q.embedding", "d.embedding")} AS sim
+         |  FROM probes p
+         |  JOIN embeddings q ON q.vec_id = p.qid
+         |  JOIN a2 d ON d.cell_id = p.cell_id AND d.vec_id <> p.qid),
+         |hits_post AS (
+         |  SELECT p.qid, d.vec_id AS cid, d.cell_id,
+         |    ${cosSql("q.embedding", "d.embedding")} AS sim
+         |  FROM probes p
+         |  JOIN embeddings q ON q.vec_id = p.qid
+         |  JOIN a2 d ON d.cell_id = p.cell_id AND d.vec_id <> p.qid
+         |  WHERE d.vec_id % 7 <> 3),
+         |served AS (
+         |  SELECT 'a_pre' AS phase, qid, cid, cell_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+         |  FROM hits_pre
+         |  UNION ALL
+         |  SELECT 'b_post', qid, cid, cell_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+         |  FROM hits_post)
+         |SELECT phase, qid, rnk, cid, cell_id, round(sim, 6) AS sim_r,
+         |  TRUE AS replay_noop, TRUE AS compact_matches,
+         |  TRUE AS tombstones_cleared
+         |FROM served WHERE rnk <= 5
+         |ORDER BY phase, qid, rnk""".stripMargin,
     // s19: per-cell base/appended counts restate from the frozen-
     // assignment chain; skew and the 1.5-threshold flag from the
     // same totals

@@ -1344,6 +1344,31 @@ object Warehouse {
       .orderBy(col("leg"))
   }
 
+  /** q121: `DESCRIBE TABLE` — the other first-contact catalog
+    * statement next to SHOW TABLES (q105): the CURRENT schema with
+    * the by-id DDL ledger applied, answered metadata-only (no data
+    * scanned). Gated AFTER a full evolution pass — rename, widen,
+    * add-with-default, drop — so what DESCRIBE serves is the
+    * resolved post-DDL shape, not the parquet footers' write-time
+    * names; the oracle pins the five (ordinal, name, type) rows as
+    * constants (schema is SF-independent by construction).
+    */
+  def q121DescribeTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-desc")
+    val t = graft.Engine.tableDir(wh, "lake.t")
+    Snapshots.commit(Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderdate"),
+      (col("o_orderkey") % 100).cast("int").as("units")), t)
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    sql("ALTER TABLE lake.t RENAME COLUMN o_orderstatus TO status")
+    sql("ALTER TABLE lake.t ALTER COLUMN units TYPE BIGINT")
+    sql("ALTER TABLE lake.t ADD COLUMN tier STRING DEFAULT 'bronze'")
+    sql("ALTER TABLE lake.t DROP COLUMN o_orderdate")
+    sql("DESCRIBE TABLE lake.t").orderBy(col("ordinal"))
+  }
+
   /** q119: RELATIVE timestamp travel + `FOR`-prefixed clauses — the
     * reference's own headline example is `SELECT * FROM sales.orders
     * FOR TIMESTAMP AS OF NOW() - INTERVAL '1' DAY`
@@ -2199,6 +2224,7 @@ object Warehouse {
     "q118_truncate_transform" -> (q118TruncateTransform _),
     "q119_relative_travel" -> (q119RelativeTravel _),
     "q120_time_transforms" -> (q120TimeTransforms _),
+    "q121_describe_table" -> (q121DescribeTable _),
     "q102_spec_evolution" -> (q102SpecEvolution _),
     "q103_call_procedures" -> (q103CallProcedures _),
     "q104_multi_table_txn" -> (q104MultiTableTxn _),
@@ -2284,6 +2310,17 @@ object Warehouse {
         |  CAST(8 AS BIGINT) AS n_files_total,
         |  CAST(2 AS BIGINT) AS n_lookup_rows
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // q121: schema constants — the resolved post-DDL shape (rename,
+    // widen, default-add, drop applied), SF-independent
+    "q121_describe_table" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'o_orderkey', 'bigint'),
+        |  (CAST(2 AS BIGINT), 'status', 'string'),
+        |  (CAST(3 AS BIGINT), 'o_totalprice', 'double'),
+        |  (CAST(4 AS BIGINT), 'units', 'bigint'),
+        |  (CAST(5 AS BIGINT), 'tier', 'string'))
+        |  t(ordinal, column_name, data_type)
+        |ORDER BY ordinal""".stripMargin,
     // q120: calendar arithmetic end-to-end — the months leg opens the
     // 4 months 1995-03..06 (mid-month bounds; residual-exact), the
     // years leg opens exactly 1996; totals = distinct months/years

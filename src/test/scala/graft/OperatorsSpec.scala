@@ -529,6 +529,61 @@ class OperatorsSpec extends AnyFunSuite {
       "a ledgered tag re-applied after compaction")
   }
 
+  test("s20 delete: tombstones only — no posting byte touched; compaction bakes and clears") {
+    import graft.operators.Similarity
+    import scala.jdk.CollectionConverters._
+    val idxDir = graft.TempDirs.scratch("graft-ann-del-spec")
+    Similarity.buildAnnIndex(spark, sf, idxDir)
+    val e = Tables(spark, sf, "embeddings")
+    def postingFiles(): Map[String, Long] = {
+      val w = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$idxDir/postings"))
+      try w.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files
+          .getLastModifiedTime(p).toMillis).toMap
+      finally w.close()
+    }
+    val before = postingFiles()
+    val del = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    val nDel = del.count()
+    Similarity.deleteFromAnnIndex(spark, idxDir, del, Some("spec-del"))
+    // the delete wrote ONLY tombstones: every posting file untouched
+    assert(postingFiles() == before, "delete touched a posting file")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idxDir/deletes")))
+    // served candidates exclude every tombstoned id
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val served = Similarity.annServe(spark, idxDir, q, 2, 5)
+    assert(served.filter(col("cid") % 7 === 3).count() == 0L)
+    // replay of the ledgered tag: no new tombstone bytes
+    val delBytes = {
+      val w = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$idxDir/deletes"))
+      try w.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size(_)).sum
+      finally w.close()
+    }
+    Similarity.deleteFromAnnIndex(spark, idxDir, del, Some("spec-del"))
+    val delBytes2 = {
+      val w = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$idxDir/deletes"))
+      try w.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size(_)).sum
+      finally w.close()
+    }
+    assert(delBytes2 == delBytes, "a ledgered delete tag re-applied")
+    // compaction physically erases the ids and clears the tombstones
+    val total = spark.read.parquet(s"$idxDir/postings").count()
+    Similarity.compactAnnIndex(spark, idxDir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idxDir/deletes")))
+    val after = spark.read.parquet(s"$idxDir/postings")
+    assert(after.count() == total - nDel)
+    assert(after.filter(col("vec_id") % 7 === 3).count() == 0L,
+      "a tombstoned id survived compaction")
+  }
+
   test("s16 SQ8: contiguous ranks, exact sims dominate their rank order, high recall vs brute force") {
     import graft.functions.GraftFunctions
     val out = graft.operators.Similarity.s16Sq8Search(spark, sf).collect()
