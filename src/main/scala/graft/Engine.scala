@@ -351,6 +351,95 @@ object Engine {
   private val DescribeStmt =
     """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s*$""".r
 
+  // SHOW CREATE TABLE <t> — the catalog round-trip statement: columns
+  // from the current by-id schema, the partition-transform clause from
+  // the spec sidecar, TBLPROPERTIES from the `_props` ledger. Output
+  // is (line_no, line) rows so every fragment is exactly checkable.
+  private val ShowCreateStmt =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*$""".r
+
+  // ALTER TABLE <t> SET/UNSET TBLPROPERTIES — the Iceberg/Spark
+  // table-property surface over the append-only `_props` sidecar.
+  private val SetTblPropsStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*$""".r
+  private val UnsetTblPropsStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*$""".r
+  private val ShowTblPropsStmt =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_.]*)\s*$""".r
+
+  // TRUNCATE TABLE <t> — a new EMPTY version of a snapshot table:
+  // no data file is rewritten or deleted, every prior version stays
+  // travelable, rollback undoes it. (MoR tables are rejected loudly —
+  // their delete surface is `DELETE FROM`, which keeps the positional
+  // delete economics.)
+  private val TruncateStmt =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*$""".r
+
+  /** One `'k' = 'v'` pair; `''` in the value unescapes to `'`. */
+  private val PropPair =
+    """(?s)^\s*'([^']+)'\s*=\s*'((?:[^']|'')*)'\s*$""".r
+  private val PropKey = """(?s)^\s*'([^']+)'\s*$""".r
+
+  /** Split on top-level commas OUTSIDE quotes (the parseAssignments
+    * splitter, reused for property lists).
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    var depth = 0; var inStr = false; val cur = new StringBuilder
+    s.foreach { ch =>
+      if (ch == '\'') { inStr = !inStr; cur += ch }
+      else if (!inStr && ch == '(') { depth += 1; cur += ch }
+      else if (!inStr && ch == ')') { depth -= 1; cur += ch }
+      else if (!inStr && depth == 0 && ch == ',') {
+        parts += cur.toString; cur.clear()
+      } else cur += ch
+    }
+    parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def parsePropPairs(body: String): Seq[(String, String)] =
+    splitTopLevel(body).map {
+      case PropPair(k, v) => (k, v.replace("''", "'"))
+      case other => throw new IllegalArgumentException(
+        s"malformed TBLPROPERTIES pair: $other (expected 'key' = 'value')")
+    }
+
+  private def parsePropKeys(body: String): Seq[String] =
+    splitTopLevel(body).map {
+      case PropKey(k) => k
+      case other => throw new IllegalArgumentException(
+        s"malformed TBLPROPERTIES key: $other (expected 'key')")
+    }
+
+  private def showCreateTable(spark: SparkSession, warehouseDir: String,
+      name: String): DataFrame = {
+    val dir = existingDir(warehouseDir, name, "SHOW CREATE TABLE")
+    val fields = readTable(spark, dir).schema.fields
+    val colLines = fields.zipWithIndex.map { case (f, i) =>
+      s"  ${f.name} ${f.dataType.sql.toLowerCase}" +
+        (if (i < fields.length - 1) "," else ")")
+    }
+    val usingLine =
+      s"USING ${if (isMorTable(dir)) "graft_mor" else "graft_snapshots"}"
+    val specFields = graft.sources.Transforms.currentSpecShow(dir)
+    val partLines =
+      if (specFields.isEmpty) Seq.empty
+      else Seq(s"PARTITIONED BY (${specFields.mkString(", ")})")
+    val props = graft.sources.Snapshots.tableProperties(dir).toSeq.sortBy(_._1)
+    val propLines =
+      if (props.isEmpty) Seq.empty
+      else "TBLPROPERTIES (" +: props.zipWithIndex.map { case ((k, v), i) =>
+        s"  '$k' = '${v.replace("'", "''")}'" +
+          (if (i < props.length - 1) "," else ")")
+      }
+    val all = (s"CREATE TABLE $name (" +: colLines) ++
+      (usingLine +: partLines) ++ propLines
+    import spark.implicits._
+    all.zipWithIndex.map { case (l, i) => (i + 1L, l) }
+      .toSeq.toDF("line_no", "line")
+  }
+
   private def describeTable(spark: SparkSession, warehouseDir: String,
       name: String): DataFrame = {
     val dir = existingDir(warehouseDir, name, "DESCRIBE")
@@ -672,6 +761,39 @@ object Engine {
         return callProcedure(spark, warehouseDir, proc, args)
       case ShowTables(db) =>
         return showTables(spark, warehouseDir, Option(db))
+      case ShowCreateStmt(name) =>
+        graft.sources.Snapshots.recoverTxns(warehouseDir)
+        return showCreateTable(spark, warehouseDir, name)
+      case SetTblPropsStmt(name, body) =>
+        val dir = existingDir(warehouseDir, name, "ALTER TABLE")
+        val kvs = parsePropPairs(body)
+        graft.sources.Snapshots.setTableProperties(dir, kvs)
+        return ddlResult(spark, name, "set_tblproperties",
+          kvs.map(_._1).mkString(", "))
+      case UnsetTblPropsStmt(name, body) =>
+        val dir = existingDir(warehouseDir, name, "ALTER TABLE")
+        val keys = parsePropKeys(body)
+        graft.sources.Snapshots.unsetTableProperties(dir, keys)
+        return ddlResult(spark, name, "unset_tblproperties",
+          keys.mkString(", "))
+      case ShowTblPropsStmt(name) =>
+        val dir = existingDir(warehouseDir, name, "SHOW TBLPROPERTIES")
+        import spark.implicits._
+        return graft.sources.Snapshots.tableProperties(dir).toSeq
+          .sortBy(_._1).toDF("key", "value")
+      case TruncateStmt(name) =>
+        graft.sources.Snapshots.recoverTxns(warehouseDir)
+        val dir = existingDir(warehouseDir, name, "TRUNCATE TABLE")
+        require(!isMorTable(dir), "TRUNCATE TABLE targets snapshot " +
+          "tables; merge-on-read tables delete through DELETE FROM")
+        val schema = graft.sources.Snapshots.read(spark, dir).schema
+        // one empty partition (not zero) so a schema-bearing parquet
+        // footer lands and the empty version reads back like any other
+        val empty = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq.empty[org.apache.spark.sql.Row], 1), schema)
+        val v = graft.sources.Snapshots.commit(empty, dir)
+        return ddlResult(spark, name, "truncate", s"version $v")
       case DescribeStmt(name) =>
         graft.sources.Snapshots.recoverTxns(warehouseDir)
         return describeTable(spark, warehouseDir, name)

@@ -1043,7 +1043,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d18: EDIT-DISTANCE entity-resolution join — every customer-name
+    * pair within Levenshtein distance 1, found by SymSpell
+    * deletion-neighborhood blocking instead of an all-pairs scan:
+    * each name emits its identity plus every one-character deletion
+    * as block keys (length+1 keys), a lev≤1 pair ALWAYS shares a key
+    * (substitution → same position deleted from both; insertion/
+    * deletion → the shorter string IS a deletion of the longer; the
+    * candidate set provably covers the answer), and only key-sharing
+    * candidates pay the exact `levenshtein` verify. The record-linkage
+    * primitive of training-data curation (near-identical author/site
+    * names), and the same blocking that backs spell-correction at
+    * scale. At 100 TB the join hash-partitions on high-entropy
+    * 17-char keys — cost ∝ Σ len(name) candidates, never |names|²;
+    * the oracle brute-forces the same semantics exactly.
+    */
+  def d18FuzzyNameJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val keyed = cust.withColumn("k", explode(expr(
+      "array_union(array(c_name), transform(sequence(1, length(c_name)), " +
+        "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, 100))))")))
+    val cands = keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.c_custkey") =!= col("b.c_custkey"))
+      .select(col("a.c_custkey").as("custkey"), col("a.c_name").as("name"),
+        col("b.c_name").as("cand"))
+      .distinct()
+      .filter(levenshtein(col("name"), col("cand")) <= 1)
+    val agg = cands.groupBy(col("custkey"), col("name"))
+      .agg(count(lit(1)).as("n_lev1"), min(col("cand")).as("nearest"))
+    cust.join(agg, cust("c_custkey") === agg("custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_lev1"), lit(0L)).as("n_lev1"), col("nearest"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_fuzzy_name_join" -> (d18FuzzyNameJoin _),
     "d16_dedup_weights" -> (d16DedupWeights _),
     "d15_cdc_chunks" -> (d15CdcChunks _),
     "d11_dup_spans" -> (d11DupSpans _),
@@ -1101,6 +1137,23 @@ object Dedup {
   }.mkString("\n  UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // d18: the oracle BRUTE-FORCES the identical lev<=1 semantics
+    // (all pairs + exact levenshtein) — the blocking is a candidate
+    // superset, so both sides must agree row-for-row
+    "d18_fuzzy_name_join" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer),
+        |pairs AS (
+        |  SELECT a.c_custkey AS custkey, a.c_name AS name, b.c_name AS cand
+        |  FROM c a, c b
+        |  WHERE a.c_custkey <> b.c_custkey
+        |    AND levenshtein(a.c_name, b.c_name) <= 1),
+        |agg AS (
+        |  SELECT custkey, name, COUNT(*) AS n_lev1, MIN(cand) AS nearest
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT c.c_custkey, c.c_name,
+        |  CAST(COALESCE(agg.n_lev1, 0) AS BIGINT) AS n_lev1, agg.nearest
+        |FROM c LEFT JOIN agg ON c.c_custkey = agg.custkey
+        |ORDER BY c.c_custkey""".stripMargin,
     // d16: weight = one IEEE division, weighted tokens = one IEEE
     // multiply — both bit-deterministic; n_distinct the same global
     // count on both engines

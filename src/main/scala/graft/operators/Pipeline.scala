@@ -612,7 +612,52 @@ object Pipeline {
       .orderBy(col("threshold"))
   }
 
+  /** p29: RENDEZVOUS (highest-random-weight) shard placement — the
+    * deterministic, coordination-free way a 100 TB corpus assigns
+    * shards to workers (ingest/compaction ownership, cache affinity):
+    * every (doc, worker) pair hashes to a 32-bit md5 score and the
+    * doc lands on its argmax worker. No directory, no state — any
+    * node recomputes the owner from the key alone — and adding a
+    * worker moves ONLY the docs whose new argmax IS the new worker
+    * (expected 1/(W+1) of the corpus), never doc↔old-worker moves:
+    * the minimal-disruption property consistent hashing is used for
+    * (Thaler–Ravishankar HRW). The gate runs W=8 and W=9 side by
+    * side and the per-worker `n_moved_in` column pins the property:
+    * zero everywhere except the new worker. Argmax packs (score,
+    * worker) into one BIGINT — `score*16 + (15-w)` — so a plain
+    * map-side-combining MAX aggregate picks max-score-then-lowest-
+    * worker with no window shuffle (the s08 lesson; W ≤ 16).
+    */
+  def p29RendezvousShards(spark: SparkSession, dir: String): DataFrame = {
+    val ids = docs(spark, dir).select(col("doc_id"))
+    def owner(nW: Int, as: String): DataFrame =
+      ids.withColumn("w", explode(expr(s"sequence(0, ${nW - 1})")))
+        .withColumn("score", conv(substring(md5(concat(lit("rv:"),
+          col("doc_id").cast("string"), lit(":"), col("w").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("score") * 16L + (lit(15) - col("w"))).as("packed"))
+        .select(col("doc_id"), (lit(15) - pmod(col("packed"), lit(16L))).as(as))
+    val joined = owner(8, "w8").join(owner(9, "w9"), "doc_id")
+      .withColumn("moved", col("w8") =!= col("w9"))
+    val workers = spark.range(9).select(col("id").cast("long").as("worker"))
+    def cnt(c: String, flag: Option[Column], as: String): DataFrame = {
+      val base = flag.fold(joined)(joined.filter(_))
+      base.groupBy(col(c).as("worker")).agg(count(lit(1)).as(as))
+    }
+    workers
+      .join(cnt("w8", None, "n_w8"), Seq("worker"), "left")
+      .join(cnt("w9", None, "n_w9"), Seq("worker"), "left")
+      .join(cnt("w9", Some(col("moved")), "n_moved_in"), Seq("worker"), "left")
+      .select(col("worker"),
+        coalesce(col("n_w8"), lit(0L)).as("n_w8"),
+        coalesce(col("n_w9"), lit(0L)).as("n_w9"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"))
+      .orderBy(col("worker"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p29_rendezvous_shards" -> (p29RendezvousShards _),
     "p26_quality_curve" -> (p26QualityCurve _),
     "p25_epoch_schedule" -> (p25EpochSchedule _),
     "p21_curriculum" -> (p21Curriculum _),
@@ -639,6 +684,33 @@ object Pipeline {
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    // p29: identical md5 scores, identical packed argmax arithmetic —
+    // the HRW minimal-disruption property must emerge from the data
+    "p29_rendezvous_shards" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |sc8 AS (
+        |  SELECT doc_id, w,
+        |    ('0x' || substr(md5('rv:' || CAST(doc_id AS VARCHAR) || ':' || CAST(w AS VARCHAR)), 1, 8))::BIGINT AS score
+        |  FROM ids, (SELECT unnest(generate_series(0, 7)) AS w)),
+        |o8 AS (
+        |  SELECT doc_id, 15 - (MAX(score * 16 + (15 - w)) % 16) AS w8
+        |  FROM sc8 GROUP BY doc_id),
+        |sc9 AS (
+        |  SELECT doc_id, w,
+        |    ('0x' || substr(md5('rv:' || CAST(doc_id AS VARCHAR) || ':' || CAST(w AS VARCHAR)), 1, 8))::BIGINT AS score
+        |  FROM ids, (SELECT unnest(generate_series(0, 8)) AS w)),
+        |o9 AS (
+        |  SELECT doc_id, 15 - (MAX(score * 16 + (15 - w)) % 16) AS w9
+        |  FROM sc9 GROUP BY doc_id),
+        |j AS (
+        |  SELECT o8.doc_id, w8, w9, w8 <> w9 AS moved
+        |  FROM o8 JOIN o9 ON o8.doc_id = o9.doc_id),
+        |workers AS (SELECT unnest(generate_series(0, 8)) AS worker)
+        |SELECT CAST(worker AS BIGINT) AS worker,
+        |  CAST(COALESCE((SELECT COUNT(*) FROM j WHERE w8 = worker), 0) AS BIGINT) AS n_w8,
+        |  CAST(COALESCE((SELECT COUNT(*) FROM j WHERE w9 = worker), 0) AS BIGINT) AS n_w9,
+        |  CAST(COALESCE((SELECT COUNT(*) FROM j WHERE w9 = worker AND moved), 0) AS BIGINT) AS n_moved_in
+        |FROM workers ORDER BY worker""".stripMargin,
     // p26: the t02 score chain verbatim, swept over a 9-row threshold
     // spine; sums cast to BIGINT (HUGEINT portability rule, §4)
     "p26_quality_curve" ->

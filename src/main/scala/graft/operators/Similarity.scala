@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1407,7 +1407,119 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s21: Johnson–Lindenstrauss RANDOM-PROJECTION dimensionality
+    * reduction — 64-dim embeddings sketched to K=16 dims through a
+    * deterministic ±1 sign matrix (md5-derived,
+    * [[graft.functions.Hyperplanes]] table 40 — the Achlioptas
+    * database-friendly JL construction; the 1/√K scale is omitted
+    * because cosine is scale-invariant). Each probe's top-10 is
+    * ranked by PROJECTED cosine and reported next to the exact
+    * 64-dim cosine plus membership in the exact top-10 — the
+    * neighborhood-preservation claim JL makes, measured instead of
+    * assumed. The projection is a row-local sequential fold (zero
+    * shuffle: 100 TB of embeddings project as embarrassingly
+    * parallel map work, shipping 4× fewer bytes into every
+    * downstream ANN/dedup stage); the identical sign literals and
+    * fold order are restated in DuckDB, so every cell is exactly
+    * hash-checked. Ref: the reference's embedding/vector-pipeline
+    * surface (docs/architecture/lakehouse.md ML-feature bullet).
+    */
+  def s21RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val K = 16
+    val T = 40 // hyperplane table id — disjoint from s02 (0) and d05
+    def projArr(vec: String): Column = expr("array(" +
+      (0 until K).map(p => graft.functions.Hyperplanes.projExpr(vec, T, p))
+        .mkString(", ") + ")")
+    def dot(a: String, b: String): Column = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qp", projArr("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("cp", projArr("ce"))
+    val pairs = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("proj_sim",
+        dot("qp", "cp") / (sqrt(dot("qp", "qp")) * sqrt(dot("cp", "cp"))))
+      .withColumn("exact_sim", GraftFunctions.cosineSim(col("qe"), col("ce")))
+    val wProj = Window.partitionBy(col("qid"))
+      .orderBy(col("proj_sim").desc, col("cid"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("exact_sim").desc, col("cid"))
+    pairs
+      .withColumn("proj_rank", row_number().over(wProj))
+      .withColumn("exact_rank", row_number().over(wExact))
+      .filter(col("proj_rank") <= 10)
+      .select(col("qid"), col("proj_rank"), col("cid"),
+        round(col("proj_sim"), 6).as("proj_sim_r"),
+        round(col("exact_sim"), 6).as("exact_sim_r"),
+        (col("exact_rank") <= 10).as("in_exact_top10"))
+      .orderBy(col("qid"), col("proj_rank"))
+  }
+
+  /** s22: MAXIMUM-INNER-PRODUCT search via the norm-augmentation
+    * reduction (Bachrach et al., the Xbox/MSR trick): relevance =
+    * dot(query, weight·vec) with a per-doc popularity weight (md5
+    * uniform in [0.5, 2) — the corpus is unit-norm, so unscaled MIPS
+    * would degenerate to cosine). Augment each candidate to
+    * [x/M ; √(1−|x|²/M²)] with M = the corpus max norm (ONE global
+    * max aggregate) and the query to [q ; 0]: every augmented
+    * candidate has norm 1, so COSINE order in the augmented space IS
+    * inner-product order — the entire cosine-ANN stack (s02 LSH, s03
+    * IVF, s10 PQ…) serves MIPS unchanged after this row-local map.
+    * The gate ranks top-5 by raw inner product and reports the
+    * augmented-space cosine AND its rank next to it (equal by the
+    * reduction — pinned by data, not asserted by code) plus the
+    * augmented norm. All arithmetic restated in DuckDB in the same
+    * IEEE op order.
+    */
+  def s22MipsReduction(spark: SparkSession, dir: String): DataFrame = {
+    def dot(a: String, b: String): Column = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val e = emb(spark, dir)
+    val cand = e.select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+      .withColumn("wt", lit(0.5) + lit(1.5) *
+        (conv(substring(md5(concat(lit("wt:"), col("cid").cast("string"))),
+          1, 8), 16, 10).cast("double") / lit(4294967296.0)))
+      .withColumn("cs", expr("transform(ce, x -> x * wt)"))
+      .withColumn("cnorm2", dot("cs", "cs"))
+    val m = cand.agg(max(sqrt(col("cnorm2"))).as("m_norm"))
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qe"))
+    val pairs = cand.crossJoin(broadcast(m))
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("rel", dot("qe", "cs"))
+      // augmented space: dot([q;0],[x/M;pad]) = rel/M; |aug| carries
+      // the explicit pad term so the norm-1 claim is COMPUTED
+      .withColumn("ratio2",
+        col("cnorm2") / (col("m_norm") * col("m_norm")))
+      .withColumn("aug_norm", sqrt(col("ratio2") + (lit(1.0) - col("ratio2"))))
+      .withColumn("aug_cos", (col("rel") / col("m_norm")) /
+        (col("aug_norm") * sqrt(dot("qe", "qe"))))
+    val wRel = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("cid"))
+    val wAug = Window.partitionBy(col("qid"))
+      .orderBy(col("aug_cos").desc, col("cid"))
+    pairs
+      .withColumn("rnk", row_number().over(wRel))
+      .withColumn("aug_rank", row_number().over(wAug))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("wt"), 6).as("wt_r"),
+        round(col("rel"), 6).as("rel_r"),
+        round(col("aug_cos"), 6).as("aug_cos_r"),
+        col("aug_rank"),
+        round(col("aug_norm"), 6).as("aug_norm_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_mips_reduction" -> (s22MipsReduction _),
+    "s21_random_projection" -> (s21RandomProjection _),
     "s19_index_drift" -> (s19IndexDrift _),
     "s18_index_compact" -> (s18IndexCompact _),
     "s20_ann_delete" -> (s20AnnDelete _),
@@ -1494,7 +1606,79 @@ object Similarity {
       s"(sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) * " +
       s"sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"
 
+  /** DuckDB list literal of the K s21 projections of `vec` — the
+    * SAME sign literals and left-fold order as the Spark side.
+    */
+  private def s21ProjSqlArr(vec: String): String =
+    "[" + (0 until 16).map(p =>
+      graft.functions.Hyperplanes.projSql(vec, 40, p)).mkString(", ") + "]"
+
   val oracles: Map[String, String] = Map(
+    // s22: weights, scaled vectors, the global max norm, and both
+    // rankings restated with the same IEEE op order; aug_rank must
+    // equal rnk in the data (the reduction's claim), not by fiat
+    "s22_mips_reduction" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve,
+        |    0.5 + 1.5 * ((('0x' || substr(md5('wt:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE / 4294967296.0) AS wt
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT vec_id AS cid, wt, list_transform(ve, x -> x * wt) AS cs FROM base),
+        |c2 AS (
+        |  SELECT cid, wt, cs,
+        |    list_reduce(list_transform(range(1, 65), i -> cs[i] * cs[i]), (a, b) -> a + b) AS cnorm2
+        |  FROM cand),
+        |m AS (SELECT MAX(sqrt(cnorm2)) AS m_norm FROM c2),
+        |q AS (SELECT vec_id AS qid, ve AS qe FROM base WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT qid, cid, wt, cnorm2, m_norm,
+        |    list_reduce(list_transform(range(1, 65), i -> qe[i] * cs[i]), (a, b) -> a + b) AS rel,
+        |    list_reduce(list_transform(range(1, 65), i -> qe[i] * qe[i]), (a, b) -> a + b) AS qnorm2
+        |  FROM c2, q, m WHERE qid <> cid),
+        |aug AS (
+        |  SELECT qid, cid, wt, rel,
+        |    sqrt((cnorm2 / (m_norm * m_norm)) + (1.0 - (cnorm2 / (m_norm * m_norm)))) AS aug_norm,
+        |    (rel / m_norm) / (sqrt((cnorm2 / (m_norm * m_norm)) + (1.0 - (cnorm2 / (m_norm * m_norm)))) * sqrt(qnorm2)) AS aug_cos
+        |  FROM pairs),
+        |ranked AS (
+        |  SELECT qid, cid, wt, rel, aug_cos, aug_norm,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rnk,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY aug_cos DESC, cid) AS aug_rank
+        |  FROM aug)
+        |SELECT qid, rnk, cid, round(wt, 6) AS wt_r, round(rel, 6) AS rel_r,
+        |  round(aug_cos, 6) AS aug_cos_r, aug_rank,
+        |  round(aug_norm, 6) AS aug_norm_r
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+    // s21: projected vectors restated element-by-element with the
+    // identical md5 sign literals; proj cosine over the 16-dim lists,
+    // exact cosine in the s01 formulation; both ranks re-derived
+    "s21_random_projection" ->
+      s"""WITH p AS (
+         |  SELECT vec_id, embedding, ${s21ProjSqlArr("embedding")} AS pv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, pv AS qp FROM p WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS cid, embedding AS ce, pv AS cp FROM p),
+         |pairs AS (
+         |  SELECT qid, cid,
+         |    list_reduce(list_transform(range(1, 17), i -> qp[i] * cp[i]), (a, b) -> a + b) /
+         |    (sqrt(list_reduce(list_transform(range(1, 17), i -> qp[i] * qp[i]), (a, b) -> a + b)) *
+         |     sqrt(list_reduce(list_transform(range(1, 17), i -> cp[i] * cp[i]), (a, b) -> a + b))) AS proj_sim,
+         |    list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+         |    (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE))) *
+         |     sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE)))) AS exact_sim
+         |  FROM c, q WHERE qid <> cid),
+         |ranked AS (
+         |  SELECT qid, cid, proj_sim, exact_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY proj_sim DESC, cid) AS proj_rank,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exact_sim DESC, cid) AS exact_rank
+         |  FROM pairs)
+         |SELECT qid, proj_rank, cid,
+         |  round(proj_sim, 6) AS proj_sim_r,
+         |  round(exact_sim, 6) AS exact_sim_r,
+         |  exact_rank <= 10 AS in_exact_top10
+         |FROM ranked WHERE proj_rank <= 10
+         |ORDER BY qid, proj_rank""".stripMargin,
     // s16: stats → floor-codes → midpoint reconstruction → SQ scan
     // top-20 → exact re-rank top-5, every arithmetic expression
     // shaped identically to the Spark side (same IEEE op order)

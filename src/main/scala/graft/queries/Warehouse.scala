@@ -359,6 +359,83 @@ object Warehouse {
       .orderBy(col("o_month"))
   }
 
+  /** q125: incremental JOIN-mart maintenance — the DELTA-JOIN algebra
+    * that generalizes q66's aggregate IVM to a two-table join mart:
+    * for insert-only deltas, Δ(O⋈L) = ΔO⋈L_old ∪ O_new⋈ΔL (the second
+    * term absorbs ΔO⋈ΔL because O_new = O_old ∪ ΔO), so the mart
+    * advances one version with work ∝ |Δ| — the 100 TB fact⋈fact
+    * mart is NEVER rejoined from scratch (reference:
+    * daily_order_metrics' incremental materialization, lifted from
+    * single-table agg to join). Deltas come from the store's own
+    * changelog ([[graft.sources.Snapshots.diff]] insert rows — the
+    * CDC append landing); each delta side is the SMALL side of its
+    * join (broadcast; at scale the big side's probe is pruned by
+    * DPP/bloom on the delta keys). The maintained mart is COMMITTED
+    * and the gate reads the stored v2, which the oracle restates as
+    * the full join-agg over the raw tables.
+    */
+  def q125JoinIvm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-joinivm")
+    val oT = s"$wh/orders_ji"
+    val lT = s"$wh/lineitem_ji"
+    val mT = s"$wh/mart_ji"
+    val cutoff = lit("1995-07-01").cast("timestamp")
+    val o = Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderdate"))
+    // the raw lineitem's (orderkey, linenumber) is NOT unique in this
+    // synthetic corpus — a keyless changelog can't diff it. Land the
+    // CDC-honest KEYED grain (every real change stream carries a key):
+    // multiplicity + price roll up per key, and the v1 slice takes a
+    // key only when ALL its constituents shipped before the cutoff
+    // (max-shipdate), so v1→v2 is pure INSERTS — the append landing.
+    val lk = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("price"),
+        max(col("l_shipdate")).as("ship_max"))
+    val ov1 = Snapshots.commit(o.filter(col("o_orderdate") < cutoff), oT)
+    val ov2 = Snapshots.commit(o, oT)
+    val lv1 = Snapshots.commit(
+      lk.filter(col("ship_max") < cutoff).drop("ship_max"), lT)
+    val lv2 = Snapshots.commit(lk.drop("ship_max"), lT)
+
+    def martAgg(oo: DataFrame, ll: DataFrame): DataFrame =
+      oo.join(ll, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+        .agg(sum(col("qty")).as("n_items"),
+          sum(col("price")).as("rev"))
+
+    // v1 materialization (the stored state a real mart would carry)
+    Snapshots.commit(martAgg(
+      Snapshots.read(spark, oT, ov1), Snapshots.read(spark, lT, lv1)), mT)
+
+    // per-table insert deltas from the store's own changelog
+    val dO = Snapshots.read(spark, oT, ov2).join(
+      Snapshots.diff(spark, oT, ov1, ov2, Seq("o_orderkey"))
+        .filter(col("op") === "insert").select("o_orderkey"),
+      Seq("o_orderkey"), "left_semi")
+    val dL = Snapshots.read(spark, lT, lv2).join(
+      Snapshots.diff(spark, lT, lv1, lv2, Seq("l_orderkey", "l_linenumber"))
+        .filter(col("op") === "insert")
+        .select("l_orderkey", "l_linenumber"),
+      Seq("l_orderkey", "l_linenumber"), "left_semi")
+
+    // Δ(O⋈L) = ΔO⋈L1 ∪ O2⋈ΔL — both joins carry a broadcast delta
+    val delta = martAgg(broadcast(dO), Snapshots.read(spark, lT, lv1))
+      .unionByName(martAgg(Snapshots.read(spark, oT, ov2), broadcast(dL)))
+    val maintained = Snapshots.read(spark, mT).unionByName(delta)
+      .groupBy("o_month")
+      .agg(sum(col("n_items")).as("n_items"), sum(col("rev")).as("rev"))
+    Snapshots.commit(maintained, mT)
+
+    Snapshots.read(spark, mT)
+      .select(col("o_month"), col("n_items"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") / col("n_items")).as("avg_item"))
+      .orderBy(col("o_month"))
+  }
+
   /** q67: stat-based file skipping end-to-end — the third leg of
     * layout-driven scan pruning next to q51 (partition dirs) and q58
     * (buckets): orders land range-clustered on `o_custkey` with a
@@ -1369,6 +1446,78 @@ object Warehouse {
     sql("DESCRIBE TABLE lake.t").orderBy(col("ordinal"))
   }
 
+  /** q122: SHOW CREATE TABLE — the catalog ROUND-TRIP statement
+    * (Kyuubi/Spark's `SHOW CREATE TABLE`, the first thing an operator
+    * runs against an unfamiliar warehouse): columns from the by-id
+    * schema ledger with every prior DDL applied, TBLPROPERTIES from
+    * the `_props` sidecar, one (line_no, line) row per DDL line so
+    * each fragment is exactly hash-checked. Metadata-only at any
+    * table size — the statement reads two sidecars and zero data
+    * bytes. Ref: the reference's Kyuubi SQL surface
+    * (docs/components/kyuubi.md) + Iceberg table properties.
+    */
+  def q122ShowCreateTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-showcreate")
+    val t = graft.Engine.tableDir(wh, "lake.sct")
+    Snapshots.commit(Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")), t)
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    sql("ALTER TABLE lake.sct RENAME COLUMN o_orderstatus TO status")
+    sql("ALTER TABLE lake.sct ADD COLUMN tier STRING DEFAULT 'bronze'")
+    sql("ALTER TABLE lake.sct SET TBLPROPERTIES " +
+      "('owner' = 'analytics', 'retention.days' = '30')")
+    sql("SHOW CREATE TABLE lake.sct").orderBy(col("line_no"))
+  }
+
+  /** q123: TABLE PROPERTIES lifecycle — `ALTER TABLE … SET
+    * TBLPROPERTIES` (create + overwrite), `UNSET TBLPROPERTIES`
+    * (tombstone), `SHOW TBLPROPERTIES` (latest-wins view of the
+    * append-only `_props` ledger). Mutations serialize under the
+    * table's manifest lock, so two warehouse sessions interleave
+    * without losing a write — the Kyuubi shared-warehouse surface;
+    * reads are a pure sidecar scan. The gate sets three, overwrites
+    * one, unsets one, and checks the surviving latest-wins view.
+    */
+  def q123TblProperties(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-props")
+    val t = graft.Engine.tableDir(wh, "lake.p")
+    Snapshots.commit(Tables(spark, dir, "nation").select(
+      col("n_nationkey"), col("n_name")), t)
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    sql("ALTER TABLE lake.p SET TBLPROPERTIES ('owner' = 'etl', " +
+      "'quality.tier' = 'bronze', 'retention.days' = '7')")
+    sql("ALTER TABLE lake.p SET TBLPROPERTIES ('quality.tier' = 'silver')")
+    sql("ALTER TABLE lake.p UNSET TBLPROPERTIES ('retention.days')")
+    sql("SHOW TBLPROPERTIES lake.p").orderBy(col("key"))
+  }
+
+  /** q124: TRUNCATE TABLE — a new EMPTY version of a snapshot table:
+    * zero data files rewritten or deleted (delete-everything as
+    * metadata, the degenerate case of the lakehouse's metadata-only
+    * delete surface, docs/architecture/lakehouse.md), every prior
+    * version still travelable, rollback undoes it. Legs: the
+    * pre-truncate count (data-derived), the post-truncate head
+    * (zero), and `FOR VERSION AS OF 1` proving the old rows are one
+    * travel clause away.
+    */
+  def q124Truncate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val wh = tempDir("graft-truncate")
+    val t = s"$wh/orders_tr"
+    Snapshots.commit(Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp")), t)
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    val pre = sql("SELECT 'a_pre' AS leg, COUNT(*) AS n_rows FROM orders_tr")
+    sql("TRUNCATE TABLE orders_tr")
+    val post = sql("SELECT 'b_post' AS leg, COUNT(*) AS n_rows FROM orders_tr")
+    val travel = sql("SELECT 'c_travel_v1' AS leg, COUNT(*) AS n_rows " +
+      "FROM orders_tr FOR VERSION AS OF 1")
+    pre.unionByName(post).unionByName(travel).orderBy(col("leg"))
+  }
+
   /** q119: RELATIVE timestamp travel + `FOR`-prefixed clauses — the
     * reference's own headline example is `SELECT * FROM sales.orders
     * FOR TIMESTAMP AS OF NOW() - INTERVAL '1' DAY`
@@ -2225,6 +2374,10 @@ object Warehouse {
     "q119_relative_travel" -> (q119RelativeTravel _),
     "q120_time_transforms" -> (q120TimeTransforms _),
     "q121_describe_table" -> (q121DescribeTable _),
+    "q122_show_create_table" -> (q122ShowCreateTable _),
+    "q123_tblproperties" -> (q123TblProperties _),
+    "q124_truncate" -> (q124Truncate _),
+    "q125_join_ivm" -> (q125JoinIvm _),
     "q102_spec_evolution" -> (q102SpecEvolution _),
     "q103_call_procedures" -> (q103CallProcedures _),
     "q104_multi_table_txn" -> (q104MultiTableTxn _),
@@ -2312,6 +2465,48 @@ object Warehouse {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     // q121: schema constants — the resolved post-DDL shape (rename,
     // widen, default-add, drop applied), SF-independent
+    // q122: the reconstructed DDL restated line-for-line (schema after
+    // the two ALTERs, USING, sorted TBLPROPERTIES)
+    "q122_show_create_table" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'CREATE TABLE lake.sct ('),
+        |  (CAST(2 AS BIGINT), '  o_orderkey bigint,'),
+        |  (CAST(3 AS BIGINT), '  status string,'),
+        |  (CAST(4 AS BIGINT), '  o_totalprice double,'),
+        |  (CAST(5 AS BIGINT), '  tier string)'),
+        |  (CAST(6 AS BIGINT), 'USING graft_snapshots'),
+        |  (CAST(7 AS BIGINT), 'TBLPROPERTIES ('),
+        |  (CAST(8 AS BIGINT), '  ''owner'' = ''analytics'','),
+        |  (CAST(9 AS BIGINT), '  ''retention.days'' = ''30'')'))
+        |  t(line_no, line)
+        |ORDER BY line_no""".stripMargin,
+    // q123: latest-wins view after set/overwrite/unset
+    "q123_tblproperties" ->
+      """SELECT * FROM (VALUES
+        |  ('owner', 'etl'),
+        |  ('quality.tier', 'silver'))
+        |  t("key", "value")
+        |ORDER BY "key"""".stripMargin,
+    // q125: the oracle is the FULL join-agg over the raw tables — the
+    // incrementally-maintained mart must equal the from-scratch join
+    "q125_join_ivm" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_item
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q124: pre/travel counts derive from the raw orders slice; the
+    // truncated head is zero by construction
+    "q124_truncate" ->
+      """SELECT 'a_pre' AS leg, COUNT(*) AS n_rows FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        |UNION ALL
+        |SELECT 'b_post', 0
+        |UNION ALL
+        |SELECT 'c_travel_v1', COUNT(*) FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        |ORDER BY leg""".stripMargin,
     "q121_describe_table" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'o_orderkey', 'bigint'),

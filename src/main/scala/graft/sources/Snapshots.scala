@@ -1619,4 +1619,65 @@ object Snapshots {
       .drop("op")
     post.unionByName(pre).withColumn("_commit_version", lit(toV))
   }
+
+  // ---- TABLE PROPERTIES (`ALTER TABLE … SET TBLPROPERTIES`) --------
+  // One `SET\tkey\tbase64(value)` / `UNSET\tkey` line per mutation,
+  // replayed in order with latest-wins — the Iceberg table-properties
+  // surface (write options, retention knobs, ownership tags) as an
+  // append-only sidecar. Mutations run under the manifest lock so two
+  // sessions on one warehouse interleave without losing a write (the
+  // Kyuubi shared-warehouse model); reads never touch a data file.
+
+  private def propsFile(tableDir: String) = Paths.get(tableDir, "_props")
+
+  /** Current properties: the `_props` ledger replayed latest-wins. */
+  def tableProperties(tableDir: String): Map[String, String] = {
+    val f = propsFile(tableDir)
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty)
+      .foldLeft(Map.empty[String, String]) { (acc, line) =>
+        line.split('\t') match {
+          case Array("SET", k, v64) => acc + (k -> new String(
+            java.util.Base64.getDecoder.decode(v64), StandardCharsets.UTF_8))
+          case Array("UNSET", k) => acc - k
+          case _ => throw new IllegalStateException(
+            s"corrupt _props line at $tableDir: '$line'")
+        }
+      }
+  }
+
+  def setTableProperties(tableDir: String, kvs: Seq[(String, String)]): Unit = {
+    require(kvs.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    kvs.foreach { case (k, _) =>
+      require(k.nonEmpty && !k.exists(c => c == '\t' || c == '\n'),
+        s"bad property key: '$k'")
+    }
+    withManifestLock(tableDir) {
+      val lines = kvs.map { case (k, v) =>
+        s"SET\t$k\t${java.util.Base64.getEncoder.encodeToString(v.getBytes(StandardCharsets.UTF_8))}"
+      }
+      Files.write(propsFile(tableDir),
+        lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+  }
+
+  /** Tombstone `keys`. Unknown keys fail loudly (the check runs
+    * INSIDE the lock — a racing UNSET of the same key cannot make
+    * both writers believe they removed it).
+    */
+  def unsetTableProperties(tableDir: String, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    withManifestLock(tableDir) {
+      val current = tableProperties(tableDir)
+      val missing = keys.filterNot(current.contains)
+      require(missing.isEmpty,
+        s"UNSET TBLPROPERTIES: unknown key(s) ${missing.mkString(", ")}")
+      Files.write(propsFile(tableDir),
+        keys.map(k => s"UNSET\t$k").mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+  }
 }

@@ -131,6 +131,34 @@ object Transforms {
     def specLine: String = s"truncate\t$sourceCol\t$w"
   }
 
+  /** Human DDL spelling of one recorded transform — the engine's own
+    * round-trippable names (`mbucket` IS the Iceberg-spec murmur3
+    * bucket; plain `bucket` is the legacy mod bucket old tables
+    * recorded).
+    */
+  def showTransform(t: Transform): String = t match {
+    case Days(c) => s"days($c)"
+    case Hours(c) => s"hours($c)"
+    case Months(c) => s"months($c)"
+    case Years(c) => s"years($c)"
+    case Bucket(n, c) => s"bucket($n, $c)"
+    case MBucket(n, c) => s"mbucket($n, $c)"
+    case TruncateLong(w, c) => s"truncate($w, $c)"
+  }
+
+  /** DDL spellings of the table's CURRENT partition fields (latest
+    * `_specs` entry for spec-evolved tables, the single `_spec`
+    * otherwise); empty when not transform-partitioned. A pure sidecar
+    * read — metadata-only at any table size (SHOW CREATE TABLE's
+    * partition clause).
+    */
+  def currentSpecShow(tableDir: String): Seq[String] =
+    if (Files.exists(specsLedger(tableDir)))
+      specs(tableDir).last._2.map(showTransform)
+    else if (Files.exists(Paths.get(tableDir, "_spec")))
+      Seq(showTransform(readSpec(tableDir)))
+    else Seq.empty
+
   private def readSpec(tableDir: String): Transform = {
     val f = Paths.get(tableDir, "_spec")
     require(Files.exists(f), s"no transform spec at $tableDir")

@@ -295,6 +295,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d18 deletion-blocking finds EXACTLY the brute-force lev<=1 pairs, with no nested-loop join") {
+    val got = Dedup.d18FuzzyNameJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("n_lev1"),
+        Option(r.getAs[String]("nearest"))))
+    // brute force the same semantics in-driver on the bounded name set
+    val names = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(
+        j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = names.map { case (k, n) =>
+      val ms = names.filter(o => o._1 != k && lev(n, o._2) <= 1).map(_._2)
+      (k, ms.length.toLong, if (ms.isEmpty) None else Some(ms.min))
+    }
+    assert(got.toSeq.sortBy(_._1) == want.toSeq.sortBy(_._1))
+    assert(got.exists(_._2 > 0), "fixture should contain lev-1 neighbours")
+    // the candidate join must be a hash/sort equi-join on block keys
+    val plan = Dedup.d18FuzzyNameJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "d18 candidate generation fell back to all-pairs")
+  }
+
   test("d12 cluster apply keeps the longest member of every cluster") {
     val rows = graft.operators.Dedup.d12ClusterApply(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -683,4 +683,51 @@ class OperatorsSpec extends AnyFunSuite {
       assert(ids.toSeq == (0L until ids.length).toSeq, s"doc $doc chunk gap")
     }
   }
+
+  test("s21 JL projection: deterministic, cosine-bounded, beats chance recall, zero-shuffle projection") {
+    import graft.operators.Similarity
+    val a = Similarity.s21RandomProjection(spark, sf).collect()
+    val b = Similarity.s21RandomProjection(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "projection must be deterministic")
+    assert(a.length == 50, "5 probes x top-10")
+    a.foreach { r =>
+      val p = r.getAs[Double]("proj_sim_r"); val e = r.getAs[Double]("exact_sim_r")
+      assert(p >= -1.0 - 1e-9 && p <= 1.0 + 1e-9, s"proj cosine out of range: $p")
+      assert(e >= -1.0 - 1e-9 && e <= 1.0 + 1e-9, s"exact cosine out of range: $e")
+    }
+    // neighborhood preservation: top-10-of-~500 by chance keeps ~2% of
+    // the exact top-10 in view; JL at K=16 must clear several-x that
+    val kept = a.count(_.getAs[Boolean]("in_exact_top10"))
+    assert(kept >= 3, s"recall collapsed to chance: $kept/50")
+    // the projection itself is row-local map work — the only exchanges
+    // in the plan are the broadcast of 5 probes and the top-k window
+    val plan = Similarity.s21RandomProjection(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "s21 candidate pairing fell back to a cartesian product")
+  }
+
+  test("s22 MIPS reduction: augmented-cosine order == inner-product order, augmented norms 1, weights in range") {
+    import graft.operators.Similarity
+    val rows = Similarity.s22MipsReduction(spark, sf).collect()
+    assert(rows.length == 25, "5 probes x top-5")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("aug_rank") == r.getAs[Int]("rnk"),
+        s"reduction broke the order at qid=${r.getAs[Long]("qid")} " +
+          s"rnk=${r.getAs[Int]("rnk")}")
+      assert(math.abs(r.getAs[Double]("aug_norm_r") - 1.0) < 1e-5,
+        s"augmented vector not unit-norm: ${r.getAs[Double]("aug_norm_r")}")
+      val wt = r.getAs[Double]("wt_r")
+      assert(wt >= 0.5 && wt < 2.0, s"weight out of range: $wt")
+    }
+    // the weights genuinely reorder: some top-5 hit must NOT be in the
+    // plain-cosine top-5 (otherwise MIPS degenerated to cosine and the
+    // reduction proves nothing on this corpus)
+    val cosTop = Similarity.s01CosineTopk(spark, sf).collect()
+      .filter(r => r.getAs[Long]("qid") < 5 && r.getAs[Int]("rnk") <= 5)
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val mipsTop = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert((mipsTop -- cosTop).nonEmpty,
+      "weighted MIPS top-5 identical to cosine top-5 — weights inert")
+  }
 }

@@ -181,4 +181,28 @@ class PipelineSpec extends AnyFunSuite {
           s"phase ${b.getLong(0)} min ${b.getLong(3)}")
     }
   }
+
+  test("p29 rendezvous placement: full partition, minimal disruption, near-uniform balance") {
+    val rows = Pipeline.p29RendezvousShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.map(_._1).toSeq == (0L to 8L), "one row per worker 0..8")
+    // both configs partition the corpus exactly
+    assert(rows.map(_._2).sum == nDocs && rows.map(_._3).sum == nDocs)
+    assert(rows.find(_._1 == 8L).get._2 == 0L, "worker 8 absent under W=8")
+    // HRW minimal disruption: every move lands ON the new worker
+    rows.filter(_._1 < 8L).foreach { case (w, _, _, movedIn) =>
+      assert(movedIn == 0L, s"doc moved between OLD workers (into $w)")
+    }
+    val moved = rows.find(_._1 == 8L).get._4
+    assert(moved == rows.find(_._1 == 8L).get._3,
+      "every doc on worker 8 must have moved there")
+    // expected moved fraction 1/9 ≈ 11% — allow a generous band
+    val frac = moved.toDouble / nDocs
+    assert(frac > 0.03 && frac < 0.25, s"moved fraction off: $frac")
+    // balance: no worker above 3x the uniform share under either config
+    val uniform = nDocs.toDouble / 8.0
+    assert(rows.filter(_._1 < 8L).forall(_._2 < 3 * uniform),
+      s"skewed placement: ${rows.map(_._2).toSeq}")
+  }
 }

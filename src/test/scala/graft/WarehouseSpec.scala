@@ -605,6 +605,76 @@ class WarehouseSpec extends AnyFunSuite {
     assert(sql("SELECT s FROM flatv").head().getLong(0) == 2L)
   }
 
+  test("TBLPROPERTIES: latest-wins ledger, '' escapes round-trip, unknown UNSET loud; TRUNCATE travels and rejects MoR") {
+    import graft.sources.{Snapshots, Transforms}
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-props-spec")
+    Snapshots.commit(Seq((1L, "x"), (2L, "y")).toDF("k", "v"), s"$wh/t")
+    def sql(q: String) = Engine.sqlWarehouse(spark, wh, q)
+    // '' in a value unescapes to ' on write and re-escapes on SHOW CREATE
+    sql("ALTER TABLE t SET TBLPROPERTIES ('comment' = 'it''s fine', 'a' = '1')")
+    sql("ALTER TABLE t SET TBLPROPERTIES ('a' = '2')")
+    val props = sql("SHOW TBLPROPERTIES t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props == Map("comment" -> "it's fine", "a" -> "2"))
+    val created = sql("SHOW CREATE TABLE t").collect().map(_.getString(1))
+    assert(created.contains("  'comment' = 'it''s fine')"),
+      s"SHOW CREATE must re-escape the quote: ${created.mkString("|")}")
+    // a keyword and a comma inside a quoted value must not split the pair list
+    sql("ALTER TABLE t SET TBLPROPERTIES ('note' = 'SET a, UNSET b')")
+    assert(sql("SHOW TBLPROPERTIES t").collect()
+      .find(_.getString(0) == "note").get.getString(1) == "SET a, UNSET b")
+    // unknown key: loud, and the ledger is untouched by the failed call
+    intercept[IllegalArgumentException] {
+      sql("ALTER TABLE t UNSET TBLPROPERTIES ('nope')")
+    }
+    sql("ALTER TABLE t UNSET TBLPROPERTIES ('a')")
+    assert(!sql("SHOW TBLPROPERTIES t").collect().exists(_.getString(0) == "a"))
+
+    // SHOW CREATE's partition clause: spec-evolved and single-spec sidecars
+    val ev = s"$wh/ev"
+    Transforms.createEvolved(ev, Seq(Transforms.Days("ts")))
+    Transforms.addPartitionField(ev, Transforms.MBucket(4, "k"))
+    assert(Transforms.currentSpecShow(ev) == Seq("days(ts)", "mbucket(4, k)"))
+    assert(Transforms.currentSpecShow(s"$wh/t").isEmpty)
+
+    // TRUNCATE: empty head readable with the old schema, v1 travelable,
+    // and the old version's data files untouched on disk
+    sql("TRUNCATE TABLE t")
+    assert(sql("SELECT * FROM t").collect().isEmpty)
+    assert(sql("SELECT * FROM t").schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(sql("SELECT COUNT(*) AS n FROM t FOR VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    // MoR tables are rejected loudly (their delete surface is DELETE FROM)
+    graft.sources.Mor.land(Seq((1L, "a")).toDF("id", "s"), s"$wh/m")
+    intercept[IllegalArgumentException] { sql("TRUNCATE TABLE m") }
+  }
+
+  test("q125 delta-join maintenance equals the from-scratch join; the mart advanced exactly one version") {
+    val got = Warehouse.q125JoinIvm(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val want = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      .orderBy(col("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDecimal(2).doubleValue)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    assert(got.toSeq == want.toSeq,
+      "incrementally-maintained join mart diverged from the full rejoin")
+    // the fixture's delta must be non-trivial (1995-07+ inserts exist
+    // on both sides) or the algebra was never exercised
+    val cutoff = lit("1995-07-01").cast("timestamp")
+    assert(Tables(spark, sf, "orders")
+      .filter(col("o_orderdate") >= cutoff).count() > 0)
+    assert(Tables(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= cutoff).count() > 0)
+  }
+
   test("Ivm.maintain treats a NULL group key as ONE group (SQL GROUP BY semantics)") {
     import spark.implicits._
     import graft.operators.Ivm
