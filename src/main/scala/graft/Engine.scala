@@ -367,6 +367,16 @@ object Engine {
   private val ShowTblPropsStmt =
     """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_.]*)\s*$""".r
 
+  // SHOW PARTITIONS <t> — the statement spelling of the `$partitions`
+  // metadata table (answered from the $files sidecar, no data read).
+  private val ShowPartitionsStmt =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][A-Za-z0-9_.]*)\s*$""".r
+
+  // EXPLAIN <select> — the resolved Spark plan as text rows; the
+  // query is PLANNED (travel clauses, views, governance all applied)
+  // but never executed.
+  private val ExplainStmt = """(?is)^\s*EXPLAIN\s+(SELECT\b.*)$""".r
+
   // TRUNCATE TABLE <t> — a new EMPTY version of a snapshot table:
   // no data file is rewritten or deleted, every prior version stays
   // travelable, rollback undoes it. (MoR tables are rejected loudly —
@@ -781,6 +791,19 @@ object Engine {
         import spark.implicits._
         return graft.sources.Snapshots.tableProperties(dir).toSeq
           .sortBy(_._1).toDF("key", "value")
+      case ShowPartitionsStmt(name) =>
+        graft.sources.Snapshots.recoverTxns(warehouseDir)
+        val dir = existingDir(warehouseDir, name, "SHOW PARTITIONS")
+        return graft.sources.Snapshots.partitionsTable(spark, dir)
+          .orderBy(org.apache.spark.sql.functions.col("partition"))
+      case ExplainStmt(select) =>
+        val planned = sqlWarehouse0(spark, warehouseDir, select, withViews)
+        import spark.implicits._
+        return planned.queryExecution.explainString(
+            org.apache.spark.sql.execution.SimpleMode)
+          .split('\n').toSeq.zipWithIndex
+          .map { case (l, i) => (i + 1L, l) }
+          .toDF("line_no", "plan_line")
       case TruncateStmt(name) =>
         graft.sources.Snapshots.recoverTxns(warehouseDir)
         val dir = existingDir(warehouseDir, name, "TRUNCATE TABLE")

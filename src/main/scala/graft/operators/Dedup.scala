@@ -1061,15 +1061,33 @@ object Dedup {
   def d18FuzzyNameJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = graft.Tables(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"))
-    val keyed = cust.withColumn("k", explode(expr(
-      "array_union(array(c_name), transform(sequence(1, length(c_name)), " +
-        "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, 100))))")))
-    val cands = keyed.as("a").join(keyed.as("b"),
-        col("a.k") === col("b.k") && col("a.c_custkey") =!= col("b.c_custkey"))
-      .select(col("a.c_custkey").as("custkey"), col("a.c_name").as("name"),
-        col("b.c_name").as("cand"))
+    // POSITION-TAGGED deletion keys make the join predicate itself the
+    // lev<=1 decision — no per-pair string DP anywhere: a lev<=1 pair
+    // is EXACTLY an identity-vs-deletion match (one insert/delete,
+    // any position) or a deletion-vs-deletion match at the SAME
+    // position (one substitution; different positions can be lev 2 —
+    // "ab"/"ba" share del-key "a" but only cross-position). pos = -1
+    // marks the identity key and matches any deletion.
+    val dels = cust.select(col("c_custkey"), col("c_name"),
+        posexplode(expr("transform(sequence(1, length(c_name)), " +
+          "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, 100)))")))
+      .select(col("c_custkey"), col("c_name"), col("pos").as("dpos"), col("col").as("k"))
+    val keyed = dels.unionByName(cust.select(col("c_custkey"), col("c_name"),
+      lit(-1).as("dpos"), col("c_name").as("k")))
+    // ordered pairs only (a < b): half the candidate volume; the
+    // symmetric per-customer view is rebuilt by mirroring AFTER, and
+    // the distinct only dedupes multi-key hits of true matches
+    val verified = keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.c_custkey") < col("b.c_custkey") &&
+          (col("a.dpos") === -1 || col("b.dpos") === -1 ||
+            col("a.dpos") === col("b.dpos")))
+      .select(col("a.c_custkey").as("ak"), col("a.c_name").as("an"),
+        col("b.c_custkey").as("bk"), col("b.c_name").as("bn"))
       .distinct()
-      .filter(levenshtein(col("name"), col("cand")) <= 1)
+    val cands = verified
+      .select(col("ak").as("custkey"), col("an").as("name"), col("bn").as("cand"))
+      .unionByName(verified
+        .select(col("bk").as("custkey"), col("bn").as("name"), col("an").as("cand")))
     val agg = cands.groupBy(col("custkey"), col("name"))
       .agg(count(lit(1)).as("n_lev1"), min(col("cand")).as("nearest"))
     cust.join(agg, cust("c_custkey") === agg("custkey"), "left")

@@ -401,7 +401,62 @@ object Advanced {
       .orderBy(col("segment_at_order"), col("segment_current"))
   }
 
+  /** q126: INTERVAL-CONCURRENCY via a sweep line — for every order's
+    * fulfillment window [start, start + (key%20+3) days], how many
+    * OTHER orders' windows overlap it. The naive answer is an
+    * interval self-join (pair explosion: ~240 overlaps/order here,
+    * quadratic blowup under skew); the sweep computes it with ZERO
+    * pair materialization from two cumulative counts on a dense day
+    * dimension: overlap(o) = #starts ≤ o.end − #ends < o.start − 1
+    * (closed intervals; subtract self). The day dimension is bounded
+    * by the calendar (~2.6k rows — broadcast; its cumulative windows
+    * run on the day table, never the fact), and the per-order lookups
+    * are plain equi-joins against it, so 100 TB of intervals costs
+    * two broadcast hash joins + one pass. The classic
+    * Arge/interval-tree workload reduced to counts, Spark-first. The
+    * gated output is the `% 37` probe slice; the oracle BRUTE-FORCES
+    * the overlap predicate for exactly those probes — the sweep and
+    * the quadratic definition must agree row-for-row.
+    */
+  def q126IntervalConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val iv = t(spark, dir, "orders").select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("start_d"))
+      .withColumn("end_d",
+        expr("date_add(start_d, CAST(o_orderkey % 20 + 3 AS INT))"))
+    import org.apache.spark.sql.expressions.Window
+    // dense day dimension spanning every window (calendar-bounded)
+    val days = iv.agg(min(col("start_d")).as("lo"), max(col("end_d")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumStarts = days
+      .join(iv.groupBy(col("start_d").as("day")).agg(count(lit(1)).as("n")),
+        Seq("day"), "left")
+      .withColumn("cum_starts", sum(coalesce(col("n"), lit(0L))).over(w))
+      .select(col("day"), col("cum_starts"))
+    val cumEnds = days
+      .join(iv.groupBy(col("end_d").as("day")).agg(count(lit(1)).as("n")),
+        Seq("day"), "left")
+      .withColumn("cum_ends", sum(coalesce(col("n"), lit(0L))).over(w))
+      .select(col("day"), col("cum_ends"))
+    iv
+      .join(broadcast(cumStarts), col("end_d") === cumStarts("day"))
+      .drop("day")
+      // ends strictly BEFORE my start: cum at start-1; a window opening
+      // on the calendar's first day has nothing before it
+      .join(broadcast(cumEnds),
+        expr("date_add(start_d, -1)") === cumEnds("day"), "left")
+      .withColumn("n_concurrent",
+        col("cum_starts") - coalesce(col("cum_ends"), lit(0L)) - lit(1L))
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"), col("start_d"), col("end_d"),
+        col("n_concurrent"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_interval_concurrency" -> (q126IntervalConcurrency _),
     "q86_temporal_join" -> (q86TemporalJoin _),
     "q23_asof_exec" -> (q23AsofExec _),
     "q24_shipping_priority" -> (q24ShippingPriority _),
@@ -418,6 +473,21 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    // q126: quadratic restatement of the overlap definition on the
+    // probe slice only — the sweep must reproduce it exactly
+    "q126_interval_concurrency" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS start_d,
+        |    CAST(o_orderdate AS DATE) + to_days(CAST(o_orderkey % 20 + 3 AS INT)) AS end_d
+        |  FROM orders)
+        |SELECT a.o_orderkey, a.start_d, a.end_d,
+        |  (SELECT COUNT(*) FROM iv b
+        |   WHERE b.o_orderkey <> a.o_orderkey
+        |     AND b.start_d <= a.end_d AND a.start_d <= b.end_d) AS n_concurrent
+        |FROM iv a
+        |WHERE a.o_orderkey % 37 = 0
+        |ORDER BY a.o_orderkey""".stripMargin,
     // q86: the two-version history collapses to a closed form — the
     // as-of path must match the CASE-on-change-date restatement
     "q86_temporal_join" ->

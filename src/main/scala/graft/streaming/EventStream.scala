@@ -1861,7 +1861,85 @@ object EventStream {
       .orderBy(col("etype"))
   }
 
+  /** st27: STREAMING JOIN-mart maintenance — q125's delta-join
+    * algebra under a live stream: keyed lineitem rows arrive in
+    * micro-batches and the dim⋈fact monthly revenue mart advances
+    * per batch as mart += agg(dim ⋈ ΔL) — the orders dim broadcasts,
+    * the batch IS the delta, and the stored mart never rescans a
+    * prior batch (the 100 TB streaming-fact shape: per-trigger cost
+    * ∝ batch size, mart state ∝ months). Exactly-once: each merge is
+    * tagged with its batch id — `mergeWith` short-circuits replays,
+    * so crash/redelivery converges on the same mart. The gate is
+    * batch-structure invariance itself: the final mart must equal
+    * the from-scratch full join (the DuckDB oracle) no matter how
+    * the 16 source files sliced into triggers; 5 versions = seed +
+    * ceil(16/4) merge commits, pinned.
+    */
+  def st27StreamJoinIvm(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    val src = graft.TempDirs.scratch("graft-st27-src")
+    // the CDC-honest keyed grain (q125): the raw (orderkey, linenumber)
+    // is not unique in this corpus
+    graft.Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("price"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(src)
+
+    val martSchema = StructType(Seq(
+      StructField("o_month", StringType),
+      StructField("n_items", LongType),
+      StructField("rev", DecimalType(38, 2))))
+    val table = s"${graft.TempDirs.scratch("graft-st27-tbl")}/join_mv"
+    graft.sources.Snapshots.commit(
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        martSchema), table)
+
+    val lkSchema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", LongType),
+      StructField("qty", LongType),
+      StructField("price", DecimalType(28, 2))))
+    val stream = s.readStream
+      .schema(lkSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(src)
+    val q = stream.writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st27-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.Snapshots.mergeWith(
+          batch.sparkSession, table, batch, tag = Some(s"jm=$id")) { (mat, b) =>
+          val dim = graft.Tables(b.sparkSession, dir, "orders").select(
+            col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+          val delta = broadcast(dim)
+            .join(b, col("o_orderkey") === col("l_orderkey"))
+            .groupBy(col("o_month"))
+            .agg(sum(col("qty")).as("n_items"), sum(col("price")).as("rev"))
+          mat.unionByName(
+              delta.select(col("o_month"), col("n_items"),
+                col("rev").cast("decimal(38,2)").as("rev")))
+            .groupBy(col("o_month"))
+            .agg(sum(col("n_items")).as("n_items"), sum(col("rev")).as("rev"))
+            .select(col("o_month"), col("n_items"),
+              col("rev").cast("decimal(38,2)").as("rev"))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val nVersions = graft.sources.Snapshots.versions(table).size
+    graft.sources.Snapshots.read(spark, table)
+      .select(col("o_month"), col("n_items"),
+        col("rev").cast("double").as("revenue"),
+        lit(nVersions).as("n_versions"))
+      .orderBy(col("o_month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st27_stream_join_ivm" -> (st27StreamJoinIvm _),
     "st26_stream_quality_gate" -> (st26StreamQualityGate _),
     "st25_stream_cdf" -> (st25StreamCdf _),
     "st24_two_sink_txn" -> (st24StreamTwoSinkTxn _),
@@ -1893,6 +1971,16 @@ object EventStream {
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    // st27: the streamed, incrementally-maintained join mart must
+    // equal the from-scratch full join at the keyed lineitem grain
+    // (qty-weighted = the raw join); 5 versions = seed + 16/4 merges
+    "st27_stream_join_ivm" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  5 AS n_versions
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // st26: clean rows are event_id %11 != 0 (the nulled fixture),
     // DLQ the rest; pins: partition exactness, no-null-landed, the
     // live gate rejection, the 16-file/4-per-trigger version count

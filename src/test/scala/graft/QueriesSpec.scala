@@ -118,6 +118,50 @@ class QueriesSpec extends AnyFunSuite {
       "micro-batched frozen-quantizer appends must serve exactly like one bulk append")
   }
 
+  test("q126 sweep-line concurrency == in-driver quadratic overlap count, cartesian-free plan") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.Advanced.q126IntervalConcurrency(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_concurrent")))
+    assert(got.nonEmpty)
+    val iv = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .map { case (k, s) => (k, s, s.plusDays(k % 20 + 3)) }
+    val want = iv.filter(_._1 % 37 == 0).map { case (k, s, e) =>
+      (k, iv.count { case (k2, s2, e2) =>
+        k2 != k && !s2.isAfter(e) && !s.isAfter(e2)
+      }.toLong)
+    }
+    assert(got.toSeq.sortBy(_._1) == want.toSeq.sortBy(_._1),
+      "sweep diverged from the quadratic overlap definition")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q126 fell back to an all-pairs interval join")
+  }
+
+  test("st27 streamed join mart == static full join; exactly ceil(16/4)+seed versions") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("st27_stream_join_ivm")(spark, sf).collect()
+    assert(rows.forall(_.getInt(3) == 5), "expected seed + 4 merge commits")
+    val want = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDecimal(2).doubleValue)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP))).toSet
+    val got = rows.map(r => (r.getString(0), r.getLong(1),
+      BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    assert(got == want, "streamed join mart diverged from the full rejoin")
+  }
+
   test("st01 streaming totals match batch totals") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("st01_stream_window")(spark, sf)

@@ -650,6 +650,32 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { sql("TRUNCATE TABLE m") }
   }
 
+  test("SHOW PARTITIONS answers from the $files sidecar; EXPLAIN plans travel without executing") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-showpart-spec")
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 4.0))
+      .toDF("k", "part", "v")
+    val v = Snapshots.commitPartitioned(df, s"$wh/t", Seq("part"))
+    Snapshots.writeFileStats(spark, s"$wh/t", v)
+    def sql(q: String) = Engine.sqlWarehouse(spark, wh, q)
+    val parts = sql("SHOW PARTITIONS t").collect()
+      .map(r => (r.getAs[String]("partition"), r.getAs[Long]("record_count")))
+    assert(parts.toSeq == Seq(("part=a", 2L), ("part=b", 1L)),
+      s"unexpected partitions: ${parts.toSeq}")
+    // EXPLAIN returns the resolved plan WITHOUT executing: a travel
+    // clause must resolve (pinning the facade rewrite) and the text
+    // must carry a physical scan node
+    val plan = sql("EXPLAIN SELECT COUNT(*) AS n FROM t FOR VERSION AS OF 1")
+      .collect().map(_.getString(1)).mkString("\n")
+    assert(plan.contains("Physical Plan"), s"no physical plan in: $plan")
+    assert(plan.toLowerCase.contains("scan"), "plan text carries no scan node")
+    // malformed travel must still fail loudly through EXPLAIN
+    intercept[Exception] {
+      sql("EXPLAIN SELECT * FROM t FOR VERSION AS OF 99").collect()
+    }
+  }
+
   test("q125 delta-join maintenance equals the from-scratch join; the mart advanced exactly one version") {
     val got = Warehouse.q125JoinIvm(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1),
