@@ -665,7 +665,68 @@ object TpchSuite {
       .limit(20)
   }
 
+  /** q127: RECURSIVE CTE — Spark 4's `WITH RECURSIVE` (SPARK-24497),
+    * the iterative-closure surface a Kyuubi SQL user reaches for on
+    * hierarchies (org charts, BOMs, category trees) without leaving
+    * SQL. The fixture derives a forest from the customer keys
+    * (parent(k) = ⌊k/10⌋, roots k<10 — deterministic, SF-stable
+    * depth ≤ 4) and walks it to a transitive closure carrying (root,
+    * depth), then rolls up per (root, depth): node count, key span,
+    * exact acctbal sum. Each recursion step is one distributed
+    * hash join of the frontier against the table — the same
+    * fixpoint shape as d06's pointer-jumping, but expressed in ANSI
+    * SQL and planned by Catalyst. The oracle is the identical
+    * recursion in DuckDB.
+    */
+  def q127RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("q127_cust")
+    spark.sql(
+      """WITH RECURSIVE anc(k, root, depth, bal) AS (
+        |  SELECT c_custkey, c_custkey, 0, CAST(c_acctbal AS DECIMAL(18,2))
+        |  FROM q127_cust WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, a.root, a.depth + 1,
+        |    CAST(c.c_acctbal AS DECIMAL(18,2))
+        |  FROM q127_cust c
+        |  JOIN anc a ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = a.k
+        |  WHERE c.c_custkey >= 10)
+        |SELECT root, depth,
+        |  COUNT(*) AS n_nodes,
+        |  MIN(k) AS min_key, MAX(k) AS max_key,
+        |  CAST(SUM(bal) AS DOUBLE) AS total_acctbal
+        |FROM anc
+        |GROUP BY root, depth
+        |ORDER BY root, depth""".stripMargin)
+  }
+
+  /** q128: LATERAL correlated subquery — the per-row `LIMIT k` join
+    * (Spark 4 LATERAL), the terse SQL spelling of top-k-per-group
+    * that window+filter (q09) circumscribes: for every nation, its
+    * top-2 suppliers by account balance, picked by a correlated
+    * ordered-LIMIT subquery. Catalyst decorrelates this into the
+    * same ranked-window plan q09 builds by hand — the entry pins
+    * that the DECLARED form works end-to-end through SQL. Identical
+    * statement text runs in DuckDB as the oracle.
+    */
+  def q128LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("q128_nation")
+    t(spark, dir, "supplier").createOrReplaceTempView("q128_supplier")
+    spark.sql(
+      """SELECT n.n_name, top.s_name,
+        |  CAST(top.s_acctbal AS DOUBLE) AS acctbal
+        |FROM q128_nation n,
+        |LATERAL (
+        |  SELECT s_name, s_acctbal
+        |  FROM q128_supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name
+        |  LIMIT 2) top
+        |ORDER BY n.n_name, acctbal DESC, top.s_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_recursive_cte" -> (q127RecursiveCte _),
+    "q128_lateral_topk" -> (q128LateralTopk _),
     "q88_graph_rank" -> (q88GraphRank _),
     "q73_unpivot" -> (q73Unpivot _),
     "q74_gap_fill" -> (q74GapFill _),
@@ -711,6 +772,36 @@ object TpchSuite {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // q127: the identical recursion in DuckDB dialect
+    "q127_recursive_cte" ->
+      """WITH RECURSIVE anc(k, root, depth, bal) AS (
+        |  SELECT c_custkey, c_custkey, 0, CAST(c_acctbal AS DECIMAL(18,2))
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, a.root, a.depth + 1,
+        |    CAST(c.c_acctbal AS DECIMAL(18,2))
+        |  FROM customer c
+        |  JOIN anc a ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = a.k
+        |  WHERE c.c_custkey >= 10)
+        |SELECT root, CAST(depth AS INT) AS depth,
+        |  COUNT(*) AS n_nodes,
+        |  MIN(k) AS min_key, MAX(k) AS max_key,
+        |  CAST(SUM(bal) AS DOUBLE) AS total_acctbal
+        |FROM anc
+        |GROUP BY root, depth
+        |ORDER BY root, depth""".stripMargin,
+    // q128: the same LATERAL statement, DuckDB-run
+    "q128_lateral_topk" ->
+      """SELECT n.n_name, top.s_name,
+        |  CAST(top.s_acctbal AS DOUBLE) AS acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT s_name, s_acctbal
+        |  FROM supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name
+        |  LIMIT 2) top
+        |ORDER BY n.n_name, acctbal DESC, top.s_name""".stripMargin,
     "q88_graph_rank" ->
       s"""WITH e0 AS (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

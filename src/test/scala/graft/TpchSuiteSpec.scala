@@ -168,6 +168,45 @@ class TpchSuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("q127 recursive closure partitions all customers; depth/root agree with the driver-walked parent chain") {
+    val rows = TpchSuite.q127RecursiveCte(spark, sf).collect()
+    val nCust = Tables(spark, sf, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == nCust,
+      "closure must reach every customer exactly once")
+    // driver-walk the parent chain for a sample and pin (root, depth)
+    val byRootDepth = rows.map(r => (r.getAs[Long]("root"),
+      r.getAs[Int]("depth")) -> (r.getAs[Long]("min_key"), r.getAs[Long]("max_key"))).toMap
+    def walk(k: Long): (Long, Int) = {
+      var cur = k; var d = 0
+      while (cur >= 10) { cur = cur / 10; d += 1 }
+      (cur, d)
+    }
+    Seq(0L, 7L, 42L, 999L, 1423L).filter(_ < nCust).foreach { k =>
+      val (root, depth) = walk(k)
+      val (lo, hi) = byRootDepth.getOrElse((root, depth),
+        fail(s"missing (root=$root, depth=$depth) for key $k"))
+      assert(lo <= k && k <= hi, s"key $k outside its (root,depth) span")
+    }
+  }
+
+  test("q128 LATERAL top-2 equals the window spelling") {
+    val got = TpchSuite.q128LateralTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_name"))
+    val want = Tables(spark, sf, "supplier")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .join(Tables(spark, sf, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("s_name"), col("s_acctbal"), col("rnk"))
+      .orderBy(col("n_name"), col("rnk"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == want.toSeq,
+      "LATERAL correlated LIMIT diverged from the ranked-window answer")
+  }
+
   test("q88 PageRank: descending positive ranks; run-to-run bit-stable under repartitioning") {
     import graft.queries.TpchSuite
     val rows = TpchSuite.q88GraphRank(spark, sf).collect()
