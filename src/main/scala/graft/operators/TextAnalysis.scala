@@ -531,7 +531,47 @@ object TextAnalysis {
       .orderBy(col("vocab_size"))
   }
 
+  /** t17: HOMOGLYPH (confusable) folding — the adversarial-dedup
+    * preprocessing step: spam/SEO text evades exact dedup by swapping
+    * Latin letters for visually-identical Cyrillic codepoints
+    * (а е о р с = U+0430/0435/043E/0440/0441), so a dedup pass that
+    * hashes raw bytes counts each variant as a fresh document. The
+    * fixture stages the attack deterministically: every doc with
+    * doc_id % 7 == 0 is RE-POSTED as a homoglyph copy under a fresh
+    * id — byte-distinct, visually identical, invisible to exact
+    * dedup. The operator folds confusables back (the skeleton of
+    * Unicode TR#39 skeleton-matching, as a pure codegen'd
+    * `translate`) and compares dedup granularity on raw vs folded
+    * hashes per source: `n_reunified` = the spam copies folding
+    * re-merges with their originals. Row-local map work at 100 TB;
+    * every cell restated in DuckDB (same translate semantics, same
+    * md5 bytes).
+    */
+  def t17ConfusableFold(spark: SparkSession, dir: String): DataFrame = {
+    val latin = "aeopc"
+    val cyr = "аеорс"
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    // the spam scenario: every doc_id % 7 == 0 doc is RE-POSTED as a
+    // homoglyph copy under a fresh id — byte-distinct, visually
+    // identical, invisible to exact dedup
+    val spam = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        translate(col("text"), latin, cyr).as("text"))
+    d.withColumn("is_spam", lit(false))
+      .unionByName(spam.withColumn("is_spam", lit(true)))
+      .withColumn("folded", translate(col("text"), cyr, latin))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_spam"), 1L).otherwise(0L)).as("n_spam"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_raw_distinct"),
+        countDistinct(md5(col("folded").cast("binary"))).as("n_fold_distinct"))
+      .withColumn("n_reunified", col("n_raw_distinct") - col("n_fold_distinct"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_confusable_fold" -> (t17ConfusableFold _),
     "t16_vocab_curve" -> (t16VocabCurve _),
     "t15_collocations" -> (t15Collocations _),
     "t14_vocab_stats" -> (t14VocabStats _),
@@ -605,6 +645,27 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // t17: same injected attack, same fold, same md5 bytes — DuckDB's
+    // translate is character-wise like Spark's
+    "t17_confusable_fold" ->
+      """WITH base AS (
+        |  SELECT source, text, FALSE AS is_spam FROM documents
+        |  UNION ALL
+        |  SELECT source, translate(text, 'aeopc', 'аеорс'), TRUE
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |f AS (
+        |  SELECT source, text, is_spam,
+        |    translate(text, 'аеорс', 'aeopc') AS folded
+        |  FROM base)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN is_spam THEN 1 ELSE 0 END) AS BIGINT) AS n_spam,
+        |  COUNT(DISTINCT md5(text)) AS n_raw_distinct,
+        |  COUNT(DISTINCT md5(folded)) AS n_fold_distinct,
+        |  COUNT(DISTINCT md5(text)) - COUNT(DISTINCT md5(folded)) AS n_reunified
+        |FROM f
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     // t15: the ranking orders by the raw ratio (exact integer
     // products, one IEEE division — no libm); ln only in the
     // displayed 6-dp value

@@ -455,7 +455,48 @@ object Advanced {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q129: the VARIANT type — Spark 4's semi-structured column
+    * (parse_json → open-schema binary, the Snowflake/Delta VARIANT
+    * model that replaces string-typed JSON blobs at the lake edge):
+    * each event's props plus derived fields assemble into one nested
+    * JSON document, parsed ONCE into a variant, then served by typed
+    * path extraction (`variant_get` with a target type — returns
+    * NULL on missing paths instead of failing, the
+    * schema-on-read contract) and `schema_of_variant` (the observed
+    * physical schema, pinned in-result). At 100 TB variant's binary
+    * encoding scans ~an order faster than re-parsing JSON text per
+    * query, and extraction is row-local codegen'd work. The oracle
+    * recomputes every aggregate from the RAW columns — the
+    * round-trip through variant must be lossless and typed.
+    */
+  def q129VariantJson(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val json = concat(
+      lit("{\"id\":"), col("event_id"),
+      lit(",\"nested\":{\"k\":"),
+      coalesce(get_json_object(col("props"), "$.k"), lit("null")),
+      lit("},\"tags\":["), col("event_id") % 3, lit(","),
+      col("event_id") % 5, lit("]}"))
+    e.withColumn("v", parse_json(json))
+      .withColumn("k", expr("variant_get(v, '$.nested.k', 'bigint')"))
+      .withColumn("tag0", expr("variant_get(v, '$.tags[0]', 'bigint')"))
+      .withColumn("missing", expr("variant_get(v, '$.absent.path', 'bigint')"))
+      .withColumn("vschema", expr("schema_of_variant(v)"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("tag0")).as("sum_tag0"),
+        count(col("missing")).as("n_missing_hits"),
+        max(col("vschema")).as("variant_schema"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_variant_json" -> (q129VariantJson _),
     "q126_interval_concurrency" -> (q126IntervalConcurrency _),
     "q86_temporal_join" -> (q86TemporalJoin _),
     "q23_asof_exec" -> (q23AsofExec _),
@@ -473,6 +514,23 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    // q129: every aggregate recomputed from the RAW columns (variant
+    // must be a lossless typed round-trip); the observed variant
+    // schema is a fixed property of the document shape — pinned
+    "q129_variant_json" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(SUM(event_id % 3) AS BIGINT) AS sum_tag0,
+        |  CAST(0 AS BIGINT) AS n_missing_hits,
+        |  'OBJECT<id: BIGINT, nested: OBJECT<k: BIGINT>, tags: ARRAY<BIGINT>>'
+        |    AS variant_schema
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // q126: quadratic restatement of the overlap definition on the
     // probe slice only — the sweep must reproduce it exactly
     "q126_interval_concurrency" ->

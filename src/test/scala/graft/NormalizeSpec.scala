@@ -30,6 +30,31 @@ class NormalizeSpec extends AnyFunSuite {
     assert(viaSql == composed)
   }
 
+  test("t17 confusable fold re-unifies attacked duplicates and is lossless on clean text") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TextAnalysis.t17ConfusableFold(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val raw = r.getAs[Long]("n_raw_distinct")
+      val fold = r.getAs[Long]("n_fold_distinct")
+      assert(fold <= raw, "folding can only merge, never split")
+      assert(r.getAs[Long]("n_reunified") == raw - fold)
+      // every spam copy must fold back onto its original
+      assert(r.getAs[Long]("n_spam") == 0 || r.getAs[Long]("n_reunified") > 0,
+        s"source ${r.getString(0)}: spam copies survived folding")
+    }
+    assert(rows.map(_.getAs[Long]("n_reunified")).sum > 0,
+      "fixture produced no reunifiable spam copies")
+    // folding is lossless on pure-Latin text: folded == raw for docs
+    // that were never attacked
+    val clean = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 7 =!= 0)
+      .withColumn("folded", translate(col("text"), "аеорс", "aeopc"))
+      .filter(col("folded") =!= col("text")).count()
+    assert(clean == 0L, "fold altered unattacked ASCII text")
+  }
+
   test("p17 ticket race: keys are reproducible and selection pressure is monotone in weight") {
     // per-row key recomputed independently: min over md5(doc_id:i)
     val sample = Pipeline.p17WeightedSample(spark, "/root/testdata/sf0.01").collect()

@@ -162,6 +162,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == want, "streamed join mart diverged from the full rejoin")
   }
 
+  test("q129 variant round-trip is lossless vs q19's string-path extraction; missing paths yield NULL not error") {
+    import org.apache.spark.sql.functions._
+    val v = graft.queries.Advanced.q129VariantJson(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_with_k"), r.getAs[Long]("sum_k"))).toMap
+    val q19 = graft.queries.Advanced.q19JsonProps(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_with_k"), r.getAs[Long]("sum_k"))).toMap
+    assert(v == q19, "variant_get diverged from get_json_object on the same data")
+    graft.queries.Advanced.q129VariantJson(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_missing_hits") == 0L,
+        "variant_get on an absent path must return NULL for every row")
+      assert(r.getAs[String]("variant_schema").startsWith("OBJECT<id: BIGINT"),
+        s"unexpected variant schema: ${r.getAs[String]("variant_schema")}")
+    }
+  }
+
   test("st01 streaming totals match batch totals") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("st01_stream_window")(spark, sf)
