@@ -495,7 +495,43 @@ object Advanced {
       .orderBy(col("event_type"))
   }
 
+  /** q130: BITMAP-INDEX distinct aggregation — Spark's bitmap
+    * function family (3.5+): integer keys bucket into 32768-bit
+    * bitmaps (`bitmap_bucket_number`/`bitmap_bit_position`), partial
+    * per-bucket bitmaps build map-side (`bitmap_construct_agg`),
+    * merge by OR (`bitmap_or_agg`), and cardinality pops out of
+    * `bitmap_count` — EXACT distinct counting whose shuffle carries
+    * fixed-size bitmaps instead of every key occurrence (the dense-
+    * int-key regime where bitmap beats both exact count-distinct
+    * re-shuffles and HLL's approximation; the ClickHouse/Druid
+    * bitmap-index idea on Spark built-ins). The entry computes
+    * per-type distinct users BOTH ways and the gate pins them equal
+    * in-data; the oracle is the exact distinct.
+    */
+  def q130BitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("q130_events")
+    spark.sql(
+      """WITH ex AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS nd_exact
+        |  FROM q130_events GROUP BY 1),
+        |bm AS (
+        |  SELECT event_type,
+        |    bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
+        |  FROM q130_events
+        |  GROUP BY event_type, bitmap_bucket_number(user_id + 1)),
+        |m AS (
+        |  -- cardinality PER BUCKET, then sum: OR-merging bitmaps from
+        |  -- DIFFERENT buckets would collapse same-position ids (1 and
+        |  -- 32769 share a bit) — invisible at small SF, wrong at scale
+        |  SELECT event_type, CAST(SUM(bitmap_count(b)) AS BIGINT) AS nd_bitmap
+        |  FROM bm GROUP BY 1)
+        |SELECT m.event_type, m.nd_bitmap, ex.nd_exact
+        |FROM m JOIN ex ON m.event_type = ex.event_type
+        |ORDER BY m.event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_bitmap_distinct" -> (q130BitmapDistinct _),
     "q129_variant_json" -> (q129VariantJson _),
     "q126_interval_concurrency" -> (q126IntervalConcurrency _),
     "q86_temporal_join" -> (q86TemporalJoin _),
@@ -514,6 +550,15 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    // q130: the bitmap pipeline's cardinality must equal the exact
+    // distinct — both columns restate as the same exact count
+    "q130_bitmap_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS nd_bitmap,
+        |  COUNT(DISTINCT user_id) AS nd_exact
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // q129: every aggregate recomputed from the RAW columns (variant
     // must be a lossless typed round-trip); the observed variant
     // schema is a fixed property of the document shape — pinned
@@ -537,7 +582,7 @@ object Advanced {
       """WITH iv AS (
         |  SELECT o_orderkey,
         |    CAST(o_orderdate AS DATE) AS start_d,
-        |    CAST(o_orderdate AS DATE) + to_days(CAST(o_orderkey % 20 + 3 AS INT)) AS end_d
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 20 + 3 AS INT) AS end_d
         |  FROM orders)
         |SELECT a.o_orderkey, a.start_d, a.end_d,
         |  (SELECT COUNT(*) FROM iv b

@@ -724,7 +724,30 @@ object TpchSuite {
         |ORDER BY n.n_name, acctbal DESC, top.s_name""".stripMargin)
   }
 
+  /** q131: SQL PIPE syntax — Spark 4's `|>` operators (SPARK-49555,
+    * the GoogleSQL pipe-query model): the query reads as its
+    * dataflow — source |> filter |> derive |> aggregate |> order —
+    * the statement-level twin of the DataFrame chain, and the shape
+    * SQL-first pipeline authors (the reference's dbt models) are
+    * migrating toward. Semantically identical to the nested-SELECT
+    * spelling, so the oracle is exactly that spelling in DuckDB;
+    * decimal-exact aggregation through the pipe.
+    */
+  def q131PipeSql(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("q131_lineitem")
+    spark.sql(
+      """FROM q131_lineitem
+        ||> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |     AND l_shipdate < TIMESTAMP '1996-01-01'
+        ||> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        ||> AGGREGATE COUNT(*) AS n_items,
+        |     CAST(SUM(CAST(disc_price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_pipe_sql" -> (q131PipeSql _),
     "q127_recursive_cte" -> (q127RecursiveCte _),
     "q128_lateral_topk" -> (q128LateralTopk _),
     "q88_graph_rank" -> (q88GraphRank _),
@@ -772,6 +795,16 @@ object TpchSuite {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // q131: the pipe dataflow restated as the classic nested SELECT
+    "q131_pipe_sql" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // q127: the identical recursion in DuckDB dialect
     "q127_recursive_cte" ->
       """WITH RECURSIVE anc(k, root, depth, bal) AS (

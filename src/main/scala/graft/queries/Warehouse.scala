@@ -2485,8 +2485,8 @@ object Warehouse {
       """SELECT * FROM (VALUES
         |  ('owner', 'etl'),
         |  ('quality.tier', 'silver'))
-        |  t("key", "value")
-        |ORDER BY "key"""".stripMargin,
+        |  t(key, value)
+        |ORDER BY key""".stripMargin,
     // q125: the oracle is the FULL join-agg over the raw tables — the
     // incrementally-maintained mart must equal the from-scratch join
     "q125_join_ivm" ->

@@ -207,6 +207,44 @@ class TpchSuiteSpec extends AnyFunSuite {
       "LATERAL correlated LIMIT diverged from the ranked-window answer")
   }
 
+  test("q130 bitmap distinct == exact everywhere, including the 32768-bit bucket boundary and id 0") {
+    val rows = graft.queries.Advanced.q130BitmapDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nd_bitmap") == r.getAs[Long]("nd_exact"),
+        s"bitmap cardinality diverged for ${r.getString(0)}")
+    }
+    // boundary fixture: 0 (the shift-by-one reason), the bucket edge
+    // pair 32767/32768, and a second-bucket id must all stay distinct
+    import spark.implicits._
+    Seq(0L, 1L, 32767L, 32768L, 32769L, 65536L).toDF("user_id")
+      .createOrReplaceTempView("q130_edge")
+    val nd = spark.sql(
+      """SELECT CAST(SUM(bitmap_count(b)) AS BIGINT) AS nd FROM (
+        |  SELECT bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
+        |  FROM q130_edge GROUP BY bitmap_bucket_number(user_id + 1))""".stripMargin)
+      .head().getLong(0)
+    assert(nd == 6L, s"boundary ids collided in the bitmap: $nd")
+  }
+
+  test("q131 pipe SQL equals the DataFrame chain") {
+    val got = TpchSuite.q131PipeSql(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_items"),
+        math.round(r.getAs[Double]("revenue") * 100)))
+    val want = Tables(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .withColumn("disc_price",
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("disc_price")).as("rev"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        math.round(r.getDecimal(3).doubleValue * 100)))
+    assert(got.toSeq == want.toSeq, "pipe dataflow diverged from the DataFrame chain")
+  }
+
   test("q88 PageRank: descending positive ranks; run-to-run bit-stable under repartitioning") {
     import graft.queries.TpchSuite
     val rows = TpchSuite.q88GraphRank(spark, sf).collect()
