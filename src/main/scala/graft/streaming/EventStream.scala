@@ -15,6 +15,68 @@ case class RawEvent(event_id: Long, ts: Long, user_id: Long,
 case class UserAgg(user_id: Long, n_events: Long, total_value: Double,
   last_event_type: String, last_ts_ms: Long)
 
+/** st28 input row (ts = micros since epoch). */
+case class EvTws(user_id: Long, event_type: String, value: Double, ts: Long)
+
+/** st28 per-user snapshot emitted after each batch that touched the
+  * key (n_events strictly grows, so the final state is the max-n row).
+  */
+case class UserTws(user_id: Long, n_events: Long, n_types: Long,
+  types_sig: String, total_value: Double, min_ts_ms: Long, max_ts_ms: Long)
+
+/** st28: per-user statistics in Spark 4's `transformWithState` typed
+  * state — ValueState counters (count, exact scale-4 unscaled sum,
+  * min/max event time) plus a MapState per-type histogram: the
+  * composable-state-variables API that replaces hand-rolled
+  * [GroupState] blobs, backed by the RocksDB state store. All
+  * accumulators are ORDER-INDEPENDENT (exact integer adds, min/max),
+  * so the result is batch-structure invariant by construction.
+  */
+class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvTws, UserTws] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, MapState, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var nState: ValueState[Long] = _
+  @transient private var sumState: ValueState[Long] = _ // unscaled, scale 4
+  @transient private var minTs: ValueState[Long] = _
+  @transient private var maxTs: ValueState[Long] = _
+  @transient private var types: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    sumState = getHandle.getValueState[Long]("sum4", Encoders.scalaLong, TTLConfig.NONE)
+    minTs = getHandle.getValueState[Long]("minTs", Encoders.scalaLong, TTLConfig.NONE)
+    maxTs = getHandle.getValueState[Long]("maxTs", Encoders.scalaLong, TTLConfig.NONE)
+    types = getHandle.getMapState[String, Long]("types",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[EvTws],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTws] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    var n = if (nState.exists()) nState.get() else 0L
+    var sum4 = if (sumState.exists()) sumState.get() else 0L
+    var lo = if (minTs.exists()) minTs.get() else Long.MaxValue
+    var hi = if (maxTs.exists()) maxTs.get() else Long.MinValue
+    rows.foreach { e =>
+      n += 1L
+      sum4 += JBD.valueOf(e.value).setScale(4, RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+      if (e.ts < lo) lo = e.ts
+      if (e.ts > hi) hi = e.ts
+      val c = if (types.containsKey(e.event_type)) types.getValue(e.event_type) else 0L
+      types.updateValue(e.event_type, c + 1L)
+    }
+    nState.update(n); sumState.update(sum4); minTs.update(lo); maxTs.update(hi)
+    val hist = types.iterator().toSeq.sortBy(_._1)
+    Iterator.single(UserTws(key, n, hist.size.toLong,
+      hist.map { case (t, c) => s"$t:$c" }.mkString(","),
+      new JBD(java.math.BigInteger.valueOf(sum4), 4).doubleValue,
+      lo / 1000L, hi / 1000L))
+  }
+}
+
 /** Structured Streaming surface — the engine-side equivalent of the
   * reference's Debezium→Kafka ingestion path (docs/components/cdc.md):
   * event streams land as files and are aggregated with event-time
@@ -1938,7 +2000,54 @@ object EventStream {
       .orderBy(col("o_month"))
   }
 
+  /** st28: Spark 4 `transformWithState` — the new arbitrary-state
+    * streaming API ([[UserStatsProcessor]]): NAMED, composable state
+    * variables (ValueState counters + a MapState histogram) behind
+    * the RocksDB state store provider, replacing the single-blob
+    * GroupState pattern st02 uses. Every accumulator is order-
+    * independent (integer adds on an exact scale-4 unscaled sum,
+    * min/max), so the final per-user row is batch-structure
+    * invariant; n_events strictly grows, so `max_by(n_events)` over
+    * the append-mode emissions IS the final state — no last-batch
+    * bookkeeping. The oracle recomputes every statistic from the raw
+    * table, including the sorted per-type histogram signature.
+    */
+  def st28TransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val stream = eventsStream(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts"))
+      .as[EvTws]
+    val out = stream.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    s.catalog.dropTempView("st28_out")
+    locally {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("st28_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("st28_out")
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("n_events"), col("n_types"), col("types_sig"),
+          col("total_value"), col("min_ts_ms"), col("max_ts_ms")),
+        col("n_events")).as("f"))
+      .select(col("user_id"), col("f.n_events"), col("f.n_types"),
+        col("f.types_sig"), col("f.total_value"),
+        col("f.min_ts_ms"), col("f.max_ts_ms"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st28_transform_with_state" -> (st28TransformWithState _),
     "st27_stream_join_ivm" -> (st27StreamJoinIvm _),
     "st26_stream_quality_gate" -> (st26StreamQualityGate _),
     "st25_stream_cdf" -> (st25StreamCdf _),
@@ -1971,6 +2080,25 @@ object EventStream {
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    // st28: every statistic recomputed from the raw table, including
+    // the sorted per-type histogram signature
+    "st28_transform_with_state" ->
+      """WITH tc AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT user_id, COUNT(*) AS n_types,
+        |    string_agg(event_type || ':' || c, ',' ORDER BY event_type) AS types_sig
+        |  FROM tc GROUP BY 1),
+        |agg AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |    epoch_ms(MIN(ts)) AS min_ts_ms, epoch_ms(MAX(ts)) AS max_ts_ms
+        |  FROM events GROUP BY 1)
+        |SELECT a.user_id, a.n_events, s.n_types, s.types_sig,
+        |  a.total_value, a.min_ts_ms, a.max_ts_ms
+        |FROM agg a JOIN sig s ON a.user_id = s.user_id
+        |ORDER BY a.user_id""".stripMargin,
     // st27: the streamed, incrementally-maintained join mart must
     // equal the from-scratch full join at the keyed lineitem grain
     // (qty-weighted = the raw join); 5 versions = seed + 16/4 merges

@@ -177,6 +177,49 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("st28 transformWithState: multi-batch run converges to the single-batch final state") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{EvTws, UserStatsProcessor}
+    val single = SparkEntry.queries("st28_transform_with_state")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    // same processor, but the source sliced into 4-file micro-batches:
+    // per-key state accumulates across triggers and the max-n emission
+    // must equal the one-batch answer (order-independent accumulators)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val src = TempDirs.scratch("graft-st28-spec-src")
+    Tables(s, sf, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(src)
+    val stream = s.readStream
+      .schema("user_id LONG, event_type STRING, value DOUBLE, ts LONG")
+      .option("maxFilesPerTrigger", "4")
+      .parquet(src)
+      .as[EvTws]
+    val out = stream.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("st28_spec_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val multi = s.table("st28_spec_out")
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_events"), col("n_types"), col("types_sig"),
+        col("total_value"), col("min_ts_ms"), col("max_ts_ms")),
+        col("n_events")).as("f"))
+      .select(col("user_id"), col("f.n_events"), col("f.n_types"),
+        col("f.types_sig"), col("f.total_value"),
+        col("f.min_ts_ms"), col("f.max_ts_ms"))
+      .collect().map(_.toSeq).toSet
+    assert(multi == single,
+      "batch slicing changed the transformWithState final state")
+  }
+
   test("st01 streaming totals match batch totals") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("st01_stream_window")(spark, sf)
