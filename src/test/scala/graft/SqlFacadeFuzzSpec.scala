@@ -98,6 +98,36 @@ class SqlFacadeFuzzSpec extends AnyFunSuite {
             |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
   }
 
+  test("TBLPROPERTIES/TRUNCATE/EXPLAIN statements: adversarial values parse whole or refuse loudly") {
+    val wh = freshWh()
+    def sql(q: String) = Engine.sqlWarehouse(spark, wh, q)
+    def props(): Map[String, String] =
+      sql("SHOW TBLPROPERTIES lake.dim").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    // statement keywords, commas, parens and '' escapes INSIDE values
+    sql("ALTER TABLE lake.dim SET TBLPROPERTIES " +
+      "('note' = 'TRUNCATE TABLE lake.dim, DROP(x), it''s fine')")
+    assert(props()("note") == "TRUNCATE TABLE lake.dim, DROP(x), it's fine")
+    assert(sql("SELECT COUNT(*) AS n FROM lake.dim").head().getLong(0) == 2L,
+      "a value mentioning TRUNCATE must not truncate anything")
+    // an UNSET key list with a quoted comma-bearing key refuses loudly
+    // (keys are single quoted identifiers, not expressions)
+    intercept[Exception] {
+      sql("ALTER TABLE lake.dim UNSET TBLPROPERTIES (note, 'x')")
+    }
+    // malformed pair (missing quotes) refuses loudly, ledger untouched
+    intercept[Exception] {
+      sql("ALTER TABLE lake.dim SET TBLPROPERTIES (owner = etl)")
+    }
+    assert(!props().contains("owner"))
+    // EXPLAIN never executes: an EXPLAIN of a DML-looking SELECT plans
+    // fine, and EXPLAIN of garbage fails loudly instead of returning
+    assert(sql("EXPLAIN SELECT COUNT(*) AS n FROM lake.dim").count() > 1L)
+    intercept[Exception] { sql("EXPLAIN SELECT nope FROM no_such_table") }
+    // TRUNCATE of an unknown table refuses loudly
+    intercept[Exception] { sql("TRUNCATE TABLE lake.nope") }
+  }
+
   test("metadata-table + travel combinations: supported forms answer, others fail loudly") {
     val wh = freshWh()
     import spark.implicits._
