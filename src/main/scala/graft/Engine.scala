@@ -106,6 +106,8 @@ object Engine {
   /** Latest view of a warehouse table, whichever store backs it. */
   private def readTable(spark: SparkSession, dir: String): DataFrame =
     if (isMorTable(dir)) graft.sources.Mor.read(spark, dir)
+    else if (graft.sources.Transforms.isTransformTable(dir))
+      graft.sources.Transforms.readAll(spark, dir)
     else graft.sources.Snapshots.read(spark, dir)
 
   /** (qualified name, table dir) for every table under the warehouse:
@@ -117,9 +119,14 @@ object Engine {
       if (!java.nio.file.Files.isDirectory(root)) Seq.empty
       else {
         val listing = java.nio.file.Files.list(root)
+        // snapshot (_manifest), merge-on-read (_commits) and hidden-
+        // partition transform tables (_spec/_specs) are ALL catalog
+        // entries — a SQL user sees one namespace regardless of store
         try listing.iterator().asScala
           .filter(p => java.nio.file.Files.exists(p.resolve("_manifest")) ||
-            java.nio.file.Files.exists(p.resolve("_commits")))
+            java.nio.file.Files.exists(p.resolve("_commits")) ||
+            java.nio.file.Files.exists(p.resolve("_spec")) ||
+            java.nio.file.Files.exists(p.resolve("_specs")))
           .toSeq
         finally listing.close()
       }
@@ -430,8 +437,10 @@ object Engine {
       s"  ${f.name} ${f.dataType.sql.toLowerCase}" +
         (if (i < fields.length - 1) "," else ")")
     }
-    val usingLine =
-      s"USING ${if (isMorTable(dir)) "graft_mor" else "graft_snapshots"}"
+    val usingLine = "USING " + (
+      if (isMorTable(dir)) "graft_mor"
+      else if (graft.sources.Transforms.isTransformTable(dir)) "graft_transforms"
+      else "graft_snapshots")
     val specFields = graft.sources.Transforms.currentSpecShow(dir)
     val partLines =
       if (specFields.isEmpty) Seq.empty

@@ -359,6 +359,41 @@ object Warehouse {
       .orderBy(col("o_month"))
   }
 
+  /** q132: HIDDEN-PARTITION tables IN the SQL catalog — a transform-
+    * partitioned table (Iceberg hidden partitioning, `_specs` layout)
+    * is a first-class catalog citizen: SHOW TABLES lists it, SELECT
+    * reads it with every `__pv*`/`__spec` partition-key column
+    * hidden ([[graft.sources.Transforms.readAll]] — hidden means the
+    * user NEVER sees layout), DESCRIBE shows only logical columns,
+    * TBLPROPERTIES attach, and SHOW CREATE TABLE round-trips the
+    * evolved spec as its PARTITIONED BY clause — the one DDL surface
+    * that was previously reachable only through the Scala API. The
+    * gate pins the reconstructed DDL line-for-line (two spec fields
+    * across an ADD PARTITION FIELD evolution); the spec pins SELECT
+    * counts and column hiding.
+    */
+  def q132HiddenPartitionSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Transforms
+    val wh = tempDir("graft-hpsql")
+    val t = s"$wh/orders_hp"
+    // pin the LTZ timestamp type: the raw parquet's o_orderdate is
+    // NTZ or LTZ depending on testdata generation (TESTDATA.md), and
+    // SHOW CREATE pins the round-tripped type text
+    val stg = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_totalprice"))
+    Transforms.createEvolved(t, Seq(Transforms.Days("o_orderdate")))
+    Transforms.appendEvolved(spark, t, stg.filter(
+      col("o_orderdate") < lit("1995-07-01").cast("timestamp")))
+    Transforms.addPartitionField(t, Transforms.MBucket(4, "o_orderkey"))
+    Transforms.appendEvolved(spark, t, stg.filter(
+      col("o_orderdate") >= lit("1995-07-01").cast("timestamp")))
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    sql("ALTER TABLE orders_hp SET TBLPROPERTIES ('layout' = 'hidden')")
+    sql("SHOW CREATE TABLE orders_hp").orderBy(col("line_no"))
+  }
+
   /** q125: incremental JOIN-mart maintenance — the DELTA-JOIN algebra
     * that generalizes q66's aggregate IVM to a two-table join mart:
     * for insert-only deltas, Δ(O⋈L) = ΔO⋈L_old ∪ O_new⋈ΔL (the second
@@ -2378,6 +2413,7 @@ object Warehouse {
     "q123_tblproperties" -> (q123TblProperties _),
     "q124_truncate" -> (q124Truncate _),
     "q125_join_ivm" -> (q125JoinIvm _),
+    "q132_hidden_partition_sql" -> (q132HiddenPartitionSql _),
     "q102_spec_evolution" -> (q102SpecEvolution _),
     "q103_call_procedures" -> (q103CallProcedures _),
     "q104_multi_table_txn" -> (q104MultiTableTxn _),
@@ -2487,6 +2523,20 @@ object Warehouse {
         |  ('quality.tier', 'silver'))
         |  t(key, value)
         |ORDER BY key""".stripMargin,
+    // q132: the reconstructed DDL of the evolved hidden-partition
+    // table, line-for-line
+    "q132_hidden_partition_sql" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'CREATE TABLE orders_hp ('),
+        |  (CAST(2 AS BIGINT), '  o_orderkey bigint,'),
+        |  (CAST(3 AS BIGINT), '  o_orderdate timestamp,'),
+        |  (CAST(4 AS BIGINT), '  o_totalprice double)'),
+        |  (CAST(5 AS BIGINT), 'USING graft_transforms'),
+        |  (CAST(6 AS BIGINT), 'PARTITIONED BY (days(o_orderdate), mbucket(4, o_orderkey))'),
+        |  (CAST(7 AS BIGINT), 'TBLPROPERTIES ('),
+        |  (CAST(8 AS BIGINT), '  ''layout'' = ''hidden'')'))
+        |  t(line_no, line)
+        |ORDER BY line_no""".stripMargin,
     // q125: the oracle is the FULL join-agg over the raw tables — the
     // incrementally-maintained mart must equal the from-scratch join
     "q125_join_ivm" ->

@@ -402,6 +402,40 @@ object Transforms {
       .parquet(s"$tableDir/data/__spec=$sid")
   }
 
+  /** Full logical read of a transform-partitioned table — the facade
+    * catalog path (`SELECT * FROM t` on a hidden-partition table):
+    * partition-key directories are discovery columns, and HIDDEN
+    * partitioning means exactly that the user never sees them, so
+    * every `__pv*`/`__spec` column is dropped. Works for both the
+    * single-`_spec` layout (`data/__pv=…`) and the evolved `_specs`
+    * layout (`data/__spec=…/__pvN=…` — per-file schemas may differ
+    * across specs only in partition keys, which are dropped anyway).
+    */
+  def readAll(spark: SparkSession, tableDir: String): DataFrame = {
+    def dropHidden(df: DataFrame): DataFrame = {
+      val hidden = df.columns.filter(c =>
+        c.startsWith(PvCol) || c == "__spec")
+      df.drop(hidden.toIndexedSeq: _*)
+    }
+    if (Files.exists(specsLedger(tableDir))) {
+      // per-spec subtrees have DIFFERENT partition-key arities — one
+      // discovery over the whole tree conflicts; scan each spec's
+      // subtree with its own discovery and union the logical rows
+      val frames = specs(tableDir).map(_._1).distinct.flatMap { sid =>
+        val p = Paths.get(tableDir, "data", s"__spec=$sid")
+        if (Files.exists(p)) Some(dropHidden(spark.read.parquet(p.toString)))
+        else None
+      }
+      require(frames.nonEmpty, s"no data at $tableDir")
+      frames.reduce(_.unionByName(_))
+    } else dropHidden(spark.read.parquet(s"$tableDir/data"))
+  }
+
+  /** Whether `tableDir` is a transform-partitioned table. */
+  def isTransformTable(tableDir: String): Boolean =
+    Files.exists(Paths.get(tableDir, "_spec")) ||
+      Files.exists(specsLedger(tableDir))
+
   private def listLongDirs(dir: java.nio.file.Path,
       prefix: String): Seq[(Long, java.nio.file.Path)] = {
     val s = Files.list(dir)

@@ -676,6 +676,36 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("hidden-partition tables are catalog citizens: SELECT hides layout columns, DESCRIBE/SHOW TABLES see them") {
+    import graft.sources.Transforms
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-hpcat")
+    val t = s"$wh/ev"
+    val rows = Seq((1L, "1995-01-05", 10.0), (2L, "1995-01-06", 20.0),
+      (3L, "1995-02-01", 30.0))
+      .toDF("k", "d", "v")
+      .select(col("k"), col("d").cast("timestamp").as("d"), col("v"))
+    Transforms.createEvolved(t, Seq(Transforms.Days("d")))
+    Transforms.appendEvolved(spark, t, rows)
+    def sql(q: String) = Engine.sqlWarehouse(spark, wh, q)
+    // listed next to the other stores
+    assert(sql("SHOW TABLES").collect().exists(_.getString(1) == "ev"))
+    // SELECT: all rows, NO __pv/__spec layout columns
+    val got = sql("SELECT * FROM ev")
+    assert(got.count() == 3L)
+    assert(got.columns.toSet == Set("k", "d", "v"),
+      s"layout columns leaked: ${got.columns.toSeq}")
+    assert(sql("SELECT CAST(SUM(v) AS DOUBLE) AS s FROM ev").head().getDouble(0) == 60.0)
+    // DESCRIBE shows only the logical columns
+    assert(sql("DESCRIBE TABLE ev").collect().map(_.getString(1)).toSeq
+      == Seq("k", "d", "v"))
+    // spec evolution shows up in SHOW CREATE's partition clause
+    Transforms.addPartitionField(t, Transforms.MBucket(2, "k"))
+    val created = sql("SHOW CREATE TABLE ev").collect().map(_.getString(1))
+    assert(created.contains("PARTITIONED BY (days(d), mbucket(2, k))"),
+      s"missing/incorrect partition clause: ${created.mkString("|")}")
+  }
+
   test("q125 delta-join maintenance equals the from-scratch join; the mart advanced exactly one version") {
     val got = Warehouse.q125JoinIvm(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1),
