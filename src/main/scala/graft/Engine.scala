@@ -121,12 +121,15 @@ object Engine {
         val listing = java.nio.file.Files.list(root)
         // snapshot (_manifest), merge-on-read (_commits) and hidden-
         // partition transform tables (_spec/_specs) are ALL catalog
-        // entries — a SQL user sees one namespace regardless of store
+        // entries — a SQL user sees one namespace regardless of store.
+        // A transform table needs its first landed data to be
+        // queryable (the spec ledger alone carries no schema).
         try listing.iterator().asScala
           .filter(p => java.nio.file.Files.exists(p.resolve("_manifest")) ||
             java.nio.file.Files.exists(p.resolve("_commits")) ||
-            java.nio.file.Files.exists(p.resolve("_spec")) ||
-            java.nio.file.Files.exists(p.resolve("_specs")))
+            ((java.nio.file.Files.exists(p.resolve("_spec")) ||
+              java.nio.file.Files.exists(p.resolve("_specs"))) &&
+              java.nio.file.Files.exists(p.resolve("data"))))
           .toSeq
         finally listing.close()
       }
