@@ -383,12 +383,20 @@ object Warehouse {
       .select(col("o_orderkey"),
         col("o_orderdate").cast("timestamp").as("o_orderdate"),
         col("o_totalprice"))
-    Transforms.createEvolved(t, Seq(Transforms.Days("o_orderdate")))
+    // ONE QUARTER per spec at MONTH grain: hidden partitioning's
+    // one-file-per-partition-tuple write makes fixture cost ∝ the
+    // number of partition tuples — a days() layout over the full
+    // history wrote thousands of tiny directories (115 s at sf0.1)
+    // for zero extra semantics; months() exercises the same
+    // evolution with 15 tuples total
+    Transforms.createEvolved(t, Seq(Transforms.Months("o_orderdate")))
     Transforms.appendEvolved(spark, t, stg.filter(
-      col("o_orderdate") < lit("1995-07-01").cast("timestamp")))
+      col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp")))
     Transforms.addPartitionField(t, Transforms.MBucket(4, "o_orderkey"))
     Transforms.appendEvolved(spark, t, stg.filter(
-      col("o_orderdate") >= lit("1995-07-01").cast("timestamp")))
+      col("o_orderdate") >= lit("1995-04-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp")))
     def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
     sql("ALTER TABLE orders_hp SET TBLPROPERTIES ('layout' = 'hidden')")
     sql("SHOW CREATE TABLE orders_hp").orderBy(col("line_no"))
@@ -2532,7 +2540,7 @@ object Warehouse {
         |  (CAST(3 AS BIGINT), '  o_orderdate timestamp,'),
         |  (CAST(4 AS BIGINT), '  o_totalprice double)'),
         |  (CAST(5 AS BIGINT), 'USING graft_transforms'),
-        |  (CAST(6 AS BIGINT), 'PARTITIONED BY (days(o_orderdate), mbucket(4, o_orderkey))'),
+        |  (CAST(6 AS BIGINT), 'PARTITIONED BY (months(o_orderdate), mbucket(4, o_orderkey))'),
         |  (CAST(7 AS BIGINT), 'TBLPROPERTIES ('),
         |  (CAST(8 AS BIGINT), '  ''layout'' = ''hidden'')'))
         |  t(line_no, line)
