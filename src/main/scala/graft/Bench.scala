@@ -61,11 +61,19 @@ object Bench {
     val ncpu = Runtime.getRuntime.availableProcessors
     // (wall sec, sysload sample, own parallelism) of the last timed run
     var lastLoad = (0.0, 0.0)
+    // fixture-LANDING seconds inside the last timed run (store-layer
+    // writers accumulate into BenchPhase; see BenchPhase.scala) — the
+    // r9 verdict's top item: warehouse-block entries build versioned
+    // fixtures in-entry, so a wall-only row can't distinguish "landing
+    // got slower under 264-entry cache pressure" from "the serve plan
+    // regressed". serve_s = wall − land_s per entry, in-artifact.
+    var lastLand = 0.0
     def timed(name: String): Double = {
       // untimed GC breather: without it a query pays for its
       // predecessors' garbage (measured multi-second swings on the
       // heaviest queries in a ~100-query session)
       System.gc()
+      BenchPhase.drainLandSeconds() // reset: charge only this run's landing
       val cpu0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
@@ -75,6 +83,7 @@ object Bench {
       val own = if (wallNs > 0) (osBean.getProcessCpuTime - cpu0).toDouble / wallNs
         else 0.0
       lastLoad = (loadAvg(), own)
+      lastLand = math.min(BenchPhase.drainLandSeconds(), dt)
       spark.catalog.clearCache() // untimed; keeps later queries unpressured
       dt
     }
@@ -101,16 +110,21 @@ object Bench {
     val results = names.map { name =>
       val t1 = timed(name)
       val l1 = lastLoad
+      val land1 = lastLand
       val t2 = timed(name)
       val two = Seq(t1, t2)
       val loads = Seq(l1, lastLoad)
-      val (runs, allLoads) =
+      val lands2 = Seq(land1, lastLand)
+      val (runs, allLoads, lands) =
         if (t1 > 1.0 && two.max - two.min > math.max(1.5, 0.75 * two.min)) {
           val t3 = timed(name)
-          (two :+ t3, loads :+ lastLoad)
-        } else (two, loads)
+          (two :+ t3, loads :+ lastLoad, lands2 :+ lastLand)
+        } else (two, loads, lands2)
+      // phase split of the REPORTED (min) run: land_s from the store-
+      // layer accumulator, serve_s the remainder
+      val minIdx = runs.indexOf(runs.min)
       (name, runs.min, Some(runs),
-        allLoads.map(_._1).max, allLoads.map(_._2).max)
+        allLoads.map(_._1).max, allLoads.map(_._2).max, lands(minIdx))
     }
     // The driver captures only a bounded (~2000 char) tail of stdout
     // and json-parses the single metric line. At 100+ queries the full
@@ -125,16 +139,23 @@ object Bench {
     def short(k: String): String = k.takeWhile(_ != '_')
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, d) => "\"" + k + "\":" + s3(d) }.mkString("{", ",", "}")
-    val perQuery = results.map { case (k, v, _, _, _) => short(k) -> v }
+    val perQuery = results.map { case (k, v, _, _, _, _) => short(k) -> v }
+    // per-entry {land, serve} of the reported run — only entries with
+    // measurable landing work (the warehouse/index/stream-fixture
+    // block); pure-compute entries are all-serve by construction
+    val phases = results.collect {
+      case (k, v, _, _, _, land) if land > 0.05 =>
+        (short(k), land, math.max(0.0, v - land))
+    }
     // spread = max−min over the 2nd-closest pair: with 3 samples the
     // single outlier is excluded (median−min), so an ambient one-off
     // no longer inflates the reported spread while the raw `runs`
     // keep the full evidence
-    val spreadAll = results.collect { case (k, _, Some(rs), _, _) =>
+    val spreadAll = results.collect { case (k, _, Some(rs), _, _, _) =>
       val sorted = rs.sorted
       (short(k), sorted(math.min(1, sorted.size - 1)) - sorted.head)
     }
-    val runsAll = results.collect { case (k, _, Some(rs), _, _) if rs.size > 2 =>
+    val runsAll = results.collect { case (k, _, Some(rs), _, _, _) if rs.size > 2 =>
       short(k) -> rs
     }
     // ambient-suspect: the host demanded several cores more than this
@@ -142,7 +163,7 @@ object Bench {
     // the row's wall time is not trustworthy as a plans verdict
     val ambientBar = math.max(2.0, 0.25 * ncpu)
     val ambient = results.collect {
-      case (k, _, _, sys, own) if sys - own > ambientBar =>
+      case (k, _, _, sys, own, _) if sys - own > ambientBar =>
         (short(k), sys, own)
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -150,7 +171,7 @@ object Bench {
     // BASELINE-LOCAL.md yardstick), so round-over-round regressions
     // aren't masked by operator growth.
     val sharedPrev = results
-      .filter { case (k, _, _, _, _) => PREV_ROUND_IDS(short(k)) }
+      .filter { case (k, _, _, _, _, _) => PREV_ROUND_IDS(short(k)) }
       .map(_._2).sum
     def jruns(kv: Seq[(String, Seq[Double])]): String =
       kv.map { case (k, rs) =>
@@ -159,8 +180,11 @@ object Bench {
     val jambient = ambient.sortBy(_._1).map { case (k, sys, own) =>
       "\"" + k + "\":[" + s3(sys) + "," + s3(own) + "]"
     }.mkString("{", ",", "}")
+    val jphases = phases.sortBy(_._1).map { case (k, land, serve) =>
+      "\"" + k + "\":{\"land_s\":" + s3(land) + ",\"serve_s\":" + s3(serve) + "}"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"total_shared_prev":${s3(sharedPrev)},"ncpu":$ncpu,"n_ambient":${ambient.size},"ambient":$jambient,"spread":${jmap(spreadAll.sortBy(_._1))},"runs":${jruns(runsAll.sortBy(_._1))},"queries":${jmap(perQuery)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"total_shared_prev":${s3(sharedPrev)},"ncpu":$ncpu,"n_ambient":${ambient.size},"ambient":$jambient,"phases":$jphases,"spread":${jmap(spreadAll.sortBy(_._1))},"runs":${jruns(runsAll.sortBy(_._1))},"queries":${jmap(perQuery)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH-FULL.json"), fullLine + "\n")
     catch { case _: Throwable => () } // read-only cwd: stdout still carries the summary

@@ -103,12 +103,35 @@ object Engine {
   private def isMorTable(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_commits"))
 
-  /** Latest view of a warehouse table, whichever store backs it. */
-  private def readTable(spark: SparkSession, dir: String): DataFrame =
+  /** Latest view of a warehouse table, whichever store backs it.
+    * Store markers are mutually exclusive by construction (`_commits`
+    * = MoR ledger, `_spec`/`_specs` = hidden-partition transform,
+    * `_manifest` = CoW snapshot) — a dir carrying two would silently
+    * flip semantics depending on check order, so fail loudly instead.
+    */
+  private def readTable(spark: SparkSession, dir: String): DataFrame = {
+    assertStoreExclusive(dir)
     if (isMorTable(dir)) graft.sources.Mor.read(spark, dir)
     else if (graft.sources.Transforms.isTransformTable(dir))
       graft.sources.Transforms.readAll(spark, dir)
     else graft.sources.Snapshots.read(spark, dir)
+  }
+
+  /** Fails with a clear message if `dir` carries more than one store
+    * marker — such a dir has no well-defined read semantics and must
+    * not fall through to whichever branch happens to be checked first.
+    */
+  private def assertStoreExclusive(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    val markers = Seq("_commits", "_spec", "_specs", "_manifest")
+      .filter(m => java.nio.file.Files.exists(p.resolve(m)))
+      // _spec and _specs are two generations of the SAME store
+      .map { case "_specs" => "_spec"; case m => m }.distinct
+    require(markers.size <= 1,
+      s"table dir $dir carries conflicting store markers ${markers.mkString(", ")}: " +
+        "a table is exactly one of merge-on-read (_commits), " +
+        "transform-partitioned (_spec) or snapshot (_manifest)")
+  }
 
   /** (qualified name, table dir) for every table under the warehouse:
     * flat `<wh>/<t>` and namespaced `<wh>/<db>.db/<t>` entries.
@@ -382,6 +405,17 @@ object Engine {
   private val ShowPartitionsStmt =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][A-Za-z0-9_.]*)\s*$""".r
 
+  // ALTER TABLE <t> WRITE ORDERED BY (c1[, c2…]) — Iceberg's
+  // persistent sort-order DDL (reference lakehouse.md:100): attaches
+  // a write order to the CATALOG TABLE so every subsequent INSERT
+  // INTO / landing range-clusters on the named columns without the
+  // writer asking — the set-once-per-table spelling of q67's
+  // per-landing clustering. WRITE UNORDERED drops it.
+  private val WriteOrderedStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+WRITE\s+ORDERED\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*$""".r
+  private val WriteUnorderedStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+WRITE\s+UNORDERED\s*$""".r
+
   // EXPLAIN <select> — the resolved Spark plan as text rows; the
   // query is PLANNED (travel clauses, views, governance all applied)
   // but never executed.
@@ -448,7 +482,11 @@ object Engine {
     val partLines =
       if (specFields.isEmpty) Seq.empty
       else Seq(s"PARTITIONED BY (${specFields.mkString(", ")})")
-    val props = graft.sources.Snapshots.tableProperties(dir).toSeq.sortBy(_._1)
+    val allProps = graft.sources.Snapshots.tableProperties(dir)
+    // the write order round-trips as its own DDL clause, not a prop line
+    val orderLines = allProps.get(graft.sources.Mor.WriteOrderProp)
+      .map(spec => s"WRITE ORDERED BY ($spec)").toSeq
+    val props = (allProps - graft.sources.Mor.WriteOrderProp).toSeq.sortBy(_._1)
     val propLines =
       if (props.isEmpty) Seq.empty
       else "TBLPROPERTIES (" +: props.zipWithIndex.map { case ((k, v), i) =>
@@ -456,7 +494,7 @@ object Engine {
           (if (i < props.length - 1) "," else ")")
       }
     val all = (s"CREATE TABLE $name (" +: colLines) ++
-      (usingLine +: partLines) ++ propLines
+      (usingLine +: partLines) ++ orderLines ++ propLines
     import spark.implicits._
     all.zipWithIndex.map { case (l, i) => (i + 1L, l) }
       .toSeq.toDF("line_no", "line")
@@ -786,6 +824,21 @@ object Engine {
       case ShowCreateStmt(name) =>
         graft.sources.Snapshots.recoverTxns(warehouseDir)
         return showCreateTable(spark, warehouseDir, name)
+      case WriteOrderedStmt(name, colsText) =>
+        val dir = existingDir(warehouseDir, name, "ALTER TABLE")
+        val cols = colsText.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val schema = readTable(spark, dir).columns.toSet
+        val missing = cols.filterNot(schema.contains)
+        require(missing.isEmpty,
+          s"WRITE ORDERED BY names unknown column(s): ${missing.mkString(", ")}")
+        graft.sources.Snapshots.setTableProperties(dir,
+          Seq(graft.sources.Mor.WriteOrderProp -> cols.mkString(", ")))
+        return ddlResult(spark, name, "write_ordered_by", cols.mkString(", "))
+      case WriteUnorderedStmt(name) =>
+        val dir = existingDir(warehouseDir, name, "ALTER TABLE")
+        graft.sources.Snapshots.unsetTableProperties(dir,
+          Seq(graft.sources.Mor.WriteOrderProp))
+        return ddlResult(spark, name, "write_unordered", "")
       case SetTblPropsStmt(name, body) =>
         val dir = existingDir(warehouseDir, name, "ALTER TABLE")
         val kvs = parsePropPairs(body)
@@ -821,6 +874,10 @@ object Engine {
         val dir = existingDir(warehouseDir, name, "TRUNCATE TABLE")
         require(!isMorTable(dir), "TRUNCATE TABLE targets snapshot " +
           "tables; merge-on-read tables delete through DELETE FROM")
+        require(!graft.sources.Transforms.isTransformTable(dir),
+          "TRUNCATE TABLE targets snapshot tables; a transform-" +
+            "partitioned table would get a snapshot version committed " +
+            "into its directory — delete through the transform store")
         val schema = graft.sources.Snapshots.read(spark, dir).schema
         // one empty partition (not zero) so a schema-bearing parquet
         // footer lands and the empty version reads back like any other

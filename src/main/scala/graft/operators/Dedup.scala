@@ -1070,7 +1070,8 @@ object Dedup {
     // marks the identity key and matches any deletion.
     val dels = cust.select(col("c_custkey"), col("c_name"),
         posexplode(expr("transform(sequence(1, length(c_name)), " +
-          "i -> concat(substring(c_name, 1, i - 1), substring(c_name, i + 1, 100)))")))
+          "i -> concat(substring(c_name, 1, i - 1), " +
+          "substring(c_name, i + 1, length(c_name) - i)))")))
       .select(col("c_custkey"), col("c_name"), col("pos").as("dpos"), col("col").as("k"))
     val keyed = dels.unionByName(cust.select(col("c_custkey"), col("c_name"),
       lit(-1).as("dpos"), col("c_name").as("k")))

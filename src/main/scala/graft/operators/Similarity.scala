@@ -429,7 +429,7 @@ object Similarity {
     */
   private[graft] def buildAnnIndex(spark: SparkSession, dir: String,
       idxDir: String, corpus: Option[DataFrame] = None,
-      meta: Option[DataFrame] = None): Unit = {
+      meta: Option[DataFrame] = None): Unit = graft.BenchPhase.land {
     val base = kmeansAssignments(spark, dir, corpus)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
     // metadata columns (filter attributes) ride INSIDE the posting
@@ -513,7 +513,7 @@ object Similarity {
     * drain → serve sequence never reads mid-append.
     */
   private[graft] def appendAnnIndex(spark: SparkSession, idxDir: String,
-      batch: DataFrame, batchTag: Option[String] = None): Unit = {
+      batch: DataFrame, batchTag: Option[String] = None): Unit = graft.BenchPhase.land {
     if (batchTag.exists(committedAppendTags(idxDir).contains)) return
     GraftFunctions.register(spark)
     val cents = graft.sources.Snapshots.read(spark, s"$idxDir/centroids")
@@ -572,7 +572,7 @@ object Similarity {
     * serve-side anti-join broadcast is safe by construction.
     */
   private[graft] def deleteFromAnnIndex(spark: SparkSession, idxDir: String,
-      ids: DataFrame, batchTag: Option[String] = None): Unit = {
+      ids: DataFrame, batchTag: Option[String] = None): Unit = graft.BenchPhase.land {
     if (batchTag.exists(committedAppendTags(idxDir).contains)) return
     val tombs = ids.select(col("vec_id")).distinct()
     batchTag match {
@@ -773,7 +773,8 @@ object Similarity {
     * append path: a concurrent READER could observe the swap window
     * (raw layout, no commit point); maintenance runs fenced.
     */
-  private[graft] def compactAnnIndex(spark: SparkSession, idxDir: String): Unit = {
+  private[graft] def compactAnnIndex(spark: SparkSession, idxDir: String): Unit =
+    graft.BenchPhase.land {
     // the WHOLE read-rewrite-swap runs under the append lock: an
     // append committing between a staging build and the swap would be
     // dropped by the swap, and — its tag already ledgered — would

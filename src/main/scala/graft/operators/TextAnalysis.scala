@@ -480,11 +480,18 @@ object TextAnalysis {
         (col("n12") * col("t_tot") * col("t_tot")).cast("double") /
           (col("b_tot") * col("n1") * col("n2")).cast("double"))
     import org.apache.spark.sql.expressions.Window
+    // TakeOrdered-limit to the answer size FIRST (distributed
+    // TakeOrderedAndProject), THEN rank the 15 survivors — the
+    // unpartitioned row_number window only ever sees 15 rows, never
+    // the corpus-scale scored bigram table (d02/d17's pattern).
+    // (r, w1, w2) is a total order ((w1,w2) is the groupBy key), so
+    // top-15-by-order == rank<=15 exactly.
     scored
+      .orderBy(col("r").desc, col("w1"), col("w2"))
+      .limit(15)
       .withColumn("pmi_rank",
         row_number().over(Window.orderBy(col("r").desc, col("w1"), col("w2")))
           .cast("long"))
-      .filter(col("pmi_rank") <= 15)
       .select(col("pmi_rank"), col("w1"), col("w2"), col("n12"),
         col("n1"), col("n2"), round(log(col("r")), 6).as("pmi_r"))
       .orderBy(col("pmi_rank"))
@@ -498,30 +505,45 @@ object TextAnalysis {
     * deterministic), then for each candidate size K ∈ {256 … 8192}
     * the fraction of all token OCCURRENCES covered by the top-K
     * words and the residual OOV rate. One corpus scan → a
-    * DISTINCT-WORD table (t11's bounded shape — the global
-    * frequency-rank window runs on the vocabulary, never the
-    * corpus) → a broadcast size spine → map-side-combining
-    * aggregate. OOV computed as (total−covered)/total, not
-    * 1−rounded-coverage, so both cells stay exact independently.
+    * DISTINCT-WORD table → TakeOrdered-limit to the max spine size
+    * (8192) so the global frequency-rank window is bounded, never
+    * vocabulary-scale; corpus totals ride a separate one-row
+    * broadcast aggregate → a broadcast size spine →
+    * map-side-combining aggregate. OOV computed as
+    * (total−covered)/total, not 1−rounded-coverage, so both cells
+    * stay exact independently.
     */
   def t16VocabCurve(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = docs(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-    val ranked = counts.withColumn("rnk",
-      row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    // Corpus-wide totals come from a separate map-side-combining
+    // aggregate (one row, broadcast), so the rank window NEVER has
+    // to see the full vocabulary — a web-scale vocab (typos, URLs)
+    // is billions of rows and the curve only needs ranks <= 8192.
+    val totals = counts.agg(
+      count(lit(1)).as("n_distinct_words"),
+      sum(col("n")).as("tokens_total"))
+    val maxK = 8192
+    // TakeOrdered-limit the vocab to the largest spine size FIRST
+    // (distributed TakeOrderedAndProject), THEN rank: the
+    // unpartitioned row_number window is bounded at 8192 rows.
+    val ranked = counts
+      .orderBy(col("n").desc, col("token"))
+      .limit(maxK)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
     val spine = spark.createDataFrame(
       Seq(256, 512, 1024, 2048, 4096, 8192).map(Tuple1(_)))
       .toDF("vocab_size")
     ranked.crossJoin(broadcast(spine))
       .groupBy(col("vocab_size"))
       .agg(
-        count(lit(1)).as("n_distinct_words"),
-        sum(col("n")).as("tokens_total"),
         count(when(col("rnk") <= col("vocab_size"), 1)).as("vocab_used"),
         sum(when(col("rnk") <= col("vocab_size"), col("n"))
           .otherwise(0L)).as("tokens_covered"))
+      .crossJoin(broadcast(totals))
       .select(col("vocab_size"), col("n_distinct_words"), col("vocab_used"),
         col("tokens_total"), col("tokens_covered"),
         round(col("tokens_covered").cast("double") /

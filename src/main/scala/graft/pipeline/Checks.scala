@@ -108,6 +108,57 @@ object Checks {
       .orderBy(col("check_name"), col("col_name"))
   }
 
+  /** dbt `store_failures`: the failing ROWS of one check — the result
+    * set of dbt's generic-test query for that check type, which is
+    * what dbt persists to its `dbt_test__audit` schema when a stored
+    * test fails. not_null keeps the FULL failing rows (the analyst's
+    * "which rows?"); the grouped checks store (value, n_records) —
+    * bounded by the violating-value cardinality, never the table.
+    */
+  def failingRows(df: DataFrame, check: Check): DataFrame = check match {
+    case NotNull(c, _) => df.filter(col(c).isNull)
+    case Unique(c, _) =>
+      df.filter(col(c).isNotNull).groupBy(col(c))
+        .agg(count(lit(1)).as("n_records"))
+        .filter(col("n_records") > 1L)
+    case AcceptedValues(c, vs, _) =>
+      df.filter(col(c).isNotNull && !col(c).isin(vs: _*))
+        .groupBy(col(c)).agg(count(lit(1)).as("n_records"))
+    case Relationships(c, refCol, ref, _) =>
+      df.select(col(c)).filter(col(c).isNotNull)
+        .join(ref().select(col(refCol).as(c)), Seq(c), "left_anti")
+        .groupBy(col(c)).agg(count(lit(1)).as("n_records"))
+  }
+
+  /** The audit-table name for one (model, check) — dbt's
+    * one-table-per-test layout, flattened into the warehouse
+    * namespace so SHOW TABLES / time travel / SQL all see it.
+    */
+  def failuresTableName(model: String, check: Check): String =
+    s"${model}__failures__${check.name}_${check.column}"
+
+  /** Persist one failing check's rows (capped) as a VERSIONED commit
+    * of its audit table — repeated red runs append versions, so the
+    * failure history is itself time-travelable. Returns
+    * (table name, committed version, stored rows). `cap` bounds the
+    * stored sample (dbt's `limit` config on stored failures): at
+    * 100 TB a not_null failure can be most of a table — the audit
+    * copy must never be a second copy of the mart.
+    */
+  def storeFailures(df: DataFrame, model: String, check: Check,
+      auditDirFor: String => String, cap: Int = 10000): (String, Long, Long) = {
+    require(cap > 0, "store_failures cap must be positive")
+    val name = failuresTableName(model, check)
+    val rows = failingRows(df, check).limit(cap)
+      .localCheckpoint(true) // pin: count + commit must see the same sample
+    try {
+      val v = graft.sources.Snapshots.commit(rows, auditDirFor(name))
+      (name, v, rows.count())
+    } finally {
+      try rows.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+  }
+
   /** q54: the dbt test-suite semantic under the oracle gate — four
     * check types over orders (+ customer as the relationships
     * parent); oracle recomputes each count in SQL.
@@ -237,13 +288,74 @@ object Checks {
       .orderBy(col("status"))
   }
 
+  /** q134: dbt `store_failures` — the answer to the first question
+    * after a red test ("WHICH rows?"): a Runner run with
+    * `storeFailures = true` persists each FAILING check's violating
+    * rows (dbt's generic-test result shape, capped) as a versioned
+    * audit table `<model>__failures__<check>_<col>` in the warehouse,
+    * referenced from the warn/abort message; passing checks store
+    * nothing. The fixture poisons staged orders deterministically
+    * (custkey ≡ 0 mod 97 → NULL) and narrows accepted statuses so
+    * two warn-severity checks fail; the gate reads BOTH audit tables
+    * back and restates every count from the raw table. At 100 TB the
+    * cap keeps the audit copy a sample, never a second mart.
+    */
+  def q134StoreFailures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Materialization, Model, Runner => _}
+    val wh = graft.TempDirs.scratch("graft-storefail")
+    val runner = new graft.pipeline.Runner(spark, wh)
+    val model = Model("stg_orders_poisoned", Seq("orders"),
+      Materialization.Table,
+      (in, _) => in("orders").select(
+        col("o_orderkey"),
+        when(col("o_custkey") % 97 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice")),
+      checks = Seq(
+        NotNull("o_custkey", Warn),
+        AcceptedValues("o_orderstatus", Seq("F", "O"), Warn),
+        Unique("o_orderkey")))
+    runner.run(Seq(model),
+      sources = Map("orders" -> Tables(spark, dir, "orders")),
+      storeFailures = true)
+    val nn = graft.sources.Snapshots.read(spark, runner.tableDir(
+      failuresTableName("stg_orders_poisoned", NotNull("o_custkey"))))
+    val av = graft.sources.Snapshots.read(spark, runner.tableDir(
+      failuresTableName("stg_orders_poisoned",
+        AcceptedValues("o_orderstatus", Nil))))
+    val uniqueStored = graft.sources.Snapshots.versions(runner.tableDir(
+      failuresTableName("stg_orders_poisoned", Unique("o_orderkey")))).nonEmpty
+    nn.agg(
+        count(lit(1)).as("n_null_rows_stored"),
+        countDistinct(col("o_orderkey")).as("n_distinct_orderkeys"))
+      .crossJoin(av.agg(
+        sum(col("n_records")).cast("long").as("n_bad_status_rows"),
+        count(lit(1)).as("n_bad_status_values")))
+      .withColumn("passing_check_not_stored", lit(!uniqueStored))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_store_failures" -> (q134StoreFailures _),
     "q87_write_constraints" -> (q87WriteConstraints _),
     "q54_quality_checks" -> (q54QualityChecks _),
     "q64_source_freshness" -> (q64SourceFreshness _)
   )
 
   val oracles: Map[String, String] = Map(
+    // q134: every stored-failure count restates from the raw table
+    // under the same poison predicate; the only out-of-set status in
+    // the TPC-H domain {F,O,P} vs accepted {F,O} is 'P'
+    "q134_store_failures" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey % 97 = 0)
+        |    AS n_null_rows_stored,
+        |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders
+        |   WHERE o_custkey % 97 = 0) AS n_distinct_orderkeys,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F','O'))
+        |    AS n_bad_status_rows,
+        |  (SELECT COUNT(DISTINCT o_orderstatus) FROM orders
+        |   WHERE o_orderstatus NOT IN ('F','O')) AS n_bad_status_values,
+        |  TRUE AS passing_check_not_stored""".stripMargin,
     // q87: surviving rollup + the expected constraint control flow
     "q87_write_constraints" ->
       """SELECT upper(trim(o_orderstatus)) AS status,

@@ -361,7 +361,9 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
       sources: Map[String, DataFrame] = Map.empty,
       retries: Int = 0,
       resumeId: Option[String] = None,
-      fullRefresh: Boolean = false): Seq[ModelRun] = {
+      fullRefresh: Boolean = false,
+      storeFailures: Boolean = false,
+      storeFailuresLimit: Int = 10000): Seq[ModelRun] = {
     val byName = models.map(m => m.name -> m).toMap
     require(byName.size == models.size, "duplicate model names in DAG")
     models.foreach { m =>
@@ -465,9 +467,23 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
         val failed = Checks.summary(checked, m.checks)
           .filter(!org.apache.spark.sql.functions.col("passed"))
           .collect()
+        // dbt `--store-failures`: each failing check's violating rows
+        // land (capped) as a versioned audit table next to the model,
+        // and the abort/warn message names where to look — "which
+        // rows?" is answered by a table, not a log line.
+        val failedKeys = failed.map(r => (r.getString(0), r.getString(1))).toSet
+        val storedAt: Map[(String, String), String] =
+          if (!storeFailures) Map.empty
+          else m.checks.filter(c => failedKeys((c.name, c.column))).map { c =>
+            val (name, v, n) = Checks.storeFailures(
+              checked, m.name, c, tableDir, storeFailuresLimit)
+            (c.name, c.column) -> s" [${n} rows stored at $name v$v]"
+          }.toMap
         def describe(rows: Seq[org.apache.spark.sql.Row]) = rows
           .map(r => s"${r.getString(0)}(${r.getString(1)})=" +
-            s"${r.getLong(2)} violations").mkString("; ")
+            s"${r.getLong(2)} violations" +
+            storedAt.getOrElse((r.getString(0), r.getString(1)), ""))
+          .mkString("; ")
         val bySeverity = m.checks.map(c => (c.name, c.column) -> c.severity).toMap
         val (warned, fatal) = failed.partition(r =>
           bySeverity.getOrElse((r.getString(0), r.getString(1)),

@@ -491,7 +491,10 @@ object Advanced {
         max(col("k")).as("max_k"),
         sum(col("tag0")).as("sum_tag0"),
         count(col("missing")).as("n_missing_hits"),
-        max(col("vschema")).as("variant_schema"))
+        // pin the schema from rows that CARRY k: a props row missing
+        // '$.k' would yield 'k: VOID', which sorts above 'k: BIGINT'
+        // and would steal a bare max()
+        max(when(col("k").isNotNull, col("vschema"))).as("variant_schema"))
       .orderBy(col("event_type"))
   }
 

@@ -81,8 +81,10 @@ object Warehouse {
   def compactOrders(spark: SparkSession, dir: String): Landed = {
     val frag = tempDir("graft-frag")
     val out = tempDir("graft-compact")
-    Tables(spark, dir, "orders").repartition(64)
-      .write.mode("overwrite").parquet(frag)
+    graft.BenchPhase.land {
+      Tables(spark, dir, "orders").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+    }
     Sources.compact(spark, frag, out, targetMB = 256, sortCols = Seq("o_orderdate"))
     Landed(Sources.readParquet(spark, out), out)
   }
@@ -682,12 +684,14 @@ object Warehouse {
     val p = tempDir("graft-bloomland")
     val idx = s"$p-index"
     // time-clustered landing: the layout a streaming/CDC ingest leaves
-    Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-        col("o_totalprice"))
-      .repartitionByRange(32, col("o_orderdate"), col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderdate"))
-      .write.mode("overwrite").parquet(p)
+    graft.BenchPhase.land {
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .repartitionByRange(32, col("o_orderdate"), col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderdate"))
+        .write.mode("overwrite").parquet(p)
+    }
     Sources.buildBloomIndex(spark, p, "o_custkey", idx, mBits = 65536)
     val orders = Tables(spark, dir, "orders")
     val byCount = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
@@ -759,10 +763,12 @@ object Warehouse {
   def q77MetadataOnly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = tempDir("graft-metaonly")
-    Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .repartition(16)
-      .write.mode("overwrite").parquet(p)
+    graft.BenchPhase.land {
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(p)
+    }
     Sources.writeStatsManifest(spark, p, "o_orderkey")
     val (n, lo, hi) = Sources.statsOnlyAnswer(p)
     Seq((n, lo, hi)).toDF("n_rows", "min_orderkey", "max_orderkey")
@@ -2406,7 +2412,60 @@ object Warehouse {
       .orderBy(col("view"))
   }
 
+  /** q133: `ALTER TABLE … WRITE ORDERED BY` — Iceberg's persistent
+    * sort-order DDL (reference docs/architecture/lakehouse.md:100:
+    * partition specs evolve "as data grows (`ALTER TABLE … WRITE
+    * ORDERED BY`)"): the write order attaches to the CATALOG TABLE,
+    * so every subsequent INSERT INTO range-clusters + sorts on the
+    * ordered columns without the writer asking — q67 proved the
+    * file-skipping payoff of one clustered landing; this is the
+    * set-once-per-table DDL spelling a real warehouse user needs.
+    * The CTAS base commit (pre-DDL) is the unclustered control; the
+    * post-DDL INSERT's commit must carry narrow per-file custkey
+    * bounds (a 100-wide range predicate touches a strict subset of
+    * its files — pinned in-result), and the clause round-trips
+    * through SHOW CREATE TABLE. Values restate from the raw table.
+    */
+  def q133WriteOrdered(spark: SparkSession, dir: String): DataFrame = {
+    val wh = tempDir("graft-wordered")
+    graft.sources.Snapshots.commit(
+      Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice")),
+      graft.Engine.tableDir(wh, "sales.orders"))
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    val t = graft.Engine.tableDir(wh, "mart.orders_sorted")
+    sql("""CREATE TABLE mart.orders_sorted AS
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM sales.orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    sql("ALTER TABLE mart.orders_sorted WRITE ORDERED BY (o_custkey)")
+    sql("""INSERT INTO mart.orders_sorted
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM sales.orders WHERE o_orderkey % 2 = 1""".stripMargin)
+    // per-file custkey bounds of the post-DDL commit (c=2): the
+    // ordered write must leave a 100-wide range predicate touching a
+    // strict subset of its files
+    val bounds = spark.read.parquet(s"$t/c=2")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_custkey")).as("lo"), max(col("o_custkey")).as("hi"))
+      .collect() // #files rows — manifest-sized
+    val hit = bounds.count(r => !r.isNullAt(1) &&
+      r.getLong(2) >= 100L && r.getLong(1) <= 199L)
+    val orderedPrunes = hit < bounds.length && bounds.length > 1
+    val ddlRoundTrips = sql("SHOW CREATE TABLE mart.orders_sorted").collect()
+      .exists(_.getString(1).trim == "WRITE ORDERED BY (o_custkey)")
+    sql("""SELECT o_orderstatus,
+          |  COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM mart.orders_sorted
+          |WHERE o_custkey BETWEEN 100 AND 199
+          |GROUP BY o_orderstatus""".stripMargin)
+      .withColumn("ordered_write_prunes", lit(orderedPrunes))
+      .withColumn("ddl_round_trips", lit(ddlRoundTrips))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_write_ordered" -> (q133WriteOrdered _),
     "q97_type_promotion" -> (q97TypePromotion _),
     "q96_column_mapping" -> (q96ColumnMapping _),
     "q95_partitions_meta" -> (q95PartitionsMeta _),
@@ -2468,6 +2527,19 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q133: the two booleans are in-data proofs (file bounds pruned,
+    // SHOW CREATE carries the clause); values restate from the raw
+    // table — the ordered rewrite must lose nothing
+    "q133_write_ordered" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  TRUE AS ordered_write_prunes,
+        |  TRUE AS ddl_round_trips
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 199
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // q97: all three views restate from key arithmetic (v1 = even
     // q116: DuckDB has no murmur3 — the oracle restates the SPEC's
     // bucket arithmetic as precomputed constants, themselves

@@ -109,7 +109,7 @@ object Mor {
     * batch commits nothing twice.
     */
   private def commit(df: DataFrame, tableDir: String, kind: String,
-      keyCols: Seq[String] = Nil, tag: Option[String] = None): Long = {
+      keyCols: Seq[String] = Nil, tag: Option[String] = None): Long = graft.BenchPhase.land {
     require(keyCols.forall(c => !c.contains(',') && !c.contains('\t')),
       s"key column names must not contain ',' or tab: $keyCols")
     tag.foreach(t => require(!t.exists(c => c == '\t' || c == '\n'),
@@ -130,15 +130,47 @@ object Mor {
     }
   }
 
+  /** Reserved table property carrying a declared write order
+    * (`ALTER TABLE … WRITE ORDERED BY`, Iceberg's sort-order DDL —
+    * reference lakehouse.md:100): a comma-separated column list.
+    * Every subsequent DATA commit range-clusters + sorts on these
+    * columns before writing, so per-file min/max bounds stay narrow
+    * and file skipping works on the ordered column without the writer
+    * having to remember to cluster. Delete commits are NEVER
+    * reordered (their shape is positional/equality metadata).
+    */
+  val WriteOrderProp = "write.sort-order"
+
+  /** Apply the table's declared write order (if any) to a data batch:
+    * one range shuffle into the session's configured parallelism +
+    * in-partition sort — at 100 TB the shuffle is the price of
+    * narrow per-file bounds on every future scan of this commit.
+    */
+  private def applyWriteOrder(df: DataFrame, tableDir: String): DataFrame =
+    Snapshots.tableProperties(tableDir).get(WriteOrderProp) match {
+      case Some(spec) =>
+        val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val missing = cols.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"write order ($spec) names columns absent from the batch: " +
+            missing.mkString(", "))
+        val n = df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "32").toInt
+        df.repartitionByRange(n, cols.map(df.col): _*)
+          .sortWithinPartitions(cols.map(df.col): _*)
+      case None => df
+    }
+
   /** Land `df` as a base snapshot. */
   def land(df: DataFrame, tableDir: String): Long =
-    commit(df, tableDir, "data")
+    commit(applyWriteOrder(df, tableDir), tableDir, "data")
 
   /** Append `df` as a new data commit — rows ADD to the merged view
     * (existing data files untouched; the fact-stream ingest path).
+    * Honors the table's declared write order ([[WriteOrderProp]]).
     */
   def append(df: DataFrame, tableDir: String, tag: Option[String] = None): Long =
-    commit(df, tableDir, "data", Nil, tag)
+    commit(applyWriteOrder(df, tableDir), tableDir, "data", Nil, tag)
 
   /** Row-level DELETE as metadata: writes only the DISTINCT `keyCols`
     * tuples of rows in the current merged view matching `cond` — an
@@ -243,7 +275,7 @@ object Mor {
 
   private def commitPair(deletes: DataFrame, data: DataFrame,
       tableDir: String, tag: Option[String],
-      delKind: String = "posdelete", delKeyCols: Seq[String] = Nil): (Long, Long) = {
+      delKind: String = "posdelete", delKeyCols: Seq[String] = Nil): (Long, Long) = graft.BenchPhase.land {
     require(delKeyCols.forall(c => !c.contains(',') && !c.contains('\t')),
       s"key column names must not contain ',' or tab: $delKeyCols")
     tag.foreach(t => require(!t.exists(c => c == '\t' || c == '\n'),

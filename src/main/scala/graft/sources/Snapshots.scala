@@ -192,12 +192,28 @@ object Snapshots {
   }
 
   private def commitWith(df: DataFrame, tableDir: String,
-      tag: Option[String], partCols: Seq[String]): Long = {
+      tag: Option[String], partCols: Seq[String]): Long = graft.BenchPhase.land {
     tag.foreach(t => require(!t.exists(c => c == '\t' || c == '\n'),
       s"tag must not contain tab/newline: $t"))
     Files.createDirectories(Paths.get(tableDir))
+    // a declared write order (ALTER TABLE … WRITE ORDERED BY) clusters
+    // every un-partitioned commit; partitioned layouts keep their
+    // directory-key organization (the two orderings would fight)
+    val ordered = tableProperties(tableDir).get(Mor.WriteOrderProp) match {
+      case Some(spec) if partCols.isEmpty =>
+        val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val missing = cols.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"write order ($spec) names columns absent from the commit: " +
+            missing.mkString(", "))
+        val n = df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "32").toInt
+        df.repartitionByRange(n, cols.map(df.col): _*)
+          .sortWithinPartitions(cols.map(df.col): _*)
+      case _ => df
+    }
     val next = reserveVersion(tableDir)
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = ordered.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(s"$tableDir/v=$next")
     withManifestLock(tableDir) {
@@ -291,7 +307,7 @@ object Snapshots {
     * Table dirs must live under `txnRoot`.
     */
   def commitTxn(txnRoot: String, writes: Seq[(DataFrame, String)],
-      txnId: String): Seq[Long] = {
+      txnId: String): Seq[Long] = graft.BenchPhase.land {
     require(writes.nonEmpty, "empty transaction")
     require(!txnId.exists(c => c == '\t' || c == '\n' || c == ','),
       s"txnId must not contain tab/newline/comma: $txnId")
@@ -634,7 +650,7 @@ object Snapshots {
     * only [[readStaged]] can. Idempotent per wapId (a replayed stage
     * returns the existing staged version). Returns the staged id.
     */
-  def stage(df: DataFrame, tableDir: String, wapId: String): Long = {
+  def stage(df: DataFrame, tableDir: String, wapId: String): Long = graft.BenchPhase.land {
     require(!wapId.exists(c => c == '\t' || c == '\n'),
       s"wap id must not contain tab/newline: $wapId")
     Files.createDirectories(Paths.get(tableDir))
@@ -737,7 +753,7 @@ object Snapshots {
     * vacuumable orphan; no manifest line appears).
     */
   private def commitIfLatest(df: DataFrame, tableDir: String, baseVersion: Long,
-      tag: Option[String]): Option[Long] = {
+      tag: Option[String]): Option[Long] = graft.BenchPhase.land {
     val next = reserveVersion(tableDir)
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$next")
     withManifestLock(tableDir) {
@@ -858,7 +874,7 @@ object Snapshots {
     */
   def purge(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column): Map[Long, Long] =
-    withManifestLock(tableDir) {
+    graft.BenchPhase.land { withManifestLock(tableDir) {
       versions(tableDir).map { v =>
         val dir = s"$tableDir/v=$v"
         val cur = spark.read.parquet(dir)
@@ -873,7 +889,7 @@ object Snapshots {
         }
         v -> hit
       }.toMap
-    }
+    } }
 
   def expireSnapshots(tableDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must keep at least the latest snapshot")
@@ -1010,7 +1026,7 @@ object Snapshots {
     * Main's manifest is untouched — [[read]]/[[versions]]/time travel
     * cannot see this version until [[fastForward]] publishes it.
     */
-  def commitToBranch(df: DataFrame, tableDir: String, branch: String): Long = {
+  def commitToBranch(df: DataFrame, tableDir: String, branch: String): Long = graft.BenchPhase.land {
     require(versions(tableDir).nonEmpty,
       s"branching needs an existing table at $tableDir")
     Files.createDirectories(Paths.get(tableDir))
@@ -1120,7 +1136,7 @@ object Snapshots {
     * distributed count-by-input-file aggregate — the write-time stats
     * pass Iceberg folds into its manifests. #files output rows only.
     */
-  def writeFileStats(spark: SparkSession, tableDir: String, v: Long): Unit = {
+  def writeFileStats(spark: SparkSession, tableDir: String, v: Long): Unit = graft.BenchPhase.land {
     val p = fileStatsPath(tableDir, v)
     if (Files.exists(p)) return
     val dir = Paths.get(tableDir, s"v=$v")
@@ -1156,7 +1172,7 @@ object Snapshots {
     * as longs) — the pruning predicate shape [[readPruned]] serves.
     */
   def writeColStats(spark: SparkSession, tableDir: String, v: Long,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String]): Unit = graft.BenchPhase.land {
     val p = colStatsPath(tableDir, v)
     if (Files.exists(p)) return
     val dir = Paths.get(tableDir, s"v=$v")

@@ -21,14 +21,17 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
-  def writeCsv(df: DataFrame, path: String): Unit =
+  def writeCsv(df: DataFrame, path: String): Unit = graft.BenchPhase.land {
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
 
-  def writeJson(df: DataFrame, path: String): Unit =
+  def writeJson(df: DataFrame, path: String): Unit = graft.BenchPhase.land {
     df.write.mode(SaveMode.Overwrite).json(path)
+  }
 
-  def writeOrc(df: DataFrame, path: String): Unit =
+  def writeOrc(df: DataFrame, path: String): Unit = graft.BenchPhase.land {
     df.write.mode(SaveMode.Overwrite).orc(path)
+  }
 
   /** Hive-style partitioned parquet: the partition column becomes the
     * directory key, so `WHERE part = x` prunes whole directories at
@@ -36,7 +39,9 @@ object Sources {
     * `partitioned by __source_ts` in docs/components/cdc.md).
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    graft.BenchPhase.land {
+      df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    }
 
   /** Dynamic partition overwrite — replace ONLY the partitions present
     * in `df`, leaving every other partition's files physically
@@ -47,10 +52,12 @@ object Sources {
     * 100 TB the cost is the recomputed partitions, never the table.
     */
   def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCols: _*)
-      .parquet(path)
+    graft.BenchPhase.land {
+      df.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    }
 
   /** Bucketed + sorted table: both sides of a fact⋈fact join bucketed
     * the same way join with NO shuffle exchange (each bucket pairs up
@@ -59,7 +66,7 @@ object Sources {
     * saveAsTable (bucketing metadata lives in the catalog).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      numBuckets: Int, path: Option[String] = None): Unit = {
+      numBuckets: Int, path: Option[String] = None): Unit = graft.BenchPhase.land {
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
@@ -76,7 +83,7 @@ object Sources {
     * are distributed; only file STATS are driver-side.
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
-      targetMB: Int = 256, sortCols: Seq[String] = Nil): Long = {
+      targetMB: Int = 256, sortCols: Seq[String] = Nil): Long = graft.BenchPhase.land {
     val df = spark.read.parquet(inPath)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1L,
@@ -105,7 +112,7 @@ object Sources {
     * file listing ignores it).
     */
   def landWithStats(df: DataFrame, path: String, statsCol: String,
-      numFiles: Int): Unit = {
+      numFiles: Int): Unit = graft.BenchPhase.land {
     import org.apache.spark.sql.functions._
     require(df.schema(statsCol).dataType == org.apache.spark.sql.types.LongType,
       s"landWithStats clusters a BIGINT column, got ${df.schema(statsCol).dataType.sql}")
@@ -161,7 +168,7 @@ object Sources {
     * dimension (a range predicate can't match NULL → skip).
     */
   def landZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      numFiles: Int): Unit = {
+      numFiles: Int): Unit = graft.BenchPhase.land {
     import org.apache.spark.sql.functions._
     Seq(colA, colB).foreach { c =>
       require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
@@ -242,7 +249,8 @@ object Sources {
     * METADATA-ONLY answers: COUNT(*) = Σ rows, MIN/MAX = min lo /
     * max hi, read from the manifest without touching a data file.
     */
-  def writeStatsManifest(spark: SparkSession, path: String, statsCol: String): Unit = {
+  def writeStatsManifest(spark: SparkSession, path: String, statsCol: String): Unit =
+    graft.BenchPhase.land {
     import org.apache.spark.sql.functions._
     val stats = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
@@ -254,7 +262,7 @@ object Sources {
       java.nio.file.Paths.get(path.stripPrefix("file:"), "_full_stats.tsv"),
       stats.sorted.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-  }
+    }
 
   /** Answer (rows, min, max) from `_full_stats.tsv` ALONE — the
     * Iceberg metadata-only query path: planning cost is the manifest
@@ -283,7 +291,7 @@ object Sources {
     * wrong result: callers still apply the exact residual predicate).
     */
   def buildBloomIndex(spark: SparkSession, path: String, keyCol: String,
-      indexPath: String, mBits: Int): Unit = {
+      indexPath: String, mBits: Int): Unit = graft.BenchPhase.land {
     import org.apache.spark.sql.functions._
     val m = lit(mBits.toLong)
     spark.read.parquet(path)
@@ -334,7 +342,7 @@ object Sources {
   }
 
   def buildPointIndex(spark: SparkSession, path: String, keyCol: String,
-      indexPath: String): Unit = {
+      indexPath: String): Unit = graft.BenchPhase.land {
     import org.apache.spark.sql.functions._
     spark.read.parquet(path)
       .select(col(keyCol), input_file_name().as("file"))

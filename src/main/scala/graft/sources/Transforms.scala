@@ -193,7 +193,7 @@ object Transforms {
     * directory key). One task per value → one file per value.
     */
   def land(spark: SparkSession, tableDir: String, df: DataFrame,
-      t: Transform): Unit = {
+      t: Transform): Unit = graft.BenchPhase.land {
     graft.functions.GraftFunctions.register(spark) // MBucket's expression
     Files.createDirectories(Paths.get(tableDir))
     df.withColumn(PvCol, t.derive)
@@ -241,7 +241,7 @@ object Transforms {
     * [[Snapshots]] store is the tool for that).
     */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
-      t: Transform, batchId: Option[Long] = None): Unit = {
+      t: Transform, batchId: Option[Long] = None): Unit = graft.BenchPhase.land {
     val specF = Paths.get(tableDir, "_spec")
     if (Files.exists(specF))
       require(readSpec(tableDir).specLine == t.specLine,
@@ -390,7 +390,7 @@ object Transforms {
     * the [[land]] invariant, so file counts stay oracle-derivable).
     */
   def appendEvolved(spark: SparkSession, tableDir: String,
-      df: DataFrame): Unit = {
+      df: DataFrame): Unit = graft.BenchPhase.land {
     graft.functions.GraftFunctions.register(spark) // MBucket's expression
     val (sid, ts) = specs(tableDir).last
     val pvCols = ts.indices.map(i => s"__pv$i")

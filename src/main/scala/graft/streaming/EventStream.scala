@@ -447,7 +447,9 @@ object EventStream {
       col("ts").as("timestamp"))
     val path = graft.TempDirs.scratch("graft-topic")
     // one file per topic partition — the actual Kafka landing shape
-    topicDump.repartition(8).write.mode("overwrite").parquet(path)
+    graft.BenchPhase.land {
+      topicDump.repartition(8).write.mode("overwrite").parquet(path)
+    }
 
     // 2. STREAM the topic and decode the envelope into typed rows
     val kafkaSchema = StructType(Seq(
@@ -555,10 +557,12 @@ object EventStream {
     val src = graft.TempDirs.scratch("graft-st08-src")
     // land ts as long micros: the sharded copy must round-trip through
     // the long-typed streaming schema (eventsSchema) unchanged
-    graft.Tables(spark, dir, "events")
-      .withColumn("ts", unix_micros(col("ts")))
-      .repartition(16)
-      .write.mode("overwrite").parquet(src)
+    graft.BenchPhase.land {
+      graft.Tables(spark, dir, "events")
+        .withColumn("ts", unix_micros(col("ts")))
+        .repartition(16)
+        .write.mode("overwrite").parquet(src)
+    }
     val t = s"${graft.TempDirs.scratch("graft-st08-tbl")}/events_ingest"
     val stream = s.readStream
       .schema(eventsSchema)
@@ -611,8 +615,10 @@ object EventStream {
       when(col("op") =!= "d", row).as("after"),
       when(col("op") === "d", row).as("before")))
     val topic = graft.TempDirs.scratch("graft-st09-topic")
-    ev.select(envelope.cast("binary").as("value"))
-      .repartition(16).write.mode("overwrite").parquet(topic)
+    graft.BenchPhase.land {
+      ev.select(envelope.cast("binary").as("value"))
+        .repartition(16).write.mode("overwrite").parquet(topic)
+    }
 
     // 2. seed the target table (empty v0) with the upsert-state schema
     val stateSchema = StructType(Seq(
@@ -693,10 +699,12 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = streamSession(spark)
     val src = graft.TempDirs.scratch("graft-st10-src")
-    graft.Tables(spark, dir, "events")
-      .withColumn("ts", unix_micros(col("ts")))
-      .repartition(16)
-      .write.mode("overwrite").parquet(src)
+    graft.BenchPhase.land {
+      graft.Tables(spark, dir, "events")
+        .withColumn("ts", unix_micros(col("ts")))
+        .repartition(16)
+        .write.mode("overwrite").parquet(src)
+    }
 
     val matSchema = StructType(Seq(
       StructField("event_type", StringType),
@@ -753,10 +761,12 @@ object EventStream {
     val hvCol = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
       16, 10).cast("long")
     val src = graft.TempDirs.scratch("graft-st13-src")
-    graft.Tables(spark, dir, "events")
-      .select(col("event_type"), hvCol.as("hv"))
-      .repartition(16)
-      .write.mode("overwrite").parquet(src)
+    graft.BenchPhase.land {
+      graft.Tables(spark, dir, "events")
+        .select(col("event_type"), hvCol.as("hv"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(src)
+    }
 
     val skSchema = StructType(Seq(
       StructField("event_type", StringType),
@@ -835,8 +845,10 @@ object EventStream {
         .when(col("event_id") % 17 === 0, noKey)               // key field gone
         .otherwise(good)
     val topic = graft.TempDirs.scratch("graft-st14-topic")
-    ev.select(payload.as("payload")).repartition(16)
-      .write.mode("overwrite").parquet(topic)
+    graft.BenchPhase.land {
+      ev.select(payload.as("payload")).repartition(16)
+        .write.mode("overwrite").parquet(topic)
+    }
 
     val mainT = s"${graft.TempDirs.scratch("graft-st14-tbl")}/events_valid"
     val dlqT = s"${graft.TempDirs.scratch("graft-st14-dlq")}/events_dlq"
@@ -908,8 +920,10 @@ object EventStream {
     val ckpt = graft.TempDirs.scratch("graft-st15-ckpt")
     val ev = graft.Tables(s, dir, "events")
       .select(col("event_type"), col("value"), (col("user_id") % 2).as("half"))
-    ev.filter(col("half") === 0).drop("half")
-      .repartition(8).write.mode("overwrite").parquet(src)
+    graft.BenchPhase.land {
+      ev.filter(col("half") === 0).drop("half")
+        .repartition(8).write.mode("overwrite").parquet(src)
+    }
 
     val matSchema = StructType(Seq(
       StructField("event_type", StringType),
@@ -933,8 +947,10 @@ object EventStream {
       try q.processAllAvailable() finally q.stop()
     }
     runOnce() // wave 1: 8 files → 2 merge commits, then the query STOPS
-    ev.filter(col("half") === 1).drop("half")
-      .repartition(8).write.mode("append").parquet(src) // wave 2 lands
+    graft.BenchPhase.land {
+      ev.filter(col("half") === 1).drop("half")
+        .repartition(8).write.mode("append").parquet(src) // wave 2 lands
+    }
     runOnce() // NEW instance, SAME checkpoint: resumes at batch id 2
 
     val nVersions = graft.sources.Snapshots.versions(table).size
@@ -986,8 +1002,10 @@ object EventStream {
     val ckpt = graft.TempDirs.scratch("graft-st16-ckpt")
     val ev = graft.Tables(s, dir, "events")
       .select(col("event_type"), col("value"), (col("user_id") % 2).as("half"))
-    ev.filter(col("half") === 0).drop("half")
-      .repartition(8).write.mode("overwrite").parquet(src)
+    graft.BenchPhase.land {
+      ev.filter(col("half") === 0).drop("half")
+        .repartition(8).write.mode("overwrite").parquet(src)
+    }
 
     val matSchema = StructType(Seq(
       StructField("event_type", StringType),
@@ -999,8 +1017,10 @@ object EventStream {
         matSchema), table)
 
     drainAvailable(s, src, ckpt, table)   // wave 1: self-terminating
-    ev.filter(col("half") === 1).drop("half")
-      .repartition(8).write.mode("append").parquet(src) // wave 2 lands
+    graft.BenchPhase.land {
+      ev.filter(col("half") === 1).drop("half")
+        .repartition(8).write.mode("append").parquet(src) // wave 2 lands
+    }
     drainAvailable(s, src, ckpt, table)   // new invocation: wave 2 only
 
     val nVersions = graft.sources.Snapshots.versions(table).size
@@ -1172,10 +1192,12 @@ object EventStream {
     // one directory+file per topic partition (partitionBy, not
     // repartition: hash collisions over 16 shard values would make
     // the file — and therefore batch/commit — count nondeterministic)
-    ev.select(envelope.cast("binary").as("value"),
-        pmod(col("user_id"), lit(16)).as("kpart"))
-      .repartition(16, col("kpart"))
-      .write.partitionBy("kpart").mode("overwrite").parquet(topic)
+    graft.BenchPhase.land {
+      ev.select(envelope.cast("binary").as("value"),
+          pmod(col("user_id"), lit(16)).as("kpart"))
+        .repartition(16, col("kpart"))
+        .write.partitionBy("kpart").mode("overwrite").parquet(topic)
+    }
 
     // 2. stream-decode; each micro-batch = one MoR upsert (two commits)
     val rowSchema = StructType(Seq(
@@ -1250,8 +1272,10 @@ object EventStream {
 
     val orders = graft.Tables(spark, dir, "orders")
     val basePath = graft.TempDirs.scratch("graft-st18-base")
-    orders.filter(col("o_orderkey") % 2 === 0)
-      .repartition(8).write.mode("overwrite").parquet(basePath)
+    graft.BenchPhase.land {
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .repartition(8).write.mode("overwrite").parquet(basePath)
+    }
 
     val mvName = s"orders_mv_${java.util.UUID.randomUUID().toString.take(8)}"
     Mv.create(
@@ -1260,8 +1284,10 @@ object EventStream {
       Seq(Mv.Measure("sum", "o_totalprice", Some(dec), "sum_price")))
 
     val srcPath = graft.TempDirs.scratch("graft-st18-src")
-    orders.filter(col("o_orderkey") % 2 === 1)
-      .repartition(16).write.mode("overwrite").parquet(srcPath)
+    graft.BenchPhase.land {
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .repartition(16).write.mode("overwrite").parquet(srcPath)
+    }
 
     var refreshes = 1
     val q = s.readStream
@@ -1320,8 +1346,10 @@ object EventStream {
     val groupCols = Seq("o_orderstatus", "o_orderdate")
     val orders = graft.Tables(spark, dir, "orders")
     val basePath = graft.TempDirs.scratch("graft-st18s-base")
-    orders.filter(col("o_orderkey") % 2 === 0)
-      .repartition(4).write.mode("overwrite").parquet(basePath)
+    graft.BenchPhase.land {
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .repartition(4).write.mode("overwrite").parquet(basePath)
+    }
     val mvName = s"orders_mv_${java.util.UUID.randomUUID().toString.take(8)}"
     Mv.create(
       spark.read.parquet(basePath), mvName, basePath,
@@ -1430,10 +1458,12 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = streamSession(spark)
     val src = graft.TempDirs.scratch("graft-st21-src")
-    graft.Tables(spark, dir, "events")
-      .withColumn("ts", unix_micros(col("ts")))
-      .repartition(16)
-      .write.mode("overwrite").parquet(src)
+    graft.BenchPhase.land {
+      graft.Tables(spark, dir, "events")
+        .withColumn("ts", unix_micros(col("ts")))
+        .repartition(16)
+        .write.mode("overwrite").parquet(src)
+    }
     val table = s"${graft.TempDirs.scratch("graft-st21-tbl")}/events_by_day"
     val stream = s.readStream
       .schema(eventsSchema)
@@ -1490,7 +1520,9 @@ object EventStream {
       corpus = Some(e.filter(col("vec_id") % 5 =!= 4)))
     val src = graft.TempDirs.scratch("graft-st22-src")
     val holdout = e.filter(col("vec_id") % 5 === 4)
-    holdout.repartition(8).write.mode("overwrite").parquet(src)
+    graft.BenchPhase.land {
+      holdout.repartition(8).write.mode("overwrite").parquet(src)
+    }
     val stream = s.readStream
       .schema(holdout.schema)
       .option("maxFilesPerTrigger", "2")
@@ -1540,10 +1572,12 @@ object EventStream {
     val t = s"${graft.TempDirs.scratch("graft-st23-tbl")}/events_drift"
     val ev = graft.Tables(s, dir, "events")
     // phase A: the old producer — three fields
-    ev.filter(col("event_id") % 2 === 0)
-      .select(to_json(struct(col("event_id"), col("user_id"),
-        col("value"))).as("value"))
-      .repartition(2).write.mode("overwrite").text(src)
+    graft.BenchPhase.land {
+      ev.filter(col("event_id") % 2 === 0)
+        .select(to_json(struct(col("event_id"), col("user_id"),
+          col("value"))).as("value"))
+        .repartition(2).write.mode("overwrite").text(src)
+    }
     val stream = s.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("value",
@@ -1633,10 +1667,12 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = streamSession(spark)
     val src = graft.TempDirs.scratch("graft-st24-src")
-    graft.Tables(spark, dir, "events")
-      .withColumn("ts", unix_micros(col("ts")))
-      .repartition(16)
-      .write.mode("overwrite").parquet(src)
+    graft.BenchPhase.land {
+      graft.Tables(spark, dir, "events")
+        .withColumn("ts", unix_micros(col("ts")))
+        .repartition(16)
+        .write.mode("overwrite").parquet(src)
+    }
     val wh = graft.TempDirs.scratch("graft-st24-wh")
     val fact = s"$wh/events_fact"
     val mart = s"$wh/events_mart"
@@ -1734,8 +1770,10 @@ object EventStream {
     val del = cust.filter(col("k") % 7 === 0)
       .withColumn("seq", lit(3L)).withColumn("deleted", lit(true))
     val src = graft.TempDirs.scratch("graft-st25-src")
-    base.unionByName(upd).unionByName(del)
-      .repartition(16).write.mode("overwrite").parquet(src)
+    graft.BenchPhase.land {
+      base.unionByName(upd).unionByName(del)
+        .repartition(16).write.mode("overwrite").parquet(src)
+    }
     // seeds: empty upstream state, empty mart, cursor at the seed
     Snapshots.commit(base.filter(lit(false)), up)
     Snapshots.commit(
@@ -1853,12 +1891,14 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val s = streamSession(spark)
     val src = graft.TempDirs.scratch("graft-st26-src")
-    graft.Tables(spark, dir, "events")
-      .select(col("event_id"), unix_micros(col("ts")).as("ts"),
-        col("user_id"), col("event_type"),
-        when(col("event_id") % 11 === 0, lit(null).cast("double"))
-          .otherwise(col("value")).as("value"))
-      .repartition(16).write.mode("overwrite").parquet(src)
+    graft.BenchPhase.land {
+      graft.Tables(spark, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+          col("user_id"), col("event_type"),
+          when(col("event_id") % 11 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+        .repartition(16).write.mode("overwrite").parquet(src)
+    }
     val wh = graft.TempDirs.scratch("graft-st26-wh")
     val fact = s"$wh/events_clean"
     val dlq = s"$wh/events_dlq"
@@ -1942,12 +1982,14 @@ object EventStream {
     val src = graft.TempDirs.scratch("graft-st27-src")
     // the CDC-honest keyed grain (q125): the raw (orderkey, linenumber)
     // is not unique in this corpus
-    graft.Tables(spark, dir, "lineitem")
-      .groupBy(col("l_orderkey"), col("l_linenumber"))
-      .agg(count(lit(1)).as("qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("price"))
-      .repartition(16)
-      .write.mode("overwrite").parquet(src)
+    graft.BenchPhase.land {
+      graft.Tables(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("price"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(src)
+    }
 
     val martSchema = StructType(Seq(
       StructField("o_month", StringType),

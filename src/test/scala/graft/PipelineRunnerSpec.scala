@@ -172,6 +172,54 @@ class PipelineRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unique(k)"))
   }
 
+  test("store_failures: a red run persists the violating rows to a versioned audit table the abort names") {
+    import graft.pipeline.Checks
+    import spark.implicits._
+    val runner = new Runner(spark, tmp())
+    val dirty = Seq((1, "a"), (1, "b"), (2, null), (3, "c"))
+      .toDF("k", "v") // duplicate key AND a null v
+    val fatal = Model("m", Seq("src"), Materialization.Table,
+      (in, _) => in("src"),
+      checks = Seq(Checks.Unique("k"), Checks.NotNull("v")))
+    val e = intercept[IllegalArgumentException](
+      runner.run(Seq(fatal), Map("src" -> dirty), storeFailures = true))
+    // the abort message references BOTH audit tables
+    assert(e.getMessage.contains("m__failures__unique_k v1"), e.getMessage)
+    assert(e.getMessage.contains("m__failures__not_null_v v1"), e.getMessage)
+    // unique: the duplicated value with its count
+    val uniq = Snapshots.read(spark, runner.tableDir("m__failures__unique_k"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(uniq.toSeq == Seq((1, 2L)))
+    // not_null: the FULL failing row
+    val nn = Snapshots.read(spark, runner.tableDir("m__failures__not_null_v"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(nn.toSeq == Seq((2, null)))
+    // a second red run appends version 2 — failure history is travelable
+    val e2 = intercept[IllegalArgumentException](
+      runner.run(Seq(fatal.copy(name = "m2",
+        checks = Seq(Checks.Unique("k")))), Map("src" -> dirty),
+        storeFailures = true))
+    assert(e2.getMessage.contains("m2__failures__unique_k v1"))
+    intercept[IllegalArgumentException](
+      runner.run(Seq(fatal.copy(name = "m2",
+        checks = Seq(Checks.Unique("k")))), Map("src" -> dirty),
+        storeFailures = true))
+    assert(Snapshots.versions(runner.tableDir("m2__failures__unique_k")) == Seq(1L, 2L))
+    // the cap bounds the stored sample
+    val wide = (1 to 20).map(i => (i, null: String)).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      runner.run(Seq(fatal.copy(name = "m3",
+        checks = Seq(Checks.NotNull("v")))), Map("src" -> wide),
+        storeFailures = true, storeFailuresLimit = 5))
+    assert(Snapshots.read(spark,
+      runner.tableDir("m3__failures__not_null_v")).count() == 5L)
+    // without the flag nothing is stored (dbt's default)
+    intercept[IllegalArgumentException](
+      runner.run(Seq(fatal.copy(name = "m4",
+        checks = Seq(Checks.NotNull("v")))), Map("src" -> dirty)))
+    assert(Snapshots.versions(runner.tableDir("m4__failures__not_null_v")).isEmpty)
+  }
+
   test("a flaky model succeeds within the Airflow-style retry budget") {
     import spark.implicits._
     val runner = new Runner(spark, tmp())

@@ -745,6 +745,49 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((None, 3L, 32.0), (Some("a"), 1L, 10.0)))
   }
 
+  test("WRITE ORDERED BY: post-DDL inserts cluster (files prune), SHOW CREATE round-trips, UNORDERED drops it") {
+    val wh = graft.TempDirs.scratch("spec-wordered")
+    graft.sources.Snapshots.commit(
+      Tables(spark, sf, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice")),
+      graft.Engine.tableDir(wh, "sales.orders"))
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    val t = graft.Engine.tableDir(wh, "m.ord")
+    sql("""CREATE TABLE m.ord AS
+          |SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM sales.orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    // unknown column rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      sql("ALTER TABLE m.ord WRITE ORDERED BY (nope)")
+    }
+    assert(err.getMessage.contains("unknown column"))
+    sql("ALTER TABLE m.ord WRITE ORDERED BY (o_custkey)")
+    sql("""INSERT INTO m.ord
+          |SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM sales.orders WHERE o_orderkey % 2 = 1""".stripMargin)
+    def boundsOf(commit: Long) = spark.read.parquet(s"$t/c=$commit")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_custkey")).as("lo"), max(col("o_custkey")).as("hi"))
+      .collect()
+    val post = boundsOf(2L)
+    val hit = post.count(r => !r.isNullAt(1) &&
+      r.getLong(2) >= 100L && r.getLong(1) <= 199L)
+    assert(post.length > 1, s"ordered insert landed ${post.length} file(s)")
+    assert(hit < post.length,
+      s"custkey range hit all ${post.length} files — write order not applied")
+    // the INSERT lost nothing
+    val n = sql("SELECT COUNT(*) AS n FROM m.ord").collect().head.getLong(0)
+    assert(n == Tables(spark, sf, "orders").count())
+    // SHOW CREATE carries the clause as DDL, not as a TBLPROPERTIES line
+    val lines = sql("SHOW CREATE TABLE m.ord").collect().map(_.getString(1))
+    assert(lines.exists(_.trim == "WRITE ORDERED BY (o_custkey)"), lines.mkString("\n"))
+    assert(!lines.exists(_.contains("write.sort-order")), lines.mkString("\n"))
+    // WRITE UNORDERED drops it; SHOW CREATE loses the clause
+    sql("ALTER TABLE m.ord WRITE UNORDERED")
+    val after = sql("SHOW CREATE TABLE m.ord").collect().map(_.getString(1))
+    assert(!after.exists(_.contains("WRITE ORDERED BY")), after.mkString("\n"))
+  }
+
   test("q51 pruned mart equals the same month computed from the raw table") {
     val viaLanded = SparkEntry.queries("q51_partitioned_scan")(spark, sf)
       .collect().map(_.toSeq.map(String.valueOf))
