@@ -38,6 +38,59 @@ object Engine {
     */
   def connect(spark: SparkSession): SparkSession = spark.newSession()
 
+  // ---- KYUUBI ENGINE SHARE LEVELS -----------------------------------
+  // Reference docs/components/kyuubi.md:9-14: CONNECTION = a fresh
+  // engine per connection ([[connect]]); USER = ONE engine per user,
+  // shared by all of that user's connections and isolated from every
+  // other user's; SERVER = everyone shares one engine (the plain
+  // session). [[connectUser]] reproduces the USER semantic over
+  // Spark's session-state isolation: the same user's second
+  // connection sees the first's temp views and session confs, a
+  // different user sees neither. Per-user GOVERNANCE DEFAULTS
+  // ([[setUserPolicies]]) apply at engine creation, the way Kyuubi's
+  // AuthZ plugin binds Ranger policies to the session user — a
+  // governed user cannot shed their masks by reconnecting. Table
+  // COMMITS still serialize warehouse-wide (manifest/ledger locks
+  // live on disk per table, not per session) — share levels isolate
+  // session STATE, never transactional safety.
+
+  // keyed by (SparkContext identity, user): one app's user engines
+  // must never leak into a different app's (fresh context in tests)
+  private val userSessions =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), SparkSession]
+  private val userPolicies =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Seq[Policy])]
+
+  /** Bind `user`'s default governance: every engine [[connectUser]]
+    * creates for them opens [[openGoverned]] over `dir` with
+    * `policies`. Takes effect for engines created AFTER the call.
+    */
+  def setUserPolicies(user: String, dir: String, policies: Seq[Policy]): Unit =
+    userPolicies(user) = (dir, policies)
+
+  /** A connection at the USER share level: the caching makes two
+    * connections of one user land on the SAME engine (temp views and
+    * session confs shared — Kyuubi's "subsequent connections reuse
+    * the user's engine"), while distinct users get distinct engines.
+    */
+  def connectUser(spark: SparkSession, user: String): SparkSession = {
+    require(user.nonEmpty, "USER share level needs a user")
+    val key = (System.identityHashCode(spark.sparkContext), user)
+    userSessions.getOrElseUpdate(key, {
+      val s = spark.newSession()
+      s.conf.set("graft.session.user", user)
+      userPolicies.get(user).foreach { case (dir, ps) => openGoverned(s, dir, ps) }
+      s
+    })
+  }
+
+  /** Tear down `user`'s engine (Kyuubi's engine idle-timeout): the
+    * next [[connectUser]] builds a fresh one — with the user's
+    * CURRENT policy defaults re-applied.
+    */
+  def disconnectUser(spark: SparkSession, user: String): Unit =
+    userSessions.remove((System.identityHashCode(spark.sparkContext), user))
+
   /** Register every [[graft.sources.Snapshots]] table under
     * `warehouseDir` as a temp view over its LATEST snapshot — the
     * warehouse side of the Kyuubi surface, where a SQL user sees the
@@ -413,6 +466,11 @@ object Engine {
   // per-landing clustering. WRITE UNORDERED drops it.
   private val WriteOrderedStmt =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+WRITE\s+ORDERED\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*$""".r
+  // WRITE ZORDERED BY (a, b) — the 2-D variant (Delta's OPTIMIZE
+  // ZORDER BY as a persistent write order): every data commit
+  // bit-interleave-clusters, so predicates on EITHER column prune.
+  private val WriteZOrderedStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+WRITE\s+ZORDERED\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$""".r
   private val WriteUnorderedStmt =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+WRITE\s+UNORDERED\s*$""".r
 
@@ -484,8 +542,12 @@ object Engine {
       else Seq(s"PARTITIONED BY (${specFields.mkString(", ")})")
     val allProps = graft.sources.Snapshots.tableProperties(dir)
     // the write order round-trips as its own DDL clause, not a prop line
+    val ZSpec = """(?i)^\s*zorder\s*\((.+)\)\s*$""".r
     val orderLines = allProps.get(graft.sources.Mor.WriteOrderProp)
-      .map(spec => s"WRITE ORDERED BY ($spec)").toSeq
+      .map {
+        case ZSpec(cols) => s"WRITE ZORDERED BY (${cols.trim})"
+        case spec => s"WRITE ORDERED BY ($spec)"
+      }.toSeq
     val props = (allProps - graft.sources.Mor.WriteOrderProp).toSeq.sortBy(_._1)
     val propLines =
       if (props.isEmpty) Seq.empty
@@ -834,6 +896,20 @@ object Engine {
         graft.sources.Snapshots.setTableProperties(dir,
           Seq(graft.sources.Mor.WriteOrderProp -> cols.mkString(", ")))
         return ddlResult(spark, name, "write_ordered_by", cols.mkString(", "))
+      case WriteZOrderedStmt(name, ca, cb) =>
+        val dir = existingDir(warehouseDir, name, "ALTER TABLE")
+        val schema = readTable(spark, dir).schema
+        val missing = Seq(ca, cb).filterNot(c => schema.fieldNames.contains(c))
+        require(missing.isEmpty,
+          s"WRITE ZORDERED BY names unknown column(s): ${missing.mkString(", ")}")
+        Seq(ca, cb).foreach { c =>
+          require(schema(c).dataType == org.apache.spark.sql.types.LongType,
+            s"WRITE ZORDERED BY needs BIGINT columns, " +
+              s"'$c' is ${schema(c).dataType.sql.toLowerCase}")
+        }
+        graft.sources.Snapshots.setTableProperties(dir,
+          Seq(graft.sources.Mor.WriteOrderProp -> s"zorder($ca, $cb)"))
+        return ddlResult(spark, name, "write_zordered_by", s"$ca, $cb")
       case WriteUnorderedStmt(name) =>
         val dir = existingDir(warehouseDir, name, "ALTER TABLE")
         graft.sources.Snapshots.unsetTableProperties(dir,

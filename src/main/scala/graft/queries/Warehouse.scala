@@ -2464,7 +2464,52 @@ object Warehouse {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q135: Kyuubi USER share level (reference kyuubi.md:9-14 — USER =
+    * one engine per user vs SERVER = everyone shares): the same
+    * user's connections land on ONE engine (temp views/session confs
+    * shared), different users' engines are mutually invisible, and
+    * per-user governance defaults ([[graft.Engine.setUserPolicies]])
+    * bake into every engine created for that user — the analyst
+    * cannot shed their masks by reconnecting, the admin never
+    * inherits them. Same-table commits from different users still
+    * serialize through the on-disk manifest locks (share levels
+    * isolate session STATE, never transactional safety). All three
+    * isolation facts are pinned in-result; the masked/unmasked counts
+    * restate from the raw table.
+    */
+  def q135UserShare(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Engine
+    Engine.setUserPolicies("analyst", dir, Seq(
+      Engine.Policy("customer",
+        masks = Map("c_name" -> Engine.MaskShowLast4))))
+    Engine.setUserPolicies("admin", dir, Seq(Engine.Policy("customer")))
+    val a1 = Engine.connectUser(spark, "analyst")
+    val a2 = Engine.connectUser(spark, "analyst") // second connection, SAME engine
+    val adm = Engine.connectUser(spark, "admin")
+    a1.sql("SELECT 1 AS one").createOrReplaceTempView("analyst_scratch")
+    val sameUserShares = a2.catalog.tableExists("analyst_scratch")
+    val usersIsolated = !adm.catalog.tableExists("analyst_scratch")
+    // two users, one table: commits linearize through the disk locks
+    val t = s"${tempDir("graft-usershare")}/audit_log"
+    graft.sources.Snapshots.commit(
+      a1.sql("SELECT 'analyst' AS who, COUNT(*) AS n FROM customer"), t)
+    graft.sources.Snapshots.commit(
+      adm.sql("SELECT 'admin' AS who, COUNT(*) AS n FROM customer"), t)
+    val linearized = graft.sources.Snapshots.versions(t) == Seq(1L, 2L)
+    def masked(s: SparkSession) = s.sql(
+      """SELECT COUNT(*) AS n,
+        |  COUNT(CASE WHEN c_name LIKE 'XXX%' THEN 1 END) AS m
+        |FROM customer""".stripMargin).head()
+    val (aRow, admRow) = (masked(a2), masked(adm))
+    import spark.implicits._
+    Seq((aRow.getLong(0), aRow.getLong(1), admRow.getLong(1),
+        sameUserShares, usersIsolated, linearized))
+      .toDF("n_customers", "n_masked_analyst", "n_masked_admin",
+        "same_user_shares_state", "users_isolated", "commits_linearized")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_user_share" -> (q135UserShare _),
     "q133_write_ordered" -> (q133WriteOrdered _),
     "q97_type_promotion" -> (q97TypePromotion _),
     "q96_column_mapping" -> (q96ColumnMapping _),
@@ -2527,6 +2572,17 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // q135: TPC-H c_name is the fixed 18-char 'Customer#%09d', so the
+    // show-last-4 mask makes EVERY analyst-visible name start with
+    // X's and no raw name does; the booleans are in-data proofs
+    "q135_user_share" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer) AS n_customers,
+        |  (SELECT COUNT(*) FROM customer) AS n_masked_analyst,
+        |  CAST(0 AS BIGINT) AS n_masked_admin,
+        |  TRUE AS same_user_shares_state,
+        |  TRUE AS users_isolated,
+        |  TRUE AS commits_linearized""".stripMargin,
     // q133: the two booleans are in-data proofs (file bounds pruned,
     // SHOW CREATE carries the clause); values restate from the raw
     // table — the ordered rewrite must lose nothing

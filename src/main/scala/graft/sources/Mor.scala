@@ -141,25 +141,14 @@ object Mor {
     */
   val WriteOrderProp = "write.sort-order"
 
-  /** Apply the table's declared write order (if any) to a data batch:
-    * one range shuffle into the session's configured parallelism +
-    * in-partition sort — at 100 TB the shuffle is the price of
-    * narrow per-file bounds on every future scan of this commit.
+  /** Apply the table's declared write order (if any) to a data batch
+    * — see [[Sources.clusterBySpec]] for the two spec shapes (range
+    * column list / `zorder(a, b)`). At 100 TB the shuffle is the
+    * price of narrow per-file bounds on every future scan.
     */
   private def applyWriteOrder(df: DataFrame, tableDir: String): DataFrame =
-    Snapshots.tableProperties(tableDir).get(WriteOrderProp) match {
-      case Some(spec) =>
-        val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        val missing = cols.filterNot(df.columns.contains)
-        require(missing.isEmpty,
-          s"write order ($spec) names columns absent from the batch: " +
-            missing.mkString(", "))
-        val n = df.sparkSession.conf
-          .get("spark.sql.shuffle.partitions", "32").toInt
-        df.repartitionByRange(n, cols.map(df.col): _*)
-          .sortWithinPartitions(cols.map(df.col): _*)
-      case None => df
-    }
+    Snapshots.tableProperties(tableDir).get(WriteOrderProp)
+      .map(Sources.clusterBySpec(df, _)).getOrElse(df)
 
   /** Land `df` as a base snapshot. */
   def land(df: DataFrame, tableDir: String): Long =

@@ -200,16 +200,7 @@ object Snapshots {
     // every un-partitioned commit; partitioned layouts keep their
     // directory-key organization (the two orderings would fight)
     val ordered = tableProperties(tableDir).get(Mor.WriteOrderProp) match {
-      case Some(spec) if partCols.isEmpty =>
-        val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        val missing = cols.filterNot(df.columns.contains)
-        require(missing.isEmpty,
-          s"write order ($spec) names columns absent from the commit: " +
-            missing.mkString(", "))
-        val n = df.sparkSession.conf
-          .get("spark.sql.shuffle.partitions", "32").toInt
-        df.repartitionByRange(n, cols.map(df.col): _*)
-          .sortWithinPartitions(cols.map(df.col): _*)
+      case Some(spec) if partCols.isEmpty => Sources.clusterBySpec(df, spec)
       case _ => df
     }
     val next = reserveVersion(tableDir)

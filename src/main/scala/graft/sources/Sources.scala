@@ -167,15 +167,21 @@ object Sources {
     * whose bounds are all-NULL in a file carries no entry for that
     * dimension (a range predicate can't match NULL → skip).
     */
-  def landZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      numFiles: Int): Unit = graft.BenchPhase.land {
+  /** Cluster `df` by the 2-D z-value of `(colA, colB)` into `n`
+    * range partitions — the shared core of [[landZOrdered]] and
+    * z-order write-order specs ([[clusterBySpec]]). Returns `df`
+    * unchanged when the batch is empty (no bounds to scale against).
+    */
+  private def zCluster(df: DataFrame, colA: String, colB: String,
+      n: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     Seq(colA, colB).foreach { c =>
       require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
-        s"landZOrdered clusters BIGINT columns, got ${df.schema(c).dataType.sql} ('$c')")
+        s"z-order clusters BIGINT columns, got ${df.schema(c).dataType.sql} ('$c')")
     }
     val b = df.agg(
       min(col(colA)), max(col(colA)), min(col(colB)), max(col(colB))).head()
+    if (b.isNullAt(0)) return df // empty batch: nothing to cluster
     def scaled(c: String, lo: Long, hi: Long): org.apache.spark.sql.Column =
       if (hi == lo) lit(0L)
       else expr(s"((`$c` - ${lo}L) * 65535L) div ${hi - lo}L")
@@ -186,9 +192,47 @@ object Sources {
         shiftleft(shiftright(col("_zb"), i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)  // disjoint bit positions: + == bitwise OR
     df.withColumn("_za", za).withColumn("_zb", zb).withColumn("_z", z)
-      .repartitionByRange(numFiles, col("_z"))
+      .repartitionByRange(n, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_za", "_zb", "_z")
+  }
+
+  private val ZOrderSpecRe =
+    """(?i)^\s*zorder\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$""".r
+
+  /** Cluster a data batch per a table's declared write order (the
+    * `write.sort-order` property): a comma-separated column list
+    * range-clusters + in-partition sorts (narrow per-file bounds on
+    * the lead column); `zorder(a, b)` bit-interleaves two LONG
+    * columns (narrow bounds on BOTH independently). One shuffle into
+    * the session's configured parallelism either way.
+    */
+  def clusterBySpec(df: DataFrame, spec: String): DataFrame = {
+    val n = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    spec match {
+      case ZOrderSpecRe(a, b) =>
+        val missing = Seq(a, b).filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"write order ($spec) names columns absent from the batch: " +
+            missing.mkString(", "))
+        zCluster(df, a, b, n)
+      case _ =>
+        val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, s"empty write-order spec: '$spec'")
+        val missing = cols.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"write order ($spec) names columns absent from the batch: " +
+            missing.mkString(", "))
+        df.repartitionByRange(n, cols.map(df.col): _*)
+          .sortWithinPartitions(cols.map(df.col): _*)
+    }
+  }
+
+  def landZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit = graft.BenchPhase.land {
+    import org.apache.spark.sql.functions._
+    zCluster(df, colA, colB, numFiles)
       .write.mode(SaveMode.Overwrite).parquet(path)
     val stats = df.sparkSession.read.parquet(path)
       .groupBy(input_file_name().as("file"))

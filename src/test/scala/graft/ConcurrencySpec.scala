@@ -106,6 +106,65 @@ class ConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("USER share level: one engine per user, per-user masks bind at creation, commits still linearize") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val wh = TempDirs.scratch("graft-conc-user")
+    // per-user governance defaults BEFORE any engine exists
+    Engine.setUserPolicies("conc_analyst", sf, Seq(
+      Engine.Policy("customer",
+        rowFilter = Some("c_mktsegment = 'BUILDING'"),
+        masks = Map("c_name" -> Engine.MaskShowLast4))))
+    Engine.setUserPolicies("conc_admin", sf, Seq(Engine.Policy("customer")))
+    val a1 = Engine.connectUser(spark, "conc_analyst")
+    val a2 = Engine.connectUser(spark, "conc_analyst")
+    val adm = Engine.connectUser(spark, "conc_admin")
+    // USER level: same user's connections share ONE engine; another
+    // user's engine is a different session object
+    assert(a1 eq a2)
+    assert(!(a1 eq adm))
+    // state sharing within a user, invisibility across users
+    a1.sql("SELECT 42 AS x").createOrReplaceTempView("conc_scratch")
+    assert(a2.catalog.tableExists("conc_scratch"))
+    assert(!adm.catalog.tableExists("conc_scratch"))
+    a1.conf.set("graft.test.knob", "on")
+    assert(a2.conf.get("graft.test.knob") == "on")
+    assert(adm.conf.getOption("graft.test.knob").isEmpty)
+    // governance bound to the user: analyst rows filtered + masked,
+    // admin unmasked — over the SAME warehouse
+    val aRows = a1.sql("SELECT c_mktsegment, c_name FROM customer").collect()
+    assert(aRows.nonEmpty && aRows.forall(_.getString(0) == "BUILDING"))
+    assert(aRows.forall(_.getString(1).startsWith("XXX")))
+    val admName = adm.sql("SELECT MIN(c_name) AS n FROM customer").head.getString(0)
+    assert(admName.startsWith("Customer#"))
+    // reconnect after engine teardown: scratch state is gone but the
+    // user's masks re-bind — a reconnect cannot shed governance
+    Engine.disconnectUser(spark, "conc_analyst")
+    val a3 = Engine.connectUser(spark, "conc_analyst")
+    assert(!(a3 eq a1))
+    assert(!a3.catalog.tableExists("conc_scratch"))
+    assert(a3.sql("SELECT MIN(c_name) AS n FROM customer")
+      .head.getString(0).startsWith("XXX"))
+    // same-table commits from the two users' engines still serialize
+    val t = s"$wh/shared_log"
+    def work(s: SparkSession, who: String): Unit = (1 to 3).foreach { i =>
+      Snapshots.commit(Seq((who, i.toLong)).toDF("who", "batch"), t)
+    }
+    concurrently(work(a3, "analyst"), work(adm, "admin"))
+    // linear history: 6 versions, no lost commit — every (who, batch)
+    // pair landed as exactly one snapshot version
+    assert(Snapshots.versions(t) == (1L to 6L))
+    val landed = Snapshots.versions(t).map { v =>
+      val r = Snapshots.read(spark, t, v).collect()
+      assert(r.length == 1, s"version $v holds ${r.length} rows")
+      (r.head.getString(0), r.head.getLong(1))
+    }
+    assert(landed.toSet ==
+      Set("analyst", "admin").flatMap(w => (1L to 3L).map(w -> _)))
+    Engine.disconnectUser(spark, "conc_analyst")
+    Engine.disconnectUser(spark, "conc_admin")
+  }
+
   test("two sessions: optimistic snapshot MERGE retries; both writers' rows land") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

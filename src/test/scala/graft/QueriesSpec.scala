@@ -26,10 +26,65 @@ class QueriesSpec extends AnyFunSuite {
   import TestSession._
 
   test("every queries entry has a runner that yields rows") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf).count()
-      assert(n > 0, s"$name returned 0 rows")
+    // Piggybacked plan audit: an UNPARTITIONED window (`WindowExec:
+    // No Partition Defined`) funnels its whole input through ONE
+    // task — acceptable only when the input is structurally bounded
+    // (a limit/TakeOrdered below it, a literal spine, a global
+    // 1-row aggregate, or a composition of those). r9 flagged
+    // t15/t16 for ranking corpus-scale tables this way; this audit
+    // keeps the pattern from coming back on ANY entry.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
     }
+    // bounded = this subtree provably yields few rows: a bounding
+    // node anywhere down EVERY branch (a join/zip of bounded sides
+    // stays bounded; a union of bounded sides stays bounded)
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: LocalLimitExec | _: CollectLimitExec => true
+      case _: LocalTableScanExec => true // literal fixture/spine
+      case h: aggregate.HashAggregateExec if h.groupingExpressions.isEmpty => true
+      case h: aggregate.ObjectHashAggregateExec if h.groupingExpressions.isEmpty => true
+      case h: aggregate.SortAggregateExec if h.groupingExpressions.isEmpty => true
+      case other =>
+        val cs = kids(other)
+        cs.nonEmpty && cs.forall(bounded)
+    }
+    def unboundedGlobalWindows(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty && !kids(w).forall(bounded) =>
+          Seq(w.windowExpression.mkString(", ").take(120))
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !kids(w).forall(bounded) =>
+          Seq(s"group-limit ${w.orderSpec.mkString(", ").take(120)}")
+        case _ => Seq.empty
+      }
+      here ++ kids(p).flatMap(unboundedGlobalWindows)
+    }
+    // DOMAIN-bounded (not structurally bounded) window inputs — each
+    // needs a written reason the input stays small at 100 TB:
+    //   q126: the concurrency sweep's running sums range over the
+    //   DISTINCT-DAY calendar (one row per day in the date domain —
+    //   100 TB of orders still spans the same ~2,400 days; the input
+    //   grows with the calendar, never with data volume).
+    val domainBounded = Set("q126_interval_concurrency")
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"$name returned 0 rows")
+      if (!domainBounded(name))
+        unboundedGlobalWindows(df.queryExecution.executedPlan)
+          .foreach(w => violations += s"$name: $w")
+    }
+    assert(violations.isEmpty,
+      s"unpartitioned windows over unbounded input:\n${violations.mkString("\n")}")
   }
 
   test("every oracleSql key has a matching queries key") {

@@ -788,6 +788,48 @@ class WarehouseSpec extends AnyFunSuite {
     assert(!after.exists(_.contains("WRITE ORDERED BY")), after.mkString("\n"))
   }
 
+  test("WRITE ZORDERED BY: post-DDL inserts prune on BOTH columns; round-trips; type-checked") {
+    val wh = graft.TempDirs.scratch("spec-wzorder")
+    graft.sources.Snapshots.commit(
+      Tables(spark, sf, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"), col("l_returnflag")),
+      graft.Engine.tableDir(wh, "sales.lineitem"))
+    def sql(q: String) = graft.Engine.sqlWarehouse(spark, wh, q)
+    val t = graft.Engine.tableDir(wh, "m.li")
+    sql("""CREATE TABLE m.li AS
+          |SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+          |FROM sales.lineitem WHERE l_orderkey % 2 = 0""".stripMargin)
+    // non-BIGINT column rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      sql("ALTER TABLE m.li WRITE ZORDERED BY (l_orderkey, l_returnflag)")
+    }
+    assert(err.getMessage.contains("BIGINT"))
+    sql("ALTER TABLE m.li WRITE ZORDERED BY (l_orderkey, l_partkey)")
+    sql("""INSERT INTO m.li
+          |SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+          |FROM sales.lineitem WHERE l_orderkey % 2 = 1""".stripMargin)
+    // the post-DDL commit must prune on EACH dimension independently
+    def hitFrac(c: String, lo: Long, hi: Long): (Int, Int) = {
+      val rows = spark.read.parquet(s"$t/c=2")
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .collect()
+      (rows.count(r => !r.isNullAt(1) &&
+        r.getLong(2) >= lo && r.getLong(1) <= hi), rows.length)
+    }
+    val okDomain = Tables(spark, sf, "lineitem")
+      .agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+    val (okHi, pkHi) = (okDomain.getLong(0), okDomain.getLong(1))
+    val (hitOk, totOk) = hitFrac("l_orderkey", 1L, okHi / 8)
+    val (hitPk, totPk) = hitFrac("l_partkey", 1L, pkHi / 8)
+    assert(totOk > 3, s"z-ordered insert landed only $totOk files")
+    assert(hitOk < totOk, s"orderkey range hit all $totOk files")
+    assert(hitPk < totPk, s"partkey range hit all $totPk files")
+    val lines = sql("SHOW CREATE TABLE m.li").collect().map(_.getString(1))
+    assert(lines.exists(_.trim == "WRITE ZORDERED BY (l_orderkey, l_partkey)"),
+      lines.mkString("\n"))
+  }
+
   test("q51 pruned mart equals the same month computed from the raw table") {
     val viaLanded = SparkEntry.queries("q51_partitioned_scan")(spark, sf)
       .collect().map(_.toSeq.map(String.valueOf))
