@@ -128,6 +128,41 @@ class SqlFacadeFuzzSpec extends AnyFunSuite {
     intercept[Exception] { sql("TRUNCATE TABLE lake.nope") }
   }
 
+  test("WRITE ORDERED/ZORDERED/UNORDERED: adversarial spellings parse whole or refuse loudly") {
+    val wh = freshWh()
+    def sql(q: String) = Engine.sqlWarehouse(spark, wh, q)
+    // happy paths, odd whitespace/case
+    sql("alter table raw.t write ordered by ( k )")
+    assert(sql("SHOW TBLPROPERTIES raw.t").collect()
+      .exists(r => r.getString(0) == "write.sort-order" && r.getString(1) == "k"))
+    sql("ALTER TABLE raw.t WRITE UNORDERED")
+    assert(!sql("SHOW TBLPROPERTIES raw.t").collect()
+      .exists(_.getString(0) == "write.sort-order"))
+    // UNORDERED with nothing set: the UNSET path is loud (no silent no-op)
+    intercept[IllegalArgumentException] { sql("ALTER TABLE raw.t WRITE UNORDERED") }
+    // unknown table / unknown column / empty column list: loud
+    intercept[Exception] { sql("ALTER TABLE raw.nope WRITE ORDERED BY (k)") }
+    intercept[IllegalArgumentException] {
+      sql("ALTER TABLE raw.t WRITE ORDERED BY (ghost)") }
+    intercept[Exception] { sql("ALTER TABLE raw.t WRITE ORDERED BY ()") }
+    // ZORDERED arity: one or three columns must not half-parse
+    intercept[Exception] { sql("ALTER TABLE raw.t WRITE ZORDERED BY (k)") }
+    intercept[Exception] { sql("ALTER TABLE raw.t WRITE ZORDERED BY (k, k, k)") }
+    // ZORDERED on a non-BIGINT column: loud with the type in the message
+    val e = intercept[IllegalArgumentException] {
+      sql("ALTER TABLE raw.t WRITE ZORDERED BY (k, s)") }
+    assert(e.getMessage.contains("BIGINT"))
+    // the keyword inside a string literal is DATA, not DDL
+    assert(sql("SELECT 'ALTER TABLE raw.t WRITE ORDERED BY (k)' AS x " +
+      "FROM raw.t").count() == 5L)
+    assert(!sql("SHOW TBLPROPERTIES raw.t").collect()
+      .exists(_.getString(0) == "write.sort-order"))
+    // direct property write round-trips through SHOW CREATE as DDL
+    sql("ALTER TABLE raw.t SET TBLPROPERTIES ('write.sort-order' = 'k')")
+    assert(sql("SHOW CREATE TABLE raw.t").collect()
+      .exists(_.getString(1).trim == "WRITE ORDERED BY (k)"))
+  }
+
   test("metadata-table + travel combinations: supported forms answer, others fail loudly") {
     val wh = freshWh()
     import spark.implicits._
