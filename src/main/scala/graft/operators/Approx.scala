@@ -410,7 +410,63 @@ object Approx {
       .orderBy(col("region"))
   }
 
+  /** a11: ROLLING-WINDOW distinct from STORED sketches — the other
+    * half of a10's nightly-cube pattern, on the TIME axis: "distinct
+    * users in the trailing 7 days, for every day" cannot sum daily
+    * distincts (users repeat across days) and re-scanning 7 days of
+    * raw events per day costs 7× the lake at 100 TB. The nightly job
+    * commits ONE KMV sketch per day (≤K hashes — manifest-sized
+    * artifacts); the serve job answers every trailing window by
+    * merging 7 stored sketches (KMV dedupes on insert, so the
+    * overlap of a user active on several days collapses — the merged
+    * sketch is BIT-IDENTICAL to sketching the window's raw slice
+    * directly, which is exactly what the oracle computes). Serve
+    * cost: #days × 7 sketch rows, zero raw-table reads. The exact
+    * side here is gate evidence only.
+    */
+  def a11RollingSketch(spark: SparkSession, dir: String): DataFrame = {
+    val K = 256
+    GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.kMinValues
+    val t = s"${graft.TempDirs.scratch("graft-rollsketch")}/daily_sketches"
+    val ev = Tables(spark, dir, "events").select(
+      to_date(col("ts")).as("day"),
+      col("user_id"),
+      conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("long").as("hv"))
+    // nightly: one sketch per day, committed
+    graft.sources.Snapshots.commit(
+      ev.groupBy(col("day")).agg(kMinValues(col("hv"), K).as("sk")), t)
+    // serve: each stored day feeds the 7 windows ending d..d+6; only
+    // window-ends that are real days answer. Reads the stored table
+    // ONLY (60 sketch rows at any data scale).
+    val stored = graft.sources.Snapshots.read(spark, t)
+    val ends = stored.select(col("day").as("win_end"))
+    val merged = stored
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("win_end"),
+        col("sk"))
+      .join(broadcast(ends), "win_end")
+      .select(col("win_end"), explode(col("sk")).as("hv"))
+      .groupBy(col("win_end")).agg(kMinValues(col("hv"), K).as("sk"))
+    def estimate(sk: org.apache.spark.sql.Column) =
+      when(size(sk) < K, size(sk).cast("double"))
+        .otherwise(lit((K - 1).toDouble) * lit(1152921504606846976L).cast("double") /
+          element_at(sk, K).cast("double"))
+    // exact trailing-window distinct: gate evidence only
+    val exact = ev.select(col("day"), col("user_id"))
+      .join(broadcast(ends),
+        col("day").between(date_sub(col("win_end"), 6), col("win_end")))
+      .groupBy(col("win_end")).agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(exact, Seq("win_end"))
+      .select(col("win_end"), col("n_exact"), estimate(col("sk")).as("kmv_est"))
+      .withColumn("within_envelope",
+        abs(col("kmv_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double") <= lit(3.0 / math.sqrt(K.toDouble)))
+      .orderBy(col("win_end"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a11_rolling_sketch" -> (a11RollingSketch _),
     "a10_sketch_rollup" -> (a10SketchRollup _),
     "a09_reservoir_sample" -> (a09ReservoirSample _),
     "a01_hll_sketches" -> (a01HllSketches _),
@@ -424,6 +480,43 @@ object Approx {
   )
 
   val oracles: Map[String, String] = Map(
+    // a11: the oracle sketches each trailing 7-day WINDOW directly
+    // from the raw slice — the merged-from-stored-daily-sketches
+    // estimate must equal it bit-for-bit (KMV mergeability dedupes
+    // the cross-day user overlap), and land in the 3/sqrt(K)
+    // envelope of the exact trailing distinct
+    "a11_rolling_sketch" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |hv AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |wins AS (
+        |  SELECT d.day AS win_end, h.hv, h.user_id
+        |  FROM days d JOIN hv h
+        |    ON h.day BETWEEN d.day - INTERVAL 6 DAY AND d.day),
+        |dist AS (SELECT win_end, hv FROM wins GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT win_end, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY win_end ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY win_end) AS nd
+        |  FROM dist),
+        |est AS (
+        |  SELECT win_end,
+        |    CASE WHEN MAX(nd) < 256 THEN CAST(MAX(nd) AS DOUBLE)
+        |         ELSE 255.0 * 1152921504606846976.0 /
+        |           CAST(MAX(CASE WHEN rn = 256 THEN hv END) AS DOUBLE) END
+        |      AS kmv_est
+        |  FROM ranked GROUP BY 1),
+        |exact AS (
+        |  SELECT win_end, COUNT(DISTINCT user_id) AS n_exact
+        |  FROM wins GROUP BY 1)
+        |SELECT e.win_end, x.n_exact, e.kmv_est,
+        |  abs(e.kmv_est - CAST(x.n_exact AS DOUBLE)) / CAST(x.n_exact AS DOUBLE)
+        |    <= 3.0 / sqrt(256.0) AS within_envelope
+        |FROM est e JOIN exact x USING (win_end)
+        |ORDER BY e.win_end""".stripMargin,
     // a10: the oracle sketches each REGION directly from the raw
     // table — the stored-per-nation-then-merged estimate must equal
     // it bit-for-bit (KMV mergeability), and land in the 3/sqrt(K)

@@ -656,7 +656,42 @@ object Pipeline {
       .orderBy(col("worker"))
   }
 
+  /** p30: PER-SOURCE QUOTA CAP — the domain-cap curation rule
+    * (C4/RefinedWeb: no single site may dominate the mix; Gopher's
+    * per-domain document caps): each source keeps at most K
+    * documents, chosen by deterministic salted-hash order — stable
+    * across runs, engines and cluster sizes (data lineage), and
+    * needing NO coordination: any worker can decide any document's
+    * fate from its own key. Differs from p03 (stratified FRACTION)
+    * and p10 (source REWEIGHTING): a quota is an absolute per-group
+    * ceiling. Implementation is a09's bounded bottom-K AGGREGATE per
+    * source — each map partition reduces to ≤K (hash, chars) pairs
+    * per source before the exchange, so at 100 TB the shuffle
+    * carries kilobytes per source where the window formulation
+    * (`row_number OVER (PARTITION BY source ORDER BY hash)`) would
+    * shuffle-and-sort the corpus; the DuckDB oracle IS that window
+    * formulation, proving both shapes keep identical documents.
+    */
+  def p30SourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    val K = 20
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.bottomK
+    val d = docs(spark, dir).select(
+      col("source"), col("n_chars"),
+      conv(substring(md5(concat(lit("quota:"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        bottomK(col("h"), col("n_chars"), K).as("kept"))
+      .select(col("source"), col("n_docs"),
+        size(col("kept")).cast("long").as("n_kept"),
+        expr("aggregate(kept, 0L, (acc, x) -> acc + x.v)").as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p30_source_quota" -> (p30SourceQuota _),
     "p29_rendezvous_shards" -> (p29RendezvousShards _),
     "p26_quality_curve" -> (p26QualityCurve _),
     "p25_epoch_schedule" -> (p25EpochSchedule _),
@@ -684,6 +719,24 @@ object Pipeline {
 
   /** DuckDB oracles (parity rules: SURVEY.md §4). */
   val oracles: Map[String, String] = Map(
+    // p30: the window formulation over the same salted hash must keep
+    // the identical documents the bounded aggregate kept
+    "p30_source_quota" ->
+      """WITH h AS (
+        |  SELECT source, n_chars,
+        |    CAST(('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |  FROM h)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS kept_chars
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
     // p29: identical md5 scores, identical packed argmax arithmetic —
     // the HRW minimal-disruption property must emerge from the data
     "p29_rendezvous_shards" ->

@@ -2088,7 +2088,77 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** st29: STREAMING INGEST INTO A WRITE-ORDERED TABLE — the
+    * persistent write order (q133, `ALTER TABLE … WRITE ORDERED BY`)
+    * meeting the micro-batch landing path: a CDC/event landing zone
+    * whose EVERY commit stays range-clustered on the query key, so
+    * downstream point/range reads prune files immediately — no
+    * nightly compaction pass needed before the data is servable
+    * (the streaming-ingest complement of q53's after-the-fact
+    * compaction). The order is declared ONCE on the table; the
+    * foreachBatch writer just calls Mor.append, which clusters each
+    * batch because the TABLE says so — writer code stays
+    * order-oblivious, exactly the q133 contract. The gate pins: 4
+    * micro-batch data commits (maxFilesPerTrigger over the pinned
+    * shard count), EVERY commit's per-file user_id bounds pruning a
+    * 1/8-domain range predicate, and the rollup restated from raw.
+    */
+  def st29StreamWriteOrder(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    val src = graft.TempDirs.scratch("graft-st29-src")
+    graft.BenchPhase.land {
+      graft.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(src)
+    }
+    val table = s"${graft.TempDirs.scratch("graft-st29-tbl")}/events_ordered"
+    // declare the write order BEFORE any data lands: every commit of
+    // this table — batch or streaming — clusters on user_id
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    graft.sources.Snapshots.setTableProperties(table,
+      Seq(graft.sources.Mor.WriteOrderProp -> "user_id"))
+    val q = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+      .option("maxFilesPerTrigger", "4")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", graft.TempDirs.scratch("graft-st29-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // idempotent tagged append; the TABLE's write order clusters it
+        graft.sources.Mor.append(batch, table, tag = Some(s"st29-batch=$id"))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // every data commit must prune: per-file user_id bounds vs a
+    // 1/8-domain range predicate (manifest-sized work per commit)
+    val hi = graft.Tables(spark, dir, "events")
+      .agg(max(col("user_id"))).head().getLong(0)
+    val (qLo, qHi) = (1L, math.max(1L, hi / 8))
+    val dataCommits = graft.sources.Mor.commits(table).filter(_.kind == "data")
+    val clustered = dataCommits.forall { c =>
+      val bounds = spark.read.parquet(s"$table/c=${c.id}")
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+        .collect() // #files rows per commit
+      val hit = bounds.count(r => !r.isNullAt(1) &&
+        r.getLong(2) >= qLo && r.getLong(1) <= qHi)
+      bounds.length > 1 && hit < bounds.length
+    }
+    graft.sources.Mor.read(spark, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_event_id"))
+      .withColumn("n_data_commits", lit(dataCommits.size.toLong))
+      .withColumn("all_commits_clustered", lit(clustered))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st29_stream_write_order" -> (st29StreamWriteOrder _),
     "st28_transform_with_state" -> (st28TransformWithState _),
     "st27_stream_join_ivm" -> (st27StreamJoinIvm _),
     "st26_stream_quality_gate" -> (st26StreamQualityGate _),
@@ -2122,6 +2192,18 @@ object EventStream {
   // 6 h from the epoch, so buckets align with Spark's epoch-aligned
   // window() for divisors of 24 h.
   val oracles: Map[String, String] = Map(
+    // st29: the streamed write-ordered landing must be lossless (the
+    // rollup restates from raw); commit count and per-commit
+    // clustering are in-data proofs
+    "st29_stream_write_order" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+        |  CAST(4 AS BIGINT) AS n_data_commits,
+        |  TRUE AS all_commits_clustered
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // st28: every statistic recomputed from the raw table, including
     // the sorted per-type histogram signature
     "st28_transform_with_state" ->

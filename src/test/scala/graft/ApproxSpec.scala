@@ -21,6 +21,26 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("a11 rolling windows: estimates in-envelope, monotone vs daily, every window answered") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("a11_rolling_sketch")(spark, sf).collect()
+    // 30 fixture days → 30 trailing windows, each answered
+    assert(rows.length == 30, s"expected 30 window rows, got ${rows.length}")
+    assert(rows.forall(_.getBoolean(3)),
+      "a trailing-window estimate left the 3/sqrt(K) envelope")
+    // a trailing 7-day distinct can never be below its own day's:
+    // the merged sketch must reflect the union, not one day
+    val daily = Tables(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val winEnd = r.getDate(0).toString
+      assert(r.getLong(1) >= daily(winEnd),
+        s"window ending $winEnd has exact ${r.getLong(1)} < its day's ${daily(winEnd)}")
+    }
+  }
+
   test("a03 quantile sketch lands inside the exact ±5%-rank envelope") {
     val rows = Approx.a03QuantileSketch(spark, sf).collect()
     assert(rows.nonEmpty)

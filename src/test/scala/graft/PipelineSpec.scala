@@ -9,6 +9,25 @@ import graft.operators.Pipeline
 class PipelineSpec extends AnyFunSuite {
   import TestSession._
 
+  test("p30 quota caps every source at K via the bounded aggregate (no corpus-wide window)") {
+    val df = Pipeline.p30SourceQuota(spark, sf)
+    val rows = df.collect()
+    // every source present; kept never exceeds the quota nor the source
+    val nSources = Tables(spark, sf, "documents")
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept == math.min(n, 20L),
+        s"${r.getString(0)}: kept $kept of $n (quota 20)")
+      assert(r.getLong(3) > 0L, "kept docs must carry chars")
+    }
+    // the scale claim IS the plan shape: the bounded aggregate, not a
+    // row_number window over the corpus
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "p30 must not plan a window over the corpus")
+  }
+
   test("p01 packs conserve documents and respect the running-chunk bound") {
     val packs = Pipeline.p01PackSequences(spark, sf).collect()
     val nDocs = packs.map(_.getAs[Long]("n_docs")).sum
