@@ -62,7 +62,10 @@ object PlanAudit {
                   "q111_mor_travel", "q112_sql_views",
                   "q113_sql_ddl", "q114_sql_merge",
                   "q115_clone_table", "p26_quality_curve",
-                  "t16_vocab_curve", "d17_containment")) {
+                  "t16_vocab_curve", "d17_containment",
+                  "q133_write_ordered", "q134_store_failures",
+                  "q135_user_share", "a11_rolling_sketch",
+                  "p30_source_quota", "st29_stream_write_order")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       def n(pat: String) = pat.r.findAllIn(plan).length

@@ -38,6 +38,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("clusterBySpec: lossless, narrows per-partition bounds, zorder narrows BOTH columns") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (1 to 3).foreach { _ =>
+      val n = 4000
+      val xs = List.fill(n)((rng.nextLong().abs % 100000L, rng.nextLong().abs % 100000L,
+        rng.alphanumeric.take(6).mkString))
+      val df = xs.toDF("a", "b", "s").repartition(8)
+      def spans(clustered: org.apache.spark.sql.DataFrame, c: String): Double = {
+        val rows = clustered
+          .select(spark_partition_id().as("p"), col(c))
+          .groupBy(col("p")).agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+          .collect().filter(r => !r.isNullAt(1))
+        rows.map(r => (r.getLong(2) - r.getLong(1)).toDouble).sum / rows.length
+      }
+      val domain = 100000.0
+      // 64 partitions so the z-curve consumes 3 interleaved bits per
+      // dimension (8 partitions would split `a` only once — the
+      // narrowing is log2(P)/2 bits per column)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        // range spec: multiset preserved, per-partition span on the
+        // lead column far below the full domain (random ≈ domain)
+        val ranged = graft.sources.Sources.clusterBySpec(df, "a")
+        assert(ranged.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+          df.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+        assert(spans(ranged, "a") < domain / 8,
+          s"range cluster left wide spans: ${spans(ranged, "a")}")
+        // zorder spec: lossless AND both columns' spans narrow
+        val zed = graft.sources.Sources.clusterBySpec(df, "zorder(a, b)")
+        assert(zed.count() == n)
+        assert(spans(zed, "a") < domain / 4 && spans(zed, "b") < domain / 4,
+          s"zorder spans: a=${spans(zed, "a")} b=${spans(zed, "b")}")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      // empty batch: both specs are no-ops, not crashes
+      assert(graft.sources.Sources.clusterBySpec(df.limit(0), "a").count() == 0)
+      assert(graft.sources.Sources.clusterBySpec(df.limit(0), "zorder(a, b)").count() == 0)
+      // unknown column / malformed spec: loud
+      intercept[IllegalArgumentException] {
+        graft.sources.Sources.clusterBySpec(df, "nope") }
+      intercept[IllegalArgumentException] {
+        graft.sources.Sources.clusterBySpec(df, "zorder(a, nope)") }
+    }
+  }
+
   test("rolling hash: deterministic, utf8-byte-sensitive, concat-composable") {
     (1 to 50).foreach { _ =>
       val s1 = rng.alphanumeric.take(rng.nextInt(40)).mkString
