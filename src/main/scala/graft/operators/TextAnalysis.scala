@@ -592,7 +592,44 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** t18: TOKENIZER FERTILITY by language — the first table any
+    * multilingual tokenizer-budget review reads: with ONE tokenizer
+    * trained on the mixed corpus (t11/t12's BPE), how many tokens
+    * does each language pay per word (`fertility`), and how many
+    * characters does one token buy? A language the merges under-serve
+    * pays more tokens for the same text — the compute/quality-mix
+    * input behind per-language sampling weights (p10/p14) and vocab
+    * sizing (t16). Same distributed encode as t12 (broadcast-joined
+    * merge dictionary, map-side-combined per-lang aggregate; the
+    * ratios are two IEEE divisions over exact integer sums —
+    * cross-engine deterministic). The oracle retrains the SAME BPE in
+    * SQL and restates both ratios per language.
+    */
+  def t18Fertility(spark: SparkSession, dir: String): DataFrame = {
+    val (_, dict) = bpeTrain(spark, dir, rounds = 3)
+    graft.Caches.deferRelease(dict) // released after the consuming action
+    val docWords = docs(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("raw"))
+      .select(col("lang"), regexp_replace(col("raw"), "[^a-z]", "").as("w"))
+      .filter(length(col("w")).between(2, 20))
+    docWords
+      .join(dict.select(col("w"),
+        size(split(col("sym"), " ")).cast("long").as("ntok")), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("ntok")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("tokens_per_word"),
+        round(col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_fertility" -> (t18Fertility _),
     "t17_confusable_fold" -> (t17ConfusableFold _),
     "t16_vocab_curve" -> (t16VocabCurve _),
     "t15_collocations" -> (t15Collocations _),
@@ -667,6 +704,45 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // t18: the oracle retrains the SAME 3-round BPE in SQL (t12's CTE
+    // chain), then restates per-language fertility — exact integer
+    // sums, one IEEE division per ratio
+    "t18_fertility" ->
+      s"""WITH base AS (
+         |  SELECT regexp_replace(tok, '[^a-z]', '', 'g') AS w
+         |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |        FROM documents)),
+         |w0 AS (
+         |  SELECT w, COUNT(*) AS n,
+         |    '<' || array_to_string(
+         |      list_transform(range(1, len(w)+1), i -> substring(w, i, 1)),
+         |      '> <') || '>' AS sym
+         |  FROM base WHERE len(w) BETWEEN 2 AND 20
+         |  GROUP BY w),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)},
+         |dw AS (
+         |  SELECT lang, regexp_replace(tok, '[^a-z]', '', 'g') AS w
+         |  FROM (SELECT lang,
+         |          unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |        FROM documents)),
+         |enc AS (SELECT w, len(string_split(sym, ' ')) AS ntok FROM w3),
+         |agg AS (
+         |  SELECT lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN enc USING (w)
+         |  WHERE len(w) BETWEEN 2 AND 20
+         |  GROUP BY lang)
+         |SELECT lang, n_words, n_chars, n_bpe_tokens,
+         |  round(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         |    AS tokens_per_word,
+         |  round(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 6)
+         |    AS chars_per_token
+         |FROM agg
+         |ORDER BY lang""".stripMargin,
     // t17: same injected attack, same fold, same md5 bytes — DuckDB's
     // translate is character-wise like Spark's
     "t17_confusable_fold" ->
