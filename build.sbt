@@ -23,6 +23,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// dev-only: extra forked-JVM flags (e.g. GRAFT_JAVA_OPTS=-Dgraft.profile=true)
+javaOptions ++= sys.env.getOrElse("GRAFT_JAVA_OPTS", "")
+  .split(' ').filter(_.nonEmpty).toSeq
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

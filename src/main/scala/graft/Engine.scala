@@ -110,6 +110,79 @@ object Engine {
     * statement reaches Spark's parser — the user writes the catalog
     * spelling, same-name tables in two databases never collide.
     */
+  // ---- registration memo -------------------------------------------
+  // Every facade statement re-opens the warehouse, and registering a
+  // table costs a read-plan construction (parquet footer/schema) plus
+  // a stored-stats probe — measured ~450 ms per openWarehouse on a
+  // 3-table warehouse, paid per statement AND per view-definition
+  // resolution (guide §5: driver-side planning work). A registered
+  // view only needs refreshing when the TABLE STATE changed, so each
+  // session keeps (view → state fingerprint) and re-registers only on
+  // a fingerprint miss — the invalidation rule every catalog uses.
+  // The fingerprint covers every metadata surface a registration
+  // reads: top-level ledger/sidecar files (manifest, _times, _commits,
+  // _schemas, _props, …) by size+mtime, top-level dirs (new v=N /
+  // c=N / _tablestats versions) by name+mtime, the transform store's
+  // data directory tree (appendEvolved adds files without touching a
+  // top-level ledger — leaf dir mtimes catch it), the stats sidecar
+  // files (they flip the broadcast hint), and the hint threshold
+  // itself. Weak keys: a stopped session must not be pinned.
+  private val regMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.HashMap[String, String]]())
+
+  /** Drop `spark`'s registration memo — callers that overwrite temp
+    * views out-of-band (governed view sets) force full re-registration
+    * on the next openWarehouse.
+    */
+  private def invalidateRegistrations(spark: SparkSession): Unit =
+    regMemo.remove(spark)
+
+  private def tableFingerprint(tdir: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(tdir)
+    val sb = new StringBuilder
+    def stamp(f: Path, rel: String): Unit = {
+      sb.append(rel).append(':')
+      if (Files.isDirectory(f)) sb.append('d')
+      else sb.append(Files.size(f))
+      sb.append(':').append(Files.getLastModifiedTime(f).toMillis).append('|')
+    }
+    def listSorted(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      } finally s.close()
+    }
+    listSorted(root).foreach(f => stamp(f, f.getFileName.toString))
+    // transform-store data tree: dir mtimes see appended files
+    val data = root.resolve("data")
+    if (Files.isDirectory(data)) {
+      val w = Files.walk(data)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(Files.isDirectory(_))
+          .toSeq.map(p => root.relativize(p).toString).sorted
+          .foreach(r => stamp(root.resolve(r), r))
+      } finally w.close()
+    }
+    // stats sidecars drive the broadcast hint
+    val stats = root.resolve("_tablestats")
+    if (Files.isDirectory(stats)) {
+      val w = Files.walk(stats)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(Files.isRegularFile(_))
+          .toSeq.map(p => root.relativize(p).toString).sorted
+          .foreach(r => stamp(root.resolve(r), r))
+      } finally w.close()
+    }
+    sb.append("cbo=")
+      .append(sys.props.getOrElse("graft.cbo.broadcastRows", "50000"))
+    sb.toString
+  }
+
   def openWarehouse(spark: SparkSession, warehouseDir: String): SparkSession = {
     // reads go through the catalog: complete any durable-but-part-
     // published multi-table transaction before resolving views
@@ -125,14 +198,32 @@ object Engine {
     // so a stale hint would be a driver-OOM risk — any commit after
     // ANALYZE invalidates the hint until the next ANALYZE.
     val cboRows = sys.props.getOrElse("graft.cbo.broadcastRows", "50000").toLong
-    warehouseEntries(warehouseDir).foreach { case (name, tdir) =>
-      val base = readTable(spark, tdir)
-      val hinted = graft.sources.Snapshots.headAnalyzedRowCount(spark, tdir) match {
-        case Some(n) if cboRows > 0 && n <= cboRows =>
-          org.apache.spark.sql.functions.broadcast(base)
-        case _ => base
+    val memo = {
+      var m = regMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.HashMap.empty[String, String]
+        regMemo.put(spark, m)
       }
-      hinted.createOrReplaceTempView(viewName(name))
+      m
+    }
+    warehouseEntries(warehouseDir).foreach { case (name, tdir) =>
+      // keyed by VIEW name, value carries the warehouse: two
+      // warehouses sharing a table name in one session must keep
+      // last-opened-wins semantics (a stale same-name skip would
+      // serve the OTHER warehouse's table)
+      val fp = s"$warehouseDir|${tableFingerprint(tdir)}"
+      val memoKey = viewName(name)
+      val fresh = memo.synchronized { memo.get(memoKey).contains(fp) }
+      if (!fresh) {
+        val base = readTable(spark, tdir)
+        val hinted = graft.sources.Snapshots.headAnalyzedRowCount(spark, tdir) match {
+          case Some(n) if cboRows > 0 && n <= cboRows =>
+            org.apache.spark.sql.functions.broadcast(base)
+          case _ => base
+        }
+        hinted.createOrReplaceTempView(viewName(name))
+        memo.synchronized { memo(memoKey) = fp }
+      }
     }
     GraftFunctions.register(spark)
     graft.functions.SqlDialect.register(spark)
@@ -258,6 +349,9 @@ object Engine {
     */
   def openGoverned(spark: SparkSession, dir: String,
       policies: Seq[Policy]): SparkSession = {
+    // governed views may overwrite warehouse-registered names: force
+    // the next openWarehouse on this session to re-register everything
+    invalidateRegistrations(spark)
     val byTable = policies.map(p => p.table -> p).toMap
     Tables.names.foreach { n =>
       val base = Tables(spark, dir, n)

@@ -946,8 +946,15 @@ object Similarity {
     val preRows = pre.collect() // materialize BEFORE the delete lands
     val del = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
     deleteFromAnnIndex(spark, idxDir, del, batchTag = Some("s20-del"))
-    val postServed = serve().collect() // unphased: the comparison basis
-    val post = serve().withColumn("phase", lit("b_post"))
+    // ONE post-delete serve: the unphased comparison basis and the
+    // phased result rows come from the same served batch (the second
+    // serve of identical index state re-paid the whole probe chain)
+    val postServed = serve().collect()
+    val post = spark.createDataFrame(
+        spark.sparkContext.parallelize(postServed.toSeq),
+        org.apache.spark.sql.types.StructType(
+          pre.schema.filterNot(_.name == "phase")))
+      .withColumn("phase", lit("b_post"))
     val postRows = post.collect()
     def sig(rows: Seq[org.apache.spark.sql.Row]) =
       rows.map(_.toString).sorted

@@ -319,17 +319,22 @@ object TextAnalysis {
     locally {
       for (k <- 1 to rounds) {
         val toks = cur.select(col("w"), col("n"), split(col("sym"), " ").as("toks"))
+        // affected-word-types rides the SAME aggregate as the pair
+        // counts (count(distinct w) over the pair explosion — a word
+        // type contains the pair iff it emitted ≥1 such row), saving
+        // the separate instr-filter count job each round
         val top = toks.filter(size(col("toks")) >= 2)
-          .select(col("n"), explode(expr(
+          .select(col("w"), col("n"), explode(expr(
             """transform(sequence(1, size(toks) - 1),
               |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
               .stripMargin)).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"),
+            countDistinct(col("w")).as("nw"))
           .orderBy(col("cnt").desc, col("pair")).limit(1)
           .head() // the single winning merge — the BPE train step's output
         val (pair, cnt) = (top.getString(0), top.getLong(1))
         val merged = pair.replace("> <", "")
-        val nWords = cur.filter(instr(col("sym"), pair) > 0).count()
+        val nWords = top.getLong(2)
         merges += ((k, pair, merged, cnt, nWords))
         val next = cur.select(col("w"), col("n"),
           replace(col("sym"), lit(pair), lit(merged)).as("sym")).persist()

@@ -624,7 +624,13 @@ object TpchSuite {
     // iteration would silently re-run the 2·|E| distinct join
     // (measured: 14.5 s vs 7.5 s at sf0.1). Released explicitly
     // after the fixpoint, once rank is checkpoint-materialized.
+    // Persisted HASH-PARTITIONED ON dst: every iteration's per-node
+    // combine groups by dst, so clustering the cached edge table by
+    // dst once makes all 5 groupBys exchange-free (guide §2.4 — one
+    // shuffle paid at build replaces one |E| exchange per iteration;
+    // the broadcast rank join preserves the partitioning).
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     val nN = deg.count().toDouble

@@ -434,16 +434,23 @@ object Warehouse {
     // multiplicity + price roll up per key, and the v1 slice takes a
     // key only when ALL its constituents shipped before the cutoff
     // (max-shipdate), so v1→v2 is pure INSERTS — the append landing.
+    // the keyed rollup feeds BOTH landed versions: cache it so the
+    // lineitem scan+aggregate runs once, not once per commit (guide
+    // §5 — reused and more expensive to recompute than to hold).
+    // Plain persist, released right after the second commit:
+    // Caches.scoped would free it on the FIRST commit's write action.
     val lk = Tables(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(count(lit(1)).as("qty"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).as("price"),
         max(col("l_shipdate")).as("ship_max"))
+      .persist()
     val ov1 = Snapshots.commit(o.filter(col("o_orderdate") < cutoff), oT)
     val ov2 = Snapshots.commit(o, oT)
     val lv1 = Snapshots.commit(
       lk.filter(col("ship_max") < cutoff).drop("ship_max"), lT)
     val lv2 = Snapshots.commit(lk.drop("ship_max"), lT)
+    lk.unpersist(false)
 
     def martAgg(oo: DataFrame, ll: DataFrame): DataFrame =
       oo.join(ll, col("o_orderkey") === col("l_orderkey"))
@@ -1989,10 +1996,15 @@ object Warehouse {
            |FROM analytics.orders o
            |JOIN $dim c ON o.o_custkey = c.c_custkey
            |GROUP BY c.c_mktsegment""".stripMargin)
-      df.collect() // finalize the adaptive plan before reading it
+      // finalize the adaptive plan AND keep the rows: returning `df`
+      // itself would re-execute the whole join per leg when the final
+      // union consumes it (measured: each leg ran twice)
+      val rows = df.collect()
       val bcast = df.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin")
-      df.withColumn("leg", lit(name))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq), df.schema)
+        .withColumn("leg", lit(name))
         .withColumn("used_broadcast", lit(bcast))
     }
     leg("analyzed", "analytics.customers")

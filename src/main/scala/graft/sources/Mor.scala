@@ -340,7 +340,7 @@ object Mor {
     // are in play — a user column of the same name would be silently
     // shadowed, so refuse it at the door
     if (all.exists(_.kind == "posdelete") || withPos) {
-      val cols = spark.read.parquet(
+      val cols = ParquetSchemas.read(spark,
         s"$tableDir/c=${all.find(c => !isDelete(c.kind)).get.id}").columns.toSet
       require(!cols.contains(PosFile) && !cols.contains(PosIdx),
         s"table columns collide with MoR's reserved position columns " +
@@ -361,7 +361,7 @@ object Mor {
         // delete (or the caller) needs it — parquet's hidden _metadata
         // (file_name + row_index), Iceberg's (file, ordinal) exactly
         val needsPos = withPos || later.exists(_.kind == "posdelete")
-        val base = spark.read.parquet(s"$tableDir/c=${c.id}")
+        val base = ParquetSchemas.read(spark, s"$tableDir/c=${c.id}")
         val df0 =
           if (!needsPos) base
           else base.select(col("*"),
@@ -369,7 +369,7 @@ object Mor {
             col("_metadata.row_index").as(PosIdx))
         val afterDeletes = later.filter(c2 => isDelete(c2.kind))
           .foldLeft(df0) { (acc, d) =>
-            val dd = spark.read.parquet(s"$tableDir/c=${d.id}")
+            val dd = ParquetSchemas.read(spark, s"$tableDir/c=${d.id}")
             if (d.kind == "delete") acc.join(dd, d.keyCols, "left_anti")
             else acc.join(dd,
               acc(PosFile) === dd("file") && acc(PosIdx) === dd("pos"),

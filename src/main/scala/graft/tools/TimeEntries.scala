@@ -22,11 +22,17 @@ object TimeEntries {
       // warmup
       SparkEntry.queries(name)(spark, dir).count()
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
-      val s = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      println(f"TIMED $name $s%.2f s")
+      // min-of-3: the sandbox host carries multi-core ambient load
+      // with ±2-3x swings; the minimum is the defensible steady-state
+      val runs = (1 to 3).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        s
+      }
+      println(f"TIMED $name ${runs.min}%.2f s (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
     }
     spark.stop()
   }
