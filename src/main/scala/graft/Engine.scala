@@ -756,7 +756,8 @@ object Engine {
   private def dmlResult(spark: SparkSession, table: String, op: String,
       dir: String, commitId: Long): DataFrame = {
     import spark.implicits._
-    val n = spark.read.parquet(s"$dir/c=$commitId").count()
+    // delta row count from the commit dir's footers — no data job
+    val n = graft.sources.ParquetSchemas.rowCount(spark, s"$dir/c=$commitId")
     Seq((table, op, n)).toDF("table_name", "operation", "rows_affected")
   }
 
@@ -903,12 +904,24 @@ object Engine {
         case Array(a, b) => (a, b)
         case _ => ("default", name)
       }
-      val vs =
-        if (isMorTable(d)) graft.sources.Mor.commits(d).map(_.id)
-        else Snapshots.versions(d)
-      (ns, t, vs.size.toLong, vs.lastOption.getOrElse(0L),
-        readTable(spark, d).count())
-    }.filter(r => db.forall(_ == r._1)).sortBy(r => (r._1, r._2))
+      (ns, t, d)
+    }
+      // db filter BEFORE any counting: SHOW TABLES IN db must not pay
+      // row counts for every other database's tables
+      .filter(r => db.forall(_ == r._1)).sortBy(r => (r._1, r._2))
+      .map { case (ns, t, d) =>
+        val vs =
+          if (isMorTable(d)) graft.sources.Mor.commits(d).map(_.id)
+          else Snapshots.versions(d)
+        // plain snapshot tables answer from the _filestats sidecar
+        // (metadata-only, Iceberg's manifest row counts); MoR replay
+        // and transform reads keep the exact count job
+        val nRows =
+          if (isMorTable(d) || graft.sources.Transforms.isTransformTable(d))
+            readTable(spark, d).count()
+          else Snapshots.headRowCount(spark, d)
+        (ns, t, vs.size.toLong, vs.lastOption.getOrElse(0L), nRows)
+      }
     import spark.implicits._
     rows.toDF("namespace", "table_name", "n_versions",
       "latest_version", "latest_rows")

@@ -57,6 +57,19 @@ object Mor {
   final case class Commit(id: Long, kind: String, keyCols: Seq[String],
       tag: Option[String] = None)
 
+
+  /** See Snapshots.compactLocal: a driver-local frame writes one file,
+    * not default-parallelism many. */
+  private def compactLocal(df: DataFrame): DataFrame = {
+    // isLocal alone misses toDF's Project-over-LocalRelation; the
+    // optimizer collapses that back to a LocalRelation, so check there
+    val local = df.isLocal || (df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    })
+    if (local) df.coalesce(1) else df
+  }
+
   private def ledger(tableDir: String) = Paths.get(tableDir, "_commits")
 
   /** Ledger lines in commit-id order (empty if table doesn't exist). */
@@ -116,7 +129,7 @@ object Mor {
       s"tag must not contain tab/newline: $t"))
     Files.createDirectories(Paths.get(tableDir))
     val id = reserveId(tableDir)
-    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/c=$id")
+    compactLocal(df).write.mode(SaveMode.Overwrite).parquet(s"$tableDir/c=$id")
     withLedgerLock(tableDir) {
       val existing = tag.flatMap(t => commits(tableDir).find(_.tag.contains(t)))
       existing.map(_.id).getOrElse {
@@ -272,8 +285,8 @@ object Mor {
     Files.createDirectories(Paths.get(tableDir))
     val delId = reserveId(tableDir)
     val addId = reserveId(tableDir) // strictly delId < addId
-    deletes.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/c=$delId")
-    data.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/c=$addId")
+    compactLocal(deletes).write.mode(SaveMode.Overwrite).parquet(s"$tableDir/c=$delId")
+    compactLocal(data).write.mode(SaveMode.Overwrite).parquet(s"$tableDir/c=$addId")
     withLedgerLock(tableDir) {
       replayedPair(tableDir, tag).getOrElse {
         val lines =

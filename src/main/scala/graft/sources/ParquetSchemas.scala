@@ -22,6 +22,27 @@ object ParquetSchemas {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  /** Exact row count of a parquet directory from the file footers
+    * (sum of record counts) — no Spark job, no data pages read. For
+    * immutable commit directories this equals `read(path).count()`.
+    */
+  def rowCount(spark: SparkSession, path: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(
+      path.stripPrefix("file:")))
+    try w.iterator().asScala
+      .filter(f => java.nio.file.Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toUri), conf))
+        try reader.getRecordCount finally reader.close()
+      }.sum
+    finally w.close()
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = {
     val cached = memo.get(path)
     if (cached != null) spark.read.schema(cached).parquet(path)

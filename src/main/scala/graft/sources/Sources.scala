@@ -111,20 +111,56 @@ object Sources {
     * The manifest lands as `_stats.tsv` (underscore-prefixed — Spark
     * file listing ignores it).
     */
+  /** Per-file [lo, hi] bounds of LONG columns read from the parquet
+    * FOOTERS — Iceberg's manifest-stats model: the writer already
+    * recorded exact min/max per row group, so collecting write-time
+    * stats is #files footer reads, never a second pass over the data
+    * (the previous implementation re-scanned the whole table through
+    * `groupBy(input_file_name())`; guide §6 — at 100 TB that second
+    * pass is a full column scan for information the footers hold).
+    * A column with no non-null value in a file yields None for that
+    * dimension. Parquet long statistics are exact (truncation only
+    * affects binary/string columns).
+    */
+  private def footerBounds(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String])
+      : Seq[(String, Seq[Option[(Long, Long)]])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, conf))
+        try {
+          val chunks = reader.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala)
+          val bounds = cols.map { c =>
+            val stats = chunks.filter(_.getPath.toDotString == c)
+              .map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+            if (stats.isEmpty) None
+            else Some((
+              stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+              stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max))
+          }
+          (f.getPath.toString, bounds)
+        } finally reader.close()
+      }
+  }
+
   def landWithStats(df: DataFrame, path: String, statsCol: String,
       numFiles: Int): Unit = graft.BenchPhase.land {
-    import org.apache.spark.sql.functions._
     require(df.schema(statsCol).dataType == org.apache.spark.sql.types.LongType,
       s"landWithStats clusters a BIGINT column, got ${df.schema(statsCol).dataType.sql}")
     df.repartitionByRange(numFiles, df.col(statsCol))
       .sortWithinPartitions(statsCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
-    val stats = df.sparkSession.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"))
-      .collect() // #files rows — manifest-sized, not data-sized
-      .filterNot(_.isNullAt(1)) // all-NULL file: no bounds → never scanned
-      .map(r => s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}")
+    val stats = footerBounds(df.sparkSession, path, Seq(statsCol))
+      .collect { case (f, Seq(Some((lo, hi)))) => s"$f\t$lo\t$hi" }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path.stripPrefix("file:"), "_stats.tsv"),
       stats.sorted.mkString("", "\n", "\n")
@@ -231,18 +267,15 @@ object Sources {
 
   def landZOrdered(df: DataFrame, path: String, colA: String, colB: String,
       numFiles: Int): Unit = graft.BenchPhase.land {
-    import org.apache.spark.sql.functions._
     zCluster(df, colA, colB, numFiles)
       .write.mode(SaveMode.Overwrite).parquet(path)
-    val stats = df.sparkSession.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(colA)).as("loA"), max(col(colA)).as("hiA"),
-        min(col(colB)).as("loB"), max(col(colB)).as("hiB"))
-      .collect() // #files rows — manifest-sized, not data-sized
-      .map { r =>
-        def dim(i: Int): String =
-          if (r.isNullAt(i)) "-\t-" else s"${r.getLong(i)}\t${r.getLong(i + 1)}"
-        s"${r.getString(0)}\t${dim(1)}\t${dim(3)}"
+    // two-column bounds from the footers (see footerBounds) — the
+    // data is never re-read to build its own manifest
+    val stats = footerBounds(df.sparkSession, path, Seq(colA, colB))
+      .map { case (f, dims) =>
+        def dim(d: Option[(Long, Long)]): String =
+          d.fold("-\t-") { case (lo, hi) => s"$lo\t$hi" }
+        s"$f\t${dim(dims.head)}\t${dim(dims(1))}"
       }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path.stripPrefix("file:"), "_stats2.tsv"),
