@@ -1194,22 +1194,74 @@ object Snapshots {
     val p = colStatsPath(tableDir, v)
     if (Files.exists(p)) return
     val dir = Paths.get(tableDir, s"v=$v")
-    val df = spark.read.parquet(dir.toString)
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("long")).as(s"__min_$c"),
-        max(col(c).cast("long")).as(s"__max_$c")))
-    val marker = s"/v=$v/"
-    val rows = df.groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // #files rows — manifest-sized
-      .flatMap { r =>
-        val full = r.getString(0)
-        val idx = full.lastIndexOf(marker)
-        val name =
-          if (idx >= 0) full.substring(idx + marker.length)
-          else full.split('/').last
-        cols.map(c =>
-          s"$name\t$c\t${r.getAs[Long](s"__min_$c")}\t${r.getAs[Long](s"__max_$c")}")
+    // integral columns (the documented contract) read their bounds
+    // from the parquet FOOTERS — #files footer reads, no data pass
+    // (Iceberg's manifest bounds; same exactness for int/long stats).
+    // Non-integral columns keep the aggregate path: their cast-to-long
+    // coercions are not footer-representable.
+    import org.apache.spark.sql.types._
+    val schema = ParquetSchemas.read(spark, dir.toString).schema
+    val integral = cols.forall(c => schema.fields.find(_.name == c)
+      .map(_.dataType).exists {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
+    val rows: Seq[String] =
+      if (integral) {
+        val conf = spark.sessionState.newHadoopConf()
+        val w = Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala
+            .filter(f => Files.isRegularFile(f) &&
+              f.getFileName.toString.endsWith(".parquet"))
+            .flatMap { f =>
+              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  new org.apache.hadoop.fs.Path(f.toUri), conf))
+              try {
+                // 0-row files never produced a grouped row before —
+                // keep them out of the sidecar
+                if (reader.getRecordCount == 0L) Seq.empty[String]
+                else {
+                  val chunks = reader.getFooter.getBlocks.asScala
+                    .flatMap(_.getColumns.asScala)
+                  cols.map { c =>
+                    val stats = chunks.filter(_.getPath.toDotString == c)
+                      .map(_.getStatistics)
+                      .filter(s => s != null && s.hasNonNullValue)
+                    // all-NULL column in this file: the old aggregate
+                    // row carried SQL NULL, read back as 0 — keep 0
+                    val (mn, mx) =
+                      if (stats.isEmpty) (0L, 0L)
+                      else (stats.map(
+                          _.genericGetMin.asInstanceOf[Number].longValue).min,
+                        stats.map(
+                          _.genericGetMax.asInstanceOf[Number].longValue).max)
+                    s"${dir.relativize(f)}\t$c\t$mn\t$mx"
+                  }
+                }
+              } finally reader.close()
+            }.toSeq
+        } finally w.close()
+      } else {
+        val df = spark.read.parquet(dir.toString)
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c).cast("long")).as(s"__min_$c"),
+            max(col(c).cast("long")).as(s"__max_$c")))
+        val marker = s"/v=$v/"
+        df.groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // #files rows — manifest-sized
+          .toSeq.flatMap { r =>
+            val full = r.getString(0)
+            val idx = full.lastIndexOf(marker)
+            val name =
+              if (idx >= 0) full.substring(idx + marker.length)
+              else full.split('/').last
+            cols.map(c =>
+              s"$name\t$c\t${r.getAs[Long](s"__min_$c")}\t${r.getAs[Long](s"__max_$c")}")
+          }
       }
     Files.write(p, rows.sorted.mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
