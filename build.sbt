@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's metric line must be the LAST line of `sbt "runMain graft.Bench"`
+// output (the driver json-parses it). Two sbt behaviours break that:
+// forked-process output is re-logged with [info]/[error] prefixes, and
+// sbt appends its own "[success] Total time …" trailer. StdoutOutput
+// inherits the forked JVM's stdio verbatim; showSuccess drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -58,7 +58,14 @@ object Bench {
         .readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
       catch { case _: Throwable => osBean.getSystemLoadAverage }
-    val ncpu = Runtime.getRuntime.availableProcessors
+    // `ncpu` echoes the CONFIGURED core count ($SPARK_GRAFT_CPUS — what
+    // the session actually runs with), not the host's processor count:
+    // the driver benches at two core counts and a host-count ncpu
+    // mislabels the low-core artifact (r10 verdict item 2). The host
+    // count still feeds the ambient-load bar (host capacity is what
+    // ambient load is measured against) and lands in BENCH-FULL.
+    val ncpu = cpus.toInt
+    val hostCpus = Runtime.getRuntime.availableProcessors
     // (wall sec, sysload sample, own parallelism) of the last timed run
     var lastLoad = (0.0, 0.0)
     // fixture-LANDING seconds inside the last timed run (store-layer
@@ -161,7 +168,7 @@ object Bench {
     // ambient-suspect: the host demanded several cores more than this
     // bench itself used during at least one of the entry's runs —
     // the row's wall time is not trustworthy as a plans verdict
-    val ambientBar = math.max(2.0, 0.25 * ncpu)
+    val ambientBar = math.max(2.0, 0.25 * hostCpus)
     val ambient = results.collect {
       case (k, _, _, sys, own, _) if sys - own > ambientBar =>
         (short(k), sys, own)
@@ -184,13 +191,28 @@ object Bench {
       "\"" + k + "\":{\"land_s\":" + s3(land) + ",\"serve_s\":" + s3(serve) + "}"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"total_shared_prev":${s3(sharedPrev)},"ncpu":$ncpu,"n_ambient":${ambient.size},"ambient":$jambient,"phases":$jphases,"spread":${jmap(spreadAll.sortBy(_._1))},"runs":${jruns(runsAll.sortBy(_._1))},"queries":${jmap(perQuery)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"total_shared_prev":${s3(sharedPrev)},"ncpu":$ncpu,"ncpu_host":$hostCpus,"n_ambient":${ambient.size},"ambient":$jambient,"phases":$jphases,"spread":${jmap(spreadAll.sortBy(_._1))},"runs":${jruns(runsAll.sortBy(_._1))},"queries":${jmap(perQuery)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH-FULL.json"), fullLine + "\n")
     catch { case _: Throwable => () } // read-only cwd: stdout still carries the summary
-    val top = perQuery.sortBy(-_._2).take(20).sortBy(_._1)
-    val spreadTop = spreadAll.sortBy(-_._2).take(10).sortBy(_._1)
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"total_shared_prev":${s3(sharedPrev)},"ncpu":$ncpu,"n_ambient":${ambient.size},"full_per_query":"BENCH-FULL.json","top20":${jmap(top)},"spread":${jmap(spreadTop)},"sf":"$sfDir"}""")
+    // ---- reporting contract (r10 verdict item 1) ---------------------
+    // The metric line must be the process's LAST stdout line and carry
+    // the FULL per-query map: every round r4-r10 the driver recorded
+    // `parsed: null` because the line was printed BEFORE session
+    // teardown — a late StateStore-maintenance WARN stack and sbt's
+    // epilogue landed after it. So: quiesce the streaming state-store
+    // maintenance timer, stop the session, silence late shutdown log
+    // chatter, THEN print. (build.sbt routes forked output straight to
+    // stdout and suppresses sbt's [success] trailer.) Timing
+    // methodology above is byte-for-byte unchanged.
+    try {
+      val ss = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      ss.getMethod("stop").invoke(ss.getField("MODULE$").get(null))
+    } catch { case _: Throwable => () }
+    try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
     spark.stop()
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"total_shared_prev":${s3(sharedPrev)},"ncpu":$ncpu,"n_ambient":${ambient.size},"full_per_query":"BENCH-FULL.json","queries":${jmap(perQuery)},"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
