@@ -14,6 +14,12 @@ object Engine {
 
   /** Register all warehouse tables as temp views + graft functions. */
   def open(spark: SparkSession, dir: String): SparkSession = {
+    // open() overwrites flat temp views out-of-band, exactly like
+    // openGoverned: a warehouse table of the same name (e.g. 'orders')
+    // registered earlier would otherwise stay marked fresh in the memo
+    // and the next openWarehouse would skip re-registration — silently
+    // serving THIS testdata view in the warehouse's place
+    invalidateRegistrations(spark)
     Tables.names.foreach { n =>
       Tables(spark, dir, n).createOrReplaceTempView(n)
     }
@@ -131,12 +137,27 @@ object Engine {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.HashMap[String, String]]())
 
+  // view-definition resolution memo (guide §5, the same invalidation
+  // rule as regMemo): every facade SELECT re-resolved EVERY ledgered
+  // view definition — a parse + full analysis per view per statement
+  // (~10-30 ms each) even when nothing changed. A resolved view only
+  // goes stale when some TABLE state or the view ledger itself moves
+  // (a view re-resolves against current state by design — p20's
+  // semantic), so the memo key is the concatenation of every table's
+  // fingerprint plus the definitions. One slot per session, carrying
+  // the warehouse: statements against a DIFFERENT warehouse miss, so
+  // two warehouses sharing view names keep last-opened-wins.
+  private val viewsMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
   /** Drop `spark`'s registration memo — callers that overwrite temp
     * views out-of-band (governed view sets) force full re-registration
     * on the next openWarehouse.
     */
-  private def invalidateRegistrations(spark: SparkSession): Unit =
+  private def invalidateRegistrations(spark: SparkSession): Unit = {
     regMemo.remove(spark)
+    viewsMemo.remove(spark)
+  }
 
   private def tableFingerprint(tdir: String): String = {
     import java.nio.file.{Files, Path, Paths}
@@ -156,7 +177,11 @@ object Engine {
       } finally s.close()
     }
     listSorted(root).foreach(f => stamp(f, f.getFileName.toString))
-    // transform-store data tree: dir mtimes see appended files
+    // transform-store data tree: dir mtimes see appended files, and a
+    // per-directory ENTRY COUNT closes the mtime-granularity hole (two
+    // appendEvolved batches landing in the same millisecond tick, or a
+    // coarse-mtime filesystem, leave the mtime unchanged — the count
+    // still moves)
     val data = root.resolve("data")
     if (Files.isDirectory(data)) {
       val w = Files.walk(data)
@@ -164,7 +189,12 @@ object Engine {
         import scala.jdk.CollectionConverters._
         w.iterator().asScala.filter(Files.isDirectory(_))
           .toSeq.map(p => root.relativize(p).toString).sorted
-          .foreach(r => stamp(root.resolve(r), r))
+          .foreach { r =>
+            stamp(root.resolve(r), r)
+            val l = Files.list(root.resolve(r))
+            try sb.append("n=").append(l.count()).append('|')
+            finally l.close()
+          }
       } finally w.close()
     }
     // stats sidecars drive the broadcast hint
@@ -914,12 +944,14 @@ object Engine {
           if (isMorTable(d)) graft.sources.Mor.commits(d).map(_.id)
           else Snapshots.versions(d)
         // plain snapshot tables answer from the _filestats sidecar
-        // (metadata-only, Iceberg's manifest row counts); MoR replay
-        // and transform reads keep the exact count job
+        // when present, else an in-memory footer sum — NO sidecar is
+        // written here: SHOW TABLES is a read statement and must not
+        // mutate a (possibly read-only) warehouse. MoR replay and
+        // transform reads keep the exact count job
         val nRows =
           if (isMorTable(d) || graft.sources.Transforms.isTransformTable(d))
             readTable(spark, d).count()
-          else Snapshots.headRowCount(spark, d)
+          else Snapshots.headRowCountNoWrite(spark, d)
         (ns, t, vs.size.toLong, vs.lastOption.getOrElse(0L), nRows)
       }
     import spark.implicits._
@@ -1233,11 +1265,23 @@ object Engine {
     openWarehouse(spark, warehouseDir)
     val entries = warehouseEntries(warehouseDir)
     val defs = viewDefs(warehouseDir)
-    if (withViews)
-      defs.foreach { case (n, sql) =>
-        sqlWarehouse0(spark, warehouseDir, sql, withViews = false)
-          .createOrReplaceTempView(viewName(n))
+    if (withViews && defs.nonEmpty) {
+      // skip re-resolution when every table state AND the definitions
+      // are byte-identical to the last resolution on this session; a
+      // DML/commit moves a table's fingerprint, CREATE/DROP VIEW moves
+      // the defs, openGoverned/open invalidate out-of-band overwrites
+      val fp = warehouseDir + "||" +
+        entries.map { case (n, d) => s"$n=${tableFingerprint(d)}" }
+          .mkString(";") + "||" +
+        defs.map { case (n, s) => n + "\u0000" + s }.mkString("\u0001")
+      if (!fp.equals(viewsMemo.get(spark))) {
+        defs.foreach { case (n, sql) =>
+          sqlWarehouse0(spark, warehouseDir, sql, withViews = false)
+            .createOrReplaceTempView(viewName(n))
+        }
+        viewsMemo.put(spark, fp)
       }
+    }
     val dirs: Map[String, String] =
       entries.map { case (n, d) => viewName(n) -> d }.toMap
     val qualified: Set[String] =

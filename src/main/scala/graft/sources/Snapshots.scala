@@ -1194,57 +1194,79 @@ object Snapshots {
     val p = colStatsPath(tableDir, v)
     if (Files.exists(p)) return
     val dir = Paths.get(tableDir, s"v=$v")
-    // integral columns (the documented contract) read their bounds
-    // from the parquet FOOTERS — #files footer reads, no data pass
-    // (Iceberg's manifest bounds; same exactness for int/long stats).
-    // Non-integral columns keep the aggregate path: their cast-to-long
-    // coercions are not footer-representable.
+    // integral AND date columns (the documented contract) read their
+    // bounds from the parquet FOOTERS — #files footer reads, no data
+    // pass (Iceberg's manifest bounds; int/long stats are exact, and a
+    // DATE is physically an INT32 day ordinal whose footer min/max is
+    // equally exact — r10 verdict item 7). Other types keep the
+    // aggregate path: their cast-to-long coercions are not
+    // footer-representable (timestamp stats are micros, decimal stats
+    // unscaled — both would need a lossy conversion).
     import org.apache.spark.sql.types._
     val schema = ParquetSchemas.read(spark, dir.toString).schema
     val integral = cols.forall(c => schema.fields.find(_.name == c)
       .map(_.dataType).exists {
-        case LongType | IntegerType | ShortType | ByteType => true
+        case LongType | IntegerType | ShortType | ByteType | DateType => true
         case _ => false
       })
-    val rows: Seq[String] =
-      if (integral) {
-        val conf = spark.sessionState.newHadoopConf()
-        val w = Files.walk(dir)
-        try {
-          import scala.jdk.CollectionConverters._
-          w.iterator().asScala
-            .filter(f => Files.isRegularFile(f) &&
-              f.getFileName.toString.endsWith(".parquet"))
-            .flatMap { f =>
-              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                  new org.apache.hadoop.fs.Path(f.toUri), conf))
-              try {
-                // 0-row files never produced a grouped row before —
-                // keep them out of the sidecar
-                if (reader.getRecordCount == 0L) Seq.empty[String]
-                else {
-                  val chunks = reader.getFooter.getBlocks.asScala
-                    .flatMap(_.getColumns.asScala)
-                  cols.map { c =>
-                    val stats = chunks.filter(_.getPath.toDotString == c)
-                      .map(_.getStatistics)
-                      .filter(s => s != null && s.hasNonNullValue)
-                    // all-NULL column in this file: the old aggregate
-                    // row carried SQL NULL, read back as 0 — keep 0
-                    val (mn, mx) =
-                      if (stats.isEmpty) (0L, 0L)
-                      else (stats.map(
-                          _.genericGetMin.asInstanceOf[Number].longValue).min,
-                        stats.map(
-                          _.genericGetMax.asInstanceOf[Number].longValue).max)
-                    s"${dir.relativize(f)}\t$c\t$mn\t$mx"
-                  }
+    // The footer fast path returns None when ANY (file, column) is
+    // INDETERMINATE — the column has no chunk in the file (e.g. a
+    // partition column of a hive-laid-out snapshot) or its chunks
+    // carry no statistics despite holding non-null values (a writer
+    // with stats disabled). Fabricating (0,0) bounds there would let
+    // [[readPruned]] silently skip files that contain matching rows;
+    // such tables keep the exact aggregate path instead. A genuinely
+    // all-NULL column (null count recorded = value count, no non-null
+    // value) keeps the 0/0 parity the old aggregate row read back as.
+    def footerRows(): Option[Seq[String]] = {
+      val conf = spark.sessionState.newHadoopConf()
+      val out = Seq.newBuilder[String]
+      val w = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        val files = w.iterator().asScala
+          .filter(f => Files.isRegularFile(f) &&
+            f.getFileName.toString.endsWith(".parquet"))
+        for (f <- files) {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.toUri), conf))
+          try {
+            // 0-row files never produced a grouped row before —
+            // keep them out of the sidecar
+            if (reader.getRecordCount > 0L) {
+              val chunks = reader.getFooter.getBlocks.asScala
+                .flatMap(_.getColumns.asScala)
+              for (c <- cols) {
+                val colChunks = chunks.filter(_.getPath.toDotString == c)
+                if (colChunks.isEmpty) return None // column not in file
+                val withValues = colChunks.map(ch => (ch, ch.getStatistics))
+                val nonNull = withValues.collect {
+                  case (_, s) if s != null && s.hasNonNullValue => s
                 }
-              } finally reader.close()
-            }.toSeq
-        } finally w.close()
-      } else {
+                val (mn, mx) =
+                  if (nonNull.nonEmpty)
+                    (nonNull.map(
+                        _.genericGetMin.asInstanceOf[Number].longValue).min,
+                      nonNull.map(
+                        _.genericGetMax.asInstanceOf[Number].longValue).max)
+                  else {
+                    val allNull = withValues.forall { case (ch, s) =>
+                      s != null && s.isNumNullsSet &&
+                        s.getNumNulls == ch.getValueCount
+                    }
+                    if (!allNull) return None // stats absent, not all-NULL
+                    (0L, 0L)
+                  }
+                out += s"${dir.relativize(f)}\t$c\t$mn\t$mx"
+              }
+            }
+          } finally reader.close()
+        }
+        Some(out.result())
+      } finally w.close()
+    }
+    val rows: Seq[String] = (if (integral) footerRows() else None).getOrElse {
         val df = spark.read.parquet(dir.toString)
         val aggs = cols.flatMap(c =>
           Seq(min(col(c).cast("long")).as(s"__min_$c"),
@@ -1291,8 +1313,22 @@ object Snapshots {
     val df =
       if (kept.isEmpty) // nothing overlaps: empty result, schema only
         read(spark, tableDir, v).filter(lit(false))
-      else spark.read.parquet(kept.toSeq: _*)
-        .filter(col(colName) >= lo && col(colName) <= hi)
+      else {
+        // basePath keeps hive partition columns visible when reading a
+        // pruned LIST of leaf files (directory-derived columns would
+        // otherwise vanish from the schema)
+        val pruned = spark.read.option("basePath", s"$tableDir/v=$v")
+          .parquet(kept.toSeq: _*)
+        // residual predicate in the column's own type: a DATE column's
+        // sidecar bounds are day ordinals (see writeColStats), so the
+        // long [lo, hi] compares as dates, not as a long coercion
+        val (loE, hiE) = pruned.schema(colName).dataType match {
+          case org.apache.spark.sql.types.DateType =>
+            (expr(s"DATE_FROM_UNIX_DATE($lo)"), expr(s"DATE_FROM_UNIX_DATE($hi)"))
+          case _ => (lit(lo), lit(hi))
+        }
+        pruned.filter(col(colName) >= loE && col(colName) <= hiE)
+      }
     (df, kept.size, total)
   }
 
@@ -1389,6 +1425,35 @@ object Snapshots {
       .asScala.filter(_.nonEmpty).map(_.split('\t')(1).toLong).sum
   }
 
+  /** [[headRowCount]] WITHOUT the sidecar write — for metadata READ
+    * statements (SHOW TABLES): a read query must not mutate the store
+    * (it may target a read-only warehouse). Reuses an existing
+    * `_filestats` sidecar; otherwise sums the head version's parquet
+    * footer record counts in memory. A head version with neither a
+    * sidecar nor data files fails loudly — that is the deleted-files
+    * metadata-survival case, where the old `count()` also raised, and
+    * silently reporting 0 rows would be a wrong answer.
+    */
+  def headRowCountNoWrite(spark: SparkSession, tableDir: String): Long = {
+    val v = versions(tableDir).last
+    val p = fileStatsPath(tableDir, v)
+    if (Files.exists(p))
+      Files.readAllLines(p, StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty).map(_.split('\t')(1).toLong).sum
+    else {
+      val dir = Paths.get(tableDir, s"v=$v")
+      val hasData = {
+        val w = Files.walk(dir)
+        try w.iterator().asScala.exists(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        finally w.close()
+      }
+      require(hasData,
+        s"no data files and no _filestats sidecar at $dir: row count unknown")
+      ParquetSchemas.rowCount(spark, dir.toString)
+    }
+  }
+
   /** `$partitions` — per-partition record/file/byte counts of one
     * snapshot (latest by default), derived wholly from the `$files`
     * stats sidecar (no data read; MetadataTablesSpec deletes the data
@@ -1462,6 +1527,7 @@ object Snapshots {
           case StringType => Seq(round(avg(length(col(f.name))), 4).as("al"))
           case _ => Seq.empty
         })
+    require(fields.nonEmpty, s"ANALYZE TABLE: $tableDir has no columns")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(fields.size, 8))
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -1471,8 +1537,8 @@ object Snapshots {
         scala.concurrent.Future.sequence(fields.map { f =>
           scala.concurrent.Future {
             spark.sparkContext.setJobDescription(s"analyze: ${f.name}")
-            df.select(col(f.name)).agg(colAggs(f).head, colAggs(f).tail: _*)
-              .head()
+            val aggs = colAggs(f)
+            df.select(col(f.name)).agg(aggs.head, aggs.tail: _*).head()
           }
         }), scala.concurrent.duration.Duration.Inf)
       finally pool.shutdown()
@@ -1507,9 +1573,19 @@ object Snapshots {
     // facade call — as a text file it is a driver file read instead
     // of a Spark parquet job (measured 230 ms/call; guide §5: the
     // driver should do almost no data work, and a planning probe is
-    // driver work by nature)
-    Files.writeString(Paths.get(tableStatsDir(tableDir, v), "_nrows"),
-      nRows.toString)
+    // driver work by nature). Written ATOMICALLY (temp + move): a
+    // concurrent statsRowCount probe racing a re-ANALYZE must never
+    // read a half-written file.
+    val nrowsPath = Paths.get(tableStatsDir(tableDir, v), "_nrows")
+    val tmp = Paths.get(tableStatsDir(tableDir, v), s"._nrows.${System.nanoTime()}")
+    Files.writeString(tmp, nRows.toString)
+    try Files.move(tmp, nrowsPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, nrowsPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     stats
   }
 
@@ -1520,9 +1596,14 @@ object Snapshots {
   private def statsRowCount(spark: SparkSession, tableDir: String,
       v: Long): Long = {
     val nr = Paths.get(tableStatsDir(tableDir, v), "_nrows")
-    if (Files.exists(nr)) Files.readString(nr).trim.toLong
-    else spark.read.parquet(tableStatsDir(tableDir, v))
-      .select(max(col("n_rows"))).head().getLong(0)
+    // tolerate a re-ANALYZE racing this probe: the stats dir overwrite
+    // can briefly remove `_nrows` between the exists check and the
+    // read — fall back to the stats parquet rather than throw
+    (try {
+      if (Files.exists(nr)) Some(Files.readString(nr).trim.toLong) else None
+    } catch { case _: java.io.IOException => None })
+      .getOrElse(spark.read.parquet(tableStatsDir(tableDir, v))
+        .select(max(col("n_rows"))).head().getLong(0))
   }
 
   /** `$stats` — the stored per-column statistics of the most recent

@@ -50,6 +50,17 @@ object Profile {
     time("analyzeTable(orders)", 3) {
       Snapshots.analyzeTable(spark, graft.Engine.tableDir(wh, "analytics.orders"))
     }
+    // view-resolution cost per statement: 3 chained ledgered views —
+    // without the r11 views memo every SELECT re-resolves all three
+    graft.Engine.sqlWarehouse(spark, wh,
+      "CREATE VIEW v1 AS SELECT o_custkey, o_totalprice FROM analytics.orders")
+    graft.Engine.sqlWarehouse(spark, wh,
+      "CREATE VIEW v2 AS SELECT o_custkey, SUM(o_totalprice) AS s FROM v1 GROUP BY o_custkey")
+    graft.Engine.sqlWarehouse(spark, wh,
+      "CREATE VIEW v3 AS SELECT COUNT(*) AS n FROM v2 WHERE s > 0")
+    time("sqlWarehouse SELECT over 3 ledgered views", 5) {
+      graft.Engine.sqlWarehouse(spark, wh, "SELECT n FROM v3").collect()
+    }
     spark.stop()
   }
 }

@@ -67,6 +67,100 @@ class StoreOptSpec extends AnyFunSuite {
     }
   }
 
+  test("date-column pruned read: footer bounds, exact parity, files skipped") {
+    import graft.sources.Snapshots
+    val t = TempDirs.scratch("graft-storeopt") + "/dates"
+    // 4 distributed files, one month-ish range per file
+    val df = spark.range(0, 400, 1, 4).select(
+      col("id").as("k"),
+      expr("DATE_FROM_UNIX_DATE(CAST(19000 + id AS INT))").as("d"))
+    val v = Snapshots.commit(df, t)
+    val (pruned, kept, total) = Snapshots.readPruned(spark, t, "d",
+      19100L, 19199L, v)
+    assert(total == 4 && kept == 1) // range-clustered input: 1 file overlaps
+    val exact = Snapshots.read(spark, t, v)
+      .filter(col("d").between(expr("DATE_FROM_UNIX_DATE(19100)"),
+        expr("DATE_FROM_UNIX_DATE(19199)")))
+    assert(pruned.count() == 100 && exact.count() == 100)
+    assert(pruned.agg(min(col("k")), max(col("k"))).head() ==
+      exact.agg(min(col("k")), max(col("k"))).head())
+    // sidecar bounds are day ordinals readable as longs
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(t, s"v=$v", "_colstats.tsv"))
+    import scala.jdk.CollectionConverters._
+    assert(lines.asScala.filter(_.nonEmpty).forall { l =>
+      val a = l.split('\t'); a(2).toLong >= 19000L && a(3).toLong < 19400L
+    })
+  }
+
+  test("partition-column stats fall back instead of fabricating bounds") {
+    import graft.sources.Snapshots
+    val t = TempDirs.scratch("graft-storeopt") + "/partstats"
+    // hive-partitioned snapshot: `p` lives in the DIRECTORY, not in the
+    // data files' footers — the footer fast path must not invent (0,0)
+    val df = spark.range(0, 90, 1, 3).select(
+      col("id").as("k"), (col("id") % 3).as("p"))
+    val v = Snapshots.commitPartitioned(df, t, Seq("p"))
+    val (pruned, kept, total) = Snapshots.readPruned(spark, t, "p", 2L, 2L, v)
+    assert(kept >= 1 && kept < total) // pruning still works via aggregate
+    assert(pruned.count() == 30)
+    assert(pruned.agg(min(col("k")), max(col("k"))).head().toSeq ==
+      Seq(2L, 89L))
+  }
+
+  test("SHOW TABLES does not write a stats sidecar") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-storeopt-showro")
+    val t = s"$wh/tro"
+    val v = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val s = spark.newSession()
+    val row = Engine.sqlWarehouse(s, wh, "SHOW TABLES")
+      .filter(col("table_name") === "tro").head()
+    assert(row.getAs[Long]("latest_rows") == 2L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, s"v=$v", "_filestats.tsv")))
+  }
+
+  test("view-definition memo re-resolves after a table commit") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-storeopt-viewmemo")
+    val t = s"$wh/vt"
+    Snapshots.commit(Seq((1L, 10L)).toDF("k", "x"), t)
+    val s = spark.newSession()
+    Engine.sqlWarehouse(s, wh, "CREATE VIEW vsum AS SELECT SUM(x) AS sx FROM vt")
+    assert(Engine.sqlWarehouse(s, wh, "SELECT sx FROM vsum")
+      .head().getLong(0) == 10L)
+    // memo hit: identical statement, nothing changed
+    assert(Engine.sqlWarehouse(s, wh, "SELECT sx FROM vsum")
+      .head().getLong(0) == 10L)
+    Snapshots.commit(Seq((1L, 10L), (2L, 32L)).toDF("k", "x"), t)
+    // table fingerprint moved: the VIEW must re-resolve, not serve v1
+    assert(Engine.sqlWarehouse(s, wh, "SELECT sx FROM vsum")
+      .head().getLong(0) == 42L)
+    Engine.sqlWarehouse(s, wh, "DROP VIEW vsum")
+    intercept[Exception] {
+      Engine.sqlWarehouse(s, wh, "SELECT sx FROM vsum").collect()
+    }
+  }
+
+  test("Engine.open invalidates the warehouse registration memo") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-storeopt-openinv")
+    // warehouse table named like a testdata table
+    Snapshots.commit(Seq((1L, "wh")).toDF("k", "src"), s"$wh/orders")
+    val s = spark.newSession()
+    assert(Engine.sqlWarehouse(s, wh, "SELECT COUNT(*) AS n FROM orders")
+      .head().getLong(0) == 1L)
+    // open() overwrites 'orders' with the testdata view out-of-band
+    Engine.open(s, "/root/testdata/sf0.001")
+    // the next openWarehouse must re-register, not serve testdata
+    assert(Engine.sqlWarehouse(s, wh, "SELECT COUNT(*) AS n FROM orders")
+      .head().getLong(0) == 1L)
+  }
+
   test("registration memo refreshes the view after a new commit") {
     import graft.sources.Snapshots
     import spark.implicits._
