@@ -436,7 +436,16 @@ object Similarity {
     // files — the vector-store "metadata filtering" layout: a
     // filtered serve never joins back to the raw table
     val a = meta.fold(base)(m => base.join(m, "vec_id"))
-    a.write.mode("overwrite").partitionBy("cell_id")
+    // cluster by cell BEFORE the partitioned write (guide §6 — the
+    // Iceberg write.distribution-mode=hash shape, the same move
+    // compactAnnIndex already makes): with M pre-write tasks each
+    // holding rows of most cells, partitionBy fans out up to M×cells
+    // files; clustered, each cell lands as one file regardless of M.
+    // At sf0.1 AQE already coalesces the tiny assignment output to one
+    // task (8 files either way, measured), so this is cost-neutral
+    // locally (A/B within noise) and exists for the many-task shape
+    a.repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$idxDir/postings")
     val stored = spark.read.parquet(s"$idxDir/postings")
     val cents = stored.select(col("cell_id"), posexplode(col("embedding")))
@@ -527,6 +536,10 @@ object Similarity {
         struct(col("sim"), (-col("cell_id")).as("nc"))).as("b"))
       .select(col("vec_id"), col("b.embedding").as("embedding"),
         col("b.cell_id").as("cell_id"))
+    // NOT clustered by cell before the write (unlike the build): a
+    // micro-batch is already narrow (stream-width partitions), the
+    // extra per-batch shuffle measured SLOWER than the few files it
+    // saves, and compaction (s18) is the designated layout fixer
     batchTag match {
       case None =>
         assigned.write.mode(SaveMode.Append).partitionBy("cell_id")
@@ -1182,18 +1195,27 @@ object Similarity {
     */
   def s14IvfPq(spark: SparkSession, dir: String): DataFrame = {
     val coarse = graft.Caches.scoped(kmeansAssignments(spark, dir))
-    // eager RDD-level populate (the d14 lesson): centroids, queries
-    // and candidates all consume `coarse` — a cold cache would
-    // re-run the k-means passes per consumer under AQE's concurrent
-    // stage launch; an RDD count does not trip the release listener
-    coarse.queryExecution.toRdd.count()
     val (rawCodebook, _) = pqModel(spark, dir)
     // the trained codebook (S·K = 32 rows) feeds TWO consumers — the
     // query distance tables and the corpus assignment pass — and each
     // would otherwise re-run the whole PQ training chain; cache it
-    // eagerly (RDD-level populate, same rule as `coarse`)
+    // eagerly (RDD-level populate so the release listener is not
+    // consumed — the d14 lesson; same for `coarse`, which centroids,
+    // queries and candidates all consume). The two training chains
+    // are INDEPENDENT (coarse k-means vs PQ codebook), so their
+    // populate actions run CONCURRENTLY (guide §2.6 — actions are
+    // only sequential because the driver calls them sequentially;
+    // each chain is many small stages, so the other chain's tasks
+    // back-fill the scheduler gaps).
     val codebook = graft.Caches.scoped(rawCodebook)
-    codebook.queryExecution.toRdd.count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+      scala.concurrent.Future { coarse.queryExecution.toRdd.count(); () },
+      scala.concurrent.Future { codebook.queryExecution.toRdd.count(); () })),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
     val asn = pqAssign(spark, dir, codebook)
     val cents = coarse.select(col("cell_id"), posexplode(col("embedding")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")

@@ -445,11 +445,27 @@ object Warehouse {
         sum(col("l_extendedprice").cast("decimal(18,2)")).as("price"),
         max(col("l_shipdate")).as("ship_max"))
       .persist()
-    val ov1 = Snapshots.commit(o.filter(col("o_orderdate") < cutoff), oT)
-    val ov2 = Snapshots.commit(o, oT)
-    val lv1 = Snapshots.commit(
-      lk.filter(col("ship_max") < cutoff).drop("ship_max"), lT)
-    val lv2 = Snapshots.commit(lk.drop("ship_max"), lT)
+    // the two tables' landings are INDEPENDENT (versions are ordered
+    // within a table only): run the O chain and the L chain as two
+    // concurrent driver threads (guide §2.6) — each commit's write job
+    // is a handful of tasks, so the chains back-fill each other's
+    // scheduler gaps and the landing phase takes max(O, L), not O+L
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val oF = scala.concurrent.Future {
+      val v1 = Snapshots.commit(o.filter(col("o_orderdate") < cutoff), oT)
+      (v1, Snapshots.commit(o, oT))
+    }
+    val lF = scala.concurrent.Future {
+      val v1 = Snapshots.commit(
+        lk.filter(col("ship_max") < cutoff).drop("ship_max"), lT)
+      (v1, Snapshots.commit(lk.drop("ship_max"), lT))
+    }
+    val ((ov1, ov2), (lv1, lv2)) =
+      try scala.concurrent.Await.result(
+        oF.zip(lF), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     lk.unpersist(false)
 
     def martAgg(oo: DataFrame, ll: DataFrame): DataFrame =

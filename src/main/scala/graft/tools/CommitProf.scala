@@ -44,6 +44,34 @@ object CommitProf {
       .toDF("k", "v"))
     probe("LocalRelation 100 rows again", (1 to 100).map(i => (i.toLong, s"v$i"))
       .toDF("k", "v"))
+    // decomposition: the bare write job vs the commit wrapper, on the
+    // 5-row shuffle-rooted frame every streaming rollup commit lands
+    val tiny = orders.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    tiny.count()
+    probe("tiny shuffle-rooted (3 rows)", tiny)
+    val bare = graft.TempDirs.scratch("graft-cprof-bare")
+    var i = 0
+    def t(label: String)(f: => Unit): Unit = {
+      f // warm
+      val t0 = System.nanoTime()
+      (1 to 5).foreach(_ => f)
+      println(f"[commit] $label: ${(System.nanoTime() - t0) / 1e9 / 5}%.3f s/call (n=5)")
+    }
+    t("bare parquet write of tiny frame") {
+      i += 1; tiny.write.mode("overwrite").parquet(s"$bare/w$i")
+    }
+    t("bare parquet write of tiny frame, coalesce(1)") {
+      i += 1; tiny.coalesce(1).write.mode("overwrite").parquet(s"$bare/w$i")
+    }
+    t("optimizedPlan inspection of tiny frame") {
+      tiny.queryExecution.optimizedPlan match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+        case _ => ()
+      }
+    }
+    t("full Snapshots.commit of tiny frame") {
+      i += 1; Snapshots.commit(tiny, graft.TempDirs.scratch("graft-cprof2") + s"/t$i")
+    }
     spark.stop()
   }
 }
