@@ -41,4 +41,18 @@ object BenchPhase {
 
   /** Landing seconds accumulated since the last drain; resets to 0. */
   def drainLandSeconds(): Double = landNanos.getAndSet(0L) / 1e9
+
+  /** Is the current thread inside a [[land]] frame? */
+  private[graft] def isLanding: Boolean = depth.get() > 0
+
+  /** Run `body` as a NESTED landing frame on this thread — used by
+    * [[Overlap]] worker threads so a land-wrapped overlap region
+    * accumulates its wall once (the caller's outer frame), not the
+    * per-thread sum.
+    */
+  private[graft] def runNested[T](body: => T): T = {
+    val d = depth.get()
+    depth.set(d + 1)
+    try body finally depth.set(d)
+  }
 }

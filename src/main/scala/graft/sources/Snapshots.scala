@@ -344,9 +344,16 @@ object Snapshots {
       }
       locked(ordered.map(_._2).toList) {
         replayed.getOrElse { // zombie-writer re-check inside the locks
-          val staged = ordered.map { case (df, d) =>
-            val v = reserveVersion(d)
+          // Stage the N data directories CONCURRENTLY (guide §2.6):
+          // they are invisible until the _txns record below (the
+          // commit point is unchanged), and at micro-batch sizes each
+          // write is a scheduling-dominated Spark job — overlapping
+          // them costs max() instead of sum() per transaction.
+          val reserved = ordered.map { case (df, d) => (df, d, reserveVersion(d)) }
+          graft.Overlap.jobs(reserved) { case (df, d, v) =>
             compactLocal(df).write.mode(SaveMode.Overwrite).parquet(s"$d/v=$v")
+          }
+          val staged = reserved.map { case (df, d, v) =>
             appendTime(d, v)
             recordCommitSchema(d, v, df.schema)
             (d, v)

@@ -178,4 +178,36 @@ class StoreOptSpec extends AnyFunSuite {
     assert(Engine.sqlWarehouse(s, wh, "SELECT COUNT(*) AS n FROM tbl")
       .head().getLong(0) == 2L)
   }
+
+  // ---- Overlap (concurrent independent jobs, r11) --------------------
+
+  test("Overlap rethrows the failing action's own exception") {
+    // st26's in-stream gate proof catches IllegalStateException from a
+    // commitChecked running inside Overlap.pair — the pool's
+    // ExecutionException wrapper must never leak to call sites
+    val e = intercept[IllegalStateException] {
+      Overlap.pair(1 + 1, throw new IllegalStateException("boom"))
+    }
+    assert(e.getMessage == "boom")
+    // and results come back in submission order
+    assert(Overlap.jobs(Seq(1, 2, 3))(_ * 10) == Seq(10, 20, 30))
+  }
+
+  test("concurrently-staged commitTxn lands both tables atomically") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val wh = TempDirs.scratch("graft-storeopt-txn2")
+    val (a, b) = (s"$wh/ta", s"$wh/tb")
+    val va = Snapshots.commit(Seq(0L).toDF("x"), a)
+    val vb = Snapshots.commit(Seq(0L).toDF("x"), b)
+    val got = Snapshots.commitTxn(wh,
+      Seq((Seq(1L, 2L).toDF("x"), a), (Seq(3L).toDF("x"), b)), "txn-ovl")
+    assert(got == Seq(va + 1, vb + 1))
+    assert(Snapshots.read(spark, a).count() == 2L)
+    assert(Snapshots.read(spark, b).count() == 1L)
+    // replay: recorded versions back, nothing written
+    assert(Snapshots.commitTxn(wh,
+      Seq((Seq(9L).toDF("x"), a), (Seq(9L).toDF("x"), b)), "txn-ovl") == got)
+    assert(Snapshots.versions(a).size == 2 && Snapshots.versions(b).size == 2)
+  }
 }
