@@ -444,7 +444,8 @@ object Similarity {
     // At sf0.1 AQE already coalesces the tiny assignment output to one
     // task (8 files either way, measured), so this is cost-neutral
     // locally (A/B within noise) and exists for the many-task shape
-    a.repartition(col("cell_id"))
+    a.repartition(spark.sessionState.conf.numShufflePartitions,
+        col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$idxDir/postings")
     val stored = spark.read.parquet(s"$idxDir/postings")
@@ -803,7 +804,11 @@ object Similarity {
         case Some(t) => stored.join(broadcast(t), Seq("vec_id"), "left_anti")
         case None => stored
       }
-      live0.repartition(col("cell_id"))
+      // width-pinned (one task per cell, cells spread over the width)
+      // instead of AQE-coalesced to one serial writer — same move as
+      // Transforms.land (guide §2.6/§6)
+      live0.repartition(spark.sessionState.conf.numShufflePartitions,
+          col("cell_id"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(staging)
       import java.nio.file.{Files, Paths}
       val live = Paths.get(s"$idxDir/postings")

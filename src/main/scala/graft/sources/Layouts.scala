@@ -97,7 +97,11 @@ object Layouts {
       throw new IllegalStateException(
         s"no partition spec declared at $tableDir — call evolveTo first"))
     val withPart = df.withColumn(t.partCol, t.derive(col(dateCol)))
-    withPart.repartition(col(t.partCol))
+    // width-pinned like Transforms.land: an unnumbered repartition(col)
+    // lets AQE coalesce the tiny pre-write exchange to ONE task that
+    // writes every partition directory serially (guide §2.6/§6)
+    withPart.repartition(spark.sessionState.conf.numShufflePartitions,
+        col(t.partCol))
       .write.mode(SaveMode.Append).partitionBy(t.partCol)
       .parquet(s"$tableDir/spec=$id")
   }

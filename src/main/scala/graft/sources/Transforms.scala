@@ -196,8 +196,16 @@ object Transforms {
       t: Transform): Unit = graft.BenchPhase.land {
     graft.functions.GraftFunctions.register(spark) // MBucket's expression
     Files.createDirectories(Paths.get(tableDir))
+    // repartition PINNED at the session shuffle width: the unnumbered
+    // repartition(col) lets AQE coalesce the tiny pre-write exchange
+    // to ONE task, which then writes every partition-value file
+    // SERIALLY — a many-directory landing (e.g. ~300 truncate groups)
+    // measured 4.1 s single-task vs spread across the width (guide
+    // §2.6 idle capacity; §6 the write is file-count-bound, not
+    // byte-bound). Hash keeps one task per value → one file per value.
+    val width = spark.sessionState.conf.numShufflePartitions
     df.withColumn(PvCol, t.derive)
-      .repartition(col(PvCol))
+      .repartition(width, col(PvCol))
       .write.mode(SaveMode.Overwrite).partitionBy(PvCol)
       .parquet(s"$tableDir/data")
     writeManifest(tableDir, t)
@@ -253,8 +261,10 @@ object Transforms {
     if (seen) return
     graft.functions.GraftFunctions.register(spark) // MBucket's expression
     Files.createDirectories(Paths.get(tableDir))
+    // same width pin as [[land]]: a batch touching many partition
+    // values must not collapse to one serial writer task
     df.withColumn(PvCol, t.derive)
-      .repartition(col(PvCol))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(PvCol))
       .write.mode(SaveMode.Append).partitionBy(PvCol)
       .parquet(s"$tableDir/data")
     writeManifest(tableDir, t)
