@@ -385,8 +385,12 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
     registered ++= models.filter(isLogical).map(m => m.name -> m)
     registeredSources ++= sources
     // Kahn's topological sort; ready set drained in name order so the
-    // execution plan is deterministic across runs.
-    val order = scala.collection.mutable.ArrayBuffer.empty[Model]
+    // execution plan is deterministic across runs. Each drained batch
+    // is one LEVEL: its models have no dependency among themselves, so
+    // they can materialize concurrently (dbt's `threads`; guide §2.6 —
+    // a model build here is a handful of scheduling-dominated jobs, so
+    // same-level builds back-fill each other's driver gaps).
+    val levels = scala.collection.mutable.ArrayBuffer.empty[Seq[Model]]
     val done = scala.collection.mutable.Set.empty[String]
     val remaining = scala.collection.mutable.SortedMap.empty[String, Model] ++ byName
     while (remaining.nonEmpty) {
@@ -395,8 +399,8 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
         .toSeq
       require(ready.nonEmpty,
         s"dependency cycle among models: ${remaining.keys.mkString(", ")}")
+      levels += ready
       ready.foreach { m =>
-        order += m
         done += m.name
         remaining -= m.name
       }
@@ -431,7 +435,9 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
         | "checks": [${checks.mkString(", ")}]}""".stripMargin
       run
     }
-    val report = order.toSeq.map { m =>
+    // one model's full build-check-mark step; returns (run, inputRecs)
+    // so lineage recording stays sequential in level name order
+    def runOne(m: Model): (ModelRun, Seq[String]) = {
       // view/ephemeral never write, so resume markers don't apply —
       // re-registering a definition is free and always safe
       val marker =
@@ -440,8 +446,7 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
         Snapshots.versions(tableDir(m.name)).nonEmpty &&
           Snapshots.committedTags(tableDir(m.name)).contains(t))
       if (alreadyDone) {
-        record(m,
-          ModelRun(m.name, Snapshots.versions(tableDir(m.name)).last, "skipped"),
+        (ModelRun(m.name, Snapshots.versions(tableDir(m.name)).last, "skipped"),
           m.deps.map(depRecord))
       } else {
       // dep versions recorded BEFORE the build reads them — the exact
@@ -496,7 +501,18 @@ final class Runner(spark: SparkSession, warehouseDir: String) {
           s"model '${m.name}' failed data checks: ${describe(fatal.toSeq)}")
       }
       marker.foreach(t => Snapshots.tagVersion(tableDir(m.name), run.version, t))
-      record(m, run, inputRecs)
+      (run, inputRecs)
+      }
+    }
+    val report = levels.toSeq.flatMap { level =>
+      // same-level models are independent by construction: build them
+      // concurrently, then record lineage sequentially in name order so
+      // the manifest (and the returned report) are byte-identical to a
+      // serial run. Overlap rethrows the first failure in name order —
+      // the same exception a serial run surfaces.
+      val runs = graft.Overlap.jobs(level)(runOne)
+      level.zip(runs).map { case (m, (run, inputRecs)) =>
+        record(m, run, inputRecs)
       }
     }
     writeLineage(
