@@ -407,7 +407,10 @@ object Transforms {
     val withPv = ts.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
       d.withColumn(s"__pv$i", t.derive)
     }
-    withPv.repartition(pvCols.map(col): _*)
+    // same width pin as [[land]]: an unnumbered repartition(cols) lets
+    // AQE coalesce the tiny pre-write exchange to one serial writer
+    withPv.repartition(spark.sessionState.conf.numShufflePartitions,
+        pvCols.map(col): _*)
       .write.mode(SaveMode.Append).partitionBy(pvCols: _*)
       .parquet(s"$tableDir/data/__spec=$sid")
   }
