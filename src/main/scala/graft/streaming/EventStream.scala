@@ -852,13 +852,17 @@ object EventStream {
 
     val mainT = s"${graft.TempDirs.scratch("graft-st14-tbl")}/events_valid"
     val dlqT = s"${graft.TempDirs.scratch("graft-st14-dlq")}/events_dlq"
-    graft.sources.Snapshots.commit(
-      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        envSchema), mainT)
-    graft.sources.Snapshots.commit(
-      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        StructType(Seq(StructField("reason", StringType),
-          StructField("payload", StringType)))), dlqT)
+    // two independent empty seeds — committed concurrently (guide §2.6)
+    graft.BenchPhase.land {
+      graft.Overlap.pair(
+        graft.sources.Snapshots.commit(
+          s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            envSchema), mainT),
+        graft.sources.Snapshots.commit(
+          s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField("reason", StringType),
+              StructField("payload", StringType)))), dlqT))
+    }
 
     val stream = s.readStream
       .schema(StructType(Seq(StructField("payload", StringType))))
@@ -1799,14 +1803,19 @@ object EventStream {
       base.unionByName(upd).unionByName(del)
         .repartition(16).write.mode("overwrite").parquet(src)
     }
-    // seeds: empty upstream state, empty mart, cursor at the seed
-    Snapshots.commit(base.filter(lit(false)), up)
-    Snapshots.commit(
-      base.filter(lit(false))
-        .select(col("seg").as("status"),
-          lit(0L).as("n_live"), lit(null).cast(dec).as("rev_dec")), mart)
+    // seeds: empty upstream state, empty mart, cursor at the seed —
+    // three independent tables, seeded concurrently (guide §2.6)
     import spark.implicits._
-    Snapshots.commit(Seq(1L).toDF("last_version"), cur)
+    graft.BenchPhase.land {
+      graft.Overlap.jobs(Seq[() => Unit](
+        () => { Snapshots.commit(base.filter(lit(false)), up); () },
+        () => { Snapshots.commit(
+          base.filter(lit(false))
+            .select(col("seg").as("status"),
+              lit(0L).as("n_live"), lit(null).cast(dec).as("rev_dec")), mart); () },
+        () => { Snapshots.commit(Seq(1L).toDF("last_version"), cur); () }
+      ))(_.apply())
+    }
     val srcSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k",
         org.apache.spark.sql.types.LongType),
