@@ -9,9 +9,13 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeEntries {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config(graft.streaming.EventStream.STREAM_SHUFFLE_KEY, "8")
+    // dev knob: core count for scaling probes (default = the 32-core
+    // steady-state yardstick; the bench's own c8 shape uses 8/8/4)
+    val cpus = sys.env.getOrElse("TE_CPUS", "32")
+    val streamW = sys.env.getOrElse("TE_STREAMW", if (cpus == "32") "8" else "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config(graft.streaming.EventStream.STREAM_SHUFFLE_KEY, streamW)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
